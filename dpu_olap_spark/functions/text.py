@@ -1,0 +1,43 @@
+"""Text expression builders — all JVM built-ins (split/transform/
+filter/md5), no Python UDFs, so they stay inside whole-stage codegen
+at 100 TB.
+
+Hashing is md5 (not xxhash64/F.hash) wherever the result must be
+verifiable cross-engine: md5 is bit-identical in Spark and DuckDB,
+while each engine's native hash function is engine-specific. The
+reference pins its own hash for the same reason — bucket determinism
+(wang_hash, /root/reference/dpu/shared/kernels/partition.c:20-28).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; test corpus is single-space separated."""
+    return F.split(text, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: slice(toks, i, n) for i in 1..len-n+1.
+    Caller must guard size(toks) >= n (sequence() would run backwards)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of tokens that are stopwords (higher-order filter, JVM-side)."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def seeded_min_hash(shingle_col: Column, seed: Column) -> Column:
+    """One MinHash lane: md5 over the seed-tagged shingle. min() of this
+    per document is the signature lane — deterministic across engines."""
+    return F.md5(F.concat_ws(":", seed, shingle_col))

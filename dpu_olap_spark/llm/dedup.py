@@ -1,0 +1,269 @@
+"""Deduplication operators: exact (hash-groupBy), MinHash signatures +
+LSH banding (near-dup candidate pairs), exact n-gram Jaccard
+verification of candidates, and SimHash.
+
+The test corpus has no natural duplicates (all 500+ texts are
+distinct), so dedup queries run over an AUGMENTED corpus: documents
+UNION ALL a 10% sample re-keyed to doc_id+1_000_000. That makes every
+query's dup-collapsing behavior observable, not vacuous.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on the fingerprint — optimal.
+- MinHash/LSH is the standard sub-quadratic near-dup pipeline:
+  shingle -> K seeded min-hashes -> band keys -> self-join on band key.
+  Work is linear in corpus size + output pairs; there is never an
+  all-pairs comparison. Candidates then get exact Jaccard verification.
+- hashes are md5 (cross-engine deterministic — functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.functions.text import seeded_min_hash, shingles, tokens
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # 4 bands x 2 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return docs.unionAll(dupes)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT
+      md5(text) AS fp,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+      COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest
+    doc_id. One shuffle on the fingerprint; map-side partial aggregation
+    collapses local copies first."""
+    return (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format MinHash signatures: (doc_id, seed, minhash).
+    explode(shingles) x broadcast(seeds) -> min() per (doc, seed)."""
+    corpus = _corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sh = corpus.where(F.size(toks) >= 3).select(
+        "doc_id", F.explode(shingles(toks, 3)).alias("shingle")
+    )
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.join(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(seeded_min_hash(F.col("shingle"), F.col("seed"))).alias("minhash"))
+    )
+
+
+_SIGNATURES_SQL = f"""
+    corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+    ),
+    seeds AS (SELECT CAST(s AS INT) AS seed FROM range(0, {N_HASHES}) r(s)),
+    sig AS (
+      SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS minhash
+      FROM sh CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    )
+"""
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SIGNATURES_SQL}
+    SELECT doc_id, seed, minhash FROM sig
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix in long format — the reusable artifact a
+    pipeline would persist (bucketed by doc_id) for incremental dedup."""
+    return _signatures(spark, sf_dir)
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Band key per (doc, band): md5 over the band's ordered lanes."""
+    # floor division: Spark `/` truncates on cast but DuckDB CAST rounds,
+    # so both sides use explicit floor/integer division
+    banded = sig.withColumn("band", F.floor(F.col("seed") / ROWS_PER_BAND).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+                ",",
+            )
+        ).alias("bkey")
+    )
+
+
+_BANDS_SQL = f"""
+    bands AS (
+      SELECT doc_id,
+             CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS bkey
+      FROM sig
+      GROUP BY doc_id, CAST(seed // {ROWS_PER_BAND} AS INT)
+    )
+"""
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SIGNATURES_SQL},
+    {_BANDS_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidate pairs = docs sharing any band
+    key. Self-join is on (band, bkey) — a hash-shuffle join whose cost
+    is bucket-local, never all-pairs."""
+    bands = _band_keys(_signatures(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_jaccard",
+    oracle=f"""
+    WITH {_SIGNATURES_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on the LSH candidate pairs (verify step of
+    the MinHash pipeline). Only candidates are compared — the exact
+    computation never touches non-candidate pairs."""
+    corpus = _corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    shd = (
+        corpus.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles(toks, 3)).alias("shingle"))
+        .distinct()
+    )
+    cand = q_dedup_minhash_pairs(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("shingle_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b"])
+        .where(F.col("shingle_a") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("simhash")  # xxhash64 has no cross-engine twin -> rows-only check
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: xxhash64 each token (JVM built-in),
+    majority-vote each bit. Hamming distance between signatures then
+    approximates token-set similarity; pytest verifies invariants
+    (identical text -> identical signature; see tests/test_llm_ops.py).
+
+    Plan shape: explode tokens -> explode 64 bit positions -> two
+    partial-agg groupBys. Linear in corpus size; no all-pairs stage.
+    """
+    corpus = _corpus(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).select("doc_id", "bit", F.expr("shiftright(h, bit) & 1").alias("b"))
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum("b").alias("ones"), F.count(F.lit(1)).alias("n")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.expr(
+            "sum(CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END)"
+        ).alias("simhash")
+    )

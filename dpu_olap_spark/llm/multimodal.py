@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode/feature-extract as Arrow-batched `mapInPandas` stages.
+
+The container has no image/audio codec libraries, so the actual decode
+is stubbed (deterministic fake derived from payload bytes; the real
+library call raises NotImplementedError at the clearly marked seam).
+Everything Spark-side is real and tested: schema, binary columns,
+batch iteration, partitioning.
+
+Scale notes: binary payloads ride in parquet as column chunks;
+`mapInPandas` streams Arrow batches through Python with bounded memory
+(spark.sql.execution.arrow.maxRecordsPerBatch). Metadata-only queries
+never touch payload bytes thanks to column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a multimodal asset table from documents: utf-8 payload
+    bytes + modality tag. Stands in for (path, bytes) image/audio rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 16).cast("int").alias("shard"),
+    )
+
+
+@query(
+    "mm_metadata",
+    oracle="""
+    SELECT
+      doc_id,
+      CASE
+        WHEN doc_id % 3 = 0 THEN 'image'
+        WHEN doc_id % 3 = 1 THEN 'audio'
+        ELSE 'video'
+      END AS modality,
+      CAST(doc_id % 16 AS INT) AS shard,
+      octet_length(encode(text)) AS n_bytes,
+      md5(text) AS payload_fp
+    FROM documents
+    """,
+)
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads (size, fingerprint, shard).
+    The payload column itself is pruned out of the scan."""
+    assets = _with_payload(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("payload_fp"))
+    return (
+        assets.select(
+            "doc_id", "modality", "shard", F.octet_length("payload").alias("n_bytes")
+        )
+        .join(docs, "doc_id")
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+USE_REAL_CODECS = False  # flip when PIL/ffmpeg are available
+
+
+def _real_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
+    """Seam for real codec integration (PIL / soundfile / pyav)."""
+    raise NotImplementedError(
+        "codec libraries are not installed in this environment; "
+        "set USE_REAL_CODECS=True once PIL/pyav are available"
+    )
+
+
+def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
+    """Deterministic fake: dimensions derived from payload bytes — keeps
+    the full Arrow/mapInPandas path testable without codecs."""
+    w = 16 + payload[0] % 64 if payload else 0
+    h = 16 + payload[1] % 64 if len(payload) > 1 else 0
+    frames = 1 if modality == "image" else 1 + len(payload) % 32
+    mean = float(sum(payload[:256])) / max(1, min(len(payload), 256))
+    return w, h, frames, round(mean, 4)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    decode = _real_decode if USE_REAL_CODECS else _fake_decode
+    for pdf in batches:
+        out = {"doc_id": [], "modality": [], "width": [], "height": [], "n_frames": [], "mean_byte": []}
+        for doc_id, modality, payload in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
+            w, h, fr, mean = decode(bytes(payload), modality)
+            out["doc_id"].append(doc_id)
+            out["modality"].append(modality)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_frames"].append(fr)
+            out["mean_byte"].append(mean)
+        yield pd.DataFrame(out)
+
+
+@query("mm_decode")  # python decode stage -> rows-only check
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched mapInPandas over
+    (doc_id, modality, payload). Deterministic fake decode (no codec
+    libs in this container) behind the _real_decode seam."""
+    assets = _with_payload(spark, sf_dir)
+    return assets.select("doc_id", "modality", "payload").mapInPandas(
+        _decode_batches, schema=_DECODE_SCHEMA
+    )
+
+
+@query(
+    "mm_agg",
+    oracle="""
+    WITH assets AS (
+      SELECT
+        CASE
+          WHEN doc_id % 3 = 0 THEN 'image'
+          WHEN doc_id % 3 = 1 THEN 'audio'
+          ELSE 'video'
+        END AS modality,
+        octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT modality,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+    FROM assets GROUP BY modality
+    """,
+)
+def q_mm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage accounting per modality — metadata-only aggregate."""
+    assets = _with_payload(spark, sf_dir)
+    return (
+        assets.select("modality", F.octet_length("payload").alias("n_bytes"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

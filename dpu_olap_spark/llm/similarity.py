@@ -1,0 +1,231 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Two paths, mirroring production vector-search design:
+- `knn_bruteforce`: exact cosine top-k — the correctness baseline.
+  One narrow scan + per-row O(d) arithmetic + TakeOrdered(k). Linear,
+  embarrassingly parallel; at 100 TB this is the "rerank" stage.
+- `ann_lsh`: sign-projection LSH bucket prefilter, then exact cosine
+  only within the query's bucket — the scale path. Bucketing is
+  deterministic and SQL-expressible so the DuckDB oracle verifies it
+  exactly (vs. random-hyperplane variants whose planes would need a
+  shared RNG).
+
+The query vector is fetched by key (vec_id=0) and inlined as a literal
+— the distributed equivalent of broadcasting a parameter; the scan
+that fetches it is a single-row key lookup, not a data-path collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.functions.vectors import cosine_sim, dot, l2_norm, sign_bucket
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+_QUERY_VEC_ID = 0
+_TOP_K = 20
+
+# DuckDB side of the double-precision dot/cosine: parallel unnest of the
+# two lists zips them positionally; accumulate in DOUBLE, round to 4.
+_ORACLE_SIMS = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    pairs AS (
+      SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+      FROM embeddings e, q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ),
+    sims AS (
+      SELECT vec_id,
+        SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+        SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+      FROM pairs GROUP BY vec_id
+    )
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> F.Column:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    return F.array(*[F.lit(float(x)) for x in row[0]])
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH {_ORACLE_SIMS}
+    SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM sims
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {_TOP_K}
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 by cosine to the vec_id=0 embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", cosine_sim(F.col("embedding"), qv).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOP_K)
+    )
+
+
+@query(
+    "ann_lsh",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    bucketed AS (
+      SELECT vec_id, embedding,
+        CAST(
+          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+          + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+          + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+          + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+          + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS INT) AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT bucket AS qbucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID}),
+    cand AS (
+      SELECT b.vec_id, b.embedding, b.bucket
+      FROM bucketed b, qb
+      WHERE b.bucket = qb.qbucket AND b.vec_id <> {_QUERY_VEC_ID}
+    ),
+    pairs AS (
+      SELECT c.vec_id, c.bucket, unnest(c.embedding) AS a, unnest(q.qv) AS b
+      FROM cand c, q
+    ),
+    sims AS (
+      SELECT vec_id, bucket,
+        SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+        SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+      FROM pairs GROUP BY vec_id, bucket
+    )
+    SELECT vec_id, bucket, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM sims
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: prune to the query's LSH bucket (expected corpus/256), then
+    exact cosine top-10 within it. At scale the table would be written
+    bucketed/partitioned BY this key so the scan prunes to one bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col("embedding"), 8))
+    qbucket = (
+        bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select("bucket").first()[0]
+    )
+    return (
+        bucketed.where((F.col("bucket") == qbucket) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select("vec_id", "bucket", cosine_sim(F.col("embedding"), qv).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "vector_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, len(embedding) AS n_dims, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT vec_id, label, n_dims,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq
+      FROM flat GROUP BY vec_id, label, n_dims
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(MIN(n_dims) AS INT) AS min_dims,
+           CAST(MAX(n_dims) AS INT) AS max_dims,
+           round(MIN(sqrt(sq)), 4) AS min_norm,
+           round(MAX(sqrt(sq)), 4) AS max_norm
+    FROM per_vec GROUP BY label
+    """,
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding sanity stats (dims, norm range) — min/max are
+    order-independent, so no decimal dance needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return (
+        emb.select(
+            "label", F.size("embedding").alias("n_dims"), norm.alias("norm")
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n_dims").alias("min_dims"),
+            F.max("n_dims").alias("max_dims"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+        CAST(
+          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+          + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+          + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS INT) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    flat AS (
+      SELECT vec_a, vec_b, unnest(ea) AS x, unnest(eb) AS y FROM cand
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+      FROM flat GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, round(dp / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim
+    FROM sims
+    WHERE round(dp / (sqrt(nx) * sqrt(ny)), 4) >= 0.35
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join
+    (6-bit sign LSH -> exact cosine within bucket). The bucket equality
+    is the join key, so the self-join shuffles by bucket and compares
+    only within buckets — sub-quadratic, the embedding analog of the
+    MinHash band join in llm/dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col("embedding"), 6))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    sim = cosine_sim(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.35)
+    )

@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token counting, quality scoring, language-ID
+heuristic, document fingerprinting, token histograms.
+
+All expressions are JVM built-ins (split / higher-order filter /
+regexp / md5) — one narrow scan, no shuffle except for the histogram's
+groupBy. At 100 TB each of these is a single map-stage over the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.functions.text import STOPWORDS, stopword_hits, tokens
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, text,
+             string_split(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id, lang,
+      len(toks) AS n_tokens,
+      length(text) AS text_len,
+      n_chars,
+      length(replace(text, ' ', '')) AS n_nonspace,
+      round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4)
+        AS avg_token_len,
+      len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS n_stopwords,
+      round(CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+            / len(toks), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length statistics + stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    sw = stopword_hits(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        "n_chars",
+        n_nonspace.alias("n_nonspace"),
+        F.round(n_nonspace.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        sw.alias("n_stopwords"),
+        F.round(sw.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS tl
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CASE WHEN len(toks) >= 20 AND len(toks) <= 2000 THEN 1 ELSE 0 END AS len_ok,
+      CASE WHEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 10 >= len(toks)
+           THEN 1 ELSE 0 END AS stopword_ok,
+      round(
+        0.5 * (CASE WHEN len(toks) >= 20 AND len(toks) <= 2000 THEN 1 ELSE 0 END)
+        + 0.5 * (CASE WHEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 10
+                      >= len(toks) THEN 1 ELSE 0 END), 2) AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: length band + stopword
+    density, combined into a [0,1] score. Integer-arithmetic predicates
+    keep both engines exactly aligned."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    len_ok = F.when((n >= 20) & (n <= 2000), 1).otherwise(0)
+    sw_ok = F.when(stopword_hits(toks) * 10 >= n, 1).otherwise(0)
+    return docs.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        sw_ok.alias("stopword_ok"),
+        F.round(0.5 * len_ok + 0.5 * sw_ok, 2).alias("quality"),
+    )
+
+
+_MARKERS = {
+    "en": ("the", "and", "is"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _MARKERS[lang])
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ({_marker_sql('en')}))) AS hits_en,
+        len(list_filter(toks, x -> x IN ({_marker_sql('es')}))) AS hits_es,
+        len(list_filter(toks, x -> x IN ({_marker_sql('de')}))) AS hits_de,
+        len(list_filter(toks, x -> x IN ({_marker_sql('fr')}))) AS hits_fr
+      FROM t
+    )
+    SELECT doc_id, lang, hits_en, hits_es, hits_de, hits_fr,
+      CASE
+        WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0
+          THEN 'unknown'
+        WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr
+          THEN 'en'
+        WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+        WHEN hits_de >= hits_fr THEN 'de'
+        ELSE 'fr'
+      END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic argmax
+    (fixed tie-break order en > es > de > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: stopword_hits(toks, words) for lang, words in _MARKERS.items()}
+    sel = docs.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in _MARKERS],
+    )
+    c = {lang: F.col(f"hits_{lang}") for lang in _MARKERS}
+    pred = (
+        F.when((c["en"] == 0) & (c["es"] == 0) & (c["de"] == 0) & (c["fr"] == 0), "unknown")
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]), "en")
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+        .when(c["de"] >= c["fr"], "de")
+        .otherwise("fr")
+    )
+    return sel.withColumn("pred_lang", pred)
+
+
+@query(
+    "fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(text) AS fp_full,
+      md5(substr(text, 1, 64)) AS fp_head,
+      md5(concat(lang, ':', source)) AS fp_meta
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 — cross-engine deterministic; see
+    functions/text.py on hash choice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_full"),
+        F.md5(F.substring("text", 1, 64)).alias("fp_head"),
+        F.md5(F.concat_ws(":", "lang", "source")).alias("fp_meta"),
+    )
+
+
+@query(
+    "token_hist",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 (explode -> count -> top-k).
+    Partial aggregation collapses each partition's counts before the
+    shuffle, so shuffled bytes ~ vocabulary size, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the local[32] test harness but with
+settings that carry to a 1000-executor cluster (AQE, skew join,
+broadcast thresholds).
+
+The reference hand-tunes device parallelism (NR_DPUS x 16 tasklets,
+host/system/system.h:14-16); here parallelism is tasks x partitions and
+the knobs are declarative configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Scale-oriented defaults. On a real cluster these are the same knobs,
+# sized to executor memory; AQE coalesces/splits at runtime either way.
+_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep shuffle fan-out proportional to local cores; AQE coalesces.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: mirror the reference's permissive arithmetic (wraparound
+    # is avoided by widening instead, SURVEY.md section 1.2).
+    "spark.sql.ansi.enabled": "false",
+    # events.ts is parquet TIMESTAMP(NANOS); read as long, converted in
+    # sources/tables.py. Without this the parquet reader throws.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "dpu-olap-spark") -> SparkSession:
+    """Build (or fetch) the tuned session for tests / bench runs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in _CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally provided session
+    (the driver owns the session for `__spark_entry__` calls)."""
+    for k, v in _CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static confs (master, etc.) can't be set post-start; the
+            # runtime-settable ones above all succeed.
+            pass
+    return spark

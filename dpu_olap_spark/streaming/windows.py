@@ -1,0 +1,182 @@
+"""Structured Streaming over the `events` table: tumbling-window
+aggregation executed as a real stream (file source, availableNow
+trigger, memory sink), plus batch sliding windows.
+
+The reference is purely batch (SURVEY.md section 2.9); this module is
+the streaming slice of the engine. Correctness strategy: run the
+stream in COMPLETE output mode so the final state equals the batch
+windowed GROUP BY — which is exactly the DuckDB oracle (time_bucket).
+Watermark semantics (append mode, late-data eviction) are covered by
+pytest (tests/test_streaming.py) where we control batch boundaries.
+
+Scale notes: windowed streaming aggregation keys state by (window,
+group); watermarks bound state size. On a cluster this runs unchanged
+against kafka/file sources with checkpointing.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+_sink_counter = itertools.count()
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """The windowed aggregation, applicable to a batch OR streaming DF
+    (same code path — Structured Streaming's core design point)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts/sums per event_type, executed as a real
+    Structured Streaming job (parquet file source, availableNow trigger,
+    complete-mode memory sink) and returned as the final result table."""
+    import os
+
+    from dpu_olap_spark.sources.tables import _restore_nano_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # raw schema (ts still a nano-epoch long) for the stream source;
+    # the nano->micro conversion is applied on the streaming DF itself
+    raw_schema = spark.read.parquet(path).schema
+    stream = _restore_nano_ts(
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir),
+        "events",
+    )
+    sink = f"stream_tumbling_sink_{next(_sink_counter)}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            tumbling_agg(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(sink)
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH slid AS (
+      SELECT
+        time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+          - (INTERVAL '30 minutes' * k) AS window_start,
+        event_type
+      FROM events, (SELECT unnest([0, 1]) AS k) offs
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 30 min slide): each event lands in 2
+    overlapping windows. The oracle reproduces Spark's window set via
+    time_bucket minus k slides."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+        CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS sess_start
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via the classic
+    lag/flag/prefix-sum window composition. Spark also offers
+    F.session_window for the streaming path (tests/test_streaming.py);
+    this batch formulation is oracle-verifiable and shuffle-optimal:
+    one hash partition by user_id, in-partition sort, no extra passes.
+
+    Note: `ts` is truncated to whole microseconds on both engines (the
+    parquet column is ns; Spark reads us) so the gap comparison agrees.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(order).cast("double")
+                > 1800.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    acc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_sess").over(acc).cast("bigint").alias("sess_id")
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("sess_start")
+    )
