@@ -68,20 +68,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-format MinHash signatures: (doc_id, seed, minhash).
-    explode(shingles) x broadcast(seeds) -> min() per (doc, seed)."""
+def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide MinHash signature: one row per doc, K min-lane columns.
+
+    Plan shape: explode(shingles) -> ONE groupBy(doc_id) computing all
+    K min-lanes as parallel aggregates. Compared to the naive
+    shingles x seeds cross join, this never multiplies rows by K, and
+    partial aggregation reduces each partition to one row per doc
+    before the (single) shuffle."""
     corpus = _corpus(spark, sf_dir)
     toks = tokens(F.col("text"))
     sh = corpus.where(F.size(toks) >= 3).select(
         "doc_id", F.explode(shingles(toks, 3)).alias("shingle")
     )
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.join(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(seeded_min_hash(F.col("shingle"), F.col("seed"))).alias("minhash"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_min_hash(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
     )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format MinHash signatures (doc_id, seed, minhash) — a
+    narrow stack() over the wide lanes, no extra shuffle."""
+    stack_args = ", ".join(f"{s}, mh{s}" for s in range(N_HASHES))
+    return _lanes(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"stack({N_HASHES}, {stack_args}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 _SIGNATURES_SQL = f"""
@@ -117,21 +132,25 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
 
 
-def _band_keys(sig: DataFrame) -> DataFrame:
-    """Band key per (doc, band): md5 over the band's ordered lanes."""
-    # floor division: Spark `/` truncates on cast but DuckDB CAST rounds,
-    # so both sides use explicit floor/integer division
-    banded = sig.withColumn("band", F.floor(F.col("seed") / ROWS_PER_BAND).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s.minhash,
-                ),
-                ",",
-            )
-        ).alias("bkey")
+def _band_keys(lanes: DataFrame) -> DataFrame:
+    """Band key per (doc, band): md5 over the band's ordered lanes,
+    computed narrowly from the wide signature — no regroup shuffle
+    (the previous long-format collect_list version cost two extra
+    exchanges)."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return lanes.select("doc_id", F.explode(F.array(*entries)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 
@@ -160,7 +179,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: near-dup candidate pairs = docs sharing any band
     key. Self-join is on (band, bkey) — a hash-shuffle join whose cost
     is bucket-local, never all-pairs."""
-    bands = _band_keys(_signatures(spark, sf_dir))
+    bands = _band_keys(_lanes(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
