@@ -1,0 +1,86 @@
+"""Behavioral tests for the data-pipeline operators that have no SQL
+oracle (SimHash, mapInPandas decode), plus semantic checks the oracle
+comparison can't express (near-dup recall, ANN vs exact agreement)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_simhash_identical_text_identical_signature(spark):
+    """The augmented corpus duplicates doc_id%10==0 docs at id+1M; their
+    SimHash signatures must be bit-identical."""
+    sig = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    dup_ids = [d for d in sig if d >= 1_000_000]
+    assert dup_ids, "augmented corpus missing duplicate docs"
+    for d in dup_ids:
+        assert sig[d] == sig[d - 1_000_000], f"simhash mismatch for dup {d}"
+
+
+def test_simhash_is_deterministic(spark):
+    a = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    b = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    assert a == b
+
+
+def test_minhash_pairs_recall_exact_dups(spark):
+    """Every planted exact duplicate must be found as a candidate pair
+    (exact dups agree on all bands — recall 1.0 by construction)."""
+    pairs = {(r.doc_a, r.doc_b) for r in _q("dedup_minhash_pairs").build(spark, SF).collect()}
+    docs = _q("dedup_exact").build(spark, SF)
+    n_dup_groups = docs.where(F.col("n_copies") >= 2).count()
+    planted = {p for p in pairs if p[1] == p[0] + 1_000_000}
+    assert len(planted) == n_dup_groups
+
+
+def test_jaccard_exact_dups_score_one(spark):
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in _q("dedup_jaccard").build(spark, SF).collect()}
+    planted = {p: j for p, j in jac.items() if p[1] == p[0] + 1_000_000}
+    assert planted and all(j == 1.0 for j in planted.values())
+
+
+def test_ann_results_subset_of_bruteforce_order(spark):
+    """ANN top-10 scores can't beat exact top-1; every ANN hit's cosine
+    must be <= the exact best."""
+    exact = _q("knn_bruteforce").build(spark, SF).collect()
+    ann = _q("ann_lsh").build(spark, SF).collect()
+    assert ann, "ann returned nothing"
+    best = exact[0].cos_sim
+    for r in ann:
+        assert r.cos_sim <= best + 1e-9
+
+
+def test_mm_decode_shapes_and_determinism(spark):
+    out = _q("mm_decode").build(spark, SF)
+    rows = out.collect()
+    assert {f.name for f in out.schema.fields} == {
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        "n_frames",
+        "mean_byte",
+    }
+    assert rows and all(r.width >= 16 and r.height >= 16 for r in rows)
+    imgs = [r for r in rows if r.modality == "image"]
+    assert imgs and all(r.n_frames == 1 for r in imgs)
+    again = {r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in out.collect()}
+    first = {r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in rows}
+    assert again == first
+
+
+def test_real_decode_seam_raises(spark):
+    from dpu_olap_spark.llm.multimodal import _real_decode
+
+    with pytest.raises(NotImplementedError):
+        _real_decode(b"xx", "image")

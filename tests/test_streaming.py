@@ -1,0 +1,114 @@
+"""Streaming semantics beyond the oracle-checked complete-mode query:
+append-mode watermark eviction and batch/stream equivalence, plus a
+stateful custom operator test (applyInPandasWithState analog domain).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.sources.tables import load_table
+from dpu_olap_spark.streaming.windows import tumbling_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stream_events(spark, sf_dir):
+    from dpu_olap_spark.sources.tables import _restore_nano_ts
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return _restore_nano_ts(
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir),
+        "events",
+    )
+
+
+def test_stream_complete_equals_batch(spark):
+    """Complete-mode stream over a finite source == batch aggregation —
+    Structured Streaming's unified-API contract."""
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_agg(load_table(spark, SF, "events")).collect()
+    }
+    stream = _stream_events(spark, SF)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            tumbling_agg(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_complete_eq")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_complete_eq").collect()
+    }
+    assert streamed == batch
+
+
+def test_append_mode_emits_only_closed_windows(spark):
+    """Append mode + watermark: emitted windows are closed (window_end <=
+    final watermark); late state is bounded. With availableNow over one
+    file the final window(s) may be withheld — that is the semantics,
+    not a bug."""
+    stream = _stream_events(spark, SF)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            tumbling_agg(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_append_wm")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    appended = spark.table("t_append_wm").collect()
+    complete = tumbling_agg(load_table(spark, SF, "events")).collect()
+    # append output must be a subset of the batch result
+    batch_map = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in complete}
+    for r in appended:
+        assert batch_map[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
+    assert len(appended) <= len(complete)
+
+
+def test_session_window_streaming_api(spark):
+    """F.session_window works on the events stream (complete mode)."""
+    stream = _stream_events(spark, SF)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_sess_win")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    rows = spark.table("t_sess_win").collect()
+    assert rows, "session windows produced no rows"
+    # session windows for a user never overlap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.w.start, r.w.end))
+    for user, spans in by_user.items():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"overlapping sessions for user {user}"
