@@ -1,0 +1,375 @@
+"""Advanced relational operators the reference lacks entirely
+(SURVEY.md section 2.9): as-of join, range join, pivot, scalar +
+decorrelated subqueries, grouping sets, exact percentiles,
+moment-based statistics, deterministic hash sampling, and the SQL
+entry path (spark.sql over registered views).
+
+Exactness discipline: any predicate or measure involving an aggregate
+is algebraically rearranged to avoid engine-specific float summation
+(DECIMAL sums, multiply-through instead of divide) so Spark and DuckDB
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_signup_ts
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the most recent signup
+    of the same user at-or-before it. Expressed as a running `last()
+    ignore-nulls` window over the event stream — one shuffle on
+    user_id, one in-partition sort; no join materialization at all.
+    (The classic backward as-of join; the reference has no analog.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type", last_signup.alias("last_signup_ts"))
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+@query(
+    "range_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS ev_a,
+           b.event_id AS ev_b,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+             AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '5 minutes'
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range self-join: pairs of events by the same
+    user within 5 minutes. The user_id equality makes this a hash join
+    with the range as residual predicate — never a cartesian. At 100 TB
+    the band condition also admits time-bucket bucketing (join on
+    (user, bucket) with one-bucket overlap)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("ev_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"), F.col("event_id").alias("ev_b"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.select(
+        "user_id",
+        "ev_a",
+        "ev_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+
+
+_PIVOT_CASES = ",\n      ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES
+)
+
+
+@query(
+    "pivot",
+    oracle=f"""
+    SELECT user_id,
+      {_PIVOT_CASES}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to one column per event type. Explicit value
+    list => single-pass plan (no extra distinct-values job) and a
+    deterministic column set."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    renamed = out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+    return renamed
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — the general
+    form of rollup/cube, via the SQL entry path."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice * (SELECT COUNT(*) FROM orders)
+          > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 1.5x the mean price. The mean is rearranged to
+    price * n > 1.5 * sum — DECIMAL sum, no division — so both engines
+    evaluate the identical exact predicate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice * (SELECT COUNT(*) FROM orders)
+              > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       FROM orders)
+        """
+    )
+
+
+@query(
+    "decorrelated_subquery",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity * p.cnt * 2.0 < p.sum_qty
+    """,
+)
+def q_decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: rows below half their group's mean, written as
+    an aggregate-join (the decorrelated form an optimizer produces).
+    qty < avg/2 is multiplied through to qty * cnt * 2 < sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") * F.col("cnt") * 2.0 < F.col("sum_qty"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq
+      FROM lineitem
+    )
+    SELECT n,
+      round(sq / n, 4) AS mean_qty,
+      round((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
+      round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS std_qty
+    FROM s
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev from exact decimal moments (sum, sum-of-squares)
+    — order-independent, unlike streaming variance aggregates whose
+    accumulation order differs per engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sq"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    return s.select(
+        "n",
+        F.round(sq / n, 4).alias("mean_qty"),
+        F.round((sqq - sq * sq / n) / (n - 1), 4).alias("var_qty"),
+        F.round(F.sqrt((sqq - sq * sq / n) / (n - 1)), 4).alias("std_qty"),
+    )
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)p interpolation rule —
+    verified empirically). The 100 TB path is approx_percentile
+    (t-digest/KLL-style sketch, one pass, fixed memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+    )
+
+
+@query(
+    "hash_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample keyed on content hash —
+    reproducible across engines, runs, and cluster sizes (unlike
+    df.sample, whose RNG is partition-dependent). The standard trick
+    for stable train/eval splits over a moving corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber"))
+    return li.where(F.substring(h, 1, 1).isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+      regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      lpad(p_brand, 12, '*') AS brand_pad,
+      translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+      reverse(p_name) AS name_rev,
+      split_part(p_type, ' ', 1) AS type_head,
+      concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_tr"),
+        F.reverse("p_name").alias("name_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@query(
+    "null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+      coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+      greatest(o_totalprice, 250000.0) AS floor_price,
+      least(o_totalprice, 250000.0) AS cap_price,
+      CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null
+    FROM orders
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface (coalesce/nullif/greatest/least) —
+    three-valued logic the reference's non-nullable engine cannot
+    express (SURVEY.md section 1.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_x"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("floor_price"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("cap_price"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_or_null"),
+    )
+
+
+_TPCH_Q3 = """
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@query("tpch_q3", oracle=_TPCH_Q3)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), via the SQL entry path — parser,
+    analyzer, and optimizer all exercised on the identical text the
+    oracle runs."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3)
