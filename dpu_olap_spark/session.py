@@ -40,7 +40,7 @@ def get_spark(app_name: str = "dpu-olap-spark") -> SparkSession:
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     for k, v in _CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return tune(builder.getOrCreate())
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -53,4 +53,37 @@ def tune(spark: SparkSession) -> SparkSession:
             # Static confs (master, etc.) can't be set post-start; the
             # runtime-settable ones above all succeed.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Cloudpickled functions (mapInPandas / applyInPandasWithState) are
+    serialized BY REFERENCE to their defining module, so workers must
+    import dpu_olap_spark — but the driver process may run from any
+    cwd with the repo only on its own sys.path. Shipping a zip via
+    addPyFile puts the package on every worker's path (works on a real
+    cluster, not just local mode)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dpu_olap_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dpu_olap_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "dpu_olap_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._dpu_olap_spark_shipped = True

@@ -1,0 +1,59 @@
+"""Writers/readers beyond plain parquet scan: partitioned and bucketed
+parquet sinks, CSV/JSON round-trip.
+
+The reference has no storage layer at all (SURVEY.md section 2.9);
+these are the connectors a real deployment needs. Scale rationale:
+
+- `write_partitioned`: hive-style directory partitioning gives the
+  reader partition PRUNING — a filter on the partition column skips
+  whole directories. Choose low-cardinality columns (date, region).
+- `write_bucketed`: pre-hashes rows into N buckets on the join key and
+  records it in the catalog; repeated joins/aggregations on that key
+  skip the shuffle entirely — the persistent analog of the
+  reference's radix partitioning step (its co-partitioned join,
+  /root/reference/host/join/join_dpu.cc:200-233, rebuilt every run;
+  a bucketed table does it once at write time).
+- CSV/JSON: interchange formats; schema-explicit reads (never
+  inferSchema in production — one pass saved and no drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16, sort_col: str | None = None
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Joins between two tables bucketed the same way on the same key run
+    shuffle-free (verified in tests/test_sinks.py)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table, format="parquet")
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
