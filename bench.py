@@ -36,6 +36,10 @@ HEADLINE = [
     "window_rank",
     "multi_join_agg",
     "distinct_agg",
+    "tpch_q3",
+    "asof_join",
+    "range_join",
+    "decorrelated_subquery",
     # data-pipeline ops
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -44,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "token_hist",
     "window_sliding",
+    "stateful_user_stats",
 ]
 
 
