@@ -1,0 +1,252 @@
+"""Extended function coverage: navigation & distribution windows,
+IN-subquery, full outer join, array functions, date arithmetic,
+union-by-name, and the UDF surfaces (vectorized pandas UDF + SQL UDF).
+
+UDF policy (SURVEY.md section 2.8): built-ins everywhere they can
+express the semantics; the UDF demos exist to cover the extension
+seam itself and use pure-arithmetic bodies so the DuckDB oracle can
+inline the same expression exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+
+@query(
+    "window_nav",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS first_price,
+      nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead/first/nth) over the
+    per-customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+@query(
+    "window_dist",
+    oracle="""
+    SELECT o_orderkey,
+      ntile(4) OVER w AS quartile,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a total order. A global
+    (unpartitioned) window is inherently single-task — acceptable for
+    ranking reports; at 100 TB the pattern is a two-pass percentile
+    (approx quantiles then bucket join), which `percentiles` shows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      AND o_orderstatus = 'O'
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join)."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nulls produced on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+      len(embedding) AS n_dims,
+      CAST(embedding[1] AS DOUBLE) AS first_dim,
+      CAST(embedding[64] AS DOUBLE) AS last_dim,
+      CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+      CAST(list_min(embedding) AS DOUBLE) AS min_dim,
+      len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column — selection ops
+    only (element_at/min/max/filter), so values pass through exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.element_at(emb, 1).cast("double").alias("first_dim"),
+        F.element_at(emb, 64).cast("double").alias("last_dim"),
+        F.array_max(emb).cast("double").alias("max_dim"),
+        F.array_min(emb).cast("double").alias("min_dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "date_arith",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(o_orderdate AS DATE) + 30 AS due_date,
+      CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+        AS days_to_y2k,
+      CAST(dayofweek(o_orderdate) AS INT) AS dow
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: offsets, truncation, month boundaries, diffs.
+    (DuckDB dayofweek = Sunday 0; Spark dayofweek = Sunday 1 — aligned
+    by subtracting 1.)"""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT n AS entity_key, kind FROM (
+      SELECT c_custkey AS n, 'customer' AS kind FROM customer WHERE c_acctbal > 9000.0
+      UNION ALL
+      SELECT s_suppkey AS n, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("kind")
+    )
+    # deliberately reversed column order; unionByName aligns by name
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("entity_key")
+    )
+    return c.unionByName(s)
+
+
+def _poly_score_udf():
+    """Vectorized (Arrow-batched) scalar UDF; pure double arithmetic so
+    the oracle can inline the identical expression. Built lazily —
+    pandas_udf needs an active session to resolve its return type."""
+
+    @pandas_udf("double")
+    def poly_score(x: pd.Series) -> pd.Series:
+        return (x * 3.0 + 1.0) / 7.0
+
+    return poly_score
+
+
+@query(
+    "pandas_udf_demo",
+    oracle="""
+    SELECT o_orderkey, (o_totalprice * 3.0 + 1.0) / 7.0 AS poly_score
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_pandas_udf_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-UDF seam (reference analog: the compile-time
+    filter predicate, dpu/shared/kernels/filter.c:25). Arrow batches in
+    and out — this is the ONLY sanctioned Python hot path; row-at-a-time
+    udf() is banned in this codebase."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey", _poly_score_udf()(F.col("o_totalprice")).alias("poly_score")
+    )
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 0.9 + 50.0 AS discounted
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr):
+    declarative function body, inlined by Catalyst — zero runtime cost,
+    the preferred UDF form at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION apply_discount(p DOUBLE) "
+        "RETURNS DOUBLE RETURN p * 0.9 + 50.0"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, apply_discount(o_totalprice) AS discounted
+        FROM orders WHERE o_orderstatus = 'F'
+        """
+    )

@@ -68,7 +68,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports are for their registration side effects.
-    from dpu_olap_spark.operators import advanced, reference, relational  # noqa: F401
+    from dpu_olap_spark.operators import advanced, functions_ext, reference, relational  # noqa: F401
     from dpu_olap_spark.llm import dedup, multimodal, similarity, text_analysis  # noqa: F401
     from dpu_olap_spark.streaming import stateful, windows  # noqa: F401
 
