@@ -202,3 +202,63 @@ def q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '{_BPE_RE}')) AS n_sub_tokens,
+      round(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS fertility
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation — the
+    pre-tokenizer shape of byte-pair encoders). `fertility` =
+    subtokens per word, the usual tokenizer-cost metric."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens(F.col("text")))
+    n_sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_sub.alias("n_sub_tokens"),
+        F.round(n_sub.cast("double") / n_ws, 4).alias("fertility"),
+    )
+
+
+@query(
+    "rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(
+          CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+                         t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+    FROM documents
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (code = ascii(first char) * 256 + token length; fold
+    acc*31 + code mod 1e9+7). Unlike the md5 set fingerprints, this
+    changes when tokens are REORDERED — the complementary signal for
+    near-dup triage. Pure fold expression, JVM-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        tokens(F.col("text")),
+        lambda t: (F.ascii(t) * 256 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
+    )
+    return docs.select("doc_id", fp.alias("roll_fp"))
