@@ -373,3 +373,86 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TPCH_Q3)
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the purest scan-filter-agg
+    workload — all four predicates push to the parquet scan, zero
+    shuffle before the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle="""
+    SELECT
+      c.c_custkey, c.c_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): selective fact filters,
+    3-way join, grouped revenue, top-20. Date + returnflag predicates
+    reach both scans before any join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
