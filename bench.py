@@ -37,6 +37,8 @@ HEADLINE = [
     "multi_join_agg",
     "distinct_agg",
     "tpch_q3",
+    "tpch_q6",
+    "tpch_q10",
     "asof_join",
     "range_join",
     "decorrelated_subquery",
