@@ -37,7 +37,16 @@ def stopword_hits(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
 
 
-def seeded_min_hash(shingle_col: Column, seed: Column) -> Column:
-    """One MinHash lane: md5 over the seed-tagged shingle. min() of this
-    per document is the signature lane — deterministic across engines."""
-    return F.md5(F.concat_ws(":", seed, shingle_col))
+def base_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    Cross-engine twin: DuckDB `CAST(concat('0x', substr(md5(x),1,15))
+    AS BIGINT)`. One md5 per value; MinHash lanes derive from this via
+    cheap XOR constants instead of K separate md5 evaluations."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def lane_constants(k: int) -> list[int]:
+    """K fixed 60-bit XOR constants (golden-ratio multiples — any fixed
+    distinct values work; XOR by a constant is a bijection, so the min
+    over XORed hashes is a valid per-lane min-hash)."""
+    return [(i * 0x9E3779B97F4A7C15) % (1 << 60) for i in range(k)]

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dpu_olap_spark.functions.text import seeded_min_hash, shingles, tokens
+from dpu_olap_spark.functions.text import base_hash60, lane_constants, shingles, tokens
 from dpu_olap_spark.registry import query
 from dpu_olap_spark.sources.tables import load_table
 
@@ -68,23 +68,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANE_C = lane_constants(N_HASHES)
+
+
 def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide MinHash signature: one row per doc, K min-lane columns.
 
-    Plan shape: explode(shingles) -> ONE groupBy(doc_id) computing all
-    K min-lanes as parallel aggregates. Compared to the naive
-    shingles x seeds cross join, this never multiplies rows by K, and
-    partial aggregation reduces each partition to one row per doc
-    before the (single) shuffle."""
+    Plan shape: explode(shingles) -> ONE md5 per shingle (60-bit int
+    base hash) -> ONE groupBy(doc_id) computing all K lanes as
+    min(base XOR c_k) parallel aggregates. Two prior versions measured
+    slower at sf0.1: shingles x seeds cross join (5.3s) and K separate
+    md5 min-aggregates (3.5s); single-hash + XOR lanes cuts the md5
+    count by K."""
     corpus = _corpus(spark, sf_dir)
     toks = tokens(F.col("text"))
     sh = corpus.where(F.size(toks) >= 3).select(
         "doc_id", F.explode(shingles(toks, 3)).alias("shingle")
     )
-    return sh.groupBy("doc_id").agg(
+    hashed = sh.select("doc_id", base_hash60(F.col("shingle")).alias("base"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(seeded_min_hash(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
-            for s in range(N_HASHES)
+            F.min(F.expr(f"base ^ {c}L")).alias(f"mh{s}")
+            for s, c in enumerate(_LANE_C)
         ]
     )
 
@@ -99,6 +104,8 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
+_LANE_VALUES = ", ".join(f"({s}, {c})" for s, c in enumerate(lane_constants(N_HASHES)))
+
 _SIGNATURES_SQL = f"""
     corpus AS ({_CORPUS_SQL}),
     toks AS (
@@ -110,10 +117,15 @@ _SIGNATURES_SQL = f"""
              array_to_string(t[i:i+2], ' ') AS shingle
       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
     ),
-    seeds AS (SELECT CAST(s AS INT) AS seed FROM range(0, {N_HASHES}) r(s)),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS base
+      FROM sh
+    ),
+    seeds AS (SELECT CAST(s AS INT) AS seed, c FROM (VALUES {_LANE_VALUES}) v(s, c)),
     sig AS (
-      SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS minhash
-      FROM sh CROSS JOIN seeds
+      SELECT doc_id, seed, MIN(xor(base, c)) AS minhash
+      FROM hashed CROSS JOIN seeds
       GROUP BY doc_id, seed
     )
 """
