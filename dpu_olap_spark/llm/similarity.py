@@ -229,3 +229,144 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.35)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path besides sign-LSH.
+# Deterministic "training": the 16 vectors with vec_id < 16 act as
+# centroids (a real deployment would k-means sample; determinism matters
+# more here so the DuckDB oracle can reproduce assignment exactly).
+# Centroids ride into the plan as literals (parameter broadcast, no
+# join); assignment is argmin over squared-L2 with (dist, cid)
+# tie-breaking, distances rounded to 6 to absorb fold-order ULPs.
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 16
+
+_IVF_ASSIGN_SQL = f"""
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      WHERE vec_id < {_N_CENTROIDS}
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cemb) AS b
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    dists AS (
+      SELECT vec_id, cid,
+             round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                       * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 6) AS d2
+      FROM pairs GROUP BY vec_id, cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _centroid_literals(spark: SparkSession, sf_dir: str):
+    """Fetch the 16 centroid vectors (keyed lookup — a parameter, not a
+    data-path collect) and inline them as an array<struct> literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < _N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _assign_expr(cents) -> F.Column:
+    """argmin_{cid} round(||v - c||^2, 6), tie-break cid — as a pure
+    column expression over the literal centroid set."""
+    entries = []
+    for cid, vec in cents:
+        cvec = F.array(*[F.lit(x) for x in vec])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    cvec,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        entries.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+@query(
+    "ivf_assign",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+    """,
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: every vector assigned to its nearest centroid
+    cell. One narrow map stage (centroids are literals); at 100 TB the
+    output is written partitioned/bucketed by cell — that layout IS the
+    inverted file."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_literals(spark, sf_dir)
+    return emb.select(
+        "vec_id", _assign_expr(cents).cast("bigint").alias("cell")
+    )
+
+
+@query(
+    "ivf_search",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    qcell AS (SELECT cell AS qc FROM assign WHERE vec_id = {_QUERY_VEC_ID}),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN assign s ON e.vec_id = s.vec_id, qcell
+      WHERE s.cell = qcell.qc AND e.vec_id <> {_QUERY_VEC_ID}
+    ),
+    cpairs AS (
+      SELECT c.vec_id, unnest(c.embedding) AS a, unnest(q.qv) AS b
+      FROM cand c, q
+    ),
+    sims AS (
+      SELECT vec_id,
+        SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+        SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+      FROM cpairs GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: restrict exact cosine to the query's cell (nprobe=1),
+    top-10. Expected candidates ~ corpus/16; with the cell-partitioned
+    layout the scan prunes to one cell's files."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_literals(spark, sf_dir)
+    qv_row = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    qv = F.array(*[F.lit(float(x)) for x in qv_row[0]])
+    assigned = emb.select(
+        "vec_id", "embedding", _assign_expr(cents).alias("cell")
+    )
+    qcell = (
+        assigned.where(F.col("vec_id") == _QUERY_VEC_ID).select("cell").first()[0]
+    )
+    return (
+        assigned.where(
+            (F.col("cell") == qcell) & (F.col("vec_id") != _QUERY_VEC_ID)
+        )
+        .select("vec_id", cosine_sim(F.col("embedding"), qv).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
