@@ -163,3 +163,47 @@ def q_mm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_fp", T.StringType(), False),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1:N expansion — every 'video' asset yields ceil(n_bytes/256)
+    sampled frames, each fingerprinted from its byte slice. The
+    deterministic stand-in for ffmpeg frame extraction."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_fp": []}
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            if modality != "video":
+                continue
+            data = bytes(payload)
+            for i in range(0, max(1, len(data) // 256)):
+                chunk = data[i * 256 : (i + 1) * 256]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_fp"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query("mm_frame_sample")  # python 1:N stage -> rows-only check
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: mapInPandas emitting multiple rows per input
+    asset (the shape of video frame extraction / audio chunking).
+    Output cardinality is data-dependent — the iterator contract
+    handles 1:N naturally; no exploding arrays through the driver."""
+    assets = _with_payload(spark, sf_dir)
+    return (
+        assets.select("doc_id", "modality", "payload")
+        .mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    )

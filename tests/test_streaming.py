@@ -112,3 +112,56 @@ def test_session_window_streaming_api(spark):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2, f"overlapping sessions for user {user}"
+
+
+def test_stream_stream_join(spark):
+    """Windowed stream-stream inner join: purchases joined to the same
+    user's clicks within [-30min, 0] — both sides watermarked, so state
+    is bounded. Result must equal the equivalent batch join."""
+    ev = load_table(spark, SF, "events")
+
+    def split(df, kind):
+        out = df.where(F.col("event_type") == kind)
+        return out.select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("ts").alias(f"{kind}_ts"),
+            F.col("event_id").alias(f"{kind}_id"),
+        )
+
+    batch = (
+        split(ev, "purchase")
+        .join(
+            split(ev, "click"),
+            F.expr(
+                "purchase_user = click_user AND "
+                "click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+            ),
+        )
+        .count()
+    )
+
+    s = _stream_events(spark, SF)
+    p = split(s, "purchase").withWatermark("purchase_ts", "1 hour")
+    c = split(s, "click").withWatermark("click_ts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ss_join")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    streamed = spark.table("t_ss_join").count()
+    assert streamed == batch
