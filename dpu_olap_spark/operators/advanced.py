@@ -456,3 +456,98 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE) AS total_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    )
+    SELECT promo_rev, total_rev,
+           round(100.0 * promo_rev / total_rev, 4) AS promo_pct
+    FROM s
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation ratio over
+    a fact-dim join. Both sums are exact decimals; the single final
+    division is the only float op, so the ratio is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    s = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return s.select(
+        "promo_rev",
+        "total_rev",
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate-derived semi-filter
+    (HAVING subquery) composed with a 3-way join and re-aggregation —
+    the 'filter by aggregate of the same fact table' pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("tq"))
+        .where(F.col("tq") > 200.0)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"), F.col("lk") == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

@@ -455,3 +455,15 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 12)
     )
+
+
+@query("approx_percentile")  # sketch-based -> engine-specific, rows-only
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: one-pass sketch (no per-group sort,
+    fixed memory). Engine-specific estimates -> rows-only check; the
+    exact twin (`percentiles`) is the oracle-verified baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_est"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_est"),
+    )
