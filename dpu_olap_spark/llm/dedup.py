@@ -298,3 +298,73 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END)"
         ).alias("simhash")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SIGNATURES_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM corpus),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the LSH candidate
+    graph via iterative min-label propagation — the canonical
+    distributed iterative algorithm (the oracle uses a recursive CTE
+    instead; same fixpoint). Each iteration is one join + one groupBy;
+    iteration count is the graph diameter (tiny for dup clusters), and
+    the loop runs driver-side as CONTROL only — data never leaves the
+    cluster. cluster_id = min doc_id reachable; singleton docs are
+    their own cluster."""
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    edges = edges.cache()
+    for _ in range(10):  # diameter bound; dup clusters are shallow
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        # converged when no label decreased (checksum is monotone)
+        if (
+            new_labels.agg(F.sum("cluster_id")).first()[0]
+            == labels.agg(F.sum("cluster_id")).first()[0]
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

@@ -262,3 +262,57 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
     )
     return docs.select("doc_id", fp.alias("roll_fp"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6), 6)
+               AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term frequency x corpus inverse document
+    frequency; top-5 terms per document. Plan shape: one explode, two
+    partial-agged groupBys, a broadcast-sized DF join (vocabulary <<
+    corpus), one ranking window partitioned by doc — every stage
+    linear. ln() agrees across libm implementations far below the
+    1e-6 rounding, applied before the multiply on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar parameter (metadata count), not a data collect
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(df, "token").select(
+        "doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.select("doc_id", "token", "tfidf", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
