@@ -360,11 +360,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         # converged when no label decreased (checksum is monotone)
-        if (
+        converged = (
             new_labels.agg(F.sum("cluster_id")).first()[0]
             == labels.agg(F.sum("cluster_id")).first()[0]
-        ):
-            labels = new_labels
-            break
+        )
+        labels.unpersist()  # superseded iteration's cache
         labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
     return labels
