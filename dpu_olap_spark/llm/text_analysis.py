@@ -316,3 +316,125 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# Normalization used by `text_clean` and the composed pipeline:
+# lowercase -> strip non-alphanumerics -> collapse runs of spaces -> trim.
+_CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _clean_expr() -> F.Column:
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+@query(
+    "text_clean",
+    oracle=f"""
+    SELECT doc_id,
+           {_CLEAN_SQL} AS cleaned,
+           length({_CLEAN_SQL}) AS clean_len,
+           length(text) - length({_CLEAN_SQL}) AS removed
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, punctuation strip, whitespace
+    collapse) — the first stage of every training-data pipeline; pure
+    regexp built-ins, map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = _clean_expr()
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).alias("clean_len"),
+        (F.length("text") - F.length(cleaned)).alias("removed"),
+    )
+
+
+@query(
+    "token_positions",
+    oracle="""
+    SELECT doc_id, pos, token FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ) WHERE doc_id % 50 = 0
+    """,
+)
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization (posexplode): token with its 1-based
+    position — the layout attention/alignment pipelines need."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+@query(
+    "pipeline_corpus",
+    oracle=f"""
+    WITH cleaned AS (
+      SELECT doc_id, lang, {_CLEAN_SQL} AS ctext FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, ctext,
+             len(string_split(ctext, ' ')) AS n_tokens
+      FROM cleaned
+      WHERE len(string_split(ctext, ' ')) BETWEEN 20 AND 2000
+    ),
+    deduped AS (
+      SELECT md5(ctext) AS fp,
+             CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM quality GROUP BY md5(ctext)
+    ),
+    kept AS (
+      SELECT q.doc_id, q.lang, q.n_tokens, d.fp
+      FROM quality q JOIN deduped d ON q.doc_id = d.doc_id
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN substr(md5(fp), 1, 1) IN ('0','1','2','3')
+                  THEN 'eval' ELSE 'train' END AS subset
+      FROM kept
+    )
+    SELECT lang, subset,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM split GROUP BY lang, subset
+    """,
+)
+def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline, end to end: normalize ->
+    length-gate -> exact-dedup (keep min doc_id) -> deterministic
+    hash train/eval split -> per-(lang, subset) token accounting.
+    Every stage is one of this engine's verified operators chained as
+    a single declarative plan — Catalyst fuses the map stages; the
+    only shuffles are the dedup groupBy and the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", "lang", _clean_expr().alias("ctext"))
+    n_tokens = F.size(F.split(F.col("ctext"), " "))
+    quality = cleaned.select("doc_id", "lang", "ctext", n_tokens.alias("n_tokens")).where(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)
+    )
+    deduped = quality.groupBy(F.md5("ctext").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(deduped, "doc_id").select("doc_id", "lang", "n_tokens", "fp")
+    subset = F.when(
+        F.substring(F.md5("fp"), 1, 1).isin("0", "1", "2", "3"), "eval"
+    ).otherwise("train")
+    return (
+        kept.withColumn("subset", subset)
+        .groupBy("lang", "subset")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -78,3 +78,12 @@ def test_bucketed_join_skips_shuffle(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_orc_roundtrip(spark):
+    part = load_table(spark, SF, "part")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "part_orc")
+        sinks.write_orc(part, path)
+        back = sinks.read_orc(spark, path)
+        assert _multiset(back, part.columns) == _multiset(part, part.columns)
