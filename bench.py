@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_lsh",
     "text_stats",
     "token_hist",
+    "tfidf_top_terms",
+    "pipeline_corpus",
     "window_sliding",
     "stateful_user_stats",
 ]
