@@ -63,8 +63,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, and the Python
+    # worker pool (Arrow serializers) so one-time process spin-up isn't
+    # charged to whichever Python-path query happens to run first
     queries["sum"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _noop_pandas(batches):
+        yield from batches
+
+    spark.range(10_000).repartition(32).mapInPandas(
+        _noop_pandas, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
