@@ -250,3 +250,101 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderstatus = 'F'
         """
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price, 'updated' AS src
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, o_totalprice AS price, 'inserted' AS src
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    target AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, 'existing' AS src FROM orders
+    )
+    SELECT
+      coalesce(u.k, t.k) AS o_orderkey,
+      coalesce(u.price, t.price) AS price,
+      coalesce(u.src, t.src) AS row_origin
+    FROM target t FULL OUTER JOIN updates u ON t.k = u.k
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (update-matched + insert-new) expressed as
+    full-outer join + coalesce — the engine-level algebra under MERGE
+    INTO (a lakehouse table format would add transactionality on top;
+    the plan is identical). Update rows win; unmatched target rows pass
+    through."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("existing").alias("src"),
+    )
+    updates = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("uk"),
+        (F.col("o_totalprice") + 1000.0).alias("uprice"),
+        F.lit("updated").alias("usrc"),
+    ).unionAll(
+        o.where(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("uk"),
+            F.col("o_totalprice").alias("uprice"),
+            F.lit("inserted").alias("usrc"),
+        )
+    )
+    merged = target.join(updates, target.k == updates.uk, "full_outer")
+    return merged.select(
+        F.coalesce(F.col("uk"), F.col("k")).alias("o_orderkey"),
+        F.coalesce(F.col("uprice"), F.col("price")).alias("price"),
+        F.coalesce(F.col("usrc"), F.col("src")).alias("row_origin"),
+    )
+
+
+@query(
+    "interval_arith",
+    oracle="""
+    SELECT event_id,
+      CAST(ts AS TIMESTAMP) + INTERVAL '90 minutes' AS deadline,
+      CAST(hour(ts) AS INT) AS h,
+      CAST(minute(ts) AS INT) AS m,
+      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+      make_timestamp(2024, 6, 15, 12, 30, 0.0) AS fixed_ts
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp interval arithmetic, field extraction, epoch
+    conversion, and literal timestamp construction."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("deadline"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.expr("make_timestamp(2024, 6, 15, 12, 30, 0)").alias("fixed_ts"),
+    )
+
+
+@query(
+    "explode_outer_demo",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x LIKE 'z%') AS ztoks
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(ztoks) = 0 THEN [NULL] ELSE ztoks END) AS ztoken
+    FROM t
+    """,
+)
+def q_explode_outer_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL — the
+    left-join flavor of unnesting (plain explode drops them)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    ztoks = F.filter(F.split(F.col("text"), " "), lambda x: x.like("z%"))
+    return docs.select("doc_id", F.explode_outer(ztoks).alias("ztoken"))

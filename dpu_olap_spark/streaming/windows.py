@@ -180,3 +180,73 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("sess_start")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.cts BETWEEN p.pts - INTERVAL '30 minutes' AND p.pts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a real stream: purchases
+    joined to same-user clicks in the preceding 30 minutes, both sides
+    watermarked (bounded state). Inner interval joins emit matches as
+    they occur, so the availableNow run over a finite source equals
+    the batch join — the oracle."""
+    import os as _os
+
+    from dpu_olap_spark.sources.tables import _restore_nano_ts
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = _restore_nano_ts(
+            spark.readStream.format("parquet")
+            .schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir),
+            "events",
+        )
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
+    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+    ).select(
+        F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
+    )
+    sink = f"stream_ss_join_{next(_sink_counter)}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_") as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return spark.table(sink)
