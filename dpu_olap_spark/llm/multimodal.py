@@ -207,3 +207,57 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         assets.select("doc_id", "modality", "payload")
         .mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_w", T.IntegerType(), False),
+        T.StructField("resized_h", T.IntegerType(), False),
+        T.StructField("thumb_fp", T.StringType(), False),
+    ]
+)
+
+_TARGET = 32  # thumbnail long side
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resize: dims from _fake_decode, aspect-
+    preserving scale to a 32px long side, 'thumbnail' = md5 of a
+    stride-sampled byte subset (stands in for PIL.Image.resize)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {k.name: [] for k in _RESIZE_SCHEMA.fields}
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            if modality != "image":
+                continue
+            data = bytes(payload)
+            w, h, _fr, _mean = _fake_decode(data, modality)
+            scale = _TARGET / max(w, h)
+            rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+            stride = max(1, len(data) // (rw * rh))
+            thumb = data[::stride][: rw * rh]
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["resized_w"].append(rw)
+            out["resized_h"].append(rh)
+            out["thumb_fp"].append(hashlib.md5(thumb).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query("mm_resize")  # python stage -> rows-only check
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (aspect-preserving thumbnail): the remaining
+    member of the decode / feature-extract / resize / frame-sample
+    multimodal quartet. Same Arrow mapInPandas shape as mm_decode;
+    swap _resize_batches' body for PIL when codecs are available."""
+    assets = _with_payload(spark, sf_dir)
+    return assets.select("doc_id", "modality", "payload").mapInPandas(
+        _resize_batches, schema=_RESIZE_SCHEMA
+    )

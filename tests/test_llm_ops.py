@@ -84,3 +84,14 @@ def test_real_decode_seam_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _real_decode(b"xx", "image")
+
+
+def test_mm_resize_aspect_and_determinism(spark):
+    rows = _q("mm_resize").build(spark, SF).collect()
+    assert rows, "no images resized"
+    for r in rows:
+        assert max(r.resized_w, r.resized_h) <= 32
+        # aspect preserved within rounding
+        assert abs(r.resized_w / r.resized_h - r.width / r.height) < 0.15
+    again = {r.doc_id: r.thumb_fp for r in _q("mm_resize").build(spark, SF).collect()}
+    assert {r.doc_id: r.thumb_fp for r in rows} == again

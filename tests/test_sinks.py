@@ -87,3 +87,26 @@ def test_orc_roundtrip(spark):
         sinks.write_orc(part, path)
         back = sinks.read_orc(spark, path)
         assert _multiset(back, part.columns) == _multiset(part, part.columns)
+
+
+def test_run_pipeline_cli_writes_partitioned_corpus(spark):
+    """The runnable pipeline writes a (subset, lang)-partitioned corpus
+    whose totals match the oracle-verified pipeline_corpus query."""
+    import subprocess, sys, json
+
+    from dpu_olap_spark.registry import all_queries
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "corpus")
+        proc = subprocess.run(
+            [sys.executable, "/root/repo/tools/run_pipeline.py", SF, out],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-500:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)["subsets"]
+        q = all_queries()["pipeline_corpus"].build(spark, SF).collect()
+        expected_docs = sum(r.n_docs for r in q)
+        assert sum(s["docs"] for s in stats.values()) == expected_docs
+        # layout exists: subset=/lang= directories
+        assert any(p.startswith("subset=") for p in os.listdir(out))
