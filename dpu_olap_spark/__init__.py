@@ -17,7 +17,7 @@ Design rules (100 TB discipline):
   where built-ins cannot express the semantics.
 """
 
-from dpu_olap_spark.registry import QUERIES, Query, get_query, oracle_map, query
+from dpu_olap_spark.registry import Query, all_queries, get_query, oracle_map, query
 
-__all__ = ["QUERIES", "Query", "get_query", "oracle_map", "query"]
+__all__ = ["Query", "all_queries", "get_query", "oracle_map", "query"]
 __version__ = "0.1.0"

@@ -343,7 +343,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
     edges = edges.cache()
-    for _ in range(10):  # diameter bound; dup clusters are shallow
+    converged = False
+    for _ in range(16):  # diameter bound; dup clusters are shallow
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -360,13 +361,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         # converged when no label decreased (checksum is monotone)
-        converged = (
+        converged_now = (
             new_labels.agg(F.sum("cluster_id")).first()[0]
             == labels.agg(F.sum("cluster_id")).first()[0]
         )
+        done = converged_now
         labels.unpersist()  # superseded iteration's cache
         labels = new_labels
-        if converged:
+        if done:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within the "
+            "iteration bound — raise the bound for deeper duplicate chains "
+            "rather than returning partial clusters"
+        )
     return labels

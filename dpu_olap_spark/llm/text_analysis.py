@@ -417,36 +417,10 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is one of this engine's verified operators chained as
     a single declarative plan — Catalyst fuses the map stages; the
     only shuffles are the dedup groupBy and the final rollup."""
-    from pyspark.sql import Window as W
+    from dpu_olap_spark.llm.pipeline import curate
 
-    docs = load_table(spark, sf_dir, "documents")
-    cleaned = docs.select("doc_id", "lang", _clean_expr().alias("ctext"))
-    n_tokens = F.size(F.split(F.col("ctext"), " "))
-    quality = cleaned.select("doc_id", "lang", "ctext", n_tokens.alias("n_tokens")).where(
-        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)
-    )
-    # keep-first dedup as a window (one shuffle) instead of
-    # groupBy(min)+self-join (two) — measured 1.7x faster, same rows
-    keep_first = W.partitionBy(F.md5("ctext")).orderBy("doc_id")
-    kept = (
-        quality.select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.md5("ctext").alias("fp"),
-            F.row_number().over(keep_first).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    subset = F.when(
-        F.substring(F.md5("fp"), 1, 1).isin("0", "1", "2", "3"), "eval"
-    ).otherwise("train")
-    return (
-        kept.withColumn("subset", subset)
-        .groupBy("lang", "subset")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        )
+    kept = curate(spark, sf_dir)
+    return kept.groupBy("lang", "subset").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )

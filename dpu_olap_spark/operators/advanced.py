@@ -69,7 +69,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events a
     JOIN events b
       ON a.user_id = b.user_id
-     AND b.ts > a.ts
+     AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
      AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '5 minutes'
     """,
 )

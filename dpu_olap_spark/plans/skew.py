@@ -32,6 +32,14 @@ def salted_join(
     uniform pseudo-random salt (seeded — deterministic per partition
     layout, and correctness never depends on the assignment); the build
     side is replicated across all salts."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in supported:
+        # right/full-outer would emit each unmatched build row once PER
+        # SALT COPY (the build side is replicated n_salts times)
+        raise ValueError(
+            f"salted_join supports probe-preserving joins {sorted(supported)}; "
+            f"got {how!r} — unmatched build rows would be duplicated"
+        )
     p = probe.withColumn("_salt_p", (F.rand(42) * n_salts).cast("int"))
     b = build.withColumn(
         "_salt_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

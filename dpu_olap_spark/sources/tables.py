@@ -64,3 +64,43 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() queries work."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source for the events table: raw-schema file stream
+    (ts still a nano-epoch long) with the nano->micro restoration
+    applied on the streaming DF. Single point of truth for every
+    streaming query and test."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    return _restore_nano_ts(
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir),
+        "events",
+    )
+
+
+def run_to_memory_sink(stream_df, sink_name: str, output_mode: str, timeout_s: int = 180):
+    """Run a finite (availableNow) stream into a memory sink and FAIL
+    LOUDLY if it does not complete in time — a timed-out stream would
+    otherwise silently return partial aggregates."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{sink_name}_") as ckpt:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
+        q.stop()
+        if not finished:
+            raise RuntimeError(
+                f"stream {sink_name!r} did not finish within {timeout_s}s; "
+                "refusing to return partial results"
+            )

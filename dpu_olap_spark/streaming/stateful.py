@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dpu_olap_spark.registry import query
-from dpu_olap_spark.sources.tables import _restore_nano_ts
+from dpu_olap_spark.sources.tables import load_events_stream, run_to_memory_sink
 
 _sink_counter = itertools.count()
 
@@ -59,9 +59,14 @@ def _track_user(
         n, cents = state.get
     else:
         n, cents = 0, 0
+    import numpy as np
+
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].astype(float).mul(100).round().sum()))
+        # floor(x*100 + 0.5): half-up like the oracle's floor(...+0.5);
+        # pandas .round() is half-to-even and would diverge on exact
+        # half-cent values
+        cents += int(np.floor(pdf["value"].astype(float).mul(100).add(0.5)).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [cents / 100.0]}
@@ -87,7 +92,7 @@ def user_running_stats(events_stream: DataFrame) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
                 AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id
     """,
@@ -98,28 +103,10 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite source the last update per user equals the batch GROUP BY —
     the oracle. Exact integer-cents accumulation makes the equality
     bit-for-bit."""
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = _restore_nano_ts(
-        spark.readStream.format("parquet")
-        .schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir),
-        "events",
-    )
+    stream = load_events_stream(spark, sf_dir)
     out = user_running_stats(stream)
     sink = f"stateful_user_stats_{next(_sink_counter)}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_state_") as ckpt:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-        q.stop()
+    run_to_memory_sink(out, sink, "update")
     # update mode may emit a row per micro-batch; keep the final (max
     # n_events) row per user
     t = spark.table(sink)

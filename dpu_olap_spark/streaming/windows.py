@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dpu_olap_spark.registry import query
-from dpu_olap_spark.sources.tables import load_table
+from dpu_olap_spark.sources.tables import load_events_stream, load_table, run_to_memory_sink
 
 _sink_counter = itertools.count()
 
@@ -63,34 +63,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling counts/sums per event_type, executed as a real
     Structured Streaming job (parquet file source, availableNow trigger,
     complete-mode memory sink) and returned as the final result table."""
-    import os
-
-    from dpu_olap_spark.sources.tables import _restore_nano_ts
-
-    path = os.path.join(sf_dir, "events.parquet")
-    # raw schema (ts still a nano-epoch long) for the stream source;
-    # the nano->micro conversion is applied on the streaming DF itself
-    raw_schema = spark.read.parquet(path).schema
-    stream = _restore_nano_ts(
-        spark.readStream.format("parquet")
-        .schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir),
-        "events",
-    )
+    stream = load_events_stream(spark, sf_dir)
     sink = f"stream_tumbling_sink_{next(_sink_counter)}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            tumbling_agg(stream)
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        q.stop()
+    run_to_memory_sink(tumbling_agg(stream), sink, "complete")
     return spark.table(sink)
 
 
@@ -123,20 +98,23 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "session_window",
     oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts,
+    WITH us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
+      FROM us
     ),
     marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
         CASE WHEN prev_ts IS NULL
                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
       FROM ordered
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM marked
     )
@@ -161,6 +139,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts",
         F.when(
             F.lag("ts").over(order).isNull()
@@ -173,7 +152,9 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_sess"),
     )
-    acc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # same (ts, event_id) total order as the flag window — a ts tie must
+    # not reorder accumulation between engines
+    acc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = marked.select(
         "user_id", "ts", F.sum("new_sess").over(acc).cast("bigint").alias("sess_id")
     )
@@ -205,21 +186,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked (bounded state). Inner interval joins emit matches as
     they occur, so the availableNow run over a finite source equals
     the batch join — the oracle."""
-    import os as _os
-
-    from dpu_olap_spark.sources.tables import _restore_nano_ts
-
-    path = _os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-
     def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = _restore_nano_ts(
-            spark.readStream.format("parquet")
-            .schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir),
-            "events",
-        )
+        s = load_events_stream(spark, sf_dir)
         return s.where(F.col("event_type") == kind).select(
             F.col("user_id").alias(f"{kind}_user"),
             F.col("event_id").alias(id_alias),
@@ -238,15 +206,5 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
     )
     sink = f"stream_ss_join_{next(_sink_counter)}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_") as ckpt:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-        q.stop()
+    run_to_memory_sink(joined, sink, "append")
     return spark.table(sink)

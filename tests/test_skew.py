@@ -50,3 +50,13 @@ def test_salted_left_join_preserves_unmatched(spark):
     plain = probe2.join(build, probe2.k == build.bk, "left").count()
     salted = salted_join(probe2, build, "k", "bk", how="left").count()
     assert plain == salted == probe2.count()
+
+def test_salted_join_rejects_build_preserving_joins(spark):
+    """right/full-outer would duplicate unmatched build rows once per
+    salt; the helper must refuse rather than return wrong results."""
+    probe, build = _skewed_frames(spark)
+    import pytest
+
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(probe, build, "k", "bk", how=how)

@@ -17,16 +17,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _stream_events(spark, sf_dir):
-    from dpu_olap_spark.sources.tables import _restore_nano_ts
+    from dpu_olap_spark.sources.tables import load_events_stream
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return _restore_nano_ts(
-        spark.readStream.format("parquet")
-        .schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir),
-        "events",
-    )
+    return load_events_stream(spark, sf_dir)
 
 
 def test_stream_complete_equals_batch(spark):

@@ -18,32 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dpu_olap_spark.llm.text_analysis import _clean_expr
+from dpu_olap_spark.llm.pipeline import curate
 from dpu_olap_spark.session import get_spark
-from dpu_olap_spark.sources.tables import load_table
-
-
-def curate(spark, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
-    cleaned = docs.select("doc_id", "lang", "source", _clean_expr().alias("text"))
-    n_tokens = F.size(F.split(F.col("text"), " "))
-    gated = cleaned.withColumn("n_tokens", n_tokens).where(
-        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)
-    )
-    keep_first = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        gated.withColumn("fp", F.md5("text"))
-        .withColumn("rn", F.row_number().over(keep_first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    subset = F.when(
-        F.substring(F.md5("fp"), 1, 1).isin("0", "1", "2", "3"), "eval"
-    ).otherwise("train")
-    return deduped.withColumn("subset", subset)
 
 
 def main() -> None:
