@@ -39,12 +39,14 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q6",
     "tpch_q10",
+    "merge_upsert",
     "asof_join",
     "range_join",
     "decorrelated_subquery",
     # data-pipeline ops
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "knn_bruteforce",
     "ann_lsh",
     "text_stats",

@@ -341,8 +341,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
-    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    edges = edges.cache()
+    # localCheckpoint truncates lineage each round (otherwise the plan
+    # deepens per iteration and analysis cost compounds); carrying the
+    # previous checksum forward halves the per-round job count.
+    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for _ in range(16):  # diameter bound; dup clusters are shallow
         neigh = (
@@ -350,7 +354,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -358,20 +362,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint()
         )
         # converged when no label decreased (checksum is monotone)
-        converged_now = (
-            new_labels.agg(F.sum("cluster_id")).first()[0]
-            == labels.agg(F.sum("cluster_id")).first()[0]
-        )
-        done = converged_now
-        labels.unpersist()  # superseded iteration's cache
-        labels = new_labels
-        if done:
+        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if new_sum == prev_sum:
             converged = True
             break
-    edges.unpersist()
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within the "
