@@ -467,3 +467,25 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_est"),
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_est"),
     )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           len(list(o_orderkey)) AS n_orders
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer order-key lists. collect_list is
+    arrival-order nondeterministic, so the result is array_sort-ed —
+    the only deterministic (and therefore oracle-comparable) form."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

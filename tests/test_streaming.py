@@ -158,3 +158,62 @@ def test_stream_stream_join(spark):
         q.stop()
     streamed = spark.table("t_ss_join").count()
     assert streamed == batch
+
+
+def test_stateful_state_survives_multiple_microbatches(spark, tmp_path):
+    """Split events into 3 files and feed them one per micro-batch
+    (maxFilesPerTrigger=1): the keyed state must accumulate ACROSS
+    batches to the same totals as the single-batch run — the actual
+    contract of applyInPandasWithState."""
+    from dpu_olap_spark.streaming.stateful import user_running_stats
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_split")
+    # three roughly equal slices, written as separate files
+    ev.withColumn("slice", (F.col("event_id") % 3)).repartition(1).write.partitionBy(
+        "slice"
+    ).parquet(src)
+
+    batch_totals = {
+        (r.user_id): (r.n, round(r.s, 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")) / 100.0
+            ).alias("s"),
+        )
+        .collect()
+    }
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_running_stats(stream.select("user_id", "value"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_multi_batch_state")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+        n_batches = len(q.recentProgress)
+        q.stop()
+    t = spark.table("t_multi_batch_state")
+    final = (
+        t.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n"), F.col("s.sum_value").alias("v"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, round(r.v, 2)) for r in final}
+    assert got == batch_totals
+    assert n_batches >= 3, f"expected >=3 micro-batches, saw {n_batches}"
