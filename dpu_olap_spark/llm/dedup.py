@@ -341,35 +341,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
-    # localCheckpoint truncates lineage each round (otherwise the plan
-    # deepens per iteration and analysis cost compounds); carrying the
-    # previous checksum forward halves the per-round job count.
-    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    edges = edges.localCheckpoint()
+    # cache + explicit unpersist keeps exactly one labels snapshot in
+    # storage memory; carrying the previous checksum forward halves the
+    # per-round job count; a periodic localCheckpoint (every 4th round,
+    # so at most a handful of snapshots even for deep graphs — none at
+    # all for typical 2-3-round convergence) stops the iterative plan
+    # from deepening unboundedly.
+    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    edges = edges.cache()
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
-    for _ in range(16):  # diameter bound; dup clusters are shallow
+    for i in range(16):  # diameter bound; dup clusters are shallow
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        new_labels = (
+            new_labels.localCheckpoint() if (i + 1) % 4 == 0 else new_labels.cache()
         )
         # converged when no label decreased (checksum is monotone)
-        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
+        labels.unpersist()
+        labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within the "

@@ -238,8 +238,9 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             data = bytes(payload)
             w, h, _fr, _mean = _fake_decode(data, modality)
-            w, h = max(w, 1), max(h, 1)  # empty payload decodes to 0x0
-            scale = _TARGET / max(w, h)
+            # clamp only the denominator: report decoded dims truthfully
+            # (0x0 for empty payloads) but never divide by zero
+            scale = _TARGET / max(w, h, 1)
             rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
             stride = max(1, len(data) // (rw * rh))
             thumb = data[::stride][: rw * rh]

@@ -32,7 +32,10 @@ def salted_join(
     uniform pseudo-random salt (seeded — deterministic per partition
     layout, and correctness never depends on the assignment); the build
     side is replicated across all salts."""
-    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    supported = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    }
     if how not in supported:
         # right/full-outer would emit each unmatched build row once PER
         # SALT COPY (the build side is replicated n_salts times)

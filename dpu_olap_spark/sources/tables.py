@@ -66,13 +66,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_EVENTS_RAW_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source for the events table: raw-schema file stream
     (ts still a nano-epoch long) with the nano->micro restoration
     applied on the streaming DF. Single point of truth for every
-    streaming query and test."""
+    streaming query and test. The raw schema (a driver-side parquet
+    footer read) is cached per sf_dir."""
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _EVENTS_RAW_SCHEMA_CACHE.get(path)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
+        _EVENTS_RAW_SCHEMA_CACHE[path] = raw_schema
     return _restore_nano_ts(
         spark.readStream.format("parquet")
         .schema(raw_schema)

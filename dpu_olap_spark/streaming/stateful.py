@@ -15,8 +15,6 @@ idle keys. Arrow batches keep the Python hop amortized.
 from __future__ import annotations
 
 import itertools
-import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 

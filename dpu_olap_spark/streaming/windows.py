@@ -17,7 +17,6 @@ against kafka/file sources with checkpointing.
 from __future__ import annotations
 
 import itertools
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
