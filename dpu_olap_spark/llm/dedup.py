@@ -382,3 +382,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rather than returning partial clusters"
         )
     return labels
+
+
+_N_SIM_BITS = 16  # bits of the md5-derived base hash used for the signature
+
+
+@query(
+    "simhash_md5",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit, (h >> CAST(b.bit AS INT)) & 1 AS v
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, {_N_SIM_BITS})) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit, SUM(v) AS ones, COUNT(*) AS n
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN ones * 2 > n
+                         THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable SimHash: 16-bit signature from the md5-derived
+    base hash (cross-engine exact, unlike xxhash64 — see `simhash` for
+    the JVM-fast 64-bit variant). Majority vote per bit over the
+    document's token hashes; identical docs get identical signatures,
+    near-identical docs differ in few bits (Hamming distance)."""
+    corpus = _corpus(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    hashed = tok.select("doc_id", base_hash60(F.col("token")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SIM_BITS - 1))).alias("bit"),
+        F.col("h"),
+    ).select("doc_id", "bit", F.expr("shiftright(h, bit) & 1").alias("v"))
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum("v").alias("ones"), F.count(F.lit(1)).alias("n")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END) AS BIGINT)"
+        ).alias("simhash")
+    )

@@ -95,3 +95,19 @@ def test_mm_resize_aspect_and_determinism(spark):
         assert abs(r.resized_w / r.resized_h - r.width / r.height) < 0.15
     again = {r.doc_id: r.thumb_fp for r in _q("mm_resize").build(spark, SF).collect()}
     assert {r.doc_id: r.thumb_fp for r in rows} == again
+
+
+def test_simhash_md5_hamming_close_for_near_dups(spark):
+    """The md5-based SimHash: identical docs -> identical signature;
+    and the signature is a real locality hash — planted exact dups
+    have Hamming distance 0 while random doc pairs usually differ."""
+    sig = {r.doc_id: r.simhash for r in _q("simhash_md5").build(spark, SF).collect()}
+    dup_ids = [d for d in sig if d >= 1_000_000]
+    assert dup_ids and all(sig[d] == sig[d - 1_000_000] for d in dup_ids)
+    originals = sorted(d for d in sig if d < 1_000_000)[:40]
+    diffs = sum(
+        1
+        for a, b in zip(originals, originals[1:])
+        if bin(sig[a] ^ sig[b]).count("1") > 0
+    )
+    assert diffs > len(originals) // 2, "signature is degenerate (all docs collide)"
