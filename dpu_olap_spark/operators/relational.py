@@ -265,15 +265,19 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
     )
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers who never placed a >400k order.
+    (Anti against ALL orders returns nothing at test SFs — every
+    customer has orders — so the build side is restricted to keep the
+    query's behavior observable.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
