@@ -16,6 +16,13 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+# Corpus-curation constants shared by quality_score, pipeline_corpus,
+# and the run_pipeline CLI (single source of truth; llm/pipeline.py and
+# llm/text_analysis.py both import these).
+MIN_TOKENS = 20
+MAX_TOKENS = 2000
+EVAL_HEX = ("0", "1", "2", "3")  # first md5(fp) nibble -> ~25% eval
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens; test corpus is single-space separated."""

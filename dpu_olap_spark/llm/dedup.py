@@ -381,7 +381,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iteration bound — raise the bound for deeper duplicate chains "
             "rather than returning partial clusters"
         )
+    # bound retention across invocations: release the previous call's
+    # result snapshot (the caller consumes the returned frame promptly;
+    # only the latest stays materialized)
+    global _LAST_RESULT
+    prev = _LAST_RESULT
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _LAST_RESULT = labels
     return labels
+
+
+_LAST_RESULT = None
 
 
 _N_SIM_BITS = 16  # bits of the md5-derived base hash used for the signature

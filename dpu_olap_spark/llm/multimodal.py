@@ -188,7 +188,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if modality != "video":
                 continue
             data = bytes(payload)
-            for i in range(0, max(1, len(data) // 256)):
+            n_frames = max(1, (len(data) + 255) // 256)  # ceil: tail chunk included
+            for i in range(n_frames):
                 chunk = data[i * 256 : (i + 1) * 256]
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)

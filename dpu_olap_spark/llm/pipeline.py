@@ -12,11 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dpu_olap_spark.functions.text import EVAL_HEX, MAX_TOKENS, MIN_TOKENS
 from dpu_olap_spark.sources.tables import load_table
-
-MIN_TOKENS = 20
-MAX_TOKENS = 2000
-EVAL_HEX = ("0", "1", "2", "3")  # first md5(fp) nibble -> ~25% eval
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -354,8 +354,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout the scan prunes to one cell's files."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroid_literals(spark, sf_dir)
-    qv_row = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
-    qv = F.array(*[F.lit(float(x)) for x in qv_row[0]])
+    qv = _query_vec(spark, sf_dir)
     assigned = emb.select(
         "vec_id", "embedding", _assign_expr(cents).alias("cell")
     )

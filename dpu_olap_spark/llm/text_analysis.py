@@ -13,11 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dpu_olap_spark.functions.text import STOPWORDS, stopword_hits, tokens
+from dpu_olap_spark.functions.text import (
+    EVAL_HEX,
+    MAX_TOKENS,
+    MIN_TOKENS,
+    STOPWORDS,
+    stopword_hits,
+    tokens,
+)
 from dpu_olap_spark.registry import query
 from dpu_olap_spark.sources.tables import load_table
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_EVAL_HEX_SQL = ", ".join(f"'{h}'" for h in EVAL_HEX)
 
 
 @query(
@@ -71,11 +79,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       doc_id,
-      CASE WHEN len(toks) >= 20 AND len(toks) <= 2000 THEN 1 ELSE 0 END AS len_ok,
+      CASE WHEN len(toks) >= {MIN_TOKENS} AND len(toks) <= {MAX_TOKENS}
+           THEN 1 ELSE 0 END AS len_ok,
       CASE WHEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 10 >= len(toks)
            THEN 1 ELSE 0 END AS stopword_ok,
       round(
-        0.5 * (CASE WHEN len(toks) >= 20 AND len(toks) <= 2000 THEN 1 ELSE 0 END)
+        0.5 * (CASE WHEN len(toks) >= {MIN_TOKENS} AND len(toks) <= {MAX_TOKENS}
+               THEN 1 ELSE 0 END)
         + 0.5 * (CASE WHEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 10
                       >= len(toks) THEN 1 ELSE 0 END), 2) AS quality
     FROM t
@@ -88,7 +98,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    len_ok = F.when((n >= 20) & (n <= 2000), 1).otherwise(0)
+    len_ok = F.when((n >= MIN_TOKENS) & (n <= MAX_TOKENS), 1).otherwise(0)
     sw_ok = F.when(stopword_hits(toks) * 10 >= n, 1).otherwise(0)
     return docs.select(
         "doc_id",
@@ -387,7 +397,7 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, ctext,
              len(string_split(ctext, ' ')) AS n_tokens
       FROM cleaned
-      WHERE len(string_split(ctext, ' ')) BETWEEN 20 AND 2000
+      WHERE len(string_split(ctext, ' ')) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
     ),
     deduped AS (
       SELECT md5(ctext) AS fp,
@@ -400,7 +410,7 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     split AS (
       SELECT *,
-             CASE WHEN substr(md5(fp), 1, 1) IN ('0','1','2','3')
+             CASE WHEN substr(md5(fp), 1, 1) IN ({_EVAL_HEX_SQL})
                   THEN 'eval' ELSE 'train' END AS subset
       FROM kept
     )

@@ -89,11 +89,26 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIVE_SINKS: dict[str, str] = {}
+
+
 def run_to_memory_sink(stream_df, sink_name: str, output_mode: str, timeout_s: int = 180):
     """Run a finite (availableNow) stream into a memory sink and FAIL
     LOUDLY if it does not complete in time — a timed-out stream would
-    otherwise silently return partial aggregates."""
+    otherwise silently return partial aggregates. The previous sink
+    table of the same query family (name minus trailing counter) is
+    dropped so repeated builds don't accumulate result copies on the
+    driver."""
     import tempfile
+
+    family = sink_name.rstrip("0123456789")
+    prev = _LIVE_SINKS.get(family)
+    if prev is not None:
+        try:
+            stream_df.sparkSession.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    _LIVE_SINKS[family] = sink_name
 
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{sink_name}_") as ckpt:
         q = (

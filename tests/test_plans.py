@@ -69,18 +69,14 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan[:500]
 
 
-def test_no_cartesian_anywhere():
-    """No registered query may contain a cartesian product (the classic
-    accidental O(n^2) at scale)."""
-    # checked lazily in test_plans_no_cartesian below via parametrize
-    assert True
-
-
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_plans_no_cartesian(spark, name):
     q = all_queries()[name]
-    if name == "stream_tumbling":
-        pytest.skip("streaming query materializes on build")
+    if name in ("stream_tumbling", "stream_stream_join", "stateful_user_stats"):
+        pytest.skip(
+            "streaming queries materialize on build; their returned plan is "
+            "just the memory-sink scan, so the assertion would be vacuous"
+        )
     df = q.build(spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Cartesian" not in plan and "cartesian" not in plan, (

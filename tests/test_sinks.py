@@ -60,24 +60,23 @@ def test_bucketed_join_skips_shuffle(spark):
     join (host/join/join_dpu.cc:200-233)."""
     # bucketed tables land in the session's default warehouse dir
     # (spark.sql.warehouse.dir is static); dropped in finally
-    if True:
-        orders = load_table(spark, SF, "orders")
-        customer = load_table(spark, SF, "customer")
-        try:
-            sinks.write_bucketed(orders, "b_orders", "o_custkey", 8)
-            sinks.write_bucketed(customer, "b_customer", "c_custkey", 8)
-            bo = spark.table("b_orders")
-            bc = spark.table("b_customer")
-            # disable broadcast so the test exercises the bucketed path
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
-            plan = joined._jdf.queryExecution().executedPlan().toString()
-            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
-            assert joined.count() == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-            spark.sql("DROP TABLE IF EXISTS b_orders")
-            spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    try:
+        sinks.write_bucketed(orders, "b_orders", "o_custkey", 8)
+        sinks.write_bucketed(customer, "b_customer", "c_custkey", 8)
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        # disable broadcast so the test exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        assert joined.count() == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
 def test_orc_roundtrip(spark):
