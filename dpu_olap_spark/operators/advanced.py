@@ -551,3 +551,72 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): EXISTS decorrelates to a
+    left-semi join; the fact-side filter prunes before the join."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE revenue aggregate + scalar-subquery
+    max filter. The revenue frame is reused for both the max and the
+    final join — Catalyst dedups the subplan via reuse."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .where(F.col("total_revenue") == max_rev)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
