@@ -8,8 +8,21 @@ but never fills (aggregator_fn_t with opaque state,
 fault-tolerant, watermark-aware state.
 
 Scale notes: state is keyed by user_id and partitioned with the
-stream, so it shards across executors; a state-store timeout evicts
-idle keys. Arrow batches keep the Python hop amortized.
+stream, so it shards across executors. Idle keys are evicted by
+WATERMARK-BASED timeout (EventTimeTimeout): each key's deadline is its
+last-seen event time plus an idle gap; when the stream's watermark
+passes the deadline the segment's totals are flushed downstream and
+the state entry is removed, so state size tracks the *active* key set,
+not the all-time key set. (ProcessingTimeTimeout was rejected: Spark's
+FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+true for processing-time timers, so a Trigger.AvailableNow run never
+terminates — measured 45+ empty micro-batches on a 3-file source.)
+
+Because eviction may be followed by the same key reappearing (a fresh
+segment starting from zero), every emitted row carries a segment id
+and exact integer-cents totals; finalize_user_stats sums the
+per-segment maxima, which is correct under any eviction/reappearance
+interleaving. Arrow batches keep the Python hop amortized.
 """
 
 from __future__ import annotations
@@ -30,11 +43,25 @@ from dpu_olap_spark.sources.tables import load_events_stream, run_to_memory_sink
 
 _sink_counter = itertools.count()
 
+# A key idle for this much EVENT time (watermark domain) is evicted.
+# 30 min matches the session gap used by session_window.
+DEFAULT_IDLE_GAP_MS = 30 * 60 * 1000
+
+# Watermark delay for the event-time timers; totals are unaffected
+# (update mode processes late rows as a fresh segment).
+WATERMARK_DELAY = "10 seconds"
+
+# Rows are per-(user, segment) cumulative snapshots; `seg` is the
+# processing-time ms at which the segment's state was created (distinct
+# across eviction/recreation because those happen in different
+# micro-batches), and `cents` keeps the sum exact for cross-segment
+# adds.
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
+        T.StructField("seg", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("cents", T.LongType(), False),
     ]
 )
 
@@ -42,46 +69,93 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType(), False),
         T.StructField("sum_value_cents", T.LongType(), False),
+        T.StructField("seg_start", T.LongType(), False),
+        T.StructField("last_ts_ms", T.LongType(), False),
     ]
 )
 
 
-def _track_user(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Accumulate per-user totals across micro-batches. Values are
-    accumulated in integer cents so the result is exact regardless of
-    batch boundaries or arrival order."""
-    (user_id,) = key
-    if state.exists:
-        n, cents = state.get
-    else:
-        n, cents = 0, 0
-    import numpy as np
+def _make_track_user(idle_gap_ms: int):
+    """Build the state function as a closure so the gap rides along in
+    the pickled closure cell (a module-level attribute would be
+    re-imported at its default on the worker side)."""
 
-    for pdf in pdfs:
-        n += len(pdf)
-        # floor(x*100 + 0.5): half-up like the oracle's floor(...+0.5);
-        # pandas .round() is half-to-even and would diverge on exact
-        # half-cent values
-        cents += int(np.floor(pdf["value"].astype(float).mul(100).add(0.5)).sum())
-    state.update((n, cents))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [cents / 100.0]}
-    )
+    def _track_user(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # Accumulate per-user totals across micro-batches in integer
+        # cents so the result is exact regardless of batch boundaries
+        # or arrival order. On idle timeout (watermark passed last-seen
+        # + gap): flush the segment's totals one final time and evict.
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            n, cents, seg, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "seg": [seg], "n_events": [n], "cents": [cents]}
+            )
+            return
+
+        if state.exists:
+            n, cents, seg, last_ts_ms = state.get
+        else:
+            n, cents, seg, last_ts_ms = 0, 0, state.getCurrentProcessingTimeMs(), 0
+        import numpy as np
+
+        for pdf in pdfs:
+            n += len(pdf)
+            # floor(x*100 + 0.5): half-up like the oracle's floor(...+0.5);
+            # pandas .round() is half-to-even and would diverge on exact
+            # half-cent values
+            cents += int(np.floor(pdf["value"].astype(float).mul(100).add(0.5)).sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_ts_ms = max(last_ts_ms, int(batch_max.value // 1_000_000))
+        state.update((n, cents, seg, last_ts_ms))
+        # Deadline must stay ahead of the current watermark or Spark
+        # rejects it; a late-arriving segment just gets the minimum
+        # extension past the watermark.
+        deadline = max(last_ts_ms + idle_gap_ms, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(deadline)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "seg": [seg], "n_events": [n], "cents": [cents]}
+        )
+
+    return _track_user
 
 
-def user_running_stats(events_stream: DataFrame) -> DataFrame:
+def user_running_stats(
+    events_stream: DataFrame, idle_gap_ms: int = DEFAULT_IDLE_GAP_MS
+) -> DataFrame:
+    """events_stream needs (user_id, value, ts); ts drives the
+    watermark that expires idle keys."""
     return (
-        events_stream.select("user_id", "value")
+        events_stream.select("user_id", "value", "ts")
+        .withWatermark("ts", WATERMARK_DELAY)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _track_user,
+            _make_track_user(idle_gap_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def finalize_user_stats(emitted: DataFrame) -> DataFrame:
+    """Collapse the update-mode row stream to final per-user totals.
+
+    Each (user, seg) group's rows are cumulative snapshots, so its
+    total is the max; a user's grand total is the sum over segments.
+    Correct whether or not any key was evicted and recreated."""
+    per_seg = emitted.groupBy("user_id", "seg").agg(
+        F.max(F.struct("n_events", "cents")).alias("s")
+    )
+    return per_seg.groupBy("user_id").agg(
+        F.sum("s.n_events").alias("n_events"),
+        (F.sum("s.cents").cast("double") / F.lit(100.0)).alias("sum_value"),
     )
 
 
@@ -98,19 +172,11 @@ def user_running_stats(events_stream: DataFrame) -> DataFrame:
 def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful operator as a real stream (availableNow, update
     mode, memory sink) and return the final per-user rows. With a
-    finite source the last update per user equals the batch GROUP BY —
-    the oracle. Exact integer-cents accumulation makes the equality
-    bit-for-bit."""
+    finite source the summed per-segment totals equal the batch
+    GROUP BY — the oracle. Exact integer-cents accumulation makes the
+    equality bit-for-bit even if an idle key is evicted mid-run."""
     stream = load_events_stream(spark, sf_dir)
     out = user_running_stats(stream)
     sink = f"stateful_user_stats_{next(_sink_counter)}"
     run_to_memory_sink(out, sink, "update")
-    # update mode may emit a row per micro-batch; keep the final (max
-    # n_events) row per user
-    t = spark.table(sink)
-    w_latest = t.groupBy("user_id").agg(
-        F.max(F.struct("n_events", "sum_value")).alias("s")
-    )
-    return w_latest.select(
-        "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_value").alias("sum_value")
-    )
+    return finalize_user_stats(spark.table(sink))

@@ -161,18 +161,32 @@ def test_stream_stream_join(spark):
 
 
 def test_stateful_state_survives_multiple_microbatches(spark, tmp_path):
-    """Split events into 3 files and feed them one per micro-batch
-    (maxFilesPerTrigger=1): the keyed state must accumulate ACROSS
-    batches to the same totals as the single-batch run — the actual
-    contract of applyInPandasWithState."""
+    """Split events into 3 time-ordered files and feed them one per
+    micro-batch (maxFilesPerTrigger=1): the keyed state must accumulate
+    ACROSS batches to the same totals as the single-batch run — the
+    actual contract of applyInPandasWithState. Slices are chronological
+    (realistic arrival order) because the operator's watermark drops
+    rows later than its delay — an out-of-time-order slicing would be
+    testing late-data drops, not state carry-over."""
+    import time
+
     from dpu_olap_spark.streaming.stateful import user_running_stats
 
     ev = load_table(spark, SF, "events")
     src = str(tmp_path / "events_split")
-    # three roughly equal slices, written as separate files
-    ev.withColumn("slice", (F.col("event_id") % 3)).repartition(1).write.partitionBy(
-        "slice"
-    ).parquet(src)
+    # tertile boundaries on ts -> three chronological slices, written
+    # oldest-first with distinct mtimes (file-source batch order)
+    b1, b2 = ev.selectExpr(
+        "percentile_approx(ts, 0.3333) AS b1", "percentile_approx(ts, 0.6667) AS b2"
+    ).first()
+    slices = [
+        ev.where(F.col("ts") <= F.lit(b1)),
+        ev.where((F.col("ts") > F.lit(b1)) & (F.col("ts") <= F.lit(b2))),
+        ev.where(F.col("ts") > F.lit(b2)),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
 
     batch_totals = {
         (r.user_id): (r.n, round(r.s, 2))
@@ -192,7 +206,7 @@ def test_stateful_state_survives_multiple_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    out = user_running_stats(stream.select("user_id", "value"))
+    out = user_running_stats(stream.select("user_id", "value", "ts"))
     import tempfile
 
     with tempfile.TemporaryDirectory() as ckpt:
@@ -207,13 +221,91 @@ def test_stateful_state_survives_multiple_microbatches(spark, tmp_path):
         assert q.awaitTermination(180), "stream did not finish"
         n_batches = len(q.recentProgress)
         q.stop()
-    t = spark.table("t_multi_batch_state")
-    final = (
-        t.groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
-        .select("user_id", F.col("s.n_events").alias("n"), F.col("s.sum_value").alias("v"))
-        .collect()
-    )
-    got = {r.user_id: (r.n, round(r.v, 2)) for r in final}
+    from dpu_olap_spark.streaming.stateful import finalize_user_stats
+
+    final = finalize_user_stats(spark.table("t_multi_batch_state")).collect()
+    got = {r.user_id: (r.n_events, round(r.sum_value, 2)) for r in final}
     assert got == batch_totals
     assert n_batches >= 3, f"expected >=3 micro-batches, saw {n_batches}"
+
+
+def test_stateful_idle_keys_evicted_and_reaggregate(spark, tmp_path):
+    """Watermark-based idle-key eviction (EventTimeTimeout): users whose
+    last-seen event time falls more than the idle gap behind the
+    watermark are flushed and removed, then reappear later and
+    accumulate in a FRESH segment. finalize_user_stats must still
+    reproduce the exact batch totals, and the evicted users must show
+    >1 segment — proof state was actually dropped, not retained."""
+    import datetime as dt
+    import tempfile
+    import time
+
+    from pyspark.sql import types as T
+
+    from dpu_olap_spark.streaming.stateful import finalize_user_stats, user_running_stats
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    h = dt.timedelta
+    # batch 1: everyone @ t0; batches 2-3: only user 1, event time jumps
+    # 2h ahead so the watermark passes users 2/3's (t0 + 30min gap)
+    # deadline -> they are evicted in batch 3 (no data for them there);
+    # batch 4: users 2/3 reappear 3h in -> fresh segments.
+    files = [
+        mk([(1, 1.00, t0), (2, 2.00, t0), (3, 3.00, t0),
+            (2, 2.25, t0 + h(minutes=1)), (3, 3.25, t0 + h(minutes=1))]),
+        mk([(1, 1.50, t0 + h(hours=2))]),
+        mk([(1, 1.75, t0 + h(hours=2, minutes=10))]),
+        mk([(2, 2.50, t0 + h(hours=3)), (3, 3.50, t0 + h(hours=3))]),
+    ]
+    src = str(tmp_path / "events_evict")
+    for f in files:
+        f.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes => file-source batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_running_stats(stream, idle_gap_ms=30 * 60 * 1000)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_evict_state")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+        n_batches = len(q.recentProgress)
+        q.stop()
+    t = spark.table("t_evict_state")
+    final = finalize_user_stats(t).collect()
+    got = {r.user_id: (r.n_events, round(r.sum_value, 2)) for r in final}
+    assert got == {
+        1: (3, 4.25),
+        2: (3, 6.75),
+        3: (3, 9.75),
+    }, f"totals diverged after eviction + reappearance: {got}"
+    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+    n_segs = {
+        r.user_id: r.n
+        for r in t.groupBy("user_id").agg(F.countDistinct("seg").alias("n")).collect()
+    }
+    assert n_segs[2] > 1 and n_segs[3] > 1, (
+        f"users 2/3 were never evicted — timeout path never fired: {n_segs}"
+    )
+    assert n_segs[1] == 1, "always-active key should keep one segment"
