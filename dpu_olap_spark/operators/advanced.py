@@ -602,8 +602,11 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): CTE revenue aggregate + scalar-subquery
-    max filter. The revenue frame is reused for both the max and the
-    final join — Catalyst dedups the subplan via reuse."""
+    max filter, expressed as ONE plan with no driver round-trip: a
+    rank() over the aggregated revenue frame keeps the max rows (ties
+    kept, like the SQL `= (SELECT MAX ...)`), so lineitem is scanned
+    and aggregated exactly once. The global window sorts only the
+    post-aggregation frame (|suppliers| rows, << fact table)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -613,10 +616,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    top = (
+        revenue.withColumn(
+            "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+        )
+        .where(F.col("rnk") == 1)
+        .drop("rnk")
+    )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .where(F.col("total_revenue") == max_rev)
+        s.join(top, s.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
     )
