@@ -229,3 +229,43 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fact_fact_join — the reference's flagship partitioned join: both sides
+# too big to broadcast, hash-scattered on the join key and joined
+# bucket-locally (host/join/join_dpu.cc:168-400, partitioned mode
+# join_native.cc:94-111). Spark analog: SHUFFLE_HASH hint on the
+# smaller fact (orders) so both sides exchange on orderkey and the
+# probe is hash-local — never a broadcast, never a cartesian. The
+# grouped aggregate afterwards drains the join the way the reference's
+# benchmark materializes its output.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_fact_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

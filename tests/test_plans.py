@@ -45,6 +45,18 @@ def test_join_agg_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fact_fact_join_is_shuffled_not_broadcast(spark):
+    """The reference's flagship partitioned join: both sides exchange
+    on the key and the probe is hash-local — at 100 TB neither fact
+    side fits in a broadcast, so the plan must never depend on one."""
+    plan = _formatted_plan(spark, "fact_fact_join")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, (
+        "fact-fact join did not plan as a shuffle join"
+    )
+    assert "BroadcastHashJoin" not in plan, "fact-fact join must not broadcast"
+    assert "CartesianProduct" not in plan
+
+
 def test_join_agg_prunes_fact_columns(spark):
     plan = _formatted_plan(spark, "join_agg")
     li_schemas = [s for s in re.findall(r"ReadSchema: (\S+)", plan) if "l_orderkey" in s]
