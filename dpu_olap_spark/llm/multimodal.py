@@ -84,14 +84,37 @@ _DECODE_SCHEMA = T.StructType(
     ]
 )
 
-USE_REAL_CODECS = False  # flip when PIL/ffmpeg are available
+def _codecs_available() -> bool:
+    """Capability probe, evaluated on the WORKER inside the decode
+    stage (the executor environment is what matters, not the driver).
+    Real image decode needs PIL; set SPARK_GRAFT_FORCE_FAKE_CODECS=1
+    to pin the deterministic fake even where codecs exist (e.g. to
+    keep byte-stable test fixtures)."""
+    import importlib.util
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FORCE_FAKE_CODECS"):
+        return False
+    return importlib.util.find_spec("PIL") is not None
 
 
 def _real_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
-    """Seam for real codec integration (PIL / soundfile / pyav)."""
+    """Real codec integration: PIL for images; audio/video still need
+    pyav/soundfile and keep the explicit seam. Selected automatically
+    by the _codecs_available probe — no code change when the container
+    gains the libraries."""
+    if modality == "image":
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            px = list(im.convert("L").resize((8, 8)).getdata())
+            return w, h, 1, round(sum(px) / max(1, len(px)), 4)
     raise NotImplementedError(
-        "codec libraries are not installed in this environment; "
-        "set USE_REAL_CODECS=True once PIL/pyav are available"
+        "audio/video decode needs pyav/soundfile; not installed in this "
+        "environment (images decode via PIL when present)"
     )
 
 
@@ -106,7 +129,7 @@ def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    decode = _real_decode if USE_REAL_CODECS else _fake_decode
+    decode = _real_decode if _codecs_available() else _fake_decode
     for pdf in batches:
         out = {"doc_id": [], "modality": [], "width": [], "height": [], "n_frames": [], "mean_byte": []}
         for doc_id, modality, payload in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):

@@ -52,7 +52,15 @@ def _restore_nano_ts(df: DataFrame, name: str) -> DataFrame:
 
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            # floor division, not `div` (which truncates toward zero):
+            # a pre-epoch nanosecond value must floor to the earlier
+            # microsecond, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+            # cast. pmod keeps the arithmetic exact in int64 (the ns
+            # epoch magnitude overflows a double's 53-bit mantissa).
+            df = df.withColumn(
+                col,
+                F.expr(f"timestamp_micros(({col} - pmod({col}, 1000)) div 1000)"),
+            )
     return df
 
 

@@ -142,9 +142,13 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(
             F.lag("ts").over(order).isNull()
+            # exact integer microseconds, not epoch-seconds doubles: a
+            # double carries ~0.2us representation error at modern
+            # epochs, enough to misclassify a gap within a ULP of
+            # exactly 30 minutes differently than the oracle
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(order).cast("double")
-                > 1800.0
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+                > 1_800_000_000
             ),
             1,
         )

@@ -82,8 +82,43 @@ def test_mm_decode_shapes_and_determinism(spark):
 def test_real_decode_seam_raises(spark):
     from dpu_olap_spark.llm.multimodal import _real_decode
 
+    # audio/video have no codec integration yet — explicit seam
     with pytest.raises(NotImplementedError):
-        _real_decode(b"xx", "image")
+        _real_decode(b"xx", "audio")
+
+
+def test_codec_probe_selects_fake_branch_here(spark, monkeypatch):
+    """No codec libs in this container: the probe must say so, and the
+    env override must force the fake even where libs exist."""
+    from dpu_olap_spark.llm import multimodal as mm
+
+    assert mm._codecs_available() is False, "probe claims codecs exist (none installed)"
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_FAKE_CODECS", "1")
+    assert mm._codecs_available() is False
+
+
+def test_codec_probe_true_dispatches_real_branch(monkeypatch):
+    """Flip the probe to True (as if PIL appeared): _decode_batches must
+    route to _real_decode with NO other code change. In this container
+    that branch then fails on import/NotImplemented — proof the real
+    path was taken, not the fake."""
+    import pandas as pd
+
+    from dpu_olap_spark.llm import multimodal as mm
+
+    batch = pd.DataFrame(
+        {"doc_id": [1], "modality": ["image"], "payload": [b"not-a-real-image"]}
+    )
+    # default (probe False): fake decode succeeds
+    (out,) = list(mm._decode_batches(iter([batch])))
+    assert out["width"].iloc[0] >= 16
+
+    monkeypatch.setattr(mm, "_codecs_available", lambda: True)
+    with pytest.raises(Exception) as ei:
+        list(mm._decode_batches(iter([batch])))
+    assert isinstance(ei.value, (ImportError, NotImplementedError)), (
+        "real branch should have been dispatched and failed here"
+    )
 
 
 def test_mm_resize_aspect_and_determinism(spark):
