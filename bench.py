@@ -8,6 +8,17 @@ Each query is forced through full materialization with the noop sink
 (no driver-side collect — same discipline as production). A warmup
 query first absorbs JVM/codegen startup so per-query numbers measure
 the plans, not the JIT.
+
+At bench SF most queries are within ~2x of Spark's fixed per-query
+stage-scheduling floor (~0.3-0.5 s, measured below rather than
+guessed), so the raw sequential total mostly measures the scheduler.
+Three extra figures separate plan cost from that floor:
+- floor_sec: median wall of a trivial 2-stage job (the fixed cost);
+- floor_adjusted_total: sum of max(0, t - floor) over the headline
+  queries — the scheduler-independent plan cost;
+- concurrent_wall: total wall for the same queries submitted from a
+  thread pool, the way a multi-tenant engine actually amortizes the
+  scheduling floor across queries.
 """
 
 from __future__ import annotations
@@ -30,6 +41,7 @@ HEADLINE = [
     "partition",
     "join",
     "join_agg",
+    "fact_fact_join",
     # relational
     "group_agg",
     "topk",
@@ -77,11 +89,34 @@ def main() -> None:
         _noop_pandas, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    def run(name: str) -> None:
+        queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # measured scheduling floor: median wall of a trivial 2-stage job
+    # (32-task scan + exchange + agg) — the fixed cost every query pays
+    floor_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(10_000).repartition(32).agg({"id": "sum"}).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = sorted(floor_samples)[len(floor_samples) // 2]
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # concurrent batch: same queries through a thread pool — the floor
+    # amortizes across in-flight queries like on a shared cluster
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run, HEADLINE))
+    concurrent_wall = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +127,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "floor_sec": round(floor, 3),
+                "floor_adjusted_total": round(
+                    sum(max(0.0, t - floor) for t in timings.values()), 3
+                ),
+                "concurrent_wall": concurrent_wall,
             }
         )
     )
