@@ -67,9 +67,13 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Imports are for their registration side effects.
+    # Imports are for their registration side effects. tpch_full loads
+    # LAST on purpose: its queries are the newest (least driver-verified)
+    # and __spark_entry__ orders unverified queries by registration, so
+    # queries awaiting their first CORRECTNESS row keep window priority.
     from dpu_olap_spark.operators import advanced, functions_ext, reference, relational  # noqa: F401
     from dpu_olap_spark.llm import dedup, multimodal, similarity, text_analysis  # noqa: F401
     from dpu_olap_spark.streaming import stateful, windows  # noqa: F401
+    from dpu_olap_spark.operators import tpch_full  # noqa: F401
 
     _LOADED = True
