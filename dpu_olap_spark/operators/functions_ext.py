@@ -348,3 +348,40 @@ def q_explode_outer_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     ztoks = F.filter(F.split(F.col("text"), " "), lambda x: x.like("z%"))
     return docs.select("doc_id", F.explode_outer(ztoks).alias("ztoken"))
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS props
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey,
+           props['status'][1] AS status_val,
+           props['priority'][1] AS priority_val,
+           cardinality(props) AS n_props,
+           array_to_string(map_keys(props), ',') AS keys_csv
+    FROM m
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: construct (map_from_arrays), probe
+    (element_at), measure (size), and enumerate (map_keys) — the map
+    op family over plain-typed outputs so the DuckDB comparison stays
+    on scalar columns (cross-engine map VALUE comparison is
+    representation-sensitive; the probes pin the same content)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    props = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    m = o.select("o_orderkey", props.alias("props"))
+    return m.select(
+        "o_orderkey",
+        F.element_at("props", "status").alias("status_val"),
+        F.element_at("props", "priority").alias("priority_val"),
+        F.size("props").cast("bigint").alias("n_props"),
+        F.array_join(F.map_keys("props"), ",").alias("keys_csv"),
+    )
