@@ -75,5 +75,6 @@ def _ensure_loaded() -> None:
     from dpu_olap_spark.llm import dedup, multimodal, similarity, text_analysis  # noqa: F401
     from dpu_olap_spark.streaming import stateful, windows  # noqa: F401
     from dpu_olap_spark.operators import tpch_full  # noqa: F401
+    from dpu_olap_spark.streaming import foreach  # noqa: F401
 
     _LOADED = True

@@ -309,3 +309,29 @@ def test_stateful_idle_keys_evicted_and_reaggregate(spark, tmp_path):
         f"users 2/3 were never evicted — timeout path never fired: {n_segs}"
     )
     assert n_segs[1] == 1, "always-active key should keep one segment"
+
+
+def test_foreach_batch_sink_roundtrip_and_replay(spark):
+    """foreachBatch parquet sink: every source row lands exactly once,
+    and re-running from a fresh checkpoint (batch ids restart at 0 —
+    the replay case) overwrites the batch's own partition via dynamic
+    partition overwrite instead of duplicating rows."""
+    from dpu_olap_spark.streaming.foreach import run_foreach_batch_parquet
+    from dpu_olap_spark.sources.tables import load_events_stream
+
+    n_src = load_table(spark, SF, "events").count()
+    with tempfile.TemporaryDirectory() as out_root:
+        out = os.path.join(out_root, "sink")
+        stream = load_events_stream(spark, SF).select("event_id", "event_type")
+        run_foreach_batch_parquet(stream, out)
+        first = spark.read.parquet(out)
+        assert first.count() == n_src
+        assert first.select("event_id").distinct().count() == n_src
+        assert "_batch_id" in first.columns
+
+        # replay: same sink path, fresh checkpoint -> same batch ids
+        run_foreach_batch_parquet(
+            load_events_stream(spark, SF).select("event_id", "event_type"), out
+        )
+        replayed = spark.read.parquet(out)
+        assert replayed.count() == n_src, "replayed batch must overwrite, not append"
