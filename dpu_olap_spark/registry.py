@@ -74,7 +74,11 @@ def _ensure_loaded() -> None:
     from dpu_olap_spark.operators import advanced, functions_ext, reference, relational  # noqa: F401
     from dpu_olap_spark.llm import dedup, multimodal, similarity, text_analysis  # noqa: F401
     from dpu_olap_spark.streaming import stateful, windows  # noqa: F401
-    from dpu_olap_spark.operators import tpch_full  # noqa: F401
+    # sink round-trips + foreachBatch before tpch_full: the sink layer
+    # has no prior CORRECTNESS row at all (component-level gap), while
+    # the TPC-H family already has 8 driver-green members
+    from dpu_olap_spark.sources import sink_queries  # noqa: F401
     from dpu_olap_spark.streaming import foreach  # noqa: F401
+    from dpu_olap_spark.operators import tpch_full  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,192 @@
+"""Registered driver queries for the source/sink layer, so every
+connector has a CORRECTNESS row, not just a pytest.
+
+Each query writes through a sink, reads the data back, and aggregates;
+equality with a DuckDB oracle over the ORIGINAL table proves the
+round-trip is lossless. The reference has no storage layer at all
+(SURVEY.md section 2.9); these connectors are where a 100 TB
+deployment lives or dies:
+
+- partitioned parquet -> partition PRUNING (the filter must skip
+  directories, asserted in tests/test_sinks.py and test_plans.py);
+- bucketed tables -> shuffle-FREE co-partitioned joins, the persistent
+  analog of the reference's radix-partition step
+  (/root/reference/host/join/join_dpu.cc:200-233);
+- CSV/JSON/ORC -> interchange, always schema-explicit (inferSchema
+  would add a read pass and invite drift).
+
+Sink directories are per-process temp paths; bucketed tables get
+unique names and are dropped after the read so repeated driver runs
+don't collide or accumulate state.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources import sinks
+from dpu_olap_spark.sources.tables import load_table
+
+_run_counter = itertools.count()
+
+
+def _tmp_path(tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"sinkq_{tag}_{os.getpid()}_{next(_run_counter)}"
+    )
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    """,
+)
+def q_sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders written hive-partitioned by order_year, read back with a
+    partition filter (pruned scan — only the 1996/1997 directories are
+    touched), then aggregated. Oracle equality over the original table
+    proves the partitioned layout is lossless and the pruned read
+    complete."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = _tmp_path("orders_part")
+    sinks.write_partitioned(orders, path, ["order_year"])
+    back = sinks.read_partitioned(spark, path)
+    return (
+        back.where(F.col("order_year").isin(1996, 1997))
+        .groupBy("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation through a headered CSV sink and a schema-explicit read
+    (no inferSchema), aggregated per region with an order-pinned
+    string_agg so any row loss, duplication, or value mangling in the
+    text round-trip breaks the hash."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _tmp_path("nation_csv")
+    sinks.write_csv(nation, path)
+    back = sinks.read_csv(spark, path, nation.schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+    )
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(s_acctbal) AS DECIMAL(18,2)) AS sum_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier through a JSON-lines sink and schema-explicit read,
+    aggregated per nation. Decimal account balances survive the text
+    representation exactly (decimal-typed schema on the read path)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = _tmp_path("supp_json")
+    sinks.write_json(supplier, path)
+    back = sinks.read_json(spark, path, supplier.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s_acctbal").cast("decimal(18,2)").alias("sum_acctbal"),
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_retailprice) AS DECIMAL(18,2)) AS sum_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part through an ORC sink (schema travels in the file footer) and
+    back, aggregated per brand."""
+    part = load_table(spark, sf_dir, "part")
+    path = _tmp_path("part_orc")
+    sinks.write_orc(part, path)
+    back = sinks.read_orc(spark, path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_retailprice").cast("decimal(18,2)").alias("sum_price"),
+    )
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed orders⋈customer with broadcast disabled: both sides
+    pre-hashed into 8 buckets on the customer key at write time, so the
+    join runs with ZERO Exchange (asserted in tests/test_sinks.py) —
+    the persistent form of the reference's radix-partitioned join
+    (/root/reference/host/join/join_dpu.cc:200-233), paid once at write
+    time instead of per query. At 100 TB this is how repeated fact⋈dim
+    joins on a stable key skip the shuffle entirely."""
+    run = next(_run_counter)
+    t_orders, t_customer = f"bq_orders_{run}", f"bq_customer_{run}"
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sinks.write_bucketed(orders, t_orders, "o_custkey", 8)
+    sinks.write_bucketed(customer, t_customer, "c_custkey", 8)
+    bo, bc = spark.table(t_orders), spark.table(t_customer)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        )
+        # materialize under the no-broadcast conf, then restore; the
+        # bucketed source tables outlive the call only until the next
+        # run's overwrite (unique names avoid concurrent collisions)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_customer}")
+    return out
