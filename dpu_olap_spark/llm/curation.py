@@ -1,0 +1,138 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination
+and stratified sampling.
+
+Decontamination is the training-data op that keeps evaluation
+benchmarks honest: any document sharing enough word n-grams with the
+held-out set is flagged (the standard 8-13-gram collision methodology,
+here 5-grams sized to the synthetic corpus). Scale shape: the eval
+set is bounded (benchmarks are tiny next to a 100 TB corpus), so its
+distinct gram set is BROADCAST — the corpus-side scan never shuffles
+on gram; each doc's grams stream map-side against the broadcast hash
+set and only the per-doc counters (one row per doc) hit the shuffle.
+
+Stratified sampling keeps per-group proportions that a uniform sample
+would miss on skewed strata: deterministic hash-rank within each
+stratum, take ceil(frac * stratum_size). One hash partition by
+stratum; no driver-side stratum enumeration, so 10^6 strata cost the
+same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.functions.text import shingles, tokens
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+# eval stand-in: every 41st doc (~2.5% of the corpus) plays the role of
+# the held-out benchmark. Real pipelines use 8-13-gram collisions; the
+# synthetic corpus draws from a ~20-word vocabulary where 5-grams
+# almost never repeat across docs (the query returned 0 rows —
+# vacuous), so the gram size is 3 here to make contamination
+# observable. The operator is gram-size-parametric either way.
+_EVAL_MOD = 41
+_NGRAM = 3
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, gram) pairs over word 5-grams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    return (
+        docs.where(F.size(toks) >= _NGRAM)
+        .select("doc_id", F.explode(shingles(toks, _NGRAM)).alias("g"))
+        .distinct()
+    )
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_NGRAM}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_NGRAM - 2})) AS i
+            FROM toks)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    corpus AS (SELECT * FROM grams WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(e.g) AS n_contam,
+           CAST(ROUND(COUNT(e.g) * 1.0 / COUNT(*), 6) AS DOUBLE) AS contam_ratio
+    FROM corpus c LEFT JOIN eval_grams e ON c.g = e.g
+    GROUP BY c.doc_id
+    HAVING COUNT(e.g) > 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >=1 distinct
+    5-gram with the held-out set, with overlap counts and ratio. The
+    eval gram set is broadcast (bounded by benchmark size, never by
+    corpus size); the only shuffle is the per-doc counter aggregation."""
+    grams = _doc_grams(spark, sf_dir)
+    eval_grams = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+    hit = F.broadcast(eval_grams.withColumn("hit", F.lit(1)))
+    return (
+        corpus.join(hit, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contam"),
+        )
+        .where(F.col("n_contam") > 0)
+        .withColumn(
+            "contam_ratio",
+            F.round(F.col("n_contam") / F.col("n_grams"), 6).cast("double"),
+        )
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents
+    )
+    SELECT lang, doc_id, source, n_chars, n_stratum
+    FROM ranked
+    WHERE rk <= CAST(CEIL(0.2 * n_stratum) AS BIGINT)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% stratified sample per language: deterministic md5-of-key
+    rank inside each stratum (reproducible across runs and engines —
+    no RNG), take ceil(frac * stratum_size). Small strata keep at
+    least one row; proportions hold per group, unlike a uniform
+    sample over skewed strata."""
+    frac = 0.2
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_stratum"),
+    )
+    return ranked.where(
+        F.col("rk") <= F.ceil(frac * F.col("n_stratum")).cast("bigint")
+    ).drop("rk")

@@ -385,3 +385,74 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("props").cast("bigint").alias("n_props"),
         F.array_join(F.map_keys("props"), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "grouped_ols",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+             CAST(floor(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope,
+           (sy * 1.0 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * sx) / n
+             AS intercept
+    FROM s
+    WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas seam (applyInPandas): per-user OLS of event
+    value (cents) over time (day number) — one Arrow batch per group,
+    the escape hatch for per-group logic SQL can't express.
+
+    Bit-exact against the DuckDB regression oracle by construction:
+    both engines accumulate the four moments in EXACT int64 (x = whole
+    days, y = floor(value*100) cents — floor, not cast: DuckDB's
+    double->int cast rounds while Spark's truncates), then derive
+    slope/intercept with the same IEEE op sequence, so the doubles are
+    identical, not merely close. Sums stay < 2^53 by corpus bounds.
+
+    Scale: one shuffle on user_id; per-group state is four moments, so
+    groups of any size stream through Arrow without driver involvement.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # all-positive epochs: integer `div` (truncating) == floor here
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("y"),
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        x, y = pdf["x"], pdf["y"]
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "slope", "intercept"]
+            )
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / n
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ols, schema="user_id long, n_events long, slope double, intercept double"
+    )
