@@ -89,6 +89,16 @@ def main() -> None:
         _noop_pandas, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # streaming warmup: the first streaming query in a session pays
+    # ~4 s of engine spin-up (streaming planner, state-store provider,
+    # Python state workers) regardless of data size — absorb it on the
+    # smallest SF so the headline stateful query measures its plan
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        queries["stateful_user_stats"].build(spark, warm_sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def run(name: str) -> None:
         queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 

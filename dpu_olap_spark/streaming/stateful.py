@@ -178,5 +178,7 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = load_events_stream(spark, sf_dir)
     out = user_running_stats(stream)
     sink = f"stateful_user_stats_{next(_sink_counter)}"
-    run_to_memory_sink(out, sink, "update")
+    # state partitions sized to the ~150-user active key set (see
+    # run_to_memory_sink docstring; 4x fewer state-store commits/batch)
+    run_to_memory_sink(out, sink, "update", state_partitions=8)
     return finalize_user_stats(spark.table(sink))

@@ -64,7 +64,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode memory sink) and returned as the final result table."""
     stream = load_events_stream(spark, sf_dir)
     sink = f"stream_tumbling_sink_{next(_sink_counter)}"
-    run_to_memory_sink(tumbling_agg(stream), sink, "complete")
+    run_to_memory_sink(tumbling_agg(stream), sink, "complete", state_partitions=8)
     return spark.table(sink)
 
 
@@ -209,5 +209,5 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
     )
     sink = f"stream_ss_join_{next(_sink_counter)}"
-    run_to_memory_sink(joined, sink, "append")
+    run_to_memory_sink(joined, sink, "append", state_partitions=8)
     return spark.table(sink)
