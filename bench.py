@@ -56,6 +56,9 @@ HEADLINE = [
     "range_join",
     "decorrelated_subquery",
     # data-pipeline ops
+    "decontaminate",
+    "stratified_sample",
+    "grouped_ols",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_clusters",

@@ -246,10 +246,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation never touches non-candidate pairs."""
     corpus = _corpus(spark, sf_dir)
     toks = tokens(F.col("text"))
-    shd = (
-        corpus.where(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles(toks, 3)).alias("shingle"))
-        .distinct()
+    # per-doc distinct -> array_distinct BEFORE explode (map-side; an
+    # explode().distinct() would shuffle every shingle row)
+    shd = corpus.where(F.size(toks) >= 3).select(
+        "doc_id", F.explode(F.array_distinct(shingles(toks, 3))).alias("shingle")
     )
     cand = q_dedup_minhash_pairs(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -33,12 +33,21 @@ _CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# Static confs: only applicable at JVM launch (tune() on a running
+# session skips them via its try/except). local[32] defaults to a 1 GiB
+# driver heap, which in local mode is ALSO all 32 executor threads'
+# working memory — the 64-lane MinHash aggregate OOMs there at probe
+# scale. On a cluster this is spark.executor.memory sizing instead.
+_STATIC_CONFS: dict[str, str] = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
 
 def get_spark(app_name: str = "dpu-olap-spark") -> SparkSession:
     """Build (or fetch) the tuned session for tests / bench runs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for k, v in _CONFS.items():
+    for k, v in {**_CONFS, **_STATIC_CONFS}.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
 

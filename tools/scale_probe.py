@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Scale probe: generate an N-row synthetic fact table (default 10M —
-~17x the sf0.1 lineitem) and measure core-operator throughput at two
-sizes to check scaling behavior. Writes SCALE_PROBE.md.
+"""Scale probe: generate synthetic fact AND document tables (defaults
+10M rows / 500k docs — ~17x and ~100x the sf0.1 tables) and measure
+operator throughput at two sizes each to check scaling behavior.
+Writes SCALE_PROBE.md.
 
-Usage: python tools/scale_probe.py [n_rows]
+Usage: python tools/scale_probe.py [n_rows] [n_docs]
 
 This is the local stand-in for a cluster scale test: if per-row cost
-is flat (throughput roughly constant) from 600k to 10M rows on the
-same 32 cores, the plans are compute-bound and partition-parallel, not
-overhead-bound — the property that transfers to a 1000-executor run.
+is flat (throughput roughly constant) from the small to the large size
+on the same 32 cores, the plans are compute-bound and
+partition-parallel, not overhead-bound — the property that transfers
+to a 1000-executor run. The document section exercises the
+text-pipeline plan shapes (explode-shingle -> md5 -> 64 min-lane
+aggregates -> band self-join; broadcast gram dictionary) at sizes
+where the LSH band join dominates the fixed scheduling floor.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from dpu_olap_spark.functions.text import base_hash60, shingles, tokens
 from dpu_olap_spark.session import get_spark
 
 
@@ -37,6 +43,32 @@ def gen(spark, n: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def gen_docs(spark, n: int, path: str) -> None:
+    """Synthetic documents: ~60 tokens from a 64-word vocabulary, 10%
+    exact duplicates (doc re-keyed), matching the shape of the test
+    corpus but at probe scale."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id") % (n * 9 // 10), i), F.lit(64)),
+                ),
+            ),
+        ).alias("text"),
+    )
+    base.write.mode("overwrite").parquet(path)
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def probe(spark, path: str) -> dict[str, float]:
     t = {}
     df = spark.read.parquet(path)
@@ -45,9 +77,13 @@ def probe(spark, path: str) -> dict[str, float]:
     )
 
     def run(name, frame):
-        t0 = time.perf_counter()
-        frame.write.format("noop").mode("overwrite").save()
-        t[name] = round(time.perf_counter() - t0, 3)
+        # best-of-3: single-shot walls at these sizes carry 2-5x GC /
+        # scheduling noise (measured); min is the noise-robust stat
+        best = min(
+            _timed(lambda: frame.write.format("noop").mode("overwrite").save())
+            for _ in range(3)
+        )
+        t[name] = round(best, 3)
 
     run("filter", df.where(F.col("qty") < 25.0).select("k", "qty", "price"))
     run("sum", df.agg(F.sum(F.col("price").cast("decimal(18,2)")), F.count("*")))
@@ -66,29 +102,93 @@ def probe(spark, path: str) -> dict[str, float]:
     return t
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    spark = get_spark("scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    results = {}
-    sizes = sorted({600_000, n})
-    if len(sizes) == 1:
-        print(f"warning: n_rows={n} equals the baseline; probing one size only", file=sys.stderr)
-    with tempfile.TemporaryDirectory() as d:
-        for rows in sizes:
-            path = os.path.join(d, f"fact_{rows}")
-            gen(spark, rows, path)
-            probe(spark, path)  # warm
-            results[rows] = probe(spark, path)
+def probe_docs(spark, path: str) -> dict[str, float]:
+    """Text-pipeline plan shapes (mirrors llm/dedup.py, llm/curation.py
+    — same operators, probe-local data)."""
+    t = {}
+    docs = spark.read.parquet(path)
+
+    def run(name, frame):
+        best = min(
+            _timed(lambda: frame.write.format("noop").mode("overwrite").save())
+            for _ in range(3)
+        )
+        t[name] = round(best, 3)
+
+    toks = tokens(F.col("text"))
+
+    run(
+        "text_stats",
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        ).agg(F.avg("n_tokens"), F.max("n_chars"), F.count("*")),
+    )
+
+    run(
+        "dedup_exact",
+        docs.groupBy(F.md5("text").alias("fp")).agg(
+            F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
+        ),
+    )
+
+    # full LSH pipeline at production parameters: 64 lanes, 16 bands
+    lane_c = [(i * 0x9E3779B97F4A7C15) % (1 << 60) for i in range(64)]
+    sh = docs.select("doc_id", F.explode(shingles(toks, 3)).alias("shingle"))
+    hashed = sh.select("doc_id", base_hash60(F.col("shingle")).alias("base"))
+    lanes = hashed.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"base ^ {c}L")).alias(f"mh{s}") for s, c in enumerate(lane_c)]
+    )
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{b * 4 + r}") for r in range(4)])
+            ).alias("bkey"),
+        )
+        for b in range(16)
+    ]
+    bands = lanes.select("doc_id", F.explode(F.array(*entries)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    run("minhash_pairs", pairs.agg(F.count(F.lit(1))))
+
+    # decontamination: broadcast eval gram dictionary, map-side probe;
+    # per-doc gram dedup is array_distinct BEFORE explode (map-side)
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(toks, 3))).alias("g")
+    )
+    eval_grams = grams.where(F.col("doc_id") % 41 == 0).select("g").distinct()
+    corpus = grams.where(F.col("doc_id") % 41 != 0)
+    contam = (
+        corpus.join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_contam"))
+        .where(F.col("n_contam") > 0)
+    )
+    run("decontaminate", contam.agg(F.count(F.lit(1))))
+    return t
+
+
+def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
-        "# SCALE_PROBE — operator throughput vs data size",
+        title,
         "",
-        "Generated by tools/scale_probe.py (synthetic fact table, local[32]).",
-        "Rows/sec should be roughly flat or IMPROVE with size if plans are",
-        "partition-parallel; a collapse would indicate overhead-bound or",
-        "skewed plans.",
-        "",
-        "| operator | " + " | ".join(f"{r:,} rows (s / Mrows/s)" for r in results) + " |",
+        "| operator | "
+        + " | ".join(f"{r:,} {'rows' if unit_rows else 'docs'} (s / M/s)" for r in results)
+        + " |",
         "|---|" + "---|" * len(results),
     ]
     ops = list(next(iter(results.values())))
@@ -96,12 +196,51 @@ def main() -> None:
         cells = []
         for rows, res in results.items():
             secs = res[op]
-            cells.append(f"{secs:.2f} / {rows / secs / 1e6:.1f}")
+            cells.append(f"{secs:.2f} / {rows / secs / 1e6:.2f}")
         lines.append(f"| {op} | " + " | ".join(cells) + " |")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md")
+    return lines
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[int, dict[str, float]] = {}
+    doc_results: dict[int, dict[str, float]] = {}
+    sizes = sorted({600_000, n})
+    doc_sizes = sorted({50_000, n_docs})
+    with tempfile.TemporaryDirectory() as d:
+        for rows in sizes:
+            path = os.path.join(d, f"fact_{rows}")
+            gen(spark, rows, path)
+            results[rows] = probe(spark, path)  # best-of-3 self-warms
+        for docs_n in doc_sizes:
+            path = os.path.join(d, f"docs_{docs_n}")
+            gen_docs(spark, docs_n, path)
+            doc_results[docs_n] = probe_docs(spark, path)  # best-of-3 self-warms
+    lines = [
+        "# SCALE_PROBE — operator throughput vs data size",
+        "",
+        "Generated by tools/scale_probe.py (synthetic tables, local[32]).",
+        "Rows/sec should be roughly flat or IMPROVE with size if plans are",
+        "partition-parallel; a collapse would indicate overhead-bound or",
+        "skewed plans.",
+        "",
+    ]
+    lines += _table("## Fact-table operators", results, unit_rows=True)
+    lines += [""]
+    lines += _table(
+        "## Document-pipeline operators (64-lane MinHash, broadcast decontam)",
+        doc_results,
+        unit_rows=False,
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps(results))
+    print(json.dumps({"fact": results, "docs": doc_results}))
 
 
 if __name__ == "__main__":
