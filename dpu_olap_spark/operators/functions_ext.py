@@ -456,3 +456,33 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ols, schema="user_id long, n_events long, slope double, intercept double"
     )
+
+
+@query("hll_mergeable")  # DataSketches binary sketches are engine-specific -> rows-only
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL): build one
+    sketch per order-priority, then hll_union_agg them into the global
+    estimate — the pre-aggregation pattern that makes distinct counts
+    re-aggregable at 100 TB (store per-partition/day sketch bytes, merge
+    at query time; never re-scan raw data). approx_distinct covers the
+    one-shot estimator; this covers re-aggregation.
+
+    tests/test_sketch_tolerance.py gates both levels against DuckDB's
+    exact COUNT(DISTINCT) and pins merge consistency (union of the
+    per-group sketches == sketch of the whole)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    per_group_est = per_group.select(
+        "o_orderpriority",
+        "n_orders",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    total = per_group.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.sum("n_orders").alias("n_orders"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+    )
+    return per_group_est.unionByName(total)

@@ -67,3 +67,36 @@ def test_approx_percentile_within_rank_tolerance(spark):
         assert p99_lo <= r.p99_est <= p99_hi, (
             f"{flag}: p99 estimate {r.p99_est} outside rank band [{p99_lo}, {p99_hi}]"
         )
+
+
+def test_hll_mergeable_within_bound_and_consistent(spark):
+    """Per-group and union-merged HLL estimates within 10% of exact;
+    the merged estimate must also be consistent with a direct global
+    sketch (merge loses nothing)."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.sources.tables import load_table
+
+    rows = {r.o_orderpriority: r for r in all_queries()["hll_mergeable"].build(spark, SF).collect()}
+    orows, _ = run_oracle(
+        """
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+        """,
+        SF,
+    )
+    for prio, exact in orows:
+        est = rows[prio].approx_customers
+        assert abs(est - exact) / exact < 0.10, f"{prio}: {est} vs {exact}"
+    direct = (
+        load_table(spark, SF, "orders")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")))
+        .first()[0]
+    )
+    # union gadget (HLL_8) vs direct sketch (HLL_4) estimates differ
+    # slightly by design; consistency bound, not equality
+    assert abs(rows["ALL"].approx_customers - direct) / direct < 0.02, (
+        f"union-merge {rows['ALL'].approx_customers} vs direct {direct}"
+    )
