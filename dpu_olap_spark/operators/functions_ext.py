@@ -486,3 +486,29 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
     )
     return per_group_est.unionByName(total)
+
+
+@query(
+    "variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+    FROM events
+    WHERE event_type = 'click' AND event_id % 3 = 0
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via VARIANT (Spark 4): parse_json ONCE
+    into the binary variant encoding, then typed variant_get probes.
+    At 100 TB this beats per-probe get_json_object (json_funcs), which
+    re-parses the string for every extraction; variant parses at scan
+    and every subsequent probe is a cheap binary traversal. Missing
+    paths yield NULL (try semantics), matching SQL JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.where((F.col("event_type") == "click") & (F.col("event_id") % 3 == 0)).select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    )
