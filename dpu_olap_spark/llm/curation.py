@@ -75,7 +75,7 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >=1 distinct
-    5-gram with the held-out set, with overlap counts and ratio. The
+    n-gram with the held-out set, with overlap counts and ratio. The
     eval gram set is broadcast (bounded by benchmark size, never by
     corpus size); the only shuffle is the per-doc counter aggregation."""
     grams = _doc_grams(spark, sf_dir)
@@ -137,3 +137,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("rk") <= F.ceil(frac * F.col("n_stratum")).cast("bigint")
     ).drop("rk")
+
+
+@query(
+    "repetition_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_NGRAM}
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             [array_to_string(t[i:i+{_NGRAM - 1}], ' ')
+              FOR i IN range(1, len(t) - {_NGRAM - 2})] AS gs
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           len(gs) AS n_grams,
+           len(list_distinct(gs)) AS n_distinct,
+           CAST(ROUND(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) AS DOUBLE)
+             AS rep_ratio
+    FROM grams
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word n-grams that are repeats of an earlier n-gram in
+    the same doc. Entirely map-side — the gram list never explodes and
+    never shuffles; a quality gate would filter on rep_ratio before
+    any expensive pipeline stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    gs = shingles(toks, _NGRAM)
+    n_grams = F.size(gs)
+    n_distinct = F.size(F.array_distinct(gs))
+    return docs.where(F.size(toks) >= _NGRAM).select(
+        "doc_id",
+        "lang",
+        n_grams.cast("bigint").alias("n_grams"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.round(1.0 - n_distinct.cast("double") / n_grams, 6)
+        .cast("double")
+        .alias("rep_ratio"),
+    )
