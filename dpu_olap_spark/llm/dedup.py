@@ -458,3 +458,39 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     hashed = tok.select("doc_id", base_hash60(F.col("token")).alias("h"))
     return _simhash_of(hashed, _N_SIM_BITS)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SIGNATURES_SQL},
+    {_BANDS_SQL}
+    SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
+           COUNT(*) AS n_shared_bands
+    FROM bands i JOIN bands e
+      ON i.band = e.band AND i.bkey = e.bkey
+     AND i.doc_id < 0 AND e.doc_id >= 0
+    GROUP BY i.doc_id, e.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: an INCOMING batch (the augmented negative-id
+    docs) LSH-checked against the EXISTING corpus — the asymmetric
+    variant of dedup_minhash_pairs a pipeline runs on every new data
+    drop. The incoming batch is small relative to the corpus, so its
+    band keys are BROADCAST: the corpus-side band scan (at 100 TB, a
+    persisted bucketed table of band keys — see minhash_signatures)
+    never shuffles; matches stream out map-side and only the per-pair
+    counters aggregate."""
+    bands = _band_keys(_lanes(spark, sf_dir))
+    incoming = bands.where(F.col("doc_id") < 0).select(
+        F.col("doc_id").alias("incoming_id"), "band", "bkey"
+    )
+    existing = bands.where(F.col("doc_id") >= 0).select(
+        F.col("doc_id").alias("existing_id"), "band", "bkey"
+    )
+    return (
+        existing.join(F.broadcast(incoming), ["band", "bkey"])
+        .groupBy("incoming_id", "existing_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
