@@ -10,6 +10,7 @@ pushdown actually reaches the scan (tests/test_plans.py).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -99,6 +100,8 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LIVE_SINKS: dict[str, str] = {}
 
+_STATE_CONF_LOCK = threading.Lock()
+
 
 def run_to_memory_sink(
     stream_df,
@@ -135,26 +138,34 @@ def run_to_memory_sink(
     _LIVE_SINKS[family] = sink_name
 
     spark = stream_df.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        with tempfile.TemporaryDirectory(prefix=f"ckpt_{sink_name}_") as ckpt:
-            q = (
-                stream_df.writeStream.outputMode(output_mode)
-                .format("memory")
-                .queryName(sink_name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            finished = q.awaitTermination(timeout_s)
-            q.stop()
-            if not finished:
-                raise RuntimeError(
-                    f"stream {sink_name!r} did not finish within {timeout_s}s; "
-                    "refusing to return partial results"
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{sink_name}_") as ckpt:
+        # The conf matters only while the streaming query PLANS (state
+        # partitioning is pinned at first start); set->start->restore
+        # under a lock so concurrent callers (bench's thread-pool phase)
+        # never plan against another stream's value or restore a stale
+        # one. The long await runs outside the lock.
+        with _STATE_CONF_LOCK:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            if state_partitions is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(state_partitions)
                 )
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            try:
+                q = (
+                    stream_df.writeStream.outputMode(output_mode)
+                    .format("memory")
+                    .queryName(sink_name)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            finally:
+                if state_partitions is not None:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        finished = q.awaitTermination(timeout_s)
+        q.stop()
+        if not finished:
+            raise RuntimeError(
+                f"stream {sink_name!r} did not finish within {timeout_s}s; "
+                "refusing to return partial results"
+            )
