@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,8 @@ from dpu_olap_spark.sources import sinks
 from dpu_olap_spark.sources.tables import load_table
 
 _run_counter = itertools.count()
+
+_CONF_LOCK = threading.Lock()
 
 
 def _tmp_path(tag: str) -> str:
@@ -173,6 +176,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinks.write_bucketed(orders, t_orders, "o_custkey", 8)
     sinks.write_bucketed(customer, t_customer, "c_custkey", 8)
     bo, bc = spark.table(t_orders), spark.table(t_customer)
+    # conf toggle + eager materialization under a lock: a concurrent
+    # caller must not plan against the disabled-broadcast value or
+    # restore a stale one
+    _CONF_LOCK.acquire()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -187,6 +194,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        _CONF_LOCK.release()
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_customer}")
     return out
