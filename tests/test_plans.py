@@ -99,3 +99,36 @@ def test_plans_no_cartesian(spark, name):
 def test_scan_is_parquet_with_pushdown_capability(spark):
     plan = _formatted_plan(spark, "sum")
     assert "Scan parquet" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set gram dictionary must be broadcast (bounded by
+    benchmark size); the corpus side must never shuffle on gram."""
+    plan = _formatted_plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(g#" not in plan, (
+        "corpus grams are being shuffled on the gram key"
+    )
+
+
+def test_dedup_incremental_broadcasts_incoming(spark):
+    plan = _formatted_plan(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_ols_is_map_in_pandas_single_exchange(spark):
+    """grouped_ols must use the repartition+mapInPandas form (scales
+    with rows), not grouped-map applyInPandas (~17 ms per group —
+    linear in key cardinality; see functions_ext docstring)."""
+    df = all_queries()["grouped_ols"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_repetition_score_no_shuffle(spark):
+    """Repetition is per-row (gram list never explodes): zero Exchange."""
+    df = all_queries()["repetition_score"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
