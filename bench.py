@@ -92,6 +92,17 @@ def main() -> None:
         _noop_pandas, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # page-cache warmup: touch every input table once so per-query
+    # numbers measure plans, not whether a prior tmp-heavy process
+    # evicted the parquet files (measured: a cold cache inflates the
+    # documents-table queries 3-15x)
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
     # streaming warmup: the first streaming query in a session pays
     # ~4 s of engine spin-up (streaming planner, state-store provider,
     # Python state workers) regardless of data size — absorb it on the
