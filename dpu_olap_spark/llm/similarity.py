@@ -369,3 +369,75 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "ivf_train",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    members AS (
+      SELECT a.cell, e.vec_id,
+             generate_subscripts(e.embedding, 1) AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS val
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+    ),
+    folded AS (
+      SELECT cell, dim,
+             COUNT(*) AS n_members,
+             list_reduce(
+               list_prepend(0.0, list(val ORDER BY vec_id)),
+               (acc, x) -> acc + x) AS s
+      FROM members GROUP BY cell, dim
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS INT) AS dim,
+           n_members, s / n_members AS centroid_val
+    FROM folded
+    """,
+)
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training: one Lloyd refinement — assign every vector to its
+    nearest seed centroid (same argmin as ivf_assign), then recompute
+    each cell's centroid as the per-dimension mean of its members.
+    Iterating this step to convergence is the same driver-side control
+    loop as dedup_clusters; one step keeps the oracle exact and shows
+    the full plan shape: narrow literal-centroid assign (no shuffle) ->
+    posexplode dims -> one hash aggregation on (cell, dim).
+
+    Exactness: a parallel SUM of floats is order-dependent, so BOTH
+    engines fold each (cell, dim) member list sequentially in vec_id
+    order (collect sorted + fold) — bit-identical doubles, division
+    identical. That is a VERIFICATION device: the production plan (also
+    benchmarked at probe scale) replaces the fold with plain sum —
+    same single-exchange shape, commutative-aggregation speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_literals(spark, sf_dir)
+    assigned = emb.select(
+        "vec_id", "embedding", _assign_expr(cents).alias("cell")
+    )
+    dims = assigned.select(
+        "cell",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "valf"),
+    ).select(
+        "cell",
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    folded = dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                lambda s: s["val"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "dim",
+        "n_members",
+        (F.col("s") / F.col("n_members")).alias("centroid_val"),
+    )
