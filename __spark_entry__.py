@@ -83,7 +83,7 @@ _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",
     # demo variants per VERDICT ("first-class operators precede demo
     # variants"); approx_percentile's values are pytest-tolerance-gated
-    "agg_collect", "approx_percentile",
+    "agg_collect", "approx_percentile", "having_filter",
 )
 
 
