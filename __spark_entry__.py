@@ -78,12 +78,16 @@ _HIGH_PRIORITY = (
     "sink_partitioned_prune", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_orc_roundtrip", "bucketed_join", "stream_foreach_batch",
     "dedup_incremental", "repetition_score",
+    # streaming: pinned so later registrations can't push them out
+    "stateful_user_stats", "stream_tumbling", "window_sliding",
+    "session_window", "stream_stream_join",
 )
 _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",
     # demo variants per VERDICT ("first-class operators precede demo
     # variants"); approx_percentile's values are pytest-tolerance-gated
-    "agg_collect", "approx_percentile", "having_filter",
+    "agg_collect", "approx_percentile", "having_filter", "json_funcs",
+    "case_expr",
 )
 
 

@@ -1,0 +1,119 @@
+"""Event-analytics workloads over the events table: funnel conversion
+and cohort retention — the composed patterns an OLAP engine serves
+daily (sequence-constrained aggregation; self-relative date bucketing).
+
+Scale shape: both queries aggregate BEFORE joining (per-user firsts,
+per-user-week distincts), so the joins see one row per user — never an
+event-level self-join. Everything is built-ins inside whole-stage
+codegen; the only shuffles are the per-user aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+
+@query(
+    "funnel",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_converted,
+           CAST(ROUND((SELECT COUNT(*) FROM p) * 1.0
+                      / (SELECT COUNT(*) FROM c), 6) AS DOUBLE) AS conversion
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users whose first click is later followed by a
+    purchase. Per-user firsts are aggregated before the join, so the
+    join input is one row per user (pre-aggregate-then-join — the
+    funnel pattern that survives event tables of any size)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        purchases.join(clicks, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .select("user_id")
+        .distinct()
+    )
+    n_clicked = clicks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_converted = converted.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_clicked.crossJoin(n_converted.withColumnRenamed("n", "m"))
+        .select(
+            F.col("n").alias("n_clicked"),
+            F.col("m").alias("n_converted"),
+            F.round(F.col("m") / F.col("n"), 6).cast("double").alias("conversion"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                          CAST(a.active_week AS DATE)) // 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted per
+    subsequent active week offset. activity is deduplicated to
+    (user, week) BEFORE the cohort join — the join and final
+    aggregation operate on user-week granularity, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
