@@ -198,3 +198,48 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_customer}")
     return out
+
+
+@query(
+    "sink_range_cluster",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(l_extendedprice) AS DECIMAL(18,2)) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: lineitem written with
+    repartitionByRange + sortWithinPartitions on l_shipdate, so each
+    file covers a narrow, sorted date span and a date-range read skips
+    whole files / row groups via parquet min-max stats — the
+    data-clustering play for time-series at 100 TB (partition
+    boundaries come from reservoir sampling, so the LAYOUT varies
+    between writes; the read-back CONTENT, which the oracle pins, does
+    not). Aggregation over a pruned one-year read proves losslessness."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    path = _tmp_path("li_range")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
+        )
+    )
