@@ -529,3 +529,73 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-lineitem metrics to long (metric, value)
+    rows — the inverse of `pivot`, and the standard shape for
+    metric-store ingestion. Pure projection: 3x rows, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r, LATERAL (
+      SELECT n.n_name, COUNT(*) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n_name ASC
+      LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 nations by customer count per
+    region. Catalyst decorrelates this into a window-rank over one
+    grouped aggregate — per-group top-n without a per-region loop
+    (plan-checked: no cartesian, single aggregation)."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region r, LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n_name ASC
+          LIMIT 2
+        ) t
+        """
+    )
