@@ -441,3 +441,106 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("s") / F.col("n_members")).alias("centroid_val"),
     )
+
+
+_PQ_SEGMENTS = 8
+_PQ_CODES = 8
+_SEG_DIMS = 64 // _PQ_SEGMENTS
+
+_PQ_SQL = f"""
+    segs AS (SELECT CAST(unnest(range(0, {_PQ_SEGMENTS})) AS INT) AS seg),
+    cw AS (
+      SELECT vec_id AS code, seg,
+             embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS cv
+      FROM embeddings, segs WHERE vec_id < {_PQ_CODES}
+    ),
+    vx AS (
+      SELECT vec_id, seg,
+             embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS sv
+      FROM embeddings, segs
+    ),
+    pq_pairs AS (
+      SELECT v.vec_id, v.seg, c.code, unnest(v.sv) AS a, unnest(c.cv) AS b
+      FROM vx v JOIN cw c ON v.seg = c.seg
+    ),
+    pq_dists AS (
+      SELECT vec_id, seg, code,
+             round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                       * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 6) AS d2
+      FROM pq_pairs GROUP BY vec_id, seg, code
+    ),
+    pq_assign AS (
+      SELECT vec_id, seg, code, d2 FROM (
+        SELECT vec_id, seg, code, d2,
+               row_number() OVER (PARTITION BY vec_id, seg
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM pq_dists
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH {_PQ_SQL}
+    SELECT vec_id, seg, CAST(code AS INT) AS code,
+           CAST(d2 AS DOUBLE) AS quant_err
+    FROM pq_assign
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each embedding split into 8 contiguous
+    8-dim subvectors, each encoded as the id of its nearest codeword
+    (codebook = the seed vectors' subvectors, a parameter lookup like
+    the IVF centroids). The (vec_id, seg, code) triples ARE the
+    compressed index — 8 small ints instead of 64 floats, the memory
+    play that makes billion-vector ANN fit; quant_err is the per-
+    segment residual used to monitor codebook quality. Plan: one
+    narrow map stage per vector (codebooks are literals — zero
+    shuffle before the output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where(F.col("vec_id") < _PQ_CODES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = [
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows
+    ]
+
+    seg_entries = []
+    for seg in range(_PQ_SEGMENTS):
+        lo = seg * _SEG_DIMS + 1
+        sub = F.slice(F.col("embedding"), lo, _SEG_DIMS)
+        cands = []
+        for code, vec in books:
+            cw = F.array(*[F.lit(x) for x in vec[lo - 1 : lo - 1 + _SEG_DIMS]])
+            d2 = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub, cw,
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            cands.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
+        best = F.array_min(F.array(*cands))
+        seg_entries.append(
+            F.struct(
+                F.lit(seg).alias("seg"),
+                best["code"].cast("int").alias("code"),
+                best["d2"].cast("double").alias("quant_err"),
+            )
+        )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.explode(F.array(*seg_entries)).alias("e")
+    ).select(
+        "vec_id",
+        F.col("e.seg").cast("int").alias("seg"),
+        "e.code",
+        "e.quant_err",
+    )
