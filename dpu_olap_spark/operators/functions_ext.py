@@ -599,3 +599,41 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "fuzzy_join",
+    oracle="""
+    SELECT n.n_name, m.probe, levenshtein(n.n_name, m.probe) AS dist
+    FROM nation n
+    JOIN (VALUES ('NATON_1'), ('NATIONN_5'), ('NTION_19'), ('NATION-7'),
+                 ('MATION_12'), ('NOWHERELAND')) m(probe)
+      ON levenshtein(n.n_name, m.probe) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) string join: misspelled probe names matched
+    to the nation dimension within Levenshtein distance 2. The probe
+    side is a small literal relation, BROADCAST — so the plan is a
+    map-side nested-loop over probes per nation row, linear in the big
+    side. At 100 TB the same shape holds whenever one side is bounded
+    (entity resolution against a reference list); for fuzzy joins of
+    two BIG sides the scale path is q-gram blocking first (the same
+    banding idea as dedup_minhash_pairs), never an all-pairs distance."""
+    nation = load_table(spark, sf_dir, "nation")
+    probes = spark.createDataFrame(
+        [("NATON_1",), ("NATIONN_5",), ("NTION_19",), ("NATION-7",),
+         ("MATION_12",), ("NOWHERELAND",)],
+        "probe string",
+    )
+    return (
+        nation.join(
+            F.broadcast(probes),
+            F.levenshtein(F.col("n_name"), F.col("probe")) <= 2,
+        )
+        .select(
+            "n_name",
+            "probe",
+            F.levenshtein(F.col("n_name"), F.col("probe")).cast("int").alias("dist"),
+        )
+    )
