@@ -117,3 +117,70 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hours AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+               AS hour FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT h.hour,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value,
+                    last_value(a.sum_value IGNORE NULLS)
+                      OVER (ORDER BY h.hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             AS filled_value
+    FROM hours h LEFT JOIN actual a ON a.hour = h.hour
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the dense hourly spine is GENERATED
+    (sequence + explode — never materialized from data, so empty hours
+    appear), sparse aggregates left-join onto it, and missing values
+    carry the last observation forward (LOCF) with an ignore-nulls
+    window. The spine generation is a single tiny row expanded
+    worker-side; at 100 TB you generate per (entity, window) spines
+    the same way and the join stays key-local."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    from pyspark.sql import Window as W
+
+    locf = (
+        W.orderBy("hour").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        hours.join(actual, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                "sum_value", F.last("sum_value", ignorenulls=True).over(locf)
+            ).alias("filled_value"),
+        )
+    )
