@@ -81,6 +81,10 @@ _HIGH_PRIORITY = (
     # streaming: pinned so later registrations can't push them out
     "stateful_user_stats", "stream_tumbling", "window_sliding",
     "session_window", "stream_stream_join",
+    # VERDICT r1's missing-row list outranks ops first built this
+    # round — pin the members that later registrations displaced
+    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
+    "token_positions", "pipeline_corpus",
 )
 _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",
