@@ -84,7 +84,8 @@ _HIGH_PRIORITY = (
     # VERDICT r1's missing-row list outranks ops first built this
     # round — pin the members that later registrations displaced
     "rolling_fingerprint", "tfidf_top_terms", "text_clean",
-    "token_positions", "pipeline_corpus",
+    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
+    "fingerprint", "token_hist", "token_count",
 )
 _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",
