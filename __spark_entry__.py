@@ -85,7 +85,12 @@ _HIGH_PRIORITY = (
     # round — pin the members that later registrations displaced
     "rolling_fingerprint", "tfidf_top_terms", "text_clean",
     "token_positions", "pipeline_corpus", "quality_score", "lang_id",
-    "fingerprint", "token_hist", "token_count",
+    "fingerprint", "token_hist", "token_count", "text_stats",
+    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
+    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
+    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
+    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
+    "ivf_assign", "ivf_search", "multi_join_agg",
 )
 _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",
