@@ -184,3 +184,64 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_value"),
         )
     )
+
+
+@query(
+    "salted_join",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey ELSE 0 END AS sk,
+             l_extendedprice
+      FROM lineitem
+    ),
+    build AS (
+      SELECT o_orderkey AS bk, o_orderpriority FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 0, 'HOT-KEY'
+    )
+    SELECT b.o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM probe p JOIN build b ON p.sk = b.bk
+    GROUP BY b.o_orderpriority
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join as a first-class query: ~75% of probe rows
+    collapse onto one hot key (the pathological single-key case AQE
+    alone can't split past build-side granularity), and the join runs
+    through plans/skew.py::salted_join — probe rows scatter across 8
+    salts, the build side replicates, so the hot key's work spreads
+    over 8 tasks. The result is salt-invariant, which is exactly what
+    the plain-join oracle proves. Reference analog: the random output
+    shifts in /root/reference/host/partition/partitioner.cc:47-54."""
+    from dpu_olap_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_orderkey"))
+        .otherwise(F.lit(0))
+        .alias("sk"),
+        "l_extendedprice",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        orders.where(F.col("o_orderkey") % 4 == 0)
+        .select(F.col("o_orderkey").alias("bk"), "o_orderpriority")
+        .unionAll(
+            orders.limit(1).select(
+                F.lit(0).cast("bigint").alias("bk"),
+                F.lit("HOT-KEY").alias("o_orderpriority"),
+            )
+        )
+    )
+    return (
+        salted_join(probe, build, "sk", "bk", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
