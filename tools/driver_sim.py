@@ -1,0 +1,55 @@
+"""Driver simulation: plain session, neutral cwd, full oracle loop."""
+import sys, time, traceback
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+from pyspark.sql import SparkSession
+
+from tests.oracle import run_oracle, _rows_to_multiset
+
+SF = "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = entrymod.entry(spark)
+n = df.count()
+print(f"SMOKE entry(): rows={n} schema={df.schema.simpleString()[:120]}")
+assert n >= 0
+
+qs, osql = entrymod.queries(), entrymod.oracle_sql()
+print(f"queries={len(qs)} oracles={len(osql)}")
+
+fails = []
+t0 = time.time()
+for i, name in enumerate(qs):
+    try:
+        sdf = qs[name](spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        if name not in osql:
+            print(f"[{i+1}/{len(qs)}] {name}: rows-only rows={len(srows)} OK")
+            continue
+        orows, ocols = run_oracle(osql[name], SF)
+        sset, scs = _rows_to_multiset(srows, scols)
+        oset, ocs = _rows_to_multiset(orows, ocols)
+        ok_cols = [c.lower() for c in scs] == [c.lower() for c in ocs]
+        ok_rows = len(sset) == len(oset)
+        ok_vals = sset == oset
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        if status == "FAIL":
+            fails.append((name, ok_cols, ok_rows, ok_vals))
+        print(f"[{i+1}/{len(qs)}] {name}: rows={len(sset)}/{len(oset)} cols={ok_cols} vals={ok_vals} {status}")
+    except Exception as e:
+        fails.append((name, "EXC", str(e)[:200]))
+        print(f"[{i+1}/{len(qs)}] {name}: EXCEPTION {e}")
+        traceback.print_exc(limit=3)
+
+print(f"\nTOTAL {len(qs)} queries in {time.time()-t0:.1f}s; failures: {len(fails)}")
+for f in fails:
+    print("FAIL:", f)
