@@ -57,6 +57,25 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "distinct_agg", "approx_distinct", "topk", "window_rank",
     "window_running", "set_ops", "rollup_agg", "cube_agg", "semi_join",
     "anti_join", "outer_join", "scalar_funcs", "date_funcs",
+    # CORRECTNESS_r02.json — 50 entries: 43 hash-green + 4 rows-only
+    # (simhash, mm_decode, mm_frame_sample, mm_resize) counted as
+    # checked; the 3 hash-fails (sink_partitioned_prune,
+    # sink_json_roundtrip, sink_orc_roundtrip) are deliberately NOT
+    # here — re-fixed this round, they must stay in the window to get
+    # a green r3 row.
+    "fact_fact_join", "decontaminate", "stratified_sample", "grouped_ols",
+    "sink_csv_roundtrip", "bucketed_join", "stream_foreach_batch",
+    "dedup_incremental", "repetition_score", "stateful_user_stats",
+    "stream_tumbling", "window_sliding", "session_window",
+    "stream_stream_join", "rolling_fingerprint", "tfidf_top_terms",
+    "text_clean", "token_positions", "pipeline_corpus", "quality_score",
+    "lang_id", "fingerprint", "token_hist", "token_count", "text_stats",
+    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
+    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
+    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
+    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
+    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
+    "cohort_retention", "gap_fill",
 })
 
 # Among the already-verified, re-check the reference-core operators
@@ -74,23 +93,17 @@ _CORE_FIRST = (
 # sketches, whose driver row adds least (hll_mergeable's values are
 # gated by the sketch-tolerance pytest, not the driver).
 _HIGH_PRIORITY = (
-    "fact_fact_join", "decontaminate", "stratified_sample", "grouped_ols",
-    "sink_partitioned_prune", "sink_csv_roundtrip", "sink_json_roundtrip",
-    "sink_orc_roundtrip", "bucketed_join", "stream_foreach_batch",
-    "dedup_incremental", "repetition_score",
-    # streaming: pinned so later registrations can't push them out
-    "stateful_user_stats", "stream_tumbling", "window_sliding",
-    "session_window", "stream_stream_join",
-    # VERDICT r1's missing-row list outranks ops first built this
-    # round — pin the members that later registrations displaced
-    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
-    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
-    "fingerprint", "token_hist", "token_count", "text_stats",
-    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
-    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
-    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
-    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
-    "ivf_assign", "ivf_search", "multi_join_agg",
+    # round-2's only component-level red: the three re-fixed sink
+    # round-trips lead the window so CORRECTNESS_r03 records the fix
+    "sink_partitioned_prune", "sink_json_roundtrip", "sink_orc_roundtrip",
+    # the 15 TPC-H queries that overflowed past r2's 50-entry window
+    # (VERDICT r2 "What's missing" #1 — the composed-pipeline bar)
+    "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # first-class ops still without a driver row
+    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
+    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
 )
 _LOW_PRIORITY = (
     "map_funcs", "variant_json", "hll_mergeable",

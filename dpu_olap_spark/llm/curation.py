@@ -67,7 +67,7 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id,
            COUNT(*) AS n_grams,
            COUNT(e.g) AS n_contam,
-           CAST(ROUND(COUNT(e.g) * 1.0 / COUNT(*), 6) AS DOUBLE) AS contam_ratio
+           CAST(ROUND(CAST(COUNT(e.g) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS contam_ratio
     FROM corpus c LEFT JOIN eval_grams e ON c.g = e.g
     GROUP BY c.doc_id
     HAVING COUNT(e.g) > 0
@@ -155,7 +155,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            len(gs) AS n_grams,
            len(list_distinct(gs)) AS n_distinct,
-           CAST(ROUND(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) AS DOUBLE)
+           CAST(ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) AS DOUBLE)
              AS rep_ratio
     FROM grams
     """,

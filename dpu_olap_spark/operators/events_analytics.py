@@ -32,7 +32,7 @@ from dpu_olap_spark.sources.tables import load_table
     )
     SELECT (SELECT COUNT(*) FROM c) AS n_clicked,
            (SELECT COUNT(*) FROM p) AS n_converted,
-           CAST(ROUND((SELECT COUNT(*) FROM p) * 1.0
+           CAST(ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
                       / (SELECT COUNT(*) FROM c), 6) AS DOUBLE) AS conversion
     """,
 )

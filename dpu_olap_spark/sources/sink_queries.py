@@ -51,7 +51,7 @@ def _tmp_path(tag: str) -> str:
     SELECT year(o_orderdate) AS order_year,
            o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
     WHERE year(o_orderdate) IN (1996, 1997)
     GROUP BY 1, 2
@@ -62,7 +62,10 @@ def q_sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter (pruned scan — only the 1996/1997 directories are
     touched), then aggregated. Oracle equality over the original table
     proves the partitioned layout is lossless and the pruned read
-    complete."""
+    complete. Sums cast to decimal BEFORE aggregation (order-independent
+    exact arithmetic) with a DOUBLE final cast; order_year cast to
+    BIGINT because the hive-partition read-back infers INT while DuckDB
+    year() is BIGINT."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
@@ -71,10 +74,15 @@ def q_sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = sinks.read_partitioned(spark, path)
     return (
         back.where(F.col("order_year").isin(1996, 1997))
-        .groupBy("order_year", "o_orderpriority")
+        .groupBy(
+            F.col("order_year").cast("bigint").alias("order_year"),
+            F.col("o_orderpriority"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -109,7 +117,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(s_acctbal) AS DECIMAL(18,2)) AS sum_acctbal
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -124,7 +132,7 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = sinks.read_json(spark, path, supplier.schema)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("s_acctbal").cast("decimal(18,2)").alias("sum_acctbal"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
     )
 
 
@@ -133,7 +141,7 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            COUNT(*) AS n_parts,
-           CAST(SUM(p_retailprice) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM part
     GROUP BY p_brand
     """,
@@ -147,7 +155,7 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = sinks.read_orc(spark, path)
     return back.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.sum("p_retailprice").cast("decimal(18,2)").alias("sum_price"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
 
 
@@ -156,7 +164,7 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -186,7 +194,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
         out = joined.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
         # materialize under the no-broadcast conf, then restore; the
         # bucketed source tables outlive the call only until the next
@@ -205,7 +215,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
            COUNT(*) AS n_items,
-           CAST(SUM(l_extendedprice) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -240,6 +250,8 @@ def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
