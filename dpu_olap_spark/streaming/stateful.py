@@ -49,13 +49,18 @@ DEFAULT_IDLE_GAP_MS = 30 * 60 * 1000
 
 # Watermark delay for the event-time timers; totals are unaffected
 # (update mode processes late rows as a fresh segment).
+WATERMARK_DELAY_MS = 10 * 1000
 WATERMARK_DELAY = "10 seconds"
 
 # Rows are per-(user, segment) cumulative snapshots; `seg` is the
-# processing-time ms at which the segment's state was created (distinct
-# across eviction/recreation because those happen in different
-# micro-batches), and `cents` keeps the sum exact for cross-segment
-# adds.
+# EVENT-time ms of the segment's first event, which is collision-proof
+# across eviction/recreation whenever idle_gap > watermark delay:
+# eviction requires watermark > last_ts + gap, and any post-eviction
+# event the watermark admits has ts >= last_ts + gap - delay > last_ts,
+# so each new segment's first event strictly exceeds every prior
+# segment's. (Processing-time ms was rejected: two micro-batches CAN
+# share a millisecond, silently merging two segments under the
+# per-segment max.) `cents` keeps the sum exact for cross-segment adds.
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
@@ -100,7 +105,9 @@ def _make_track_user(idle_gap_ms: int):
         if state.exists:
             n, cents, seg, last_ts_ms = state.get
         else:
-            n, cents, seg, last_ts_ms = 0, 0, state.getCurrentProcessingTimeMs(), 0
+            # seg assigned from the first event time below; -1 marks
+            # "not yet assigned" (event times are epoch-ms positive)
+            n, cents, seg, last_ts_ms = 0, 0, -1, 0
         import numpy as np
 
         for pdf in pdfs:
@@ -112,6 +119,16 @@ def _make_track_user(idle_gap_ms: int):
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 last_ts_ms = max(last_ts_ms, int(batch_max.value // 1_000_000))
+            if seg < 0:
+                batch_min = pdf["ts"].min()
+                if pd.notna(batch_min):
+                    # first event time = the collision-proof segment id
+                    # (see OUTPUT_SCHEMA comment for the proof)
+                    seg = int(batch_min.value // 1_000_000)
+        if seg < 0:
+            # no usable event time in the creating batch (all-null ts):
+            # fall back to processing time rather than fail the stream
+            seg = state.getCurrentProcessingTimeMs()
         state.update((n, cents, seg, last_ts_ms))
         # Deadline must stay ahead of the current watermark or Spark
         # rejects it; a late-arriving segment just gets the minimum
@@ -130,6 +147,13 @@ def user_running_stats(
 ) -> DataFrame:
     """events_stream needs (user_id, value, ts); ts drives the
     watermark that expires idle keys."""
+    if idle_gap_ms <= WATERMARK_DELAY_MS:
+        # the first-event-time segment id is only collision-proof when
+        # the gap exceeds the watermark delay (see OUTPUT_SCHEMA)
+        raise ValueError(
+            f"idle_gap_ms ({idle_gap_ms}) must exceed the watermark "
+            f"delay ({WATERMARK_DELAY_MS} ms) for unique segment ids"
+        )
     return (
         events_stream.select("user_id", "value", "ts")
         .withWatermark("ts", WATERMARK_DELAY)
