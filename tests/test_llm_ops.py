@@ -146,3 +146,30 @@ def test_simhash_md5_hamming_close_for_near_dups(spark):
         if bin(sig[a] ^ sig[b]).count("1") > 0
     )
     assert diffs > len(originals) // 2, "signature is degenerate (all docs collide)"
+
+
+def test_simhash_variants_hamming_consistent(spark):
+    """Cross-check the oracle-UNVERIFIABLE xxhash64 simhash against the
+    oracle-VERIFIED md5 variant so it inherits confidence: on planted
+    identical-text pairs BOTH report Hamming distance 0, and on pairs
+    the verified variant shows clearly apart (>25% of its bits), the
+    xxhash variant never calls them identical. Both are majority votes
+    over the same token multisets, so these invariants hold regardless
+    of hash function."""
+    xx = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    md = {r.doc_id: r.simhash for r in _q("simhash_md5").build(spark, SF).collect()}
+    assert set(xx) == set(md)
+    dup_ids = [d for d in xx if d < 0]
+    assert dup_ids, "augmented corpus missing duplicate docs"
+    for d in dup_ids:
+        assert bin(xx[d] ^ xx[-d - 1]).count("1") == 0
+        assert bin(md[d] ^ md[-d - 1]).count("1") == 0
+    originals = sorted(d for d in xx if d >= 0)
+    checked = 0
+    for a, b in zip(originals, originals[1:]):
+        if bin(md[a] ^ md[b]).count("1") > 4:  # >25% of the 16 md5 bits
+            assert bin(xx[a] ^ xx[b]).count("1") > 0, (
+                f"md5 variant separates ({a},{b}) but xxhash collides"
+            )
+            checked += 1
+    assert checked > 0, "no clearly-apart pairs to cross-check"
