@@ -139,6 +139,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("rk")
 
 
+# Deterministic PII injection for redaction testing: the synthetic
+# corpus contains no natural emails/phones, so every 7th doc gets a
+# constructed contact string appended IDENTICALLY on both engines —
+# redaction is then observable (counts >= 1 on injected docs), not
+# vacuous. Patterns use only syntax Java regex and RE2 agree on
+# (char classes, bounded quantifiers — no backrefs/lookaround).
+_PII_MOD = 7
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "redact_pii",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % {_PII_MOD} = 0
+                  THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com or 555-',
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                  ELSE text END AS itext
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(itext, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(itext, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(itext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM injected
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-corpus scrub): match and replace email
+    addresses and phone-shaped digit runs, returning per-doc match
+    counts and a fingerprint of the redacted text. Map-side only —
+    regex runs inside whole-stage codegen, no shuffle, no Python; at
+    100 TB this is a pure scan-transform whose cost is the regex
+    engine, which is exactly where it should be."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    itext = F.when(
+        F.col("doc_id") % _PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    injected = docs.select("doc_id", "lang", itext.alias("itext"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("itext"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("itext"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("itext"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
 @query(
     "repetition_score",
     oracle=f"""

@@ -628,3 +628,42 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(top, s.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "bitmap_presence",
+    oracle="""
+    SELECT c_nationkey,
+           bit_or(CAST(1 AS BIGINT) << CAST(substr(o_orderpriority, 1, 1) AS INT))
+             AS prio_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                << CAST(substr(o_orderpriority, 1, 1) AS INT))) AS BIGINT)
+             AS n_prios
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable presence bitmap: per customer nation, a 64-bit bitmap
+    of which order priorities occur, built as bit_or over 1<<idx. The
+    Spark side deliberately aggregates in TWO levels — partial bitmaps
+    per (nation, mktsegment), then bit_or-merged per nation — while
+    the oracle aggregates directly; their equality proves the sketch
+    is re-aggregable (bit_or is associative+commutative), which is the
+    whole point of bitmap presence at 100 TB: partial bitmaps roll up
+    across partitions, days, or tiers without rescanning. Exact
+    distinct-presence in 8 bytes per group, versus a set-union's
+    unbounded state."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(substr(o_orderpriority, 1, 1) AS INT))")
+    partial = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(substr(o_orderpriority, 1, 1) AS INT)))").alias("pb")
+    )
+    return partial.groupBy("c_nationkey").agg(
+        F.expr("bit_or(pb)").alias("prio_bitmap"),
+        F.expr("CAST(bit_count(bit_or(pb)) AS BIGINT)").alias("n_prios"),
+    )

@@ -72,7 +72,7 @@ def _ensure_loaded() -> None:
     # and __spark_entry__ orders unverified queries by registration, so
     # queries awaiting their first CORRECTNESS row keep window priority.
     from dpu_olap_spark.operators import advanced, events_analytics, functions_ext, reference, relational  # noqa: F401
-    from dpu_olap_spark.llm import curation, dedup, multimodal, similarity, text_analysis  # noqa: F401
+    from dpu_olap_spark.llm import chunking, curation, dedup, multimodal, similarity, text_analysis  # noqa: F401
     from dpu_olap_spark.streaming import stateful, windows  # noqa: F401
     # sink round-trips + foreachBatch before tpch_full: the sink layer
     # has no prior CORRECTNESS row at all (component-level gap), while

@@ -173,3 +173,72 @@ def test_simhash_variants_hamming_consistent(spark):
             )
             checked += 1
     assert checked > 0, "no clearly-apart pairs to cross-check"
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunks per doc = ceil(n/stride); chunk sizes in 1..C; the last
+    chunk ends exactly at the document's last token."""
+    from dpu_olap_spark.llm.chunking import CHUNK_STRIDE, CHUNK_TOKENS
+
+    rows = _q("chunk_documents").build(spark, SF).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(SF + "/documents.parquet").collect()
+    }
+    for doc_id, chunks in per_doc.items():
+        n = docs[doc_id]
+        assert len(chunks) == -(-n // CHUNK_STRIDE)
+        chunks.sort(key=lambda r: r.chunk_id)
+        for r in chunks:
+            assert 1 <= r.n_chunk_tokens <= CHUNK_TOKENS
+        last = chunks[-1]
+        assert last.chunk_id * CHUNK_STRIDE + last.n_chunk_tokens == n
+
+
+def test_pack_sequences_conserves_tokens_and_docs(spark):
+    """Packing is a partition of each shard: per-shard doc and token
+    totals are conserved, bins are contiguous from 0, and every bin
+    holds at least one document."""
+    rows = _q("pack_sequences").build(spark, SF).collect()
+    shards: dict[tuple, list] = {}
+    for r in rows:
+        shards.setdefault((r.lang, r.source), []).append(r)
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    truth: dict[tuple, list[int]] = {}
+    for d in docs:
+        truth.setdefault((d.lang, d.source), []).append(len(d.text.split(" ")))
+    assert set(shards) == set(truth)
+    for key, bins in shards.items():
+        assert sum(b.n_docs for b in bins) == len(truth[key])
+        assert sum(b.bin_tokens for b in bins) == sum(truth[key])
+        ids = sorted(b.bin_id for b in bins)
+        assert ids == list(range(len(ids)))
+        assert all(b.n_docs >= 1 for b in bins)
+
+
+def test_redact_pii_redacts_injected_docs_only(spark):
+    """Injected docs (doc_id % 7 == 0) must show >=1 email and >=1
+    phone match; the synthetic corpus has no natural matches, so all
+    other docs show zero."""
+    rows = _q("redact_pii").build(spark, SF).collect()
+    assert any(r.doc_id % 7 == 0 for r in rows)
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            assert r.n_emails >= 1 and r.n_phones >= 1, r
+        else:
+            assert r.n_emails == 0 and r.n_phones == 0, r
+
+
+def test_bitmap_presence_bits_are_priority_indices(spark):
+    """Priority bitmap uses only bit positions 1..5 (priorities are
+    '1-URGENT'..'5-LOW') and bit_count matches n_prios."""
+    rows = _q("bitmap_presence").build(spark, SF).collect()
+    assert rows
+    legal_mask = sum(1 << i for i in range(1, 6))
+    for r in rows:
+        assert r.prio_bitmap != 0
+        assert r.prio_bitmap & ~legal_mask == 0, bin(r.prio_bitmap)
+        assert bin(r.prio_bitmap).count("1") == r.n_prios
