@@ -77,6 +77,10 @@ HEADLINE = [
     "token_hist",
     "tfidf_top_terms",
     "pipeline_corpus",
+    "chunk_documents",
+    "pack_sequences",
+    "redact_pii",
+    "bitmap_presence",
     "window_sliding",
     "stateful_user_stats",
 ]

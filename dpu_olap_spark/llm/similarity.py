@@ -544,3 +544,72 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e.code",
         "e.quant_err",
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             CAST(list_max(embedding) AS DOUBLE) AS vmax
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, vmin, vmax,
+             CASE WHEN vmax > vmin THEN
+               [CAST(floor((CAST(x AS DOUBLE) - vmin) / (vmax - vmin) * 255 + 0.5)
+                     AS BIGINT) FOR x IN embedding]
+             ELSE [CAST(0 AS BIGINT) FOR x IN embedding] END AS cs
+      FROM base
+    )
+    SELECT vec_id,
+           CAST(len(cs) AS BIGINT) AS n_dims,
+           vmin, vmax,
+           md5(array_to_string(cs, ',')) AS codes_fp,
+           CAST(list_sum(cs) AS BIGINT) AS sum_codes
+    FROM coded
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine uint8 quantization: each embedding maps to
+    codes floor((x - min)/(max - min) * 255 + 0.5) — the storage-layer
+    transform that shrinks a 100 TB float corpus 4x before ANN
+    serving. Map-only (zero shuffle); codes ride out as an md5
+    fingerprint plus an order-independent integer checksum rather than
+    the array itself. Exactness: min/max of floats are exact, and both
+    engines evaluate the identical double op sequence element-wise, so
+    floor lands on the same integer everywhere — the oracle equality
+    is bit-for-bit, no tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    base = emb.select("vec_id", "embedding", vmin.alias("vmin"), vmax.alias("vmax"))
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            (x.cast("double") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+            * 255
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    zeros = F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint"))
+    coded = base.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.when(F.col("vmax") > F.col("vmin"), quant).otherwise(zeros).alias("cs"),
+    )
+    return coded.select(
+        "vec_id",
+        F.size("cs").cast("bigint").alias("n_dims"),
+        "vmin",
+        "vmax",
+        F.md5(F.concat_ws(",", F.transform(F.col("cs"), lambda c: c.cast("string")))).alias(
+            "codes_fp"
+        ),
+        F.aggregate(
+            F.col("cs"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_codes"),
+    )

@@ -242,3 +242,30 @@ def test_bitmap_presence_bits_are_priority_indices(spark):
         assert r.prio_bitmap != 0
         assert r.prio_bitmap & ~legal_mask == 0, bin(r.prio_bitmap)
         assert bin(r.prio_bitmap).count("1") == r.n_prios
+
+
+def test_embedding_quantize_code_range_and_extremes(spark):
+    """Codes span exactly 0..255 per vector when range > 0: the min
+    element maps to 0, the max to 255, and the checksum is bounded by
+    255 * n_dims."""
+    rows = _q("embedding_quantize").build(spark, SF).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(SF + "/embeddings.parquet").collect()
+    }
+    import hashlib
+
+    for r in rows:
+        assert 0 <= r.sum_codes <= 255 * r.n_dims
+        if r.vmax > r.vmin:
+            # recompute codes locally and check the fingerprint + extremes
+            import math
+
+            codes = [
+                int(math.floor((float(x) - r.vmin) / (r.vmax - r.vmin) * 255 + 0.5))
+                for x in emb[r.vec_id]
+            ]
+            assert min(codes) == 0 and max(codes) == 255
+            fp = hashlib.md5(",".join(str(c) for c in codes).encode()).hexdigest()
+            assert fp == r.codes_fp
