@@ -179,6 +179,47 @@ def probe_docs(spark, path: str) -> dict[str, float]:
         .where(F.col("n_contam") > 0)
     )
     run("decontaminate", contam.agg(F.count(F.lit(1))))
+
+    # round-3 operators: chunking (map-only sequence+slice+md5),
+    # packing (shard-window exclusive prefix sum), redaction (codegen
+    # regex) — same plan shapes as llm/chunking.py / llm/curation.py
+    starts = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(48))).alias("st"),
+    )
+    chunk = F.slice(F.col("t"), F.col("st"), 64)
+    chunks = starts.select(
+        "doc_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+    run("chunk_documents", chunks.agg(F.count(F.lit(1)), F.sum("n_chunk_tokens")))
+
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id"), F.lit(64)).alias("shard")
+    sized = docs.select(shard, "doc_id", F.size(toks).alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 256).cast("bigint"),
+    ).groupBy("shard", "bin_id").agg(F.count(F.lit(1)), F.sum("n_tokens"))
+    run("pack_sequences", packed.agg(F.count(F.lit(1))))
+
+    redacted = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(
+                F.col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"
+            )
+        ).alias("fp"),
+    )
+    run("redact_pii", redacted.agg(F.count(F.lit(1))))
     return t
 
 
