@@ -246,3 +246,88 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rep_ratio"),
     )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment: the first hex
+    byte of md5(doc_id) partitions the keyspace by STRING comparison
+    ('e6' = 230/256 ≈ 89.8%, 'f3' = 243/256 ≈ 94.9%), so membership is
+    a pure function of the key — reproducible across engines, runs,
+    and re-shards, with no RNG and no driver-side assignment table.
+    New documents land in a stable split forever (the property that
+    keeps eval sets uncontaminated as a 100 TB corpus grows). Output
+    is the per-split accounting a dataset card needs; the split tag
+    itself is a map-side column any writer can partition by."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "cross_source_overlap",
+    oracle="""
+    WITH fps AS (
+      SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a,
+           b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix on leading-content fingerprints
+    (md5 of the first 5 tokens — the boilerplate/mirror detector;
+    exact-text overlap is zero in this corpus, so prefix fingerprints
+    make the measurement observable). Scale shape: distinct (fp,
+    source) first — one shuffle on fp — then a self-join that is
+    bucket-local per fingerprint; group sizes are bounded by the
+    number of sources, so no fingerprint bucket can explode the join.
+    The full-corpus analog answers "which crawls mirror each other"
+    before any pair-level dedup spend."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5)))
+    fps = docs.select(fp.alias("fp"), "source").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -434,3 +434,94 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "bm25_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(
+               round(ln((CAST(s.n_docs AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+                        / (df.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 6)
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)),
+               6) AS bm25
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.token = df.token
+      CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT doc_id, token, bm25,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY bm25 DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, bm25 FROM ranked WHERE rn <= 5
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-5 terms per document — the
+    retrieval-grade extension of tf-idf with saturation and
+    document-length normalization; at corpus scale this is the scoring
+    half of a data-curation retrieval index. Plan shape matches
+    tfidf_top_terms: one explode, three partial-agged groupBys, a
+    vocabulary-sized join, one per-doc ranking window — every stage
+    linear, nothing quadratic. Corpus constants (N, avgdl) are a
+    two-value parameter fetch, not a data collect. Cross-engine
+    exactness: every constant is a DOUBLE on both sides (DuckDB bare
+    decimals would run DECIMAL arithmetic), the idf ln() is rounded to
+    6 before the multiply, the final score rounded to 6 BEFORE the
+    rank with token as tiebreak — the round-before-rank recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs, sum_dl = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()  # two-scalar parameter fetch (corpus stats), not a data collect
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = F.round(
+        F.log((float(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    k1, b = 1.2, 0.75
+    norm = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.lit(avgdl))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(idf * (F.col("tf") * (k1 + 1.0)) / norm, 6).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("token").asc())
+    return (
+        scored.select("doc_id", "token", "bm25", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

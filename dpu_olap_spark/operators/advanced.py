@@ -667,3 +667,33 @@ def q_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(pb)").alias("prio_bitmap"),
         F.expr("CAST(bit_count(bit_or(pb)) AS BIGINT)").alias("n_prios"),
     )
+
+
+@query(
+    "group_size_hist",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS group_size FROM orders GROUP BY o_custkey
+    )
+    SELECT group_size,
+           COUNT(*) AS n_keys,
+           SUM(group_size) AS n_rows
+    FROM per_key
+    GROUP BY group_size
+    """,
+)
+def q_group_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution (skew) diagnostic: the histogram of join/agg
+    group sizes for orders.o_custkey — two stacked exact aggregations
+    (per-key counts, then counts-of-counts). This is the query you run
+    BEFORE choosing a join strategy at 100 TB: a long tail of
+    group_size=1 keys with a few 10^6-row whales is the signature that
+    says salt or AQE-skew-split; both aggregations partial-combine
+    map-side, and the second one's input is already one row per key,
+    so the diagnostic costs one shuffle over keys, not data."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("group_size"))
+    return per_key.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("group_size").alias("n_rows"),
+    )

@@ -160,6 +160,35 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer through Spark 4's NATIVE XML sink (built-in since 4.0,
+    no external package) and a schema-explicit read back, aggregated
+    per market segment. XML is the interchange format that carries no
+    type information at all, so the explicit read schema is what makes
+    the round-trip lossless; decimal sums follow the cast-before-sum
+    discipline every other sink query uses."""
+    customer = load_table(spark, sf_dir, "customer")
+    path = _tmp_path("cust_xml")
+    sinks.write_xml(customer, path)
+    back = sinks.read_xml(spark, path, customer.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+
+
+@query(
     "bucketed_join",
     oracle="""
     SELECT c_mktsegment,

@@ -59,6 +59,19 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_xml(df: DataFrame, path: str) -> None:
+    """Spark 4 native XML sink (built-in since 4.0; no external jar)."""
+    df.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-explicit XML read — inference would both add a pass and
+    widen integer types (XML carries no type info)."""
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "row").load(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 

@@ -211,3 +211,47 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_ss_join_{next(_sink_counter)}"
     run_to_memory_sink(joined, sink, "append", state_partitions=8)
     return spark.table(sink)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the event stream UNIONED WITH
+    ITSELF (every event_id arrives twice) flows through
+    dropDuplicatesWithinWatermark on the key, append-mode, into a
+    memory sink; a batch aggregation over the sink then matches the
+    oracle computed on the ORIGINAL (duplicate-free) table — doubled
+    counts or sums would break the hash, so the equality proves the
+    dedup state actually dropped every duplicate. This is the
+    ingest-time guard against at-least-once sources (kafka replays,
+    file redeliveries); WithinWatermark is what bounds the key state
+    at 100 TB/day — keys older than the watermark are evicted instead
+    of accumulating forever, the difference between a dedup that runs
+    for months and one that OOMs in an hour."""
+    stream = load_events_stream(spark, sf_dir)
+    doubled = stream.unionAll(stream)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"stream_dedup_sink_{next(_sink_counter)}"
+    run_to_memory_sink(deduped, sink, "append", state_partitions=8)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -269,3 +269,67 @@ def test_embedding_quantize_code_range_and_extremes(spark):
             assert min(codes) == 0 and max(codes) == 255
             fp = hashlib.md5(",".join(str(c) for c in codes).encode()).hexdigest()
             assert fp == r.codes_fp
+
+
+def test_train_test_split_partitions_corpus(spark):
+    """The three splits partition the corpus exactly (doc and char
+    totals conserved) and the hash split lands near 90/5/5."""
+    rows = {r.split: r for r in _q("train_test_split").build(spark, SF).collect()}
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    assert set(rows) <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    assert sum(r.total_chars for r in rows.values()) == sum(d.n_chars for d in docs)
+    frac_train = rows["train"].n_docs / len(docs)
+    assert 0.80 <= frac_train <= 0.97
+
+
+def test_train_test_split_is_stable_under_growth(spark):
+    """Split membership is a pure function of doc_id: assignments on a
+    half-corpus agree with assignments on the full corpus (the
+    no-recontamination property as the corpus grows)."""
+    from dpu_olap_spark.llm.curation import q_train_test_split  # noqa: F401
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test")
+    )
+    full = {r.doc_id: r.s for r in docs.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r.doc_id: r.s
+        for r in docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_cross_source_overlap_pairs_ordered_and_positive(spark):
+    rows = _q("cross_source_overlap").build(spark, SF).collect()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared >= 1
+
+
+def test_bm25_top5_sorted_and_bounded(spark):
+    """<=5 terms per doc; within a doc scores are non-increasing; a
+    term appearing in every document (idf floor ln(~0.5/df+1)>0) still
+    scores positive — BM25's idf+1 keeps scores non-negative."""
+    rows = _q("bm25_scores").build(spark, SF).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.bm25)
+        assert r.bm25 >= 0.0
+    for scores in per_doc.values():
+        assert 1 <= len(scores) <= 5
+
+
+def test_group_size_hist_conserves_rows_and_keys(spark):
+    rows = _q("group_size_hist").build(spark, SF).collect()
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    n_orders = orders.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_keys for r in rows) == n_keys
+    assert sum(r.n_rows for r in rows) == n_orders
+    for r in rows:
+        assert r.n_rows == r.group_size * r.n_keys

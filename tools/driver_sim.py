@@ -8,7 +8,7 @@ from pyspark.sql import SparkSession
 
 from tests.oracle import run_oracle, _rows_to_multiset
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 spark = (
     SparkSession.builder.master("local[8]")
