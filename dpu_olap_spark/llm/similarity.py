@@ -613,3 +613,118 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("sum_codes"),
     )
+
+
+_PQ_QUERY = 100  # probe vector id (exists at every SF)
+
+
+@query(
+    "pq_search",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    q AS (
+      SELECT seg,
+             embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS qv
+      FROM embeddings, segs WHERE vec_id = {_PQ_QUERY}
+    ),
+    lut_pairs AS (
+      SELECT q.seg, c.code, unnest(q.qv) AS a, unnest(c.cv) AS b
+      FROM q JOIN cw c ON q.seg = c.seg
+    ),
+    lut AS (
+      SELECT seg, code,
+             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS qd2u
+      FROM lut_pairs GROUP BY seg, code
+    ),
+    adc AS (
+      SELECT pa.vec_id, SUM(l.qd2u) AS adc_d2_micro
+      FROM pq_assign pa JOIN lut l ON pa.seg = l.seg AND pa.code = l.code
+      GROUP BY pa.vec_id
+    )
+    SELECT vec_id, adc_d2_micro FROM (
+      SELECT vec_id, adc_d2_micro,
+             row_number() OVER (ORDER BY adc_d2_micro ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= 10
+    """,
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC), completing the PQ story:
+    the query vector is expanded driver-side into an 8x8 lookup table
+    of query-subvector-to-codeword distances (64 numbers — the
+    parameter broadcast that makes ADC fast), each stored vector's
+    approximate distance is then the SUM OF 8 TABLE LOOKUPS over its
+    codes — no float math per candidate at all, which is why PQ scans
+    billions of codes at memory bandwidth. Distances are integer
+    micro-units (round(d2*1e6)): integer addition is associative, so
+    Spark's fixed-order fold and DuckDB's unordered SUM agree exactly
+    and the top-10 rank (vec_id tiebreak) is unambiguous. Plan: codes
+    are a map-only stage (codebook literals, as pq_encode), the ADC
+    sum is map-side arithmetic, and the top-10 is a TakeOrdered — no
+    shuffle anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where(F.col("vec_id") < _PQ_CODES).select("vec_id", "embedding").collect()
+    )
+    books = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows]
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _PQ_QUERY).first().embedding
+    ]  # parameter fetch: the probe vector
+
+    # LUT in JVM arithmetic (same zip_with/aggregate fold pq_encode
+    # verified cross-engine), evaluated once on a 1-row frame
+    lut_cols = []
+    for seg in range(_PQ_SEGMENTS):
+        lo = seg * _SEG_DIMS
+        qsub = F.array(*[F.lit(x) for x in qvec[lo : lo + _SEG_DIMS]])
+        for code, vec in books:
+            cw = F.array(*[F.lit(x) for x in vec[lo : lo + _SEG_DIMS]])
+            d2 = F.aggregate(
+                F.zip_with(qsub, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            lut_cols.append(
+                F.round(d2 * 1000000.0).cast("bigint").alias(f"l_{seg}_{code}")
+            )
+    lut_row = spark.range(1).select(*lut_cols).first()
+    lut = {
+        seg: [int(lut_row[f"l_{seg}_{code}"]) for code, _ in books]
+        for seg in range(_PQ_SEGMENTS)
+    }
+
+    contribs = []
+    for seg in range(_PQ_SEGMENTS):
+        lo = seg * _SEG_DIMS + 1
+        sub = F.slice(F.col("embedding"), lo, _SEG_DIMS)
+        cands = []
+        for code, vec in books:
+            cw = F.array(*[F.lit(x) for x in vec[lo - 1 : lo - 1 + _SEG_DIMS]])
+            d2 = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        cw,
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            cands.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
+        code_col = F.array_min(F.array(*cands))["code"].cast("int")
+        contribs.append(
+            F.element_at(F.array(*[F.lit(v) for v in lut[seg]]), code_col + 1)
+        )
+    adc = contribs[0]
+    for c in contribs[1:]:
+        adc = adc + c
+    return (
+        emb.select("vec_id", adc.alias("adc_d2_micro"))
+        .orderBy(F.col("adc_d2_micro").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

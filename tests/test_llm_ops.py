@@ -333,3 +333,20 @@ def test_group_size_hist_conserves_rows_and_keys(spark):
     assert sum(r.n_rows for r in rows) == n_orders
     for r in rows:
         assert r.n_rows == r.group_size * r.n_keys
+
+
+def test_pq_search_topk_sorted_deterministic(spark):
+    """ADC top-10: exactly 10 non-negative distances, ascending with
+    vec_id tiebreak, identical across runs; the probe's own vector
+    must rank in the top-10 (its quantized self-distance is bounded by
+    quantization error, tiny next to corpus spread)."""
+    a = _q("pq_search").build(spark, SF).collect()
+    b = _q("pq_search").build(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
+    assert all(r.adc_d2_micro >= 0 for r in a)
+    keys = [(r.adc_d2_micro, r.vec_id) for r in a]
+    assert keys == sorted(keys)
+    from dpu_olap_spark.llm.similarity import _PQ_QUERY
+
+    assert any(r.vec_id == _PQ_QUERY for r in a)
