@@ -81,8 +81,13 @@ HEADLINE = [
     "pack_sequences",
     "redact_pii",
     "bitmap_presence",
+    "bm25_scores",
+    "train_test_split",
+    "group_size_hist",
+    "pq_search",
     "window_sliding",
     "stateful_user_stats",
+    "stream_dedup",
 ]
 
 

@@ -665,64 +665,62 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is map-side arithmetic, and the top-10 is a TakeOrdered — no
     shuffle anywhere."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.where(F.col("vec_id") < _PQ_CODES).select("vec_id", "embedding").collect()
+    # single parameter fetch: codebook seeds + probe vector in one job
+    param_rows = (
+        emb.where((F.col("vec_id") < _PQ_CODES) | (F.col("vec_id") == _PQ_QUERY))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    books = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows]
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == _PQ_QUERY).first().embedding
-    ]  # parameter fetch: the probe vector
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in param_rows}
+    books = [(c, vecs[c]) for c in sorted(vecs) if c < _PQ_CODES]
+    qvec = vecs[_PQ_QUERY]
 
-    # LUT in JVM arithmetic (same zip_with/aggregate fold pq_encode
-    # verified cross-engine), evaluated once on a 1-row frame
-    lut_cols = []
+    # LUT computed driver-side: Python's left-to-right float64
+    # accumulation IS the fold order F.aggregate and DuckDB's
+    # unnest-SUM use (pq_encode verified that order cross-engine), and
+    # floor(x*1e6 + 0.5) is round-half-up on the non-negative d2 —
+    # identical to both engines' round(). Doing these 64 numbers in
+    # Python instead of a 64-fold one-row Spark job cuts ~6s of
+    # Catalyst lambda analysis out of the build (measured at sf0.1).
+    import math
+
+    lut: dict[int, list[int]] = {}
     for seg in range(_PQ_SEGMENTS):
         lo = seg * _SEG_DIMS
-        qsub = F.array(*[F.lit(x) for x in qvec[lo : lo + _SEG_DIMS]])
+        row = []
         for code, vec in books:
-            cw = F.array(*[F.lit(x) for x in vec[lo : lo + _SEG_DIMS]])
-            d2 = F.aggregate(
-                F.zip_with(qsub, cw, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            lut_cols.append(
-                F.round(d2 * 1000000.0).cast("bigint").alias(f"l_{seg}_{code}")
-            )
-    lut_row = spark.range(1).select(*lut_cols).first()
-    lut = {
-        seg: [int(lut_row[f"l_{seg}_{code}"]) for code, _ in books]
-        for seg in range(_PQ_SEGMENTS)
-    }
+            d2 = 0.0
+            for a, b in zip(qvec[lo : lo + _SEG_DIMS], vec[lo : lo + _SEG_DIMS]):
+                d2 = d2 + (a - b) * (a - b)
+            row.append(int(math.floor(d2 * 1000000.0 + 0.5)))
+        lut[seg] = row
+
+    # The whole per-vector ADC expression is ONE SQL string handed to
+    # F.expr: building it as ~2,500 Column objects cost ~7s of py4j
+    # round-trips per plan (measured at sf0.1); one string is a single
+    # JVM parse. Float literals travel as CAST('repr' AS DOUBLE) —
+    # string->double conversion is correctly rounded, so the JVM gets
+    # the bit-identical value; embedding[i] is Spark SQL's 0-based
+    # array index; '+' chains are left-associative, the same
+    # accumulation order as the oracle's unnest-SUM.
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
 
     contribs = []
     for seg in range(_PQ_SEGMENTS):
-        lo = seg * _SEG_DIMS + 1
-        sub = F.slice(F.col("embedding"), lo, _SEG_DIMS)
+        lo = seg * _SEG_DIMS
         cands = []
         for code, vec in books:
-            cw = F.array(*[F.lit(x) for x in vec[lo - 1 : lo - 1 + _SEG_DIMS]])
-            d2 = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        cw,
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
+            terms = " + ".join(
+                f"(CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                f" * (CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                for i in range(_SEG_DIMS)
             )
-            cands.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
-        code_col = F.array_min(F.array(*cands))["code"].cast("int")
-        contribs.append(
-            F.element_at(F.array(*[F.lit(v) for v in lut[seg]]), code_col + 1)
-        )
-    adc = contribs[0]
-    for c in contribs[1:]:
-        adc = adc + c
+            cands.append(f"struct(round({terms}, 6) AS d2, {code} AS code)")
+        code_sql = f"CAST(array_min(array({', '.join(cands)})).code AS INT)"
+        lut_sql = ", ".join(f"{v}L" for v in lut[seg])
+        contribs.append(f"element_at(array({lut_sql}), {code_sql} + 1)")
+    adc = F.expr(" + ".join(contribs))
     return (
         emb.select("vec_id", adc.alias("adc_d2_micro"))
         .orderBy(F.col("adc_d2_micro").asc(), F.col("vec_id").asc())

@@ -525,3 +525,185 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM c2 GROUP BY w1)
+    SELECT c2.w1, c2.w2, c2.n_bigram, c1.n_w1,
+           CAST(ROUND(CAST(c2.n_bigram AS DOUBLE) / c1.n_w1, 6) AS DOUBLE) AS p
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model — conditional probabilities
+    p(w2|w1) = count(w1 w2)/count(w1 *) — the statistical model behind
+    perplexity-based quality filtering (CCNet-style). The bigram list
+    is built map-side by zipping each token array with its own tail
+    (no positional self-join), then two stacked exact aggregations;
+    the conditioning count reuses the bigram counts (SUM of n_bigram
+    per w1), so the raw token stream is shuffled once, not twice. The
+    model table is vocabulary-bounded — tiny next to the corpus — which
+    is what makes it broadcastable to the scoring pass at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.where(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    return c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_w1",
+        F.round(F.col("n_bigram").cast("double") / F.col("n_w1"), 6)
+        .cast("double")
+        .alias("p"),
+    )
+
+
+@query(
+    "perplexity_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM c2 GROUP BY w1),
+    lm AS (
+      SELECT c2.w1, c2.w2,
+             CAST(round(ln(CAST(c2.n_bigram AS DOUBLE) / c1.n_w1) * 1000000)
+                  AS BIGINT) AS logp_u
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(lm.logp_u) AS DOUBLE) / COUNT(*) / 1000000, 6)
+                AS DOUBLE) AS avg_logp
+    FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy: mean log-probability of the
+    document's bigrams under the corpus bigram LM — the classic
+    quality gate (docs whose text the corpus model finds surprising
+    are boilerplate, menus, or noise). The LM table is
+    vocabulary-bounded so the scoring join BROADCASTS the model to the
+    per-doc bigram stream; log-probs travel as integer micro-units
+    (round(ln(p)*1e6)) so the per-doc SUM is associative — Spark's
+    partial aggregation and DuckDB's single-pass sum agree exactly —
+    and only ONE division turns the exact integer back into the
+    reported double."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.where(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n_bigram").cast("double") / F.col("n_w1")) * 1000000.0)
+        .cast("bigint")
+        .alias("logp_u"),
+    )
+    return (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("logp_u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            )
+            .cast("double")
+            .alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    total AS (SELECT SUM(n) AS total_tokens FROM counts),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, token ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+      FROM counts
+    )
+    SELECT rank, token, n,
+           CAST(ROUND(CAST(cum_n AS DOUBLE) / total_tokens, 6) AS DOUBLE)
+             AS cum_share
+    FROM ranked, total
+    WHERE rank <= 30
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-30 tokens by corpus
+    frequency with each one's CUMULATIVE share of all token
+    occurrences — the head of the Zipf curve that sizes a tokenizer
+    vocabulary ("how many types cover 95% of tokens"). One shuffle to
+    token counts (map-side partial agg collapses the stream to the
+    vocabulary first), then the ranking window runs over VOCABULARY
+    rows, not token occurrences; cumulative sums are exact integers,
+    with the single share division rounded last."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).first()[0]  # scalar parameter fetch
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_n"),
+    )
+    return (
+        ranked.where(F.col("rank") <= 30)
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.round(F.col("cum_n").cast("double") / F.lit(float(total)), 6)
+            .cast("double")
+            .alias("cum_share"),
+        )
+    )

@@ -350,3 +350,40 @@ def test_pq_search_topk_sorted_deterministic(spark):
     from dpu_olap_spark.llm.similarity import _PQ_QUERY
 
     assert any(r.vec_id == _PQ_QUERY for r in a)
+
+
+def test_bigram_lm_probabilities_normalize(spark):
+    """For every conditioning token w1, sum of p(w2|w1) over observed
+    w2 is 1 (up to the 1e-6 rounding on each term)."""
+    rows = _q("bigram_lm").build(spark, SF).collect()
+    per_w1: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        assert r.n_bigram <= r.n_w1
+        per_w1[r.w1] = per_w1.get(r.w1, 0.0) + r.p
+    for w1, s in per_w1.items():
+        assert abs(s - 1.0) < 1e-4, (w1, s)
+
+
+def test_perplexity_score_bounds_and_coverage(spark):
+    """avg log-prob is <= 0; every doc with >=2 tokens gets a score;
+    n_bigrams equals the doc's token count minus 1 (every bigram finds
+    its LM row — the model was built from the same corpus)."""
+    rows = {r.doc_id: r for r in _q("perplexity_score").build(spark, SF).collect()}
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    for d in docs:
+        n = len(d.text.split(" "))
+        if n >= 2:
+            assert d.doc_id in rows
+            assert rows[d.doc_id].n_bigrams == n - 1
+            assert rows[d.doc_id].avg_logp <= 0.0
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = sorted(_q("vocab_coverage").build(spark, SF).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] <= 1.0
+    ns = [r.n for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
