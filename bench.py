@@ -82,6 +82,7 @@ HEADLINE = [
     "redact_pii",
     "bitmap_presence",
     "bm25_scores",
+    "perplexity_score",
     "train_test_split",
     "group_size_hist",
     "pq_search",

@@ -312,8 +312,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar parameter (metadata count), not a data collect
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # tf materialized once (column pruning would otherwise specialize
+    # the subtree per consumer and re-explode the corpus for each):
+    # one corpus explode, then df derives from the far smaller
+    # vocabulary-per-doc aggregate — tf rows are already distinct
+    # (doc, token), so a plain count per token == distinct-doc count
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     scored = tf.join(df, "token").select(
         "doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf")
@@ -496,9 +505,19 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank with token as tiebreak — the round-before-rank recipe."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # tf materialized once (lazy localCheckpoint; plain derivation
+    # would let column pruning specialize the subtree per consumer and
+    # re-explode the corpus three times). dl and df then derive FROM
+    # tf: SUM of tf per doc == token count, and tf rows are distinct
+    # (doc, token) so a plain count per token == distinct-doc count —
+    # one corpus explode total, the dominating cost at 100 TB
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs, sum_dl = dl.agg(
         F.count(F.lit(1)), F.sum("dl")
     ).first()  # two-scalar parameter fetch (corpus stats), not a data collect
