@@ -320,14 +320,22 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any pair-level dedup spend."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5)))
-    fps = docs.select(fp.alias("fp"), "source").distinct()
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # one shuffle on fp collapses each fingerprint to its source SET
+    # (bounded by the number of sources); pair expansion then happens
+    # inside the row — no self-join, no second pass over the corpus —
+    # and the pair aggregation partial-combines map-side. Two shuffles
+    # total versus four for the distinct + self-join formulation.
+    src_sets = (
+        docs.select(fp.alias("fp"), "source")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = (
+        src_sets.select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )

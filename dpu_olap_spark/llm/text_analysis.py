@@ -585,7 +585,14 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    # c2 feeds both the conditioning totals and the final join;
+    # materialize it once so the corpus explodes once (same pruning
+    # pitfall as tf-idf: un-materialized, each consumer re-derives it)
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     return c2.join(c1, "w1").select(
         "w1",
@@ -642,12 +649,21 @@ def q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(t, 2, F.size(t) - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # the per-doc bigram stream feeds both the model build and the
+    # scoring join — two corpus passes, INHERENT to build-then-score
+    # (materializing the exploded stream would trade map-side CPU for
+    # a corpus-sized spill; recompute wins at 100 TB). c2, which is
+    # vocabulary-bounded, IS materialized for its two consumers.
     bg = (
         docs.where(F.size(t) >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     lm = c2.join(c1, "w1").select(
         "w1",
