@@ -509,40 +509,40 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows
     ]
 
-    seg_entries = []
+    # One SQL string per plan instead of ~2,500 py4j Column calls (the
+    # pq_search lesson — same arithmetic, same left-to-right '+' order
+    # as the oracle's unnest-SUM, float literals via correctly-rounded
+    # CAST('repr' AS DOUBLE), embedding[i] 0-based in Spark SQL)
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    seg_sqls = []
     for seg in range(_PQ_SEGMENTS):
-        lo = seg * _SEG_DIMS + 1
-        sub = F.slice(F.col("embedding"), lo, _SEG_DIMS)
+        lo = seg * _SEG_DIMS
         cands = []
         for code, vec in books:
-            cw = F.array(*[F.lit(x) for x in vec[lo - 1 : lo - 1 + _SEG_DIMS]])
-            d2 = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub, cw,
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
+            terms = " + ".join(
+                f"(CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                f" * (CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                for i in range(_SEG_DIMS)
             )
-            cands.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
-        best = F.array_min(F.array(*cands))
-        seg_entries.append(
-            F.struct(
-                F.lit(seg).alias("seg"),
-                best["code"].cast("int").alias("code"),
-                best["d2"].cast("double").alias("quant_err"),
-            )
+            cands.append(f"struct(round({terms}, 6) AS d2, {code} AS code)")
+        seg_sqls.append(
+            f"named_struct('seg', {seg}, 'best',"
+            f" array_min(array({', '.join(cands)})))"
         )
+    seg_entries = F.expr(
+        "array("
+        + ", ".join(seg_sqls)
+        + ")"
+    )
     return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.explode(F.array(*seg_entries)).alias("e")
+        "vec_id", F.explode(seg_entries).alias("e")
     ).select(
         "vec_id",
         F.col("e.seg").cast("int").alias("seg"),
-        "e.code",
-        "e.quant_err",
+        F.col("e.best.code").cast("int").alias("code"),
+        F.col("e.best.d2").cast("double").alias("quant_err"),
     )
 
 
