@@ -132,3 +132,63 @@ def test_repetition_score_no_shuffle(spark):
     df = all_queries()["repetition_score"].build(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_search_is_shuffle_free(spark):
+    """ADC search is map-only arithmetic + TakeOrdered: any Exchange
+    other than the single-partition TakeOrdered gather would mean the
+    per-vector scan stopped being embarrassingly parallel."""
+    plan = _formatted_plan(spark, "pq_search")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_overlap_two_shuffles_no_join(spark):
+    """Source-overlap expands pairs inside each fingerprint row; the
+    self-join formulation (4 exchanges + join) must not come back."""
+    plan = _formatted_plan(spark, "cross_source_overlap")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan, f"unexpected join in plan: {j}"
+
+
+def test_bm25_single_documents_scan(spark):
+    """tf is materialized once: a plan with multiple documents scans
+    means column pruning re-specialized the shared subtree and the
+    corpus explodes per consumer again."""
+    plan = _formatted_plan(spark, "bm25_scores")
+    assert len(re.findall(r"Scan parquet", plan)) <= 1, (
+        "documents scanned more than once — tf subtree no longer shared"
+    )
+
+
+def test_tfidf_single_documents_scan(spark):
+    plan = _formatted_plan(spark, "tfidf_top_terms")
+    assert len(re.findall(r"Scan parquet", plan)) <= 1
+
+
+def test_perplexity_broadcasts_model_not_corpus(spark):
+    """The LM table is vocabulary-bounded, so the scoring join must
+    broadcast the MODEL side; shuffling the per-doc bigram stream on
+    (w1, w2) would move the corpus to the model instead."""
+    plan = _formatted_plan(spark, "perplexity_score")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_train_test_split_single_aggregation_pass(spark):
+    """Split assignment is a map-side expression: exactly one
+    aggregate shuffle (by split), no join, no window."""
+    plan = _formatted_plan(spark, "train_test_split")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Window"):
+        assert j not in plan
+
+
+def test_group_size_hist_two_stacked_aggregations(spark):
+    """Counts-of-counts: two exchanges (key, then group_size), with
+    partial aggregation before each — and nothing else."""
+    plan = _formatted_plan(spark, "group_size_hist")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan
