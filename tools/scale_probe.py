@@ -220,6 +220,41 @@ def probe_docs(spark, path: str) -> dict[str, float]:
         ).alias("fp"),
     )
     run("redact_pii", redacted.agg(F.count(F.lit(1))))
+
+    # round-3 LM family: tf aggregate built once (localCheckpoint) with
+    # dl/df derived from it — mirrors llm/text_analysis.py bm25/tfidf
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dl, "doc_id").join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        (F.col("tf").cast("double") / F.col("dl") * F.col("df")).alias("s"),
+    )
+    run("bm25_shape", scored.groupBy("doc_id").agg(F.sum("s")).agg(F.count(F.lit(1))))
+
+    # bigram LM: tail-zip bigrams map-side, counts once, totals derived
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n").alias("nw"))
+    run("bigram_lm", c2.join(c1, "w1").agg(F.count(F.lit(1))))
     return t
 
 
