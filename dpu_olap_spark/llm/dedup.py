@@ -554,3 +554,88 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("incoming_id", "existing_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SIGNATURES_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM corpus),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT l.cluster_id, l.doc_id,
+             len(string_split(c.text, ' ')) AS n_tokens
+      FROM labels l JOIN corpus c ON l.doc_id = c.doc_id
+    ),
+    counts AS (
+      SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT r.cluster_id, r.doc_id AS kept_doc,
+           CAST(r.n_tokens AS BIGINT) AS kept_tokens,
+           c.n_members
+    FROM ranked r JOIN counts c ON r.cluster_id = c.cluster_id
+    WHERE r.rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable of the dedup pipeline: one CANONICAL document
+    per duplicate cluster, chosen by quality (here token count, the
+    stand-in for a learned quality score) with doc_id as the
+    deterministic tiebreak — 'keep first' biases toward crawl order,
+    'keep best' is what a curation pipeline actually ships. Composes
+    the cached cluster labels (the pairs/lanes subplan is shared
+    process-wide with the whole minhash family) with one quality join
+    and a per-cluster ranking window; cluster sizes are bounded by
+    dup-group size, so the window never sees a corpus-scale
+    partition."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    scored = labels.join(corpus, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    counts = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "cluster_id",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return ranked.join(counts, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_tokens").cast("bigint").alias("kept_tokens"),
+        "n_members",
+    )

@@ -726,3 +726,133 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_d2_micro").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+_N_PROBE = 4  # cells probed of the 16 — standard IVF recall/cost knob
+
+
+@query(
+    "ivf_pq_search",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    {_PQ_SQL},
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dists WHERE vec_id = {_PQ_QUERY}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cid
+    ),
+    q AS (
+      SELECT seg,
+             embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS qv
+      FROM embeddings, segs WHERE vec_id = {_PQ_QUERY}
+    ),
+    lut_pairs AS (
+      SELECT q.seg, c.code, unnest(q.qv) AS a, unnest(c.cv) AS b
+      FROM q JOIN cw c ON q.seg = c.seg
+    ),
+    lut AS (
+      SELECT seg, code,
+             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS qd2u
+      FROM lut_pairs GROUP BY seg, code
+    ),
+    adc AS (
+      SELECT pa.vec_id, SUM(l.qd2u) AS adc_d2_micro
+      FROM pq_assign pa
+      JOIN cand ON pa.vec_id = cand.vec_id
+      JOIN lut l ON pa.seg = l.seg AND pa.code = l.code
+      GROUP BY pa.vec_id
+    )
+    SELECT vec_id, adc_d2_micro FROM (
+      SELECT vec_id, adc_d2_micro,
+             row_number() OVER (ORDER BY adc_d2_micro ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= 10
+    """,
+)
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape — IVF + PQ combined: the probe picks
+    its {_N_PROBE} nearest of the 16 coarse cells (driver-side
+    arithmetic on the centroid parameter set), only vectors ASSIGNED
+    to those cells are scored, and the scoring is pure ADC table
+    lookups in integer micro-units. The two knobs compose: IVF prunes
+    the candidate set (~nprobe/ncells of the corpus never read past
+    the assignment expression), PQ makes each surviving candidate
+    cost 8 integer adds — together that is how billion-vector indexes
+    serve under a millisecond per probe. Plan: map-only assignment
+    filter + map-only ADC + TakeOrdered; zero shuffle, zero joins."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    param_rows = (
+        emb.where((F.col("vec_id") < _N_CENTROIDS) | (F.col("vec_id") == _PQ_QUERY))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in param_rows}
+    cents = [(c, vecs[c]) for c in sorted(vecs) if c < _N_CENTROIDS]
+    books = [(c, vecs[c]) for c in sorted(vecs) if c < _PQ_CODES]
+    qvec = vecs[_PQ_QUERY]
+
+    # probe-cell selection driver-side: micro-unit distances order
+    # identically to the oracle's (round(d2,6), cid) ranking
+    cell_d = []
+    for cid, cvec in cents:
+        d2 = 0.0
+        for a, b in zip(qvec, cvec):
+            d2 = d2 + (a - b) * (a - b)
+        cell_d.append((int(math.floor(d2 * 1000000.0 + 0.5)), cid))
+    probe_cells = [cid for _, cid in sorted(cell_d)[:_N_PROBE]]
+
+    lut: dict[int, list[int]] = {}
+    for seg in range(_PQ_SEGMENTS):
+        lo = seg * _SEG_DIMS
+        row = []
+        for code, vec in books:
+            d2 = 0.0
+            for a, b in zip(qvec[lo : lo + _SEG_DIMS], vec[lo : lo + _SEG_DIMS]):
+                d2 = d2 + (a - b) * (a - b)
+            row.append(int(math.floor(d2 * 1000000.0 + 0.5)))
+        lut[seg] = row
+
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    # cell assignment as one SQL string (the pq_encode/py4j lesson)
+    cell_cands = []
+    for cid, cvec in cents:
+        terms = " + ".join(
+            f"(CAST(embedding[{i}] AS DOUBLE) - {dlit(cvec[i])})"
+            f" * (CAST(embedding[{i}] AS DOUBLE) - {dlit(cvec[i])})"
+            for i in range(len(cvec))
+        )
+        cell_cands.append(f"struct(round({terms}, 6) AS d2, {cid} AS cid)")
+    cell_sql = f"array_min(array({', '.join(cell_cands)})).cid"
+
+    contribs = []
+    for seg in range(_PQ_SEGMENTS):
+        lo = seg * _SEG_DIMS
+        cands = []
+        for code, vec in books:
+            terms = " + ".join(
+                f"(CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                f" * (CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
+                for i in range(_SEG_DIMS)
+            )
+            cands.append(f"struct(round({terms}, 6) AS d2, {code} AS code)")
+        code_sql = f"CAST(array_min(array({', '.join(cands)})).code AS INT)"
+        lut_sql = ", ".join(f"{v}L" for v in lut[seg])
+        contribs.append(f"element_at(array({lut_sql}), {code_sql} + 1)")
+    adc = F.expr(" + ".join(contribs))
+
+    return (
+        emb.where(F.expr(cell_sql).isin(probe_cells))
+        .select("vec_id", adc.alias("adc_d2_micro"))
+        .orderBy(F.col("adc_d2_micro").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
