@@ -260,7 +260,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM tagged
     GROUP BY split

@@ -639,7 +639,7 @@ _PQ_QUERY = 100  # probe vector id (exists at every SF)
       FROM lut_pairs GROUP BY seg, code
     ),
     adc AS (
-      SELECT pa.vec_id, SUM(l.qd2u) AS adc_d2_micro
+      SELECT pa.vec_id, CAST(SUM(l.qd2u) AS BIGINT) AS adc_d2_micro
       FROM pq_assign pa JOIN lut l ON pa.seg = l.seg AND pa.code = l.code
       GROUP BY pa.vec_id
     )
@@ -762,7 +762,7 @@ _N_PROBE = 4  # cells probed of the 16 — standard IVF recall/cost knob
       FROM lut_pairs GROUP BY seg, code
     ),
     adc AS (
-      SELECT pa.vec_id, SUM(l.qd2u) AS adc_d2_micro
+      SELECT pa.vec_id, CAST(SUM(l.qd2u) AS BIGINT) AS adc_d2_micro
       FROM pq_assign pa
       JOIN cand ON pa.vec_id = cand.vec_id
       JOIN lut l ON pa.seg = l.seg AND pa.code = l.code

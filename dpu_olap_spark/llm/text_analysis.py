@@ -557,7 +557,7 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 2
     ),
     c2 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM c2 GROUP BY w1)
+    c1 AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM c2 GROUP BY w1)
     SELECT c2.w1, c2.w2, c2.n_bigram, c1.n_w1,
            CAST(ROUND(CAST(c2.n_bigram AS DOUBLE) / c1.n_w1, 6) AS DOUBLE) AS p
     FROM c2 JOIN c1 ON c2.w1 = c1.w1
@@ -616,7 +616,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 2
     ),
     c2 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM c2 GROUP BY w1),
+    c1 AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM c2 GROUP BY w1),
     lm AS (
       SELECT c2.w1, c2.w2,
              CAST(round(ln(CAST(c2.n_bigram AS DOUBLE) / c1.n_w1) * 1000000)

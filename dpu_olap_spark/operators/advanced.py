@@ -677,7 +677,7 @@ def q_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT group_size,
            COUNT(*) AS n_keys,
-           SUM(group_size) AS n_rows
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
     FROM per_key
     GROUP BY group_size
     """,

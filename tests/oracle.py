@@ -75,14 +75,70 @@ def _rows_to_multiset(rows, colnames, canon=None):
     ), [colnames[i] for i in order]
 
 
-def run_oracle(sql: str, sf_dir: str):
+def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    cur = con.execute(sql)
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str):
+    cur = _connect(sf_dir).execute(sql)
     cols = [d[0] for d in cur.description]
     return cur.fetchall(), cols
+
+
+def run_oracle_df(sql: str, sf_dir: str):
+    """DuckDB result as a pandas frame — the DRIVER's path. fetchall()
+    converts HUGEINT to Python int, hiding it; .df() renders HUGEINT
+    (uncast SUM of BIGINT) as float64 while Spark emits int64 — the
+    exact divergence behind round 3's five hash-reds."""
+    return _connect(sf_dir).execute(sql).df()
+
+
+def _driver_canon_pdf(pdf):
+    """Replicate the driver's pandas canonicalization: columns sorted
+    by name, rows sorted by all columns (this is where array-typed
+    cells crash, as they did for agg_collect in CORRECTNESS_r03)."""
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    pdf = pdf[cols].copy()
+    pdf.columns = [c.lower() for c in cols]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _pdf_cells(pdf):
+    # astype(str) is the representation-sensitive view a value hash
+    # sees: int64 6 -> "6" but float64 6.0 -> "6.0".
+    return pdf.astype(str).values.tolist()
+
+
+def assert_pandas_view_matches(srows, scols, oracle: str, sf_dir: str, name: str):
+    """The driver-faithful gate: Spark rows -> pandas, DuckDB -> .df(),
+    both canonicalized the way the driver does, compared at string
+    representation level so type-representation drift (HUGEINT->float64,
+    DECIMAL, datetime unit) fails HERE before it fails at the driver."""
+    import pandas as pd
+
+    srows = [
+        tuple(bytes(v) if isinstance(v, bytearray) else v for v in r) for r in srows
+    ]
+    spdf = _driver_canon_pdf(pd.DataFrame(srows, columns=scols))
+    opdf = _driver_canon_pdf(run_oracle_df(oracle, sf_dir))
+    assert list(spdf.columns) == list(opdf.columns), (
+        f"{name}: pandas-view column mismatch spark={list(spdf.columns)} "
+        f"duckdb={list(opdf.columns)}"
+    )
+    scells, ocells = _pdf_cells(spdf), _pdf_cells(opdf)
+    if scells != ocells:
+        diffs = [(s, o) for s, o in zip(scells, ocells) if s != o][:5]
+        dtypes = list(zip(spdf.columns, map(str, spdf.dtypes), map(str, opdf.dtypes)))
+        raise AssertionError(
+            f"{name}: PANDAS-VIEW divergence (what the driver hashes); "
+            f"dtypes (col, spark, duckdb)={dtypes}; first diffs: {diffs}"
+        )
 
 
 def assert_query_matches_oracle(spark, query, sf_dir: str):
@@ -117,3 +173,8 @@ def assert_query_matches_oracle(spark, query, sf_dir: str):
         raise AssertionError(
             f"{query.name}: {kind}; first differing rows (spark, duckdb): {diffs}"
         )
+    # Second gate: the driver's pandas canonicalization path, which
+    # sees representation drift (HUGEINT->float64) that raw-type
+    # equality over fetchall() cannot (round 3's five hash-reds all
+    # passed the gate above and failed at the driver).
+    assert_pandas_view_matches(srows, scols, query.oracle, sf_dir, query.name)

@@ -3,7 +3,7 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
-from tests.oracle import run_oracle, _rows_to_multiset
+from tests.oracle import run_oracle, _rows_to_multiset, assert_pandas_view_matches
 
 names = sys.argv[1:]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -22,6 +22,12 @@ for name in names:
     sset, scs = _rows_to_multiset(srows, scols)
     oset, ocs = _rows_to_multiset(orows, ocols)
     ok = ([c.lower() for c in scs] == [c.lower() for c in ocs]) and sset == oset
+    if ok:
+        try:
+            assert_pandas_view_matches(srows, scols, osql[name], SF, name)
+        except AssertionError as e:
+            ok = False
+            print(f"  pandas-view gate: {e}")
     print(f"{name}: rows={len(sset)}/{len(oset)} cols_s={scs} cols_o={ocs} {'OK' if ok else 'FAIL'}")
     if not ok:
         for a, b in list(zip(sorted(sset), sorted(oset)))[:5]:

@@ -6,7 +6,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
 
-from tests.oracle import run_oracle, _rows_to_multiset
+from tests.oracle import run_oracle, _rows_to_multiset, assert_pandas_view_matches
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -41,7 +41,14 @@ for i, name in enumerate(qs):
         ok_cols = [c.lower() for c in scs] == [c.lower() for c in ocs]
         ok_rows = len(sset) == len(oset)
         ok_vals = sset == oset
-        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        ok_pandas = True
+        if ok_cols and ok_rows and ok_vals:
+            try:
+                assert_pandas_view_matches(srows, scols, osql[name], SF, name)
+            except AssertionError as e:
+                ok_pandas = False
+                print(f"  pandas-view gate: {str(e)[:300]}")
+        status = "OK" if (ok_cols and ok_rows and ok_vals and ok_pandas) else "FAIL"
         if status == "FAIL":
             fails.append((name, ok_cols, ok_rows, ok_vals))
         print(f"[{i+1}/{len(qs)}] {name}: rows={len(sset)}/{len(oset)} cols={ok_cols} vals={ok_vals} {status}")
