@@ -42,9 +42,10 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # Queries with a green driver CORRECTNESS row in a previous round.  The
 # driver verifies only a window from the FRONT of the queries() dict
 # (r1 artifact stopped at entry 50 of 90), so not-yet-verified queries
-# are emitted first and already-green ones rotate to the back.  Update
-# this set each round from CORRECTNESS_r{N}.json.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
+# are emitted first and already-green ones rotate to the back, ordered
+# oldest-verified-round first so stale rows get re-checked.  Update
+# these sets each round from CORRECTNESS_r{N}.json.
+_VERIFIED_R1 = (
     # CORRECTNESS_r01.json — 50 entries, 49 hash-green + approx_distinct (rows-only).
     "asof_join", "range_join", "pivot", "grouping_sets", "scalar_subquery",
     "decorrelated_subquery", "stats_agg", "percentiles", "hash_sample",
@@ -57,12 +58,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "distinct_agg", "approx_distinct", "topk", "window_rank",
     "window_running", "set_ops", "rollup_agg", "cube_agg", "semi_join",
     "anti_join", "outer_join", "scalar_funcs", "date_funcs",
-    # CORRECTNESS_r02.json — 50 entries: 43 hash-green + 4 rows-only
-    # (simhash, mm_decode, mm_frame_sample, mm_resize) counted as
-    # checked; the 3 hash-fails (sink_partitioned_prune,
-    # sink_json_roundtrip, sink_orc_roundtrip) are deliberately NOT
-    # here — re-fixed this round, they must stay in the window to get
-    # a green r3 row.
+)
+_VERIFIED_R2 = (
+    # CORRECTNESS_r02.json — 43 hash-green + 4 rows-only (simhash,
+    # mm_decode, mm_frame_sample, mm_resize) counted as checked.
     "fact_fact_join", "decontaminate", "stratified_sample", "grouped_ols",
     "sink_csv_roundtrip", "bucketed_join", "stream_foreach_batch",
     "dedup_incremental", "repetition_score", "stateful_user_stats",
@@ -76,7 +75,30 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
     "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
     "cohort_retention", "gap_fill",
-})
+)
+_VERIFIED_R4 = (
+    # CORRECTNESS_r04.json — every r3/r4-window row except the two reds
+    # (stream_dedup: TIMESTAMP_NTZ watermark, fixed this round;
+    # agg_collect: array column reshaped this round) — both stay OUT so
+    # they lead the r5 window. hll_mergeable / approx_percentile are
+    # rows-only by design, counted as checked.
+    "sink_partitioned_prune", "sink_json_roundtrip", "sink_orc_roundtrip",
+    "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
+    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
+    "bitmap_presence", "group_size_hist", "chunk_documents",
+    "pack_sequences", "redact_pii", "train_test_split",
+    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
+    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
+    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
+    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
+    "case_expr", "having_filter", "approx_percentile",
+)
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    _VERIFIED_R1 + _VERIFIED_R2 + _VERIFIED_R4
+)
 
 # Among the already-verified, re-check the reference-core operators
 # first if window space remains after the unverified block.
@@ -86,32 +108,17 @@ _CORE_FIRST = (
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order. Tier 1: component-level gaps (the
-# judge bar counts a component untested until ONE of its queries has a
-# driver row) — sinks/bucketed/foreachBatch and the round-2 first-class
-# ops. Tier 2 (after other unverified): scalar demos and rows-only
-# sketches, whose driver row adds least (hll_mergeable's values are
-# gated by the sketch-tolerance pytest, not the driver).
+# not depend on module import order. Tier 1: the two r4 reds, both
+# fixed this round — their green row is the proof the fix landed.
 _HIGH_PRIORITY = (
-    # round-2's only component-level red: the three re-fixed sink
-    # round-trips lead the window so CORRECTNESS_r03 records the fix
-    "sink_partitioned_prune", "sink_json_roundtrip", "sink_orc_roundtrip",
-    # the 15 TPC-H queries that overflowed past r2's 50-entry window
-    # (VERDICT r2 "What's missing" #1 — the composed-pipeline bar)
-    "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # first-class ops still without a driver row
-    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
-    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
+    # r4 red #1: TIMESTAMP_NTZ watermark regression (events.parquet now
+    # tz-naive micros) — fixed via inferTimestampNTZ=false + NTZ cast.
+    "stream_dedup",
+    # r4 red #2: array column crashed the driver canonicalizer —
+    # reshaped to md5 fingerprint + bigint checksum.
+    "agg_collect",
 )
-_LOW_PRIORITY = (
-    "map_funcs", "variant_json", "hll_mergeable",
-    # demo variants per VERDICT ("first-class operators precede demo
-    # variants"); approx_percentile's values are pytest-tolerance-gated
-    "agg_collect", "approx_percentile", "having_filter", "json_funcs",
-    "case_expr",
-)
+_LOW_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -123,7 +130,15 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     core = [n for n in _CORE_FIRST if n in names]
-    rest = [n for n in names if n in _DRIVER_VERIFIED and n not in _CORE_FIRST]
+    # Already-verified tail, OLDEST round first: r1 rows date from
+    # round-1 code and deserve re-verification before r2/r4 rows
+    # (VERDICT r3 "What's missing" #2).
+    seen = set(first + mid + low + core)
+    rest: list[str] = []
+    for tier in (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R4):
+        rest += [n for n in tier if n in names and n not in seen]
+        seen.update(tier)
+    rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
     return first + mid + low + core + rest
 
 

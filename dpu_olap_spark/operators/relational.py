@@ -477,8 +477,9 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           len(list(o_orderkey)) AS n_orders
+           md5(array_to_string(list_sort(list(o_orderkey)), ',')) AS keys_md5,
+           CAST(SUM(o_orderkey) AS BIGINT) AS keys_sum,
+           COUNT(*) AS n_orders
     FROM orders
     WHERE o_custkey % 10 = 0
     GROUP BY o_custkey
@@ -486,8 +487,39 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-customer order-key lists. collect_list is
-    arrival-order nondeterministic, so the result is array_sort-ed —
-    the only deterministic (and therefore oracle-comparable) form."""
+    arrival-order nondeterministic, so the list is array_sort-ed, then
+    shipped as an md5 fingerprint + order-insensitive bigint checksum —
+    the driver's pandas canonicalizer cannot sort raw array cells
+    (CORRECTNESS_r03/r04 crash), same recipe as embedding_quantize.
+    The raw-array variant stays pytest-checked (agg_collect_raw)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"),
+            )
+        ).alias("keys_md5"),
+        F.sum("o_orderkey").cast("bigint").alias("keys_sum"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# Raw-array twin of agg_collect, NOT registered with the driver (its
+# array column crashes the driver's pandas canonicalizer); the pytest
+# differential in tests/test_oracle_parity.py checks it via DuckDB's
+# fetchall() path, which handles list cells fine.
+AGG_COLLECT_RAW_ORACLE = """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           len(list(o_orderkey)) AS n_orders
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    GROUP BY o_custkey
+"""
+
+
+def q_agg_collect_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
     return o.groupBy("o_custkey").agg(
         F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),

@@ -31,6 +31,12 @@ _CONFS: dict[str, str] = {
     # events.ts is parquet TIMESTAMP(NANOS); read as long, converted in
     # sources/tables.py. Without this the parquet reader throws.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are tz-naive parquet TIMESTAMP(MICROS); by
+    # default Spark 4 infers TIMESTAMP_NTZ for those, which
+    # withWatermark rejects and which diverges from the DuckDB oracle
+    # comparison path. Read them as session-tz TIMESTAMP (UTC above)
+    # instead; sources/tables.py also casts defensively.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 # Static confs: only applicable at JVM launch (tune() on a running

@@ -52,7 +52,15 @@ def _restore_nano_ts(df: DataFrame, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "timestamp_ntz":
+            # Testdata regenerated with tz-naive TIMESTAMP(MICROS): if
+            # the session missed inferTimestampNTZ=false (session.py),
+            # cast to session-tz TIMESTAMP here — watermarks require it
+            # and the session tz is pinned UTC, so the cast is
+            # value-preserving.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint":
             # floor division, not `div` (which truncates toward zero):
             # a pre-epoch nanosecond value must floor to the earlier
             # microsecond, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
@@ -109,6 +117,7 @@ def run_to_memory_sink(
     output_mode: str,
     timeout_s: int = 180,
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ):
     """Run a finite (availableNow) stream into a memory sink and FAIL
     LOUDLY if it does not complete in time — a timed-out stream would
@@ -145,11 +154,14 @@ def run_to_memory_sink(
         # never plan against another stream's value or restore a stale
         # one. The long await runs outside the lock.
         with _STATE_CONF_LOCK:
-            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            to_set: dict[str, str] = dict(extra_confs or {})
             if state_partitions is not None:
-                spark.conf.set(
-                    "spark.sql.shuffle.partitions", str(state_partitions)
-                )
+                to_set["spark.sql.shuffle.partitions"] = str(state_partitions)
+            prev_vals = {
+                k: spark.conf.get(k, None) for k in to_set
+            }
+            for k, v in to_set.items():
+                spark.conf.set(k, v)
             try:
                 q = (
                     stream_df.writeStream.outputMode(output_mode)
@@ -160,8 +172,11 @@ def run_to_memory_sink(
                     .start()
                 )
             finally:
-                if state_partitions is not None:
-                    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+                for k, prev in prev_vals.items():
+                    if prev is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, prev)
         finished = q.awaitTermination(timeout_s)
         q.stop()
         if not finished:

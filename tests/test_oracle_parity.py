@@ -26,3 +26,22 @@ def test_runs_without_oracle(spark, sf_dir, name):
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
+
+
+def test_agg_collect_raw_arrays(spark, sf_dir):
+    """The raw-array list-agg variant (unregistered: the driver's
+    pandas canonicalizer can't sort array cells) checked through the
+    fetchall() path, which compares list cells exactly."""
+    from dpu_olap_spark.operators.relational import (
+        AGG_COLLECT_RAW_ORACLE,
+        q_agg_collect_raw,
+    )
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    sdf = q_agg_collect_raw(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = run_oracle(AGG_COLLECT_RAW_ORACLE, sf_dir)
+    sset, scs = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocs = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scs] == [c.lower() for c in ocs]
+    assert sset == oset

@@ -135,13 +135,28 @@ def test_repetition_score_no_shuffle(spark):
 
 
 def test_pq_search_is_shuffle_free(spark):
-    """ADC search is map-only arithmetic + TakeOrdered: any Exchange
-    other than the single-partition TakeOrdered gather would mean the
-    per-vector scan stopped being embarrassingly parallel."""
+    """ADC search is a stored-codes scan + integer LUT adds +
+    TakeOrdered: any Exchange other than the single-partition
+    TakeOrdered gather would mean the per-vector scan stopped being
+    embarrassingly parallel, and any nearest-codeword arithmetic
+    (array_min over codeword structs) in the SEARCH plan would mean
+    the index table stopped being read (encode must run at
+    index-build time only — the 8-bytes-per-vector contract)."""
     plan = _formatted_plan(spark, "pq_search")
     assert "TakeOrderedAndProject" in plan
     assert not re.findall(r"\(\d+\) Exchange", plan)
     assert "CartesianProduct" not in plan
+    assert "array_min" not in plan, "search plan re-encodes candidates"
+    assert "pq_index" in plan, "search must scan the stored codes table"
+
+
+def test_ivf_pq_search_scans_stored_codes(spark):
+    """IVF+PQ: cell filter pushed to the index scan, no re-encode."""
+    plan = _formatted_plan(spark, "ivf_pq_search")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "array_min" not in plan, "search plan re-encodes candidates"
+    assert "pq_index" in plan, "search must scan the stored codes table"
 
 
 def test_cross_source_overlap_two_shuffles_no_join(spark):

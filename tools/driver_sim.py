@@ -50,8 +50,8 @@ for i, name in enumerate(qs):
                 print(f"  pandas-view gate: {str(e)[:300]}")
         status = "OK" if (ok_cols and ok_rows and ok_vals and ok_pandas) else "FAIL"
         if status == "FAIL":
-            fails.append((name, ok_cols, ok_rows, ok_vals))
-        print(f"[{i+1}/{len(qs)}] {name}: rows={len(sset)}/{len(oset)} cols={ok_cols} vals={ok_vals} {status}")
+            fails.append((name, ok_cols, ok_rows, ok_vals, ok_pandas))
+        print(f"[{i+1}/{len(qs)}] {name}: rows={len(sset)}/{len(oset)} cols={ok_cols} vals={ok_vals} pandas={ok_pandas} {status}")
     except Exception as e:
         fails.append((name, "EXC", str(e)[:200]))
         print(f"[{i+1}/{len(qs)}] {name}: EXCEPTION {e}")
