@@ -86,8 +86,12 @@ HEADLINE = [
     "train_test_split",
     "group_size_hist",
     "pq_search",
+    "ivf_pq_search",
+    "reservoir_sample",
+    "session_funnel",
     "window_sliding",
     "stateful_user_stats",
+    "stateful_profile",
     "stream_dedup",
 ]
 

@@ -99,6 +99,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVOIR_K = 7
+
+
+@query(
+    "reservoir_sample",
+    oracle=f"""
+    SELECT event_type, event_id, user_id, value FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rk
+      FROM events
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-capacity per-group sample (reservoir semantics, K rows
+    per group regardless of group size) via deterministic hash rank:
+    rank rows inside each group by md5(key) — a uniform-looking but
+    reproducible order — and keep the first K. Equivalent in
+    distribution to reservoir sampling with the hash as the random
+    tape, but stable across engines, runs, retries, and cluster
+    sizes, which is what a training-data pipeline actually needs
+    (true reservoir state is order-dependent and unreproducible
+    under Spark's partition nondeterminism). Scale: one shuffle on
+    the group key; K bounds the output per group so the window sort
+    never materializes more than each partition's input (at 100 TB
+    with few huge groups, pre-aggregate a per-partition top-K first
+    — same two-phase shape Spark uses for TakeOrdered)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .drop("rk")
+    )
+
+
 @query(
     "stratified_sample",
     oracle="""

@@ -247,6 +247,90 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS depth
+      FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, c.depth + 1
+      FROM supplier s JOIN chain c
+        ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.node
+      WHERE s.s_suppkey > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_nodes
+    FROM chain GROUP BY depth
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): iterative self-referencing
+    traversal — here a binary-tree hierarchy implicit in the supplier
+    keys (parent = floor(key/2)), walked root-to-leaves computing each
+    node's depth, aggregated to per-level counts. The recursion is the
+    capability SQL engines use for org charts, BOM explosions, and
+    graph reachability; Spark executes it as iterated joins with a
+    recursion limit, each iteration a narrow broadcast-able join
+    against the frontier (the same iterate-until-fixpoint shape as
+    dedup_clusters' connected components, which remains the 100 TB
+    path for DATA-sized graphs — recursion depth here is log2(keys),
+    parameter-sized frontiers). floor(x/2.0) is spelled identically in
+    both engines because integer '/' truncates in Spark but yields
+    DECIMAL division in DuckDB."""
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey"
+    ).createOrReplaceTempView("rc_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS depth
+          FROM rc_supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1
+          FROM rc_supplier s JOIN chain c
+            ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.node
+          WHERE s.s_suppkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS sum_nodes
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+@query(
+    "listagg_stats",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey)
+             AS status_seq,
+           COUNT(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med_price
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    GROUP BY o_custkey
+    """,
+)
+def q_listagg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP, new in Spark
+    4) + median: each customer's order-status history concatenated in
+    order-date order — the per-entity event-sequence encoding used for
+    pattern mining (compare session_funnel, which matches the pattern
+    instead of exporting it). Deterministic because the WITHIN GROUP
+    order key (o_orderdate, o_orderkey) is a total order; bounded
+    because per-customer order counts are bounded. DuckDB twin is
+    string_agg(... ORDER BY ...)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 50 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "listagg(o_orderstatus, '') WITHIN GROUP "
+            "(ORDER BY o_orderdate, o_orderkey)"
+        ).alias("status_seq"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+    )
+
+
+@query(
     "percentiles",
     oracle="""
     SELECT l_returnflag,

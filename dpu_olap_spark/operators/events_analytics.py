@@ -66,6 +66,106 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity closes a session
+
+
+@query(
+    "session_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tus
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, tus, new_sess,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id,
+             MAX(CASE WHEN new_sess = 1 THEN event_type END) AS first_touch,
+             COUNT(*) AS n_events,
+             MIN(CASE WHEN event_type = 'view' THEN tus END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN tus END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN tus END) AS t_purchase
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT first_touch,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL
+                              AND t_click > t_view
+                              AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_sess GROUP BY first_touch
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-funnel attribution: events sessionize per user by
+    30-minute inactivity gaps (lag + running sum of session-open
+    flags), each session checks the ordered view -> click -> purchase
+    funnel, and conversions attribute to the session's FIRST TOUCH —
+    carried by the session-opening row itself (new_sess = 1), so no
+    extra ranking window is needed. Timestamps compare as integer
+    epoch-micros (unix_micros / epoch_us), exact on both engines.
+    Scale: both windows and the per-session aggregation share the
+    user_id hash partitioning (hash(user_id) clusters (user_id,
+    sess_id) too — Spark's subset rule keeps the agg exchange-free),
+    so the whole sessionize-and-attribute pipeline is ONE corpus
+    shuffle plus a tiny final rollup by first_touch; the plan gate
+    pins that 2-exchange shape."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(wu)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(lag.isNull() | ((F.col("tus") - lag) > _SESS_GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    t_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("tus"))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("new_sess") == 1, F.col("event_type"))).alias(
+            "first_touch"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        t_of("view").alias("t_view"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    converted = (
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return per_sess.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 @query(
     "cohort_retention",
     oracle="""
@@ -182,6 +282,89 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 "sum_value", F.last("sum_value", ignorenulls=True).over(locf)
             ).alias("filled_value"),
+        )
+    )
+
+
+_BLOOM_WORDS = 1024  # 65,536 bits
+_BLOOM_K = 4  # hash functions
+
+
+@query(
+    "bloom_filter_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-accelerated join, built from Spark built-ins (the
+    sandbox lacks the spark-avro-style packaged variant and
+    bloom_filter_agg is not public SQL): the selective build side
+    (urgent orders) aggregates into a 65,536-bit bloom bitmap — k=4
+    xxhash64 seeds, bits OR-merged into 1,024 longs via bit_or, a
+    MERGEABLE map-side aggregate — which ships to the probe side as a
+    literal array (parameter broadcast, IVF-centroid pattern). Probe
+    rows failing any of the 4 bit tests drop BEFORE the join's
+    shuffle/broadcast — at 100 TB that is the entire value: the bloom
+    cuts probe-side exchange volume by the build side's selectivity
+    with zero extra shuffles (this is also exactly what Spark's own
+    runtime bloom filter, spark.sql.optimizer.runtime.bloomFilter,
+    injects for shuffle joins — spelled out here as a first-class
+    operator). False positives survive the bloom but die in the real
+    join, so the result — and the oracle — is the exact plain join."""
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def word_bit(key_col: str, seed: int) -> tuple:
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BLOOM_WORDS * 64))
+        return (h / 64).cast("int").alias("w"), (h % 64).cast("int").alias("b")
+
+    # build the bitmap: k bits per key, OR-merged per 64-bit word
+    bits = None
+    for seed in range(_BLOOM_K):
+        w, b = word_bit("o_orderkey", seed)
+        part = build.select(w, b)
+        bits = part if bits is None else bits.unionAll(part)
+    words_rows = (
+        bits.groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("m"))
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in words_rows:
+        words[int(r.w)] = int(r.m)
+    words_sql = "array(" + ", ".join(f"{v}L" for v in words) + ")"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tests = []
+    for seed in range(_BLOOM_K):
+        h = f"pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_WORDS * 64})"
+        tests.append(
+            f"(shiftright(element_at({words_sql}, CAST({h} / 64 AS INT) + 1),"
+            f" CAST({h} % 64 AS INT)) & 1) = 1"
+        )
+    candidates = li.where(F.expr(" AND ".join(tests))).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    return (
+        candidates.join(
+            F.broadcast(build), candidates.l_orderkey == build.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 

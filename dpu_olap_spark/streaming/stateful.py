@@ -183,6 +183,245 @@ def finalize_user_stats(emitted: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor stateful API): typed
+# state handles (ValueState here; ListState/MapState/timers available),
+# RocksDB-backed state store. Second stateful operator so both keyed
+# APIs have a driver row.
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("cents", T.LongType(), False),
+        T.StructField("first_ts_us", T.LongType(), False),
+        T.StructField("last_ts_us", T.LongType(), False),
+        T.StructField("type_mask", T.LongType(), False),
+    ]
+)
+
+# bit per event type: mask is mergeable across batches with OR, and
+# bit_count(mask) == COUNT(DISTINCT event_type) for the oracle
+_TYPE_BITS = {"signup": 1, "error": 2, "click": 4, "view": 8, "purchase": 16}
+
+PROFILE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("cents", T.LongType(), False),
+        T.StructField("first_ts_us", T.LongType(), False),
+        T.StructField("last_ts_us", T.LongType(), False),
+        T.StructField("type_mask", T.LongType(), False),
+    ]
+)
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf; without google.protobuf the streaming runner dies at
+    init. Capability probe, same pattern as the multimodal codec
+    seam (llm/multimodal.py)."""
+    import importlib.util
+
+    try:
+        # find_spec raises (not returns None) when the parent package
+        # "google" itself is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _accumulate_profile(pdfs, n, cents, first_us, last_us, mask):
+    """Shared per-batch accumulation for both stateful APIs."""
+    import numpy as np
+
+    for pdf in pdfs:
+        n += len(pdf)
+        # half-up cents, exactly as stateful_user_stats/the oracle
+        cents += int(np.floor(pdf["value"].astype(float).mul(100).add(0.5)).sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        bmin, bmax = int(ts_us.min()), int(ts_us.max())
+        first_us = bmin if first_us is None else min(first_us, bmin)
+        last_us = bmax if last_us is None else max(last_us, bmax)
+        for t in pdf["event_type"].unique():
+            mask |= _TYPE_BITS.get(t, 0)
+    return n, cents, first_us, last_us, mask
+
+
+def _profile_track(key, pdfs, state):
+    """applyInPandasWithState fallback body: identical accumulation,
+    GroupState instead of ValueState, NoTimeout (profiles are
+    all-time, not sessionized — eviction semantics live in
+    stateful_user_stats)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, cents, first_us, last_us, mask = state.get
+    else:
+        n, cents, first_us, last_us, mask = 0, 0, None, None, 0
+    n, cents, first_us, last_us, mask = _accumulate_profile(
+        pdfs, n, cents, first_us, last_us, mask
+    )
+    state.update((n, cents, first_us, last_us, mask))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "cents": [cents],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+            "type_mask": [mask],
+        }
+    )
+
+
+def _make_profile_processor():
+    """Per-user activity profile as a single ValueState row, updated
+    per micro-batch. Emitted rows are cumulative snapshots (update
+    mode); n_events strictly increases per key, so the final profile
+    is the max-by-n_events snapshot — finalize_user_profile.
+
+    The class is defined INSIDE this factory on purpose: the
+    transformWithState streaming Python runner initializes before
+    sc.addPyFile modules are importable, so the processor must
+    cloudpickle BY VALUE (locally defined class), never by reference
+    to this module."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    type_bits = dict(_TYPE_BITS)
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "profile",
+                "n_events BIGINT, cents BIGINT, first_ts_us BIGINT, "
+                "last_ts_us BIGINT, type_mask BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            (user_id,) = key
+            if self._state.exists():
+                n, cents, first_us, last_us, mask = self._state.get()
+            else:
+                n, cents, first_us, last_us, mask = 0, 0, None, None, 0
+            for pdf in rows:
+                n += len(pdf)
+                # half-up cents, exactly as stateful_user_stats/oracle
+                cents += int(
+                    np.floor(pdf["value"].astype(float).mul(100).add(0.5)).sum()
+                )
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                bmin, bmax = int(ts_us.min()), int(ts_us.max())
+                first_us = bmin if first_us is None else min(first_us, bmin)
+                last_us = bmax if last_us is None else max(last_us, bmax)
+                for t in pdf["event_type"].unique():
+                    mask |= type_bits.get(t, 0)
+            self._state.update((n, cents, first_us, last_us, mask))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "cents": [cents],
+                    "first_ts_us": [first_us],
+                    "last_ts_us": [last_us],
+                    "type_mask": [mask],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return UserProfileProcessor()
+
+
+def user_profiles(stream: DataFrame) -> DataFrame:
+    """Keyed profile stream through whichever typed-state API the
+    environment supports: transformWithStateInPandas (Spark 4 typed
+    state, RocksDB-backed) when protobuf is present, else
+    applyInPandasWithState with identical accumulation — both emit
+    cumulative per-user snapshots in update mode."""
+    keyed = stream.select("user_id", "value", "ts", "event_type").groupBy(
+        "user_id"
+    )
+    if transform_with_state_available():
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_make_profile_processor(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return keyed.applyInPandasWithState(
+        _profile_track,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_user_profile(emitted: DataFrame) -> DataFrame:
+    """Update-mode snapshots -> final profile: n_events strictly
+    increases per key, so max(struct(n_events, ...)) is the last
+    snapshot; derived columns are computed on that row."""
+    last = emitted.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "cents", "first_ts_us", "last_ts_us", "type_mask")
+        ).alias("s")
+    )
+    return last.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        (F.col("s.cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        F.col("s.first_ts_us").alias("first_ts_us"),
+        F.col("s.last_ts_us").alias("last_ts_us"),
+        F.bit_count("s.type_mask").cast("bigint").alias("n_types"),
+    )
+
+
+@query(
+    "stateful_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                AS DOUBLE) AS sum_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile (count, exact cents sum, first/last
+    event time, distinct-type bitmask) through a typed-state keyed
+    operator run as a real availableNow stream into a memory sink.
+    Uses transformWithStateInPandas (Spark 4's typed-state API,
+    RocksDB-backed) when the env has protobuf — this sandbox does not,
+    so the applyInPandasWithState fallback with IDENTICAL accumulation
+    runs instead (capability probe:
+    transform_with_state_available()). State is one fixed row per
+    user (bounded by the active key set, sharded with the stream's
+    key partitioning); the distinct-type set rides as a bitmask so
+    merging is a constant-size OR, never a growing set."""
+    stream = load_events_stream(spark, sf_dir)
+    out = user_profiles(stream)
+    extra = None
+    if transform_with_state_available():
+        # transformWithState requires the RocksDB state store; set for
+        # this query only and restored after
+        extra = {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        }
+    sink = f"stateful_profile_{next(_sink_counter)}"
+    run_to_memory_sink(out, sink, "update", state_partitions=8, extra_confs=extra)
+    return finalize_user_profile(spark.table(sink))
+
+
 @query(
     "stateful_user_stats",
     oracle="""

@@ -159,6 +159,36 @@ def test_ivf_pq_search_scans_stored_codes(spark):
     assert "pq_index" in plan, "search must scan the stored codes table"
 
 
+def test_bloom_filter_join_prefilters_probe(spark):
+    """The bloom membership test (shiftright+bit-and over the literal
+    word array) must sit in a Filter on the probe scan BEFORE the
+    join, and the verify join must broadcast the small build side —
+    probe rows failing the bloom never reach the join exchange."""
+    plan = _formatted_plan(spark, "bloom_filter_join")
+    assert "shiftright" in plan, "bloom membership test missing from plan"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_funnel_one_corpus_shuffle(spark):
+    """Sessionize (2 windows) + per-session agg must all ride ONE
+    user_id exchange (hash(user_id) clusters (user_id, sess_id) — the
+    subset rule); the only other exchange is the tiny first_touch
+    rollup. A third exchange means the per-session groupBy stopped
+    reusing the window partitioning."""
+    plan = _formatted_plan(spark, "session_funnel")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan, f"unexpected join in plan: {j}"
+
+
+def test_reservoir_sample_single_shuffle(spark):
+    """Per-group hash-rank sample: one exchange on the group key,
+    nothing else."""
+    plan = _formatted_plan(spark, "reservoir_sample")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_cross_source_overlap_two_shuffles_no_join(spark):
     """Source-overlap expands pairs inside each fingerprint row; the
     self-join formulation (4 exchanges + join) must not come back."""
