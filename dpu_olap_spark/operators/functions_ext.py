@@ -637,3 +637,83 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("n_name"), F.col("probe")).cast("int").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (user-defined TABLE function, Spark 3.5+/4): the row ->
+# rows seam the reference's aggregator-fn-pointer family never had.
+# Run-length encoding is the demonstrator because it is genuinely
+# STATEFUL per input row (a linear scan carrying the current run) —
+# one Python line per word, vs the unnest + lag + running-sum + group
+# window gymnastics the SQL oracle below needs for the same answer.
+
+
+def _word_runs_udtf():
+    """Build the UDTF class lazily (decorator needs a live pyspark)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, run_len: int, start_pos: int")
+    class WordRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            cur, n, start = None, 0, 0
+            for i, w in enumerate(text.split(" ")):
+                if w == cur:
+                    n += 1
+                else:
+                    if cur is not None:
+                        yield (cur, n, start)
+                    cur, n, start = w, 1, i
+            if cur is not None:
+                yield (cur, n, start)
+
+    return WordRuns
+
+
+@query(
+    "udtf_word_runs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    flagged AS (
+      SELECT doc_id, word, pos,
+             CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS DISTINCT FROM word
+                  THEN 1 ELSE 0 END AS brk
+      FROM w
+    ),
+    grp AS (
+      SELECT doc_id, word, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    )
+    SELECT doc_id, word,
+           CAST(COUNT(*) AS INT) AS run_len,
+           CAST(MIN(pos) AS INT) AS start_pos
+    FROM grp GROUP BY doc_id, word, g
+    """,
+)
+def q_udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF + LATERAL: run-length encode each document's word
+    sequence (consecutive repeats collapsed to word/run_len/start_pos
+    rows). The UDTF is a per-row generator running in the Arrow-batched
+    Python worker — the right tool for stateful row expansion; the
+    oracle proves the exact same relation out of unnest + lag +
+    running-sum windows. Scale: map-side only (each doc expands
+    independently, no shuffle before the output), parallel in the
+    scan's partitioning — same shape as chunk_documents."""
+    spark.udtf.register("word_runs", _word_runs_udtf())
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    ).select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.run_len, s.start_pos
+        FROM udtf_docs d, LATERAL word_runs(d.text) s
+        """
+    )

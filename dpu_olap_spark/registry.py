@@ -77,7 +77,7 @@ def _ensure_loaded() -> None:
     # sink round-trips + foreachBatch before tpch_full: the sink layer
     # has no prior CORRECTNESS row at all (component-level gap), while
     # the TPC-H family already has 8 driver-green members
-    from dpu_olap_spark.sources import sink_queries  # noqa: F401
+    from dpu_olap_spark.sources import python_source, sink_queries  # noqa: F401
     from dpu_olap_spark.streaming import foreach  # noqa: F401
     from dpu_olap_spark.operators import tpch_full  # noqa: F401
 

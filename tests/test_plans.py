@@ -159,6 +159,15 @@ def test_ivf_pq_search_scans_stored_codes(spark):
     assert "pq_index" in plan, "search must scan the stored codes table"
 
 
+def test_pysource_partitioned_scan(spark):
+    """The custom Python data source must plan its declared 8
+    InputPartitions — partition count IS the connector's parallelism
+    contract (one-partition reads would serialize the whole source)."""
+    all_queries()["pysource_scan"].build(spark, SF)  # registers the source
+    src = spark.read.format("synth_metrics").load()
+    assert src.rdd.getNumPartitions() == 8
+
+
 def test_bloom_filter_join_prefilters_probe(spark):
     """The bloom membership test (shiftright+bit-and over the literal
     word array) must sit in a Filter on the probe scan BEFORE the
