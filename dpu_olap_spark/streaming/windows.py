@@ -47,6 +47,38 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the most common production streaming
+    shape: each micro-batch of the events stream enriches against the
+    STATIC customer dimension (broadcast per batch, no state, no
+    watermark needed on the static side — Spark re-plans the batch
+    side each trigger, which is also how slowly-changing dims pick up
+    updates), then aggregates per market segment in complete mode.
+    The static side must stay broadcast: a shuffled stream-static
+    join would re-shuffle every micro-batch. Oracle = the same join
+    as one batch query."""
+    stream = load_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    sink = f"stream_static_join_sink_{next(_sink_counter)}"
+    run_to_memory_sink(agg, sink, "complete", state_partitions=8)
+    return spark.table(sink)
+
+
+@query(
     "stream_tumbling",
     oracle="""
     SELECT

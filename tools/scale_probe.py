@@ -258,6 +258,125 @@ def probe_docs(spark, path: str) -> dict[str, float]:
     return t
 
 
+def gen_events(spark, n: int, path: str) -> None:
+    """Synthetic events: ~n/2000 users, 5 event types, timestamps
+    spread over ~8 weeks with per-user clustering so 30-min-gap
+    sessionization produces multi-event sessions."""
+    n_users = max(150, n // 2000)
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("signup", "error", "click", "view", "purchase")]),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        # base hour per user-burst + seconds offset: events cluster
+        # into bursts so sessions have >1 event
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(8 * 7 * 24)) * 3600
+            + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1800))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10000)) / 100.0).alias("value"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def probe_events(spark, path: str) -> dict[str, float]:
+    """Round-5 event-operator plan shapes (mirrors
+    operators/events_analytics.py, llm/curation.py)."""
+    from pyspark.sql import Window as W
+
+    t = {}
+    ev = spark.read.parquet(path)
+
+    def run(name, frame):
+        best = min(
+            _timed(lambda: frame.write.format("noop").mode("overwrite").save())
+            for _ in range(3)
+        )
+        t[name] = round(best, 3)
+
+    # session_funnel shape: 2 windows + 2 aggs, all on user_id
+    gap_us = 30 * 60 * 1_000_000
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(wu)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("new_sess") == 1, F.col("event_type"))).alias("ft"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(F.col("event_type") == "view", F.col("tus"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("tus"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("tus"))).alias("tp"),
+    )
+    conv = (
+        F.col("tv").isNotNull() & (F.col("tc") > F.col("tv")) & (F.col("tp") > F.col("tc"))
+    )
+    run(
+        "session_funnel",
+        per_sess.groupBy("ft").agg(
+            F.count(F.lit(1)), F.sum(F.when(conv, 1).otherwise(0))
+        ),
+    )
+
+    # reservoir_sample shape: per-type md5-rank top-K
+    wk = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    run(
+        "reservoir_sample",
+        ev.select("event_type", "event_id", F.row_number().over(wk).alias("rk"))
+        .where(F.col("rk") <= 7)
+        .agg(F.count(F.lit(1))),
+    )
+
+    # bloom_filter_join shape: bitmap build on a selective dim + probe
+    # prefilter + broadcast verify join (mirrors events_analytics.py)
+    n_users_est = ev.agg(F.max("user_id")).first()[0] + 1
+    dim = spark.range(n_users_est).select(F.col("id").alias("u"))
+    build = dim.where(F.pmod(F.xxhash64("id"), F.lit(5)) == 0)
+    bits = None
+    for seed in range(4):
+        h = F.pmod(F.xxhash64(F.col("u"), F.lit(seed)), F.lit(1024 * 64))
+        part = build.select(
+            (h / 64).cast("int").alias("w"), (h % 64).cast("int").alias("b")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    words_rows = (
+        bits.groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("m"))
+        .collect()
+    )
+    words = [0] * 1024
+    for r in words_rows:
+        words[int(r.w)] = int(r.m)
+    words_sql = "array(" + ", ".join(f"{v}L" for v in words) + ")"
+    tests = []
+    for seed in range(4):
+        h = f"pmod(xxhash64(user_id, {seed}), {1024 * 64})"
+        tests.append(
+            f"(shiftright(element_at({words_sql}, CAST({h} / 64 AS INT) + 1),"
+            f" CAST({h} % 64 AS INT)) & 1) = 1"
+        )
+    cand = ev.where(F.expr(" AND ".join(tests))).select("user_id", "value")
+    run(
+        "bloom_filter_join",
+        cand.join(F.broadcast(build), cand.user_id == build.u)
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("value")),
+    )
+    return t
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -284,8 +403,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[int, dict[str, float]] = {}
     doc_results: dict[int, dict[str, float]] = {}
+    event_results: dict[int, dict[str, float]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
+    event_sizes = sorted({1_000_000, n})
     with tempfile.TemporaryDirectory() as d:
         for rows in sizes:
             path = os.path.join(d, f"fact_{rows}")
@@ -295,6 +416,10 @@ def main() -> None:
             path = os.path.join(d, f"docs_{docs_n}")
             gen_docs(spark, docs_n, path)
             doc_results[docs_n] = probe_docs(spark, path)  # best-of-3 self-warms
+        for ev_n in event_sizes:
+            path = os.path.join(d, f"events_{ev_n}")
+            gen_events(spark, ev_n, path)
+            event_results[ev_n] = probe_events(spark, path)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -310,6 +435,12 @@ def main() -> None:
         "## Document-pipeline operators (64-lane MinHash, broadcast decontam)",
         doc_results,
         unit_rows=False,
+    )
+    lines += [""]
+    lines += _table(
+        "## Event-pipeline operators (sessionize/sample/bloom, round 5)",
+        event_results,
+        unit_rows=True,
     )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
