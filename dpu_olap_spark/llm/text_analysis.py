@@ -214,6 +214,43 @@ def q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_topk_tokens",
+    oracle="""
+    SELECT token AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY est_count DESC, item ASC
+    LIMIT 20
+    """,
+)
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters in ONE PASS with bounded memory: approx_top_k
+    (Spark 4's space-saving sketch) over the exploded token stream.
+    At 100 TB this replaces the exact two-phase top-k (token_hist)
+    whenever the distinct-key space outgrows memory — the sketch
+    tracks a fixed number of counters per partition and merges. Here
+    maxItemsTracked (10,000) far exceeds the corpus vocabulary, in
+    which regime the space-saving algorithm degenerates to EXACT
+    counting — which is why this query can carry an exact oracle
+    (the general sketch case is tolerance-gated like
+    approx_percentile). Tie-break on item keeps the top-20 cut
+    deterministic in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sk = toks.agg(
+        F.expr("approx_top_k(token, 20, 10000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return (
+        sk.select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("item").asc())
+        .limit(20)
+    )
+
+
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 

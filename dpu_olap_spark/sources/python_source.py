@@ -68,9 +68,6 @@ def _make_source():
     return SynthMetricsSource
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 @query(
     "pysource_scan",
     oracle=f"""
@@ -92,10 +89,9 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the connector delivers every partition exactly once —
     the reference's generator-vs-engine differential
     (host/generator/generator.cc:22-71) in Spark terms."""
-    key = id(spark.sparkSession if hasattr(spark, "sparkSession") else spark)
-    if key not in _REGISTERED_SESSIONS:
-        spark.dataSource.register(_make_source())
-        _REGISTERED_SESSIONS.add(key)
+    # register unconditionally: registration replaces idempotently, and
+    # caching on session identity risks id()-reuse collisions
+    spark.dataSource.register(_make_source())
     df = spark.read.format("synth_metrics").load()
     return df.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -335,3 +335,70 @@ def test_foreach_batch_sink_roundtrip_and_replay(spark):
         )
         replayed = spark.read.parquet(out)
         assert replayed.count() == n_src, "replayed batch must overwrite, not append"
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """Kill-and-resume contract: a second run from the SAME checkpoint
+    must process ONLY files added since the first run — no reprocessing
+    (counts would inflate), no loss (counts would fall short). This is
+    the recovery property a production ingest relies on; availableNow +
+    file source + complete mode makes it decidable: after run 2 the
+    sink equals the batch aggregate over BOTH files."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    src_small = os.path.join(SF, "events.parquet")
+    src_big = "/root/testdata/sf0.01/events.parquet"
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(indir)
+        shutil.copy(src_small, os.path.join(indir, "a.parquet"))
+
+        schema = spark.read.parquet(src_small).schema
+
+        def run_once(qname):
+            from dpu_olap_spark.sources.tables import _restore_nano_ts
+
+            stream = _restore_nano_ts(
+                spark.readStream.format("parquet").schema(schema).load(indir),
+                "events",
+            )
+            agg = stream.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sv"),
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish"
+            q.stop()
+
+        run_once("t_resume_1")  # processes a.parquet, commits offsets
+        shutil.copy(src_big, os.path.join(indir, "b.parquet"))
+        run_once("t_resume_2")  # must pick up ONLY b.parquet
+
+        got = {
+            r.event_type: (r.n, r.sv) for r in spark.table("t_resume_2").collect()
+        }
+        both = spark.read.schema(schema).parquet(indir)
+        want = {
+            r.event_type: (r.n, r.sv)
+            for r in both.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sv"),
+            )
+            .collect()
+        }
+        assert got == want
