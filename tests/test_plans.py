@@ -159,6 +159,15 @@ def test_ivf_pq_search_scans_stored_codes(spark):
     assert "pq_index" in plan, "search must scan the stored codes table"
 
 
+def test_udtf_word_runs_map_side(spark):
+    """The UDTF expansion must be a map-side Generate over the scan —
+    an Exchange before the expansion would shuffle full documents to
+    expand them, which scales with corpus bytes."""
+    plan = _formatted_plan(spark, "udtf_word_runs")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pysource_partitioned_scan(spark):
     """The custom Python data source must plan its declared 8
     InputPartitions — partition count IS the connector's parallelism
