@@ -89,6 +89,10 @@ HEADLINE = [
     "ivf_pq_search",
     "reservoir_sample",
     "session_funnel",
+    "bloom_filter_join",
+    "udtf_word_runs",
+    "pysource_scan",
+    "approx_topk_tokens",
     "window_sliding",
     "stateful_user_stats",
     "stateful_profile",

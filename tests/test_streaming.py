@@ -402,3 +402,13 @@ def test_checkpoint_resume_exactly_once(spark):
             .collect()
         }
         assert got == want
+
+
+def test_events_ts_reads_as_session_tz_timestamp(spark):
+    """Regression guard for the r4 breakage class: the testdata's
+    tz-naive parquet timestamps must load as session-tz TIMESTAMP
+    (never TIMESTAMP_NTZ, which withWatermark rejects and which
+    diverges from the DuckDB comparison path) — in BOTH the batch
+    loader and the streaming source."""
+    assert dict(load_table(spark, SF, "events").dtypes)["ts"] == "timestamp"
+    assert dict(_stream_events(spark, SF).dtypes)["ts"] == "timestamp"
