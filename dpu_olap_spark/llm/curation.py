@@ -99,6 +99,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "observed_clean",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 120 AND lang IN ('en', 'de', 'fr')
+    """,
+)
+def q_observed_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter with the Observation API attached: corpus-level
+    counters (rows scanned, rows kept, total chars) ride the SAME
+    single pass as the filter — a CollectMetrics node in the plan, no
+    second scan. At 100 TB this is how a curation pipeline accounts
+    its yield (kept/dropped/byte totals) without doubling I/O; the
+    driver fetches the metrics after the action with no extra job.
+    The observed values are exactness-asserted against DuckDB in
+    tests/test_llm_ops.py; the row result carries the oracle here."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation()
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars_scanned"),
+    )
+    return observed.where(
+        (F.col("n_chars") >= 120) & (F.col("lang").isin("en", "de", "fr"))
+    ).select("doc_id", "lang", "n_chars")
+
+
 _RESERVOIR_K = 7
 
 

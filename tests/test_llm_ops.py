@@ -387,3 +387,35 @@ def test_vocab_coverage_monotone_and_bounded(spark):
     assert shares[-1] <= 1.0
     ns = [r.n for r in rows]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_observed_clean_metrics_exact(spark, sf_dir):
+    """The Observation metrics attached to the observed_clean pipeline
+    must be EXACT corpus totals (they aggregate every row flowing
+    through the observe point, before the filter) — checked against
+    DuckDB. One pass: the metrics ride the filter's own action."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dpu_olap_spark.sources.tables import load_table
+    from tests.oracle import run_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation()
+    kept = (
+        docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_scanned"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("chars_scanned"),
+        )
+        .where((F.col("n_chars") >= 120) & (F.col("lang").isin("en", "de", "fr")))
+        .count()
+    )
+    rows, _ = run_oracle(
+        "SELECT COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM documents", sf_dir
+    )
+    (n_exact, chars_exact) = rows[0]
+    m = obs.get
+    assert m["rows_scanned"] == n_exact
+    assert m["chars_scanned"] == chars_exact
+    assert kept > 0
