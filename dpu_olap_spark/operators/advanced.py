@@ -298,6 +298,33 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tvf_range_join",
+    oracle="""
+    SELECT t.id, n.n_name, CAST(t.id * 2 AS BIGINT) AS double_id
+    FROM range(0, 25) t(id)
+    JOIN nation n ON t.id = n.n_nationkey
+    """,
+)
+def q_tvf_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued function as a FROM-clause relation: range() is the
+    SQL-standard generator relation (the in-plan row source both
+    engines share), joined against a real dimension. Generated
+    relations are how spines, calendars, and synthetic keys enter a
+    plan WITHOUT reading storage — at scale range() parallelizes into
+    splits like any scan (see gap_fill for the DataFrame-side
+    sequence+explode twin, pysource_scan for the custom-source
+    generalization)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("tvf_nation")
+    return spark.sql(
+        """
+        SELECT t.id, n.n_name, CAST(t.id * 2 AS BIGINT) AS double_id
+        FROM range(0, 25) t
+        JOIN tvf_nation n ON t.id = n.n_nationkey
+        """
+    )
+
+
+@query(
     "listagg_stats",
     oracle="""
     SELECT o_custkey,
