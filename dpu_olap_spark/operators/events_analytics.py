@@ -324,16 +324,20 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
 
-    def word_bit(key_col: str, seed: int) -> tuple:
-        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BLOOM_WORDS * 64))
-        return (h / 64).cast("int").alias("w"), (h % 64).cast("int").alias("b")
+    # build the bitmap in ONE pass over the build side: all k bit
+    # positions per key computed in an exploded array (a unionAll per
+    # seed would scan the dimension k times)
+    def word_bit(seed: int):
+        h = F.pmod(
+            F.xxhash64(F.col("o_orderkey"), F.lit(seed)), F.lit(_BLOOM_WORDS * 64)
+        )
+        return F.struct(
+            (h / 64).cast("int").alias("w"), (h % 64).cast("int").alias("b")
+        )
 
-    # build the bitmap: k bits per key, OR-merged per 64-bit word
-    bits = None
-    for seed in range(_BLOOM_K):
-        w, b = word_bit("o_orderkey", seed)
-        part = build.select(w, b)
-        bits = part if bits is None else bits.unionAll(part)
+    bits = build.select(
+        F.explode(F.array(*[word_bit(s) for s in range(_BLOOM_K)])).alias("e")
+    ).select("e.w", "e.b")
     words_rows = (
         bits.groupBy("w")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("m"))
