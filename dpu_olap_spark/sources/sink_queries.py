@@ -284,3 +284,49 @@ def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE-style maintenance pass
+    every large lake needs: a fragmented table (64 small files, the
+    shape streaming ingest leaves behind) is rewritten into few
+    right-sized files, and the aggregate over the COMPACTED copy must
+    equal the oracle over the original — lossless rewrite proof,
+    including an order-insensitive id checksum. Compaction target:
+    ceil(bytes / 128 MiB) files via coalesce (no shuffle — coalesce
+    only merges read splits; repartition would pay a full exchange
+    just to rearrange bytes). At 100 TB this runs per partition-dir
+    incrementally, never over the whole table at once."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = _tmp_path("frag")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    fragmented = spark.read.parquet(frag)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    target_files = max(1, math.ceil(n_bytes / (128 << 20)))
+    compacted = _tmp_path("compact")
+    fragmented.coalesce(target_files).write.mode("overwrite").parquet(compacted)
+
+    out = spark.read.parquet(compacted)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )

@@ -109,3 +109,24 @@ def test_run_pipeline_cli_writes_partitioned_corpus(spark):
         assert sum(s["docs"] for s in stats.values()) == expected_docs
         # layout exists: subset=/lang= directories
         assert any(p.startswith("subset=") for p in os.listdir(out))
+
+
+def test_compaction_file_count_contract(spark, sf_dir):
+    """sink_compaction must actually compact: 64 fragment files in,
+    ceil(bytes/128MiB) files out (1 at test scale) — and the query's
+    oracle equality proves the rewrite is lossless."""
+    import glob
+    import os
+    import tempfile
+
+    from dpu_olap_spark.registry import all_queries
+
+    all_queries()["sink_compaction"].build(spark, sf_dir).collect()
+    frag = sorted(glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_frag_*")))[-1]
+    comp = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_compact_*"))
+    )[-1]
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    assert n_frag == 64
+    assert n_comp == 1
