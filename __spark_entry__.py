@@ -46,18 +46,12 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
 _VERIFIED_R1 = (
-    # CORRECTNESS_r01.json — 50 entries, 49 hash-green + approx_distinct (rows-only).
-    "asof_join", "range_join", "pivot", "grouping_sets", "scalar_subquery",
-    "decorrelated_subquery", "stats_agg", "percentiles", "hash_sample",
-    "string_funcs2", "null_funcs", "tpch_q3", "tpch_q6", "tpch_q10",
-    "tpch_q14", "tpch_q18", "tpch_q4", "tpch_q15", "window_nav",
-    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
-    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
-    "merge_upsert", "interval_arith", "explode_outer_demo", "filter",
-    "sum", "take", "partition", "join", "join_agg", "group_agg",
-    "distinct_agg", "approx_distinct", "topk", "window_rank",
-    "window_running", "set_ops", "rollup_agg", "cube_agg", "semi_join",
-    "anti_join", "outer_join", "scalar_funcs", "date_funcs",
+    # CORRECTNESS_r01.json rows NOT re-checked since round 1 (the other
+    # ~35 r1 rows were re-verified in r5 and moved to _VERIFIED_R5).
+    "interval_arith", "explode_outer_demo", "distinct_agg",
+    "approx_distinct", "topk", "window_rank", "window_running",
+    "set_ops", "rollup_agg", "cube_agg", "semi_join", "anti_join",
+    "outer_join", "scalar_funcs", "date_funcs",
 )
 _VERIFIED_R2 = (
     # CORRECTNESS_r02.json — 43 hash-green + 4 rows-only (simhash,
@@ -96,28 +90,31 @@ _VERIFIED_R4 = (
     "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
     "case_expr", "having_filter", "approx_percentile",
 )
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R1 + _VERIFIED_R2 + _VERIFIED_R4
+_VERIFIED_R5 = (
+    # CORRECTNESS_r05.json — 50 rows, all green (15 new-surface r5 ops,
+    # the 10 reference-core rows, and ~25 r1-vintage re-checks).
+    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
+    "listagg_stats", "session_funnel", "bloom_filter_join",
+    "udtf_word_runs", "observed_clean", "reservoir_sample",
+    "approx_topk_tokens", "stateful_profile", "stream_static_join",
+    "pysource_scan", "sink_compaction", "filter", "sum", "take",
+    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
+    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
+    "scalar_subquery", "decorrelated_subquery", "stats_agg",
+    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
+    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
+    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
+    "merge_upsert",
 )
-
-# Among the already-verified, re-check the reference-core operators
-# first if window space remains after the unverified block.
-_CORE_FIRST = (
-    "filter", "sum", "take", "partition", "join", "join_agg",
-    "tpch_q3", "tpch_q6", "tpch_q15", "group_agg",
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    _VERIFIED_R1 + _VERIFIED_R2 + _VERIFIED_R4 + _VERIFIED_R5
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order. Tier 1: the two r4 reds, both
-# fixed this round — their green row is the proof the fix landed.
-_HIGH_PRIORITY = (
-    # r4 red #1: TIMESTAMP_NTZ watermark regression (events.parquet now
-    # tz-naive micros) — fixed via inferTimestampNTZ=false + NTZ cast.
-    "stream_dedup",
-    # r4 red #2: array column crashed the driver canonicalizer —
-    # reshaped to md5 fingerprint + bigint checksum.
-    "agg_collect",
-)
+# not depend on module import order.  Round 6: any new-surface r6 ops
+# lead (kept to ~5 so the r2-vintage cohort fits the 50-row window).
+_HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
 
@@ -129,17 +126,17 @@ def _ordered_names() -> list[str]:
     first.sort(key=pri.get)
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
-    core = [n for n in _CORE_FIRST if n in names]
-    # Already-verified tail, OLDEST round first: r1 rows date from
-    # round-1 code and deserve re-verification before r2/r4 rows
-    # (VERDICT r3 "What's missing" #2).
-    seen = set(first + mid + low + core)
+    # Already-verified tail.  Round 6 priority (VERDICT r5 "Next round"
+    # #1): the 47 _VERIFIED_R2 rows (dedup/text/multimodal/streaming —
+    # last driver-checked on round-2 code, files since edited) lead,
+    # then the 15 never-re-checked r1 leftovers, then r4, then r5.
+    seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R4):
+    for tier in (_VERIFIED_R2, _VERIFIED_R1, _VERIFIED_R4, _VERIFIED_R5):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
-    return first + mid + low + core + rest
+    return first + mid + low + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
