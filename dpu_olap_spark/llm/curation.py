@@ -155,11 +155,18 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tape, but stable across engines, runs, retries, and cluster
     sizes, which is what a training-data pipeline actually needs
     (true reservoir state is order-dependent and unreproducible
-    under Spark's partition nondeterminism). Scale: one shuffle on
-    the group key; K bounds the output per group so the window sort
-    never materializes more than each partition's input (at 100 TB
-    with few huge groups, pre-aggregate a per-partition top-K first
-    — same two-phase shape Spark uses for TakeOrdered)."""
+    under Spark's partition nondeterminism). Scale: this executes as
+    PARTIAL/FINAL top-K (the TakeOrdered shape) — Catalyst's
+    InferWindowGroupLimit rewrites the rank()<=K filter into a
+    map-side WindowGroupLimit(Partial) BEFORE the group-key exchange,
+    so each input task locally keeps <=K rows per event_type and the
+    shuffle carries only <=K*groups*tasks survivors; the <=5
+    event_type reducers then sort survivor rows, never the corpus.
+    tests/test_plans.py pins the Partial->Exchange->Final shape (it
+    holds only for rank-like functions with K under
+    spark.sql.window.group.limit.threshold=1000 — keep both true),
+    and tools/scale_probe.py's Zipfian section verifies shuffle rows
+    stay flat as the hot group grows."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.md5(F.col("event_id").cast("string")), "event_id"

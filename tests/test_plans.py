@@ -200,10 +200,31 @@ def test_session_funnel_one_corpus_shuffle(spark):
         assert j not in plan, f"unexpected join in plan: {j}"
 
 
-def test_reservoir_sample_single_shuffle(spark):
-    """Per-group hash-rank sample: one exchange on the group key,
-    nothing else."""
+def test_reservoir_sample_two_phase_topk(spark):
+    """Per-group hash-rank sample must run as partial/final top-K
+    (VERDICT r5 #1): a map-side WindowGroupLimit(Partial) BEFORE the
+    exchange keeps <=K rows per group per input partition, so the one
+    group-key exchange carries <=K*groups*partitions survivor rows —
+    never the full table onto the <=5 event_type reducers. Catalyst's
+    InferWindowGroupLimit produces this for rank()<=K filters; this
+    gate pins it so a refactor (e.g. ranking via a non-rank function,
+    or K above spark.sql.window.group.limit.threshold) that silently
+    drops the partial step fails here."""
     plan = _formatted_plan(spark, "reservoir_sample")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    m = re.search(
+        r"WindowGroupLimit.*?Partial.*?\(\d+\) Exchange.*?WindowGroupLimit.*?Final",
+        plan,
+        re.S,
+    )
+    assert m, "partial/final WindowGroupLimit shape missing:\n" + plan
+
+
+def test_stratified_sample_no_partial_regression(spark):
+    """stratified_sample needs the full window (rk AND count(*) over
+    the stratum), so no WindowGroupLimit is expected — but it must
+    still be a single stratum-key exchange."""
+    plan = _formatted_plan(spark, "stratified_sample")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
