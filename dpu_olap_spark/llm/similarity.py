@@ -684,7 +684,14 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
             + ", ".join(_pq_code_sql(books, seg) for seg in range(_PQ_SEGMENTS))
             + ")"
         )
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        # tag by a hash of the FULL normalized sf_dir, not its basename:
+        # two sf_dirs sharing a basename in one process must not write
+        # to (and silently clobber) the same index path (r5 ADVICE)
+        import hashlib
+
+        tag = hashlib.md5(
+            os.path.abspath(os.path.normpath(sf_dir)).encode()
+        ).hexdigest()[:12]
         path = os.path.join(
             tempfile.gettempdir(), f"pq_index_{os.getpid()}_{tag}"
         )

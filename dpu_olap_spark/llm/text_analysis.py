@@ -234,12 +234,18 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     which regime the space-saving algorithm degenerates to EXACT
     counting — which is why this query can carry an exact oracle
     (the general sketch case is tolerance-gated like
-    approx_percentile). Tie-break on item keeps the top-20 cut
-    deterministic in both engines."""
+    approx_percentile); tests/test_sketch_tolerance.py asserts
+    vocabulary << maxItemsTracked so the assumption is checked, not
+    assumed. The sketch is asked for a 100-item MARGIN, not the final
+    20: if counts tie at the rank-20 boundary, which tied item a
+    k=20 sketch returns is implementation-defined, while the oracle's
+    ORDER BY picks the lexicographically smallest — re-ranking the
+    100-item margin by (est_count DESC, item ASC) makes both engines
+    cut the same deterministic top-20 (r5 ADVICE)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     sk = toks.agg(
-        F.expr("approx_top_k(token, 20, 10000)").alias("tk")
+        F.expr("approx_top_k(token, 100, 10000)").alias("tk")
     ).select(F.explode("tk").alias("e"))
     return (
         sk.select(

@@ -342,7 +342,16 @@ def user_profiles(stream: DataFrame) -> DataFrame:
     environment supports: transformWithStateInPandas (Spark 4 typed
     state, RocksDB-backed) when protobuf is present, else
     applyInPandasWithState with identical accumulation — both emit
-    cumulative per-user snapshots in update mode."""
+    cumulative per-user snapshots in update mode.
+
+    CAVEAT (r5 ADVICE): this sandbox has no google.protobuf, so the
+    transformWithStateInPandas branch — the ValueState tuple
+    round-trip, timeMode='None' casing, and the RocksDB provider swap
+    in q_stateful_profile — has never executed here; treat it as
+    EXPERIMENTAL until tests/test_streaming.py::
+    test_transform_with_state_real_path (skipif-gated on the probe)
+    has run green in a protobuf-bearing deployment. The fallback
+    branch is the driver-verified one."""
     keyed = stream.select("user_id", "value", "ts", "event_type").groupBy(
         "user_id"
     )

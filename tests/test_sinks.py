@@ -122,10 +122,17 @@ def test_compaction_file_count_contract(spark, sf_dir):
     from dpu_olap_spark.registry import all_queries
 
     all_queries()["sink_compaction"].build(spark, sf_dir).collect()
-    frag = sorted(glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_frag_*")))[-1]
-    comp = sorted(
-        glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_compact_*"))
-    )[-1]
+    # pick THIS run's dirs by mtime, not lexicographic order: the
+    # {pid}_{counter} suffix sorts 10 before 9 and stale dirs from
+    # other pids in the shared tempdir could win (r5 ADVICE)
+    frag = max(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_frag_*")),
+        key=os.path.getmtime,
+    )
+    comp = max(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sinkq_compact_*")),
+        key=os.path.getmtime,
+    )
     n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
     assert n_frag == 64

@@ -100,3 +100,31 @@ def test_hll_mergeable_within_bound_and_consistent(spark):
     assert abs(rows["ALL"].approx_customers - direct) / direct < 0.02, (
         f"union-merge {rows['ALL'].approx_customers} vs direct {direct}"
     )
+
+
+def test_approx_topk_exact_regime_holds(spark):
+    """approx_topk_tokens carries an EXACT oracle only because the
+    corpus vocabulary is far below maxItemsTracked (10,000), where the
+    space-saving sketch degenerates to exact counting. Assert that
+    assumption (r5 ADVICE) with headroom, and that the 100-item margin
+    covers every candidate for the top-20 cut."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.llm.text_analysis import tokens
+    from dpu_olap_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = toks.agg(F.approx_count_distinct("token")).first()[0]
+    assert vocab < 10_000 / 2, (
+        f"vocabulary {vocab} too close to maxItemsTracked=10000 — the "
+        "exact-regime assumption behind the exact oracle no longer holds"
+    )
+    # margin check: rank-20 boundary count must have < 100 items at or
+    # above it, else the sketch's 100-item fetch could miss a candidate
+    counts = (
+        toks.groupBy("token").count().orderBy(F.desc("count")).limit(100).collect()
+    )
+    boundary = counts[19]["count"]
+    n_at_or_above = sum(1 for r in counts if r["count"] >= boundary)
+    assert n_at_or_above < 100, "tie plateau wider than the sketch margin"

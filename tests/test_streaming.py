@@ -412,3 +412,33 @@ def test_events_ts_reads_as_session_tz_timestamp(spark):
     loader and the streaming source."""
     assert dict(load_table(spark, SF, "events").dtypes)["ts"] == "timestamp"
     assert dict(_stream_events(spark, SF).dtypes)["ts"] == "timestamp"
+
+
+def test_transform_with_state_real_path(spark):
+    """Runs ONLY where google.protobuf exists (absent in this sandbox,
+    so the transformWithStateInPandas branch of user_profiles ships
+    otherwise-unexercised — r5 ADVICE). In a protobuf-bearing
+    deployment this exercises the ValueState tuple round-trip,
+    timeMode='None', and the RocksDB provider swap end-to-end and
+    checks the result against the batch GROUP BY."""
+    import pytest
+
+    from dpu_olap_spark.registry import all_queries
+    from dpu_olap_spark.streaming.stateful import transform_with_state_available
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf absent — transformWithState cannot init")
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: r
+        for r in all_queries()["stateful_profile"].build(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    for r in exact.collect():
+        assert got[r.user_id].n_events == r.n_events
+        assert got[r.user_id].n_types == r.n_types
