@@ -97,6 +97,11 @@ HEADLINE = [
     "stateful_user_stats",
     "stateful_profile",
     "stream_dedup",
+    # round 6
+    "cache_scan",
+    "variant_paths",
+    "udtf_analyze",
+    "statestore_read",
 ]
 
 
@@ -200,6 +205,11 @@ def main() -> None:
                 "run_totals": [
                     round(sum(p.values()), 3) for p in per_run
                 ],
+                # r5 lesson: probes/sims running concurrently inflated
+                # run_totals[0] by 1.6x. This flag is the operator's
+                # attestation that nothing else ran during the bench;
+                # tools/ scripts must never be launched mid-bench.
+                "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
             }
         )
     )

@@ -1,0 +1,186 @@
+"""Spark-4 surface coverage: columnar cache, polymorphic UDTF
+(analyze()), VARIANT array-path extraction.
+
+These extend the reference's scalar/UDF seam inventory (SURVEY.md
+§2.7-2.8; reference host/function/function_test.cc exercises its
+fn-pointer seams the same way: one query per API shape) with the
+engine-level facilities a resident Spark deployment actually uses:
+an in-memory columnar cache shared by plan branches, table functions
+whose OUTPUT SCHEMA is computed from their arguments at plan time,
+and binary-encoded semi-structured traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+_CACHE_VIEW = "cache_scan_src"
+
+
+@query(
+    "cache_scan",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_quantity < 30
+    GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'ALL', 'ALL', COUNT(*),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem WHERE l_quantity < 30
+    """,
+)
+def q_cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar cache reuse: a filtered projection of lineitem is
+    cached ONCE (InMemoryRelation — Spark's compressed columnar
+    batches) and consumed by TWO plan branches (per-flag rollup and
+    global total), each reading InMemoryTableScan instead of
+    re-scanning parquet. This is the iterative-workload play (a
+    warmed dashboard, a feature table probed by many queries): pay
+    the scan+filter once, serve every consumer from executor-local
+    columnar batches with column pruning intact. The previous cache
+    entry for the view name is dropped first, so repeated builds
+    (bench passes) hold exactly one copy; tests/test_plans.py pins
+    >=2 InMemoryTableScans and at most one parquet scan in the plan."""
+    try:
+        spark.catalog.uncacheTable(_CACHE_VIEW)
+    except Exception:
+        pass  # not cached yet in this session
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.where(F.col("l_quantity") < 30).select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    src.createOrReplaceTempView(_CACHE_VIEW)
+    spark.catalog.cacheTable(_CACHE_VIEW)
+    cached = spark.table(_CACHE_VIEW)
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ]
+    per_flag = cached.groupBy("l_returnflag", "l_linestatus").agg(*agg)
+    total = cached.agg(
+        F.lit("ALL").alias("l_returnflag"), F.lit("ALL").alias("l_linestatus"), *agg
+    ).select("l_returnflag", "l_linestatus", "n_rows", "sum_qty")
+    return per_flag.unionByName(total)
+
+
+_UDTF_K = 3  # constant-foldable arg analyze() reads to shape the output
+
+
+def _first_words_udtf():
+    """Build the polymorphic UDTF lazily (needs a live pyspark).
+
+    analyze() runs at PLAN time on the constant arguments and returns
+    the output schema — here w0..w{k-1} string fields — so one
+    function serves any k with full Catalyst schema knowledge
+    (projection pruning over its outputs works like any column).
+    eval() then pads short token lists with NULL."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            toks = [] if text is None else text.split(" ")
+            yield tuple(
+                (toks[i] if toks[i] != "" else None) if i < len(toks) else None
+                for i in range(int(k))
+            )
+
+    return udtf(FirstWords)
+
+
+@query(
+    "udtf_analyze",
+    oracle=f"""
+    SELECT doc_id,
+           NULLIF(split_part(text, ' ', 1), '') AS w0,
+           NULLIF(split_part(text, ' ', 2), '') AS w1,
+           NULLIF(split_part(text, ' ', 3), '') AS w2
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with analyze(): the output schema (w0..w{k-1}) is
+    COMPUTED FROM the constant argument k at plan time — the
+    polymorphic-table-function shape (completes the UDTF story past
+    udtf_word_runs' static schema). The demonstrator extracts each
+    document's first k whitespace tokens as k typed columns; the
+    oracle proves the relation with split_part. Scale note: like all
+    per-row Python, this is the demonstration of the API seam, not a
+    hot-path pattern — the input is pre-filtered to 4% of docs and
+    the built-in twin (split + element_at) is what a pipeline would
+    ship."""
+    spark.udtf.register("first_words", _first_words_udtf())
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).select("doc_id", "text").createOrReplaceTempView("udtf_analyze_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.*
+        FROM udtf_analyze_docs d, LATERAL first_words(d.text, {_UDTF_K}) s
+        """
+    )
+
+
+@query(
+    "variant_paths",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.a.b[1]') AS BIGINT) AS b1,
+           CAST(json_extract_string(j, '$.a.b[2]') AS BIGINT) AS b2,
+           json_extract_string(j, '$.tag[0]') AS tag0,
+           CAST(json_extract_string(j, '$.a.b[9]') AS BIGINT) AS b_miss
+    FROM (
+      SELECT event_id,
+             concat('{"a":{"b":[', CAST(event_id AS VARCHAR), ',',
+                    CAST(event_id * 2 AS VARCHAR), ',',
+                    CAST(event_id * 3 AS VARCHAR), ']},"tag":["x","y"]}') AS j
+      FROM events WHERE event_id % 11 = 0
+    )
+    """,
+)
+def q_variant_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT array-path traversal (deeper than variant_json's
+    scalar probes): nested-array JSON is parsed ONCE into the binary
+    variant encoding, then array-subscript paths ($.a.b[1],
+    $.tag[0]) and an out-of-bounds index ($.a.b[9] -> NULL, try
+    semantics) are extracted as typed columns. The JSON is
+    constructed deterministically from event_id IDENTICALLY in both
+    engines (the redact_pii injection pattern) because the testdata
+    props column holds no arrays. At 100 TB the variant encoding is
+    the semi-structured scan strategy: parse once at ingest, every
+    downstream path probe is a binary traversal, never a re-parse."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    j = F.concat(
+        F.lit('{"a":{"b":['),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") * 2).cast("string"),
+        F.lit(","),
+        (F.col("event_id") * 3).cast("string"),
+        F.lit(']},"tag":["x","y"]}'),
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.a.b[1]", "bigint").alias("b1"),
+        F.try_variant_get(v, "$.a.b[2]", "bigint").alias("b2"),
+        F.try_variant_get(v, "$.tag[0]", "string").alias("tag0"),
+        F.try_variant_get(v, "$.a.b[9]", "bigint").alias("b_miss"),
+    )

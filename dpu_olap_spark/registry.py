@@ -80,5 +80,8 @@ def _ensure_loaded() -> None:
     from dpu_olap_spark.sources import python_source, sink_queries  # noqa: F401
     from dpu_olap_spark.streaming import foreach  # noqa: F401
     from dpu_olap_spark.operators import tpch_full  # noqa: F401
+    # round-6 Spark-4 surface (cache/UDTF-analyze/variant-paths) —
+    # loaded last so these unverified queries lead the driver window
+    from dpu_olap_spark.operators import spark4_surface  # noqa: F401
 
     _LOADED = True

@@ -454,3 +454,71 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run_to_memory_sink docstring; 4x fewer state-store commits/batch)
     run_to_memory_sink(out, sink, "update", state_partitions=8)
     return finalize_user_stats(spark.table(sink))
+
+
+# statestore_read keeps one live checkpoint per process; the previous
+# one is torn down on rebuild so repeated builds (bench passes) leave
+# exactly one on disk.
+_SS_CKPT: dict[str, str] = {}
+
+
+@query(
+    "statestore_read",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store reader source (Spark 4): run a streaming per-user
+    count to a checkpoint, then read the operator's STATE directly as
+    a batch DataFrame with format('statestore') — key struct, value
+    struct (the aggregation buffer), partition_id. After an
+    availableNow run consumes the finite source, the state IS the
+    full aggregation, so the reshaped (user_id, n_events) rows carry
+    an exact batch oracle. This is the production debugging/repair
+    surface for stateful pipelines at 100 TB: inspect skewed keys,
+    audit state size per partition, or bulk-fix corrupt state without
+    replaying the stream (pair with the state-metadata source, which
+    tests/test_streaming.py asserts lists this operator). The
+    checkpoint persists for the read (unlike run_to_memory_sink's
+    auto-removed tempdir); one per process, replaced on rebuild."""
+    import shutil
+    import tempfile
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = tempfile.mkdtemp(prefix="ss_read_ckpt_")
+    sink = f"statestore_read_{next(_sink_counter)}"
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise RuntimeError("statestore_read stream did not finish in 180s")
+    old = _SS_CKPT.pop("ckpt", None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    _SS_CKPT["ckpt"] = ckpt
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )

@@ -287,3 +287,33 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_dedup_unbounded",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates WITHOUT a watermark — the other half
+    of the dedup API surface (stream_dedup covers the
+    watermark-bounded WithinWatermark variant): every (user_id,
+    event_type) pair is kept exactly once with the key set held in
+    state FOREVER. That unbounded retention is precisely what makes
+    this the right tool only for finite backfills or small key
+    domains (here: users x 5 event types) and the WRONG tool for an
+    infinite 100 TB/day stream — the docs of both queries point at
+    each other so the trade-off is explicit. First-occurrence
+    semantics make the deduped set order-independent, so the batch
+    COUNT(DISTINCT) oracle is exact."""
+    stream = load_events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    sink = f"stream_dedup_unb_{next(_sink_counter)}"
+    run_to_memory_sink(deduped, sink, "append", state_partitions=8)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

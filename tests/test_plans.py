@@ -276,3 +276,25 @@ def test_group_size_hist_two_stacked_aggregations(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert j not in plan
+
+
+def test_cache_scan_reads_columnar_cache(spark):
+    """Both union branches must consume the InMemoryRelation (two
+    'Scan In-memory table' nodes), never re-plan the parquet scan as
+    a separate subtree per consumer — the entire point of the
+    columnar cache is paying scan+filter once."""
+    plan = _formatted_plan(spark, "cache_scan")
+    # tree-form nodes only (details repeat the name with the id prefixed)
+    assert len(re.findall(r"Scan In-memory table \S+ \(\d+\)", plan)) == 2, plan[:800]
+    assert "InMemoryRelation" in plan
+    # pushdown still reaches the (single) scan that fills the cache
+    assert "LessThan(l_quantity,30.0)" in plan
+
+
+def test_variant_paths_single_scan_no_shuffle(spark):
+    """Variant extraction is a pure projection: one events scan, zero
+    exchanges — a shuffle here would mean the JSON construction or
+    the variant probes stopped being map-side."""
+    plan = _formatted_plan(spark, "variant_paths")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1

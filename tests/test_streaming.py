@@ -442,3 +442,45 @@ def test_transform_with_state_real_path(spark):
     for r in exact.collect():
         assert got[r.user_id].n_events == r.n_events
         assert got[r.user_id].n_types == r.n_types
+
+
+def test_udtf_analyze_polymorphic_schema(spark):
+    """analyze() must shape the output schema from the constant k:
+    k=2 -> (w0, w1); k=5 -> (w0..w4). This is the polymorphism the
+    query exists to demonstrate."""
+    from dpu_olap_spark.operators.spark4_surface import _first_words_udtf
+
+    spark.udtf.register("first_words_t", _first_words_udtf())
+    two = spark.sql("SELECT s.* FROM VALUES ('a b c') t(x), LATERAL first_words_t(x, 2) s")
+    five = spark.sql("SELECT s.* FROM VALUES ('a b c') t(x), LATERAL first_words_t(x, 5) s")
+    assert two.columns == ["w0", "w1"]
+    assert five.columns == ["w0", "w1", "w2", "w3", "w4"]
+    r = five.first()
+    assert (r.w0, r.w1, r.w2, r.w3, r.w4) == ("a", "b", "c", None, None)
+
+
+def test_statestore_metadata_lists_aggregation(spark):
+    """After statestore_read runs, the state-metadata source over the
+    SAME checkpoint must list the aggregation operator
+    (stateStoreSave) with the 8 state partitions the query pinned —
+    the discovery half of the state-reader surface."""
+    from dpu_olap_spark.registry import all_queries
+    from dpu_olap_spark.streaming.stateful import _SS_CKPT
+
+    all_queries()["statestore_read"].build(spark, "/root/testdata/sf0.001").collect()
+    md = spark.read.format("state-metadata").load(_SS_CKPT["ckpt"]).collect()
+    ops = {r.operatorName for r in md}
+    assert "stateStoreSave" in ops, ops
+    assert all(r.numPartitions == 8 for r in md)
+
+
+def test_stream_dedup_unbounded_sink_has_no_duplicates(spark):
+    """The sink rows ARE the deduped set: no (user_id, event_type)
+    pair may appear twice even though the source stream delivers
+    every pair many times."""
+    from dpu_olap_spark.registry import all_queries
+
+    all_queries()["stream_dedup_unbounded"].build(spark, "/root/testdata/sf0.001").collect()
+    sinks = [t.name for t in spark.catalog.listTables() if t.name.startswith("stream_dedup_unb_")]
+    tbl = spark.table(sorted(sinks)[-1])
+    assert tbl.count() == tbl.dropDuplicates(["user_id", "event_type"]).count()

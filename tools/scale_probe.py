@@ -377,6 +377,147 @@ def probe_events(spark, path: str) -> dict[str, float]:
     return t
 
 
+def gen_events_zipf(spark, n: int, path: str) -> None:
+    """Skewed events (VERDICT r5 'What's missing' #4): ONE hot user
+    carries 50% of all rows and one event_type ('click') carries 60%
+    — the Zipf-head regime where uniform probes hide skew problems.
+    Schema matches gen_events."""
+    n_users = max(150, n // 2000)
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_users)))
+        .alias("user_id"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) < 6, F.lit("click")
+        )
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(t) for t in ("signup", "error", "view", "purchase")]),
+                (F.pmod(F.xxhash64("id", F.lit(8)), F.lit(4)) + 1).cast("int"),
+            )
+        )
+        .alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(8 * 7 * 24)) * 3600
+            + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1800))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10000)) / 100.0).alias("value"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def _exchange_records(frame) -> list[int]:
+    """Execute the frame and return shuffleRecordsWritten per Exchange
+    in the final AQE plan (outermost first) — the empirical shuffle
+    volume, for asserting partial-aggregation/WindowGroupLimit shapes
+    actually bound what crosses the wire."""
+    frame.collect()
+    recs: list[int] = []
+
+    def walk(node):
+        nm = node.nodeName()
+        if "Exchange" in nm:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    recs.append(int(kv._2().value()))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if nm == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif "QueryStage" in nm:
+            walk(node.plan())
+
+    walk(frame._jdf.queryExecution().executedPlan())
+    return recs
+
+
+def probe_events_skew(spark, path: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Skew-regime probes: the same plan shapes as probe_events but on
+    the Zipfian table, plus salted vs plain hot-key join and the
+    reservoir exchange's measured record count (must stay ~K * groups
+    * partitions regardless of input rows — the WindowGroupLimit
+    partial step's empirical signature)."""
+    from pyspark.sql import Window as W
+
+    from dpu_olap_spark.plans.skew import salted_join
+
+    t: dict[str, float] = {}
+    extra: dict[str, int] = {}
+    ev = spark.read.parquet(path)
+
+    def run(name, frame):
+        best = min(
+            _timed(lambda: frame.write.format("noop").mode("overwrite").save())
+            for _ in range(3)
+        )
+        t[name] = round(best, 3)
+
+    # session_funnel shape under user skew: the hot user's rows all
+    # land in one window partition — the honest cost of per-entity
+    # sessionization when one entity dominates (mitigation at 100 TB:
+    # cap per-entity history upstream; salting can't split a window
+    # whose semantics need the full entity ordered)
+    gap_us = 30 * 60 * 1_000_000
+    e = ev.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus"))
+    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(wu)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    run(
+        "session_funnel",
+        sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1))).agg(F.count(F.lit(1))),
+    )
+
+    # reservoir shape under GROUP skew (60% of rows in one group):
+    # time it AND measure what actually crossed the group-key exchange
+    wk = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    res_frame = (
+        ev.select("event_type", "event_id", F.row_number().over(wk).alias("rk"))
+        .where(F.col("rk") <= 7)
+        .agg(F.count(F.lit(1)))
+    )
+    run("reservoir_sample", res_frame)
+    recs = _exchange_records(res_frame)
+    # innermost exchange = the group-key shuffle (walk appends the
+    # final-agg exchange first); report the max survivor count
+    extra["reservoir_exchange_records"] = max(recs[1:], default=recs[0] if recs else 0)
+
+    # hot-key join: 50% of probe rows on one key — plain shuffle join
+    # vs plans/skew.salted_join
+    n_users_est = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    dim = spark.range(n_users_est).select(
+        F.col("id").alias("bk"), (F.col("id") % 25).alias("payload")
+    )
+    probe_side = ev.select(F.col("user_id").alias("k"), "value")
+    run(
+        "plain_hot_join",
+        probe_side.join(dim.hint("shuffle_hash"), probe_side.k == dim.bk)
+        .groupBy("payload")
+        .agg(F.count(F.lit(1)), F.sum("value")),
+    )
+    # force shuffle join in BOTH variants (the small probe dim would
+    # otherwise broadcast and hide the skew this section exists to
+    # show — at 100 TB the dim side is assumed beyond broadcast size)
+    run(
+        "salted_join",
+        salted_join(probe_side, dim.hint("shuffle_hash"), "k", "bk")
+        .groupBy("payload")
+        .agg(F.count(F.lit(1)), F.sum("value")),
+    )
+    return t, extra
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -404,6 +545,8 @@ def main() -> None:
     results: dict[int, dict[str, float]] = {}
     doc_results: dict[int, dict[str, float]] = {}
     event_results: dict[int, dict[str, float]] = {}
+    skew_results: dict[int, dict[str, float]] = {}
+    skew_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -420,6 +563,10 @@ def main() -> None:
             path = os.path.join(d, f"events_{ev_n}")
             gen_events(spark, ev_n, path)
             event_results[ev_n] = probe_events(spark, path)
+        for ev_n in event_sizes:
+            path = os.path.join(d, f"events_zipf_{ev_n}")
+            gen_events_zipf(spark, ev_n, path)
+            skew_results[ev_n], skew_extra[ev_n] = probe_events_skew(spark, path)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -442,6 +589,25 @@ def main() -> None:
         event_results,
         unit_rows=True,
     )
+    lines += [""]
+    lines += _table(
+        "## Zipfian skew regime (hot user = 50% of rows, hot group = 60%)",
+        skew_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "Reservoir group-key exchange, measured shuffleRecordsWritten "
+        "(WindowGroupLimit partial keeps survivors ~ K x groups x map "
+        "partitions, independent of input rows and group skew): "
+        + ", ".join(
+            f"{rows:,} rows -> {skew_extra[rows]['reservoir_exchange_records']}"
+            for rows in skew_extra
+        ),
+        "",
+        "plain_hot_join vs salted_join above share identical inputs and a "
+        "forced shuffle-hash build; the gap is pure hot-key serialization.",
+    ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
     )
