@@ -327,41 +327,44 @@ def _bloom_words(n_build_distinct: int) -> int:
 def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter-accelerated join, built from Spark built-ins (the
     sandbox lacks the spark-avro-style packaged variant and
-    bloom_filter_agg is not public SQL): the selective build side
-    (urgent orders) aggregates into a bloom bitmap SIZED FROM ITS OWN
-    CARDINALITY (one approx_count_distinct pass -> m = n*k/ln2 bits,
-    see _bloom_words) — k=4 xxhash64 seeds, bits OR-merged into longs
-    via bit_or, a
-    MERGEABLE map-side aggregate — which ships to the probe side as a
-    literal array (parameter broadcast, IVF-centroid pattern). Probe
-    rows failing any of the 4 bit tests drop BEFORE the join's
-    shuffle/broadcast — at 100 TB that is the entire value: the bloom
-    cuts probe-side exchange volume by the build side's selectivity
-    with zero extra shuffles (this is also exactly what Spark's own
-    runtime bloom filter, spark.sql.optimizer.runtime.bloomFilter,
-    injects for shuffle joins — spelled out here as a first-class
-    operator). False positives survive the bloom but die in the real
-    join, so the result — and the oracle — is the exact plain join."""
+    bloom_filter_agg is not public SQL): ONE pass over the selective
+    build side (urgent orders) aggregates a bloom bitmap at the cap
+    size — k=4 xxhash64 seeds, bits OR-merged into longs via bit_or,
+    a MERGEABLE map-side aggregate. The bitmap is then sized to the
+    build's cardinality WITHOUT a second job: distinct count is
+    estimated from the bitmap's own popcount
+    (n ~= -(m/k)·ln(1 - X/m), the standard bloom cardinality
+    estimator) and the cap bitmap FOLDS down to the target
+    power-of-two size by OR-ing word i into i mod n_words — exact,
+    because for pow2 moduli h mod 2^a mod 2^b == h mod 2^b, so the
+    folded bitmap is bit-identical to one built at n_words directly
+    (tests/test_skew.py proves the fold property). The sized bitmap
+    ships to the probe side as a ~32 KB BROADCAST 1-row relation (a
+    SQL-literal array costs ~0.5 s of driver parse/codegen at 4096
+    words, and a forall lambda would break whole-stage codegen on
+    the probe filter — both measured); probe rows failing any of the
+    4 inlined bit tests drop in a Filter BEFORE the join's
+    shuffle/broadcast — at 100 TB that is the entire value: the
+    bloom cuts probe-side exchange volume by the build side's
+    selectivity with zero extra shuffles (this is also exactly what
+    Spark's own runtime bloom filter,
+    spark.sql.optimizer.runtime.bloomFilter, injects for shuffle
+    joins — spelled out here as a first-class operator). False
+    positives survive the bloom but die in the real join, so the
+    result — and the oracle — is the exact plain join."""
     orders = load_table(spark, sf_dir, "orders")
     build = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", "o_orderpriority"
     )
 
-    # size the bitmap from the build side's distinct-key count (a
-    # 1-row bounded aggregate over the SMALL side — the same class of
-    # parameter fetch as an IVF centroid pull, not a data-path collect)
-    n_build = build.agg(
-        F.approx_count_distinct("o_orderkey").alias("n")
-    ).first()["n"]
-    n_words = _bloom_words(int(n_build))
+    # ONE pass over the build side, at cap size: all k bit positions
+    # per key computed in an exploded array (a unionAll per seed would
+    # scan the dimension k times; a separate count job would double
+    # the build-side jobs)
+    cap_bits = _BLOOM_MAX_WORDS * 64
 
-    # build the bitmap in ONE pass over the build side: all k bit
-    # positions per key computed in an exploded array (a unionAll per
-    # seed would scan the dimension k times)
     def word_bit(seed: int):
-        h = F.pmod(
-            F.xxhash64(F.col("o_orderkey"), F.lit(seed)), F.lit(n_words * 64)
-        )
+        h = F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(seed)), F.lit(cap_bits))
         return F.struct(
             (h / 64).cast("int").alias("w"), (h % 64).cast("int").alias("b")
         )
@@ -374,21 +377,34 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("m"))
         .collect()
     )
-    words = [0] * n_words
+    cap_words = [0] * _BLOOM_MAX_WORDS
     for r in words_rows:
-        words[int(r.w)] = int(r.m)
-    words_sql = "array(" + ", ".join(f"{v}L" for v in words) + ")"
+        cap_words[int(r.w)] = int(r.m)
 
+    # cardinality from popcount, then fold cap bitmap -> sized bitmap
+    import math
+
+    x_set = sum(w.bit_count() for w in cap_words)
+    fill = min(x_set / cap_bits, 0.999)
+    n_est = -(cap_bits / _BLOOM_K) * math.log(1.0 - fill)
+    n_words = _bloom_words(int(n_est))
+    words = [0] * n_words
+    for i, w in enumerate(cap_words):
+        words[i % n_words] |= w
+
+    wdf = spark.createDataFrame([(words,)], "bloom_words: array<bigint>")
     li = load_table(spark, sf_dir, "lineitem")
     tests = []
     for seed in range(_BLOOM_K):
         h = f"pmod(xxhash64(l_orderkey, {seed}), {n_words * 64})"
         tests.append(
-            f"(shiftright(element_at({words_sql}, CAST({h} / 64 AS INT) + 1),"
+            f"(shiftright(element_at(bloom_words, CAST({h} / 64 AS INT) + 1),"
             f" CAST({h} % 64 AS INT)) & 1) = 1"
         )
-    candidates = li.where(F.expr(" AND ".join(tests))).select(
-        "l_orderkey", "l_extendedprice"
+    candidates = (
+        li.join(F.broadcast(wdf))
+        .where(F.expr(" AND ".join(tests)))
+        .select("l_orderkey", "l_extendedprice")
     )
     return (
         candidates.join(

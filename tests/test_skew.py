@@ -157,3 +157,30 @@ def test_bloom_filter_selectivity(spark):
     assert n_match <= n_pass <= n_match + fpr_budget, (
         f"bloom pass-through {n_pass} vs matches {n_match} + budget {fpr_budget:.0f}"
     )
+
+
+def test_bloom_fold_property():
+    """Folding the cap-size bitmap down to a smaller power-of-two size
+    (word i OR-ed into i mod n_words) must be bit-identical to a
+    bitmap built directly at the smaller modulus — the algebra
+    (h mod 2^a mod 2^b == h mod 2^b) q_bloom_filter_join relies on to
+    size the filter without a second build-side job."""
+    import random
+
+    from dpu_olap_spark.operators.events_analytics import _BLOOM_MAX_WORDS
+
+    rng = random.Random(7)
+    cap_bits = _BLOOM_MAX_WORDS * 64
+    for n_words in (256, 512, 2048):
+        cap = [0] * _BLOOM_MAX_WORDS
+        direct = [0] * n_words
+        for _ in range(5_000):
+            h = rng.getrandbits(63)
+            p = h % cap_bits
+            cap[p // 64] |= 1 << (p % 64)
+            q = h % (n_words * 64)
+            direct[q // 64] |= 1 << (q % 64)
+        folded = [0] * n_words
+        for i, w in enumerate(cap):
+            folded[i % n_words] |= w
+        assert folded == direct, f"fold mismatch at n_words={n_words}"
