@@ -114,8 +114,11 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Round 6: any new-surface r6 ops
 # lead (kept to ~5 so the r2-vintage cohort fits the 50-row window).
+# _LOW_PRIORITY names sort BEHIND every verified row: built late in
+# r6 after the window budget was spent — promote to _HIGH_PRIORITY
+# next round for their first CORRECTNESS row.
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ()
+_LOW_PRIORITY: tuple[str, ...] = ("pystream_scan",)
 
 
 def _ordered_names() -> list[str]:
@@ -136,7 +139,9 @@ def _ordered_names() -> list[str]:
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
-    return first + mid + low + rest
+    # lows go BEHIND the verified tail: deliberately deferred past this
+    # round's window (see _LOW_PRIORITY comment)
+    return first + mid + rest + low
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

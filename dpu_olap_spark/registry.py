@@ -83,5 +83,9 @@ def _ensure_loaded() -> None:
     # round-6 Spark-4 surface (cache/UDTF-analyze/variant-paths) —
     # loaded last so these unverified queries lead the driver window
     from dpu_olap_spark.operators import spark4_surface  # noqa: F401
+    # streaming python source: registered but deferred to the BACK of
+    # the r6 window (__spark_entry__._LOW_PRIORITY) so the r2-vintage
+    # re-verification cohort keeps its 45 slots; promote in r7
+    from dpu_olap_spark.sources import python_stream_source  # noqa: F401
 
     _LOADED = True

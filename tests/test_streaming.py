@@ -484,3 +484,26 @@ def test_stream_dedup_unbounded_sink_has_no_duplicates(spark):
     sinks = [t.name for t in spark.catalog.listTables() if t.name.startswith("stream_dedup_unb_")]
     tbl = spark.table(sorted(sinks)[-1])
     assert tbl.count() == tbl.dropDuplicates(["user_id", "event_type"]).count()
+
+
+def test_pystream_exactly_once_and_resume(spark, tmp_path):
+    """The Python streaming source must deliver every offset slice
+    exactly once (distinct ids == N == total rows), and a SECOND run
+    on the SAME checkpoint must emit zero new rows — the committed
+    offset, not the source, owns progress across restarts."""
+    from dpu_olap_spark.sources.python_stream_source import (
+        _N_ROWS,
+        run_stream_to_sink,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    run_stream_to_sink(spark, "pystream_eo_1", ckpt, path=out)
+    t1 = spark.read.parquet(out)
+    assert t1.count() == _N_ROWS
+    assert t1.select("id").distinct().count() == _N_ROWS
+
+    run_stream_to_sink(spark, "pystream_eo_2", ckpt, path=out)
+    assert spark.read.parquet(out).count() == _N_ROWS, (
+        "resume from a drained checkpoint replayed rows"
+    )
