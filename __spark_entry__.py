@@ -118,7 +118,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # r6 after the window budget was spent — promote to _HIGH_PRIORITY
 # next round for their first CORRECTNESS row.
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ("pystream_scan",)
+_LOW_PRIORITY: tuple[str, ...] = ("pystream_scan", "variant_explode_arr")
 
 
 def _ordered_names() -> list[str]:

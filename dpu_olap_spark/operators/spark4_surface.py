@@ -184,3 +184,45 @@ def q_variant_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.tag[0]", "string").alias("tag0"),
         F.try_variant_get(v, "$.a.b[9]", "bigint").alias("b_miss"),
     )
+
+
+@query(
+    "variant_explode_arr",
+    oracle="""
+    SELECT event_id, CAST(p AS INT) AS pos,
+           CAST(event_id * (p + 1) AS BIGINT) AS elem
+    FROM events, range(3) t(p)
+    WHERE event_id % 13 = 0
+    """,
+)
+def q_variant_explode_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variant_explode as a LATERAL generator: the nested array inside
+    a VARIANT value ($.a.b) becomes rows (pos, value) without ever
+    re-parsing JSON text — completing the variant story
+    (variant_json: scalar probes; variant_paths: array subscripts;
+    here: full array expansion). The JSON is constructed
+    deterministically from event_id (elem i = event_id*(i+1)) so the
+    oracle regenerates the relation from range(3) — exact. Scale:
+    map-side Generate over the scan, zero exchanges; at 100 TB this
+    is the explode path for semi-structured event payloads (tags,
+    item lists) where the per-probe binary traversal replaces a
+    per-row JSON parse."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    j = F.concat(
+        F.lit('{"a":{"b":['),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") * 2).cast("string"),
+        F.lit(","),
+        (F.col("event_id") * 3).cast("string"),
+        F.lit(']}}'),
+    )
+    ev.select(
+        "event_id", F.try_variant_get(F.parse_json(j), "$.a.b", "variant").alias("arr")
+    ).createOrReplaceTempView("variant_explode_src")
+    return spark.sql(
+        """
+        SELECT s.event_id, v.pos, CAST(v.value AS BIGINT) AS elem
+        FROM variant_explode_src s, LATERAL variant_explode(s.arr) v
+        """
+    )

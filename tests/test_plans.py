@@ -298,3 +298,13 @@ def test_variant_paths_single_scan_no_shuffle(spark):
     plan = _formatted_plan(spark, "variant_paths")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+
+
+def test_variant_explode_map_side(spark):
+    """variant_explode must be a map-side Generate over the scan —
+    zero exchanges, one events scan; a shuffle would mean the
+    expansion stopped being embarrassingly parallel."""
+    plan = _formatted_plan(spark, "variant_explode_arr")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+    assert "Generate" in plan
