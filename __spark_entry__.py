@@ -118,7 +118,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # r6 after the window budget was spent — promote to _HIGH_PRIORITY
 # next round for their first CORRECTNESS row.
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ("pystream_scan", "variant_explode_arr")
+_LOW_PRIORITY: tuple[str, ...] = (
+    "pystream_scan",
+    "variant_explode_arr",
+    "cogroup_asof",
+    "map_in_arrow",
+    "statestore_session_read",
+    "stream_left_outer_join",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -717,3 +717,141 @@ def q_udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL word_runs(d.text) s
         """
     )
+
+
+@query(
+    "cogroup_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT e.user_id,
+             (SELECT max(CAST(o.o_orderdate AS DATE))
+                FROM orders o
+               WHERE o.o_custkey = e.user_id
+                 AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)) AS epoch_date
+      FROM events e
+      WHERE e.user_id % 5 = 0
+    )
+    SELECT user_id, epoch_date, COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, epoch_date
+    """,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped as-of merge via groupBy().cogroup().applyInPandas —
+    the canonical use of Spark's cogroup seam (two relations shuffled
+    to the SAME key partitioning, each key's slices handed to one
+    Arrow-batched pandas call). Per user: every event is attributed to
+    the most recent order date at-or-before it (pd.merge_asof,
+    direction='backward'), then counted per (user, epoch). Events with
+    no prior order keep a NULL epoch.
+
+    This exists to cover the cogroup API surface; the relational
+    `asof_join` operator (operators/advanced.py) is the hot-path
+    formulation of the same semantics (union + window, no Python).
+    Like udtf_word_runs, the input is pre-filtered (user_id % 5) —
+    Spark's grouped-map path costs ~17 ms per GROUP (measured,
+    grouped_ols docstring), so per-key Python must never see an
+    unbounded key set. Dates travel as exact int epoch-days in both
+    directions so the Arrow round-trip carries no timezone or dtype
+    ambiguity; ties on order date are exact duplicates (deduped) so
+    merge_asof's last-match == the oracle's max()."""
+    epoch0 = F.to_date(F.lit("1970-01-01"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("user_id", F.datediff(F.to_date("ts"), epoch0).alias("eday"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 5 == 0)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.datediff(F.to_date("o_orderdate"), epoch0).alias("oday"),
+        )
+        .dropDuplicates(["user_id", "oday"])
+    )
+
+    def merge(evp: pd.DataFrame, op: pd.DataFrame) -> pd.DataFrame:
+        if evp.empty:  # orders-only key: no events to attribute
+            return pd.DataFrame({"user_id": [], "epoch_day": [], "n_events": []}).astype(
+                {"user_id": "int64", "epoch_day": "Int64", "n_events": "int64"}
+            )
+        m = pd.merge_asof(
+            evp.sort_values("eday"),
+            op[["oday"]].sort_values("oday"),
+            left_on="eday",
+            right_on="oday",
+            direction="backward",
+        )
+        g = (
+            m.groupby(["user_id", "oday"], dropna=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        g["oday"] = g["oday"].astype("Int64")
+        return g.rename(columns={"oday": "epoch_day"})
+
+    out = (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, epoch_day long, n_events long")
+    )
+    return out.select(
+        "user_id",
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("epoch_day").cast("int")).alias(
+            "epoch_date"
+        ),
+        "n_events",
+    )
+
+
+@query(
+    "map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS n_items
+    FROM lineitem WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy columnar extension seam — the Python
+    function receives pyarrow.RecordBatch objects straight off the
+    Arrow IPC stream (no pandas conversion, no per-row anything) and
+    computes the TPC-H charge expression with pyarrow.compute kernels.
+    This is the seam for Arrow-native libraries (tokenizers, vector
+    kernels, image codecs) at 100 TB: cost is per-BATCH, columns stay
+    in Arrow buffers end-to-end.
+
+    The quantity filter sits BEFORE the Python node so it reaches the
+    parquet scan (plan-gated: PushedFilters carries l_quantity), and
+    the aggregation runs AFTER it Spark-side, so Python only maps.
+    Bit-exactness: pc.subtract/multiply/add are the same IEEE doubles
+    in the same order as both engines' `price*(1-disc)*(1+tax)`; the
+    exact-decimal sum pattern is tpch_q1's."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 25)
+        .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+    )
+
+    def charge_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            charge = pc.multiply(disc, pc.add(pa.scalar(1.0), b.column("l_tax")))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), charge], ["l_returnflag", "charge"]
+            )
+
+    out = li.mapInArrow(charge_batches, "l_returnflag string, charge double")
+    return out.groupBy("l_returnflag").agg(
+        F.sum(F.col("charge").cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

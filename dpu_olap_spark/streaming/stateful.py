@@ -522,3 +522,99 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "statestore_session_read",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM us
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS sess_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_statestore_session_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store reader over a SESSION-WINDOW operator: run a
+    streaming session_window aggregation (30-min gap, per user) to a
+    checkpoint, then read the merge operator's state directly with
+    format('statestore'). The operator is sessionWindowStateStoreSaveExec;
+    its key is (user_id, sessionStartTime) and its value carries the
+    merged session_window struct plus the running count — so the state
+    IS the sessionization, one row per merged session.
+
+    The watermark delay is set far beyond the data span ON PURPOSE: in
+    append mode an availableNow drain EVICTS watermark-closed sessions
+    from state (they flush to the sink and vanish), so a short delay
+    would leave only the tail sessions readable. With nothing evicted
+    the state equals the full batch sessionization — the exact oracle
+    (same gaps-and-islands SQL as session_window, but with Spark's
+    boundary: a gap of EXACTLY 30 minutes starts a new session, since
+    session windows are [start, start+gap) and merge only on overlap).
+
+    At 100 TB this is the ops surface for session pipelines: audit
+    in-flight sessions per key/partition, find the skewed user holding
+    open a giant session, or bulk-repair state without replaying — the
+    same production story as statestore_read, on the operator whose
+    state is hardest to reason about from the outside. State shards by
+    the stream's key partitioning (8 here, pinned like statestore_read
+    so the reader sees a stable layout)."""
+    import shutil
+    import tempfile
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ss_sess_ckpt_")
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise RuntimeError("statestore_session_read stream did not finish in 180s")
+    old = _SS_CKPT.pop("sess_ckpt", None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    _SS_CKPT["sess_ckpt"] = ckpt
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.session_window.start").alias("sess_start"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )

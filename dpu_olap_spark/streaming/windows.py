@@ -317,3 +317,73 @@ def q_stream_dedup_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(pts)) FROM p),
+                   (SELECT date_trunc('milliseconds', max(cts)) FROM c))
+             - INTERVAL '1 hour' AS w
+    ),
+    j AS (
+      SELECT p.user_id, p.purchase_id, p.pts, c.click_id
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.pts - INTERVAL '30 minutes' AND p.pts
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM j
+    WHERE click_id IS NOT NULL OR pts < (SELECT w FROM wm)
+    """,
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    joined to same-user clicks in the preceding 30 minutes when they
+    exist, null-extended otherwise. Matches emit as they occur (the
+    inner path); a null-extended row emits only when the GLOBAL
+    watermark proves no future click can match, i.e. the purchase's
+    state entry is evicted.
+
+    The oracle encodes the eviction rule exactly, empirically pinned
+    (probe, this round): the global watermark is the MIN over both
+    withWatermark operators of (that side's max event time, truncated
+    to Spark's millisecond watermark domain, minus the 1 h delay) —
+    NOT the overall max ts, because each side's watermark tracks only
+    the rows that survive its own upstream filter. Unmatched purchases
+    with pts >= that watermark are still in state when the availableNow
+    drain ends and are correctly withheld (they'd emit on the next
+    batch of a live stream). At 100 TB the same rule is why outer
+    results trail the watermark delay in production: state is bounded
+    by (delay + range) per side, sharded by the join key."""
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = load_events_stream(spark, sf_dir)
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
+    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
+    )
+    sink = f"stream_lo_join_{next(_sink_counter)}"
+    run_to_memory_sink(joined, sink, "append", state_partitions=8)
+    return spark.table(sink)

@@ -308,3 +308,28 @@ def test_variant_explode_map_side(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
     assert "Generate" in plan
+
+
+def test_map_in_arrow_filter_pushed_before_python(spark):
+    """map_in_arrow: the quantity filter must reach the parquet scan
+    (Python sees pre-filtered batches), the Python node must be the
+    Arrow map variant, and the aggregation must run AFTER it JVM-side
+    with a partial step — Python only maps, never aggregates."""
+    plan = _formatted_plan(spark, "map_in_arrow")
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,25.0)]" in plan or \
+        "LessThan(l_quantity,25.0)" in plan, "quantity filter not pushed to scan"
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, \
+        "no Arrow map node in plan"
+    assert "partial_sum" in plan or "HashAggregate" in plan, "no JVM-side aggregation"
+
+
+def test_cogroup_asof_copartitions_both_sides(spark):
+    """cogroup_asof: both inputs exchange on user_id (hashpartitioning)
+    into ONE FlatMapCoGroupsInPandas — exactly two exchanges, no join,
+    no cartesian. The dedup on orders happens BEFORE the cogroup so the
+    Python side never sees duplicate (user, day) rows."""
+    plan = _formatted_plan(spark, "cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in plan, "no cogroup node in plan"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"too many exchanges for a cogroup: {n_exchanges}"

@@ -507,3 +507,92 @@ def test_pystream_exactly_once_and_resume(spark, tmp_path):
     assert spark.read.parquet(out).count() == _N_ROWS, (
         "resume from a drained checkpoint replayed rows"
     )
+
+
+def test_session_state_reader_matches_batch_sessionization(spark):
+    """statestore_session_read: (a) the state-metadata source lists the
+    session-window operator (sessionWindowStateStoreSaveExec) at the 8
+    pinned partitions; (b) with the beyond-data-span watermark nothing
+    is evicted, so the state row count equals the batch gaps-and-islands
+    sessionization (Spark-boundary: a gap of exactly the 30-min window
+    starts a new session)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dpu_olap_spark.registry import all_queries
+    from dpu_olap_spark.streaming.stateful import _SS_CKPT
+
+    state = all_queries()["statestore_session_read"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    n_state = state.count()
+
+    md = spark.read.format("state-metadata").load(_SS_CKPT["sess_ckpt"]).collect()
+    ops = {r.operatorName for r in md}
+    assert "sessionWindowStateStoreSaveExec" in ops, ops
+    assert all(r.numPartitions == 8 for r in md)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    acc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = marked.select("user_id", F.sum("ns").over(acc).alias("sid"))
+    n_batch = sess.groupBy("user_id", "sid").count().count()
+    assert n_state == n_batch, (n_state, n_batch)
+
+
+def test_cogroup_asof_handles_one_sided_keys(spark):
+    """A key present on only ONE side of the cogroup must not crash or
+    fabricate rows: orders-only users contribute nothing; events-only
+    users get NULL epochs. Built directly on tiny in-memory frames so
+    the edge case is explicit rather than dataset-dependent."""
+    from dpu_olap_spark.operators.functions_ext import q_cogroup_asof  # noqa: F401  (import proves registration)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(5, 100), (5, 200), (10, 50)], "user_id long, eday long"
+    )
+    od = spark.createDataFrame(
+        [(5, 150), (15, 10)], "user_id long, oday long"
+    )
+
+    def merge(evp, op):
+        if evp.empty:
+            return pd.DataFrame({"user_id": [], "epoch_day": [], "n_events": []}).astype(
+                {"user_id": "int64", "epoch_day": "Int64", "n_events": "int64"}
+            )
+        m = pd.merge_asof(
+            evp.sort_values("eday"),
+            op[["oday"]].sort_values("oday"),
+            left_on="eday",
+            right_on="oday",
+            direction="backward",
+        )
+        g = m.groupby(["user_id", "oday"], dropna=False).size().reset_index(name="n_events")
+        g["oday"] = g["oday"].astype("Int64")
+        return g.rename(columns={"oday": "epoch_day"})
+
+    out = (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, epoch_day long, n_events long")
+        .collect()
+    )
+    rows = {(r.user_id, r.epoch_day): r.n_events for r in out}
+    # user 5: event@100 before the order@150 -> NULL epoch; event@200 after -> epoch 150
+    # user 10: no orders -> NULL epoch; user 15: no events -> absent
+    assert rows == {(5, None): 1, (5, 150): 1, (10, None): 1}, rows
