@@ -125,6 +125,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "map_in_arrow",
     "statestore_session_read",
     "stream_left_outer_join",
+    "pysink_write",
 )
 
 

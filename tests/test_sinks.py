@@ -137,3 +137,47 @@ def test_compaction_file_count_contract(spark, sf_dir):
     n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
     assert n_frag == 64
     assert n_comp == 1
+
+
+def test_pysink_commit_protocol(spark):
+    """The custom Python sink's two-phase commit: (a) the committed dir
+    holds exactly the manifest-listed part files and no staging dir
+    survives; (b) a failed write job ABORTS — staging is cleaned and
+    nothing is published."""
+    import os
+
+    from dpu_olap_spark.registry import all_queries
+    from dpu_olap_spark.sources.python_source import _PYSINK_DIR, _make_sink
+
+    all_queries()["pysink_write"].build(spark, "/root/testdata/sf0.001").collect()
+    out = _PYSINK_DIR["dir"]
+    committed = os.path.join(out, "committed")
+    with open(os.path.join(committed, "_MANIFEST")) as f:
+        listed = {line for line in f.read().splitlines() if line}
+    on_disk = {f for f in os.listdir(committed) if f.endswith(".csv")}
+    assert listed == on_disk and listed, (listed, on_disk)
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    # abort path: a row that explodes mid-write must clean staging and
+    # publish nothing
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(_make_sink())
+    bad_dir = tempfile.mkdtemp(prefix="pysink_abort_")
+    bad = spark.range(100).select(
+        "id", F.assert_true(F.col("id") < 50).cast("string").alias("boom")
+    )
+    try:
+        bad.write.format("pycsv_sink").mode("append").option("path", bad_dir).save()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    # the publication invariant: an aborted job must never produce a
+    # committed dir or manifest. (Staging may transiently hold orphans
+    # — task cancellation is async and a still-running task can
+    # recreate it after abort()'s cleanup; published output is what
+    # downstream readers see, and there must be none.)
+    assert not os.path.exists(os.path.join(bad_dir, "committed"))
