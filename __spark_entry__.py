@@ -126,6 +126,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "statestore_session_read",
     "stream_left_outer_join",
     "pysink_write",
+    "joinstate_read",
 )
 
 

@@ -618,3 +618,119 @@ def q_statestore_session_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.session_window.start").alias("sess_start"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "joinstate_read",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(pts)) FROM p),
+                   (SELECT date_trunc('milliseconds', max(cts)) FROM c))
+             - INTERVAL '1 hour' AS w
+    )
+    SELECT 'left' AS side, user_id, event_id AS ev_id
+    FROM p WHERE pts >= (SELECT w FROM wm)
+    UNION ALL
+    SELECT 'right' AS side, user_id, event_id AS ev_id
+    FROM c WHERE cts >= (SELECT w FROM wm) - INTERVAL '30 minutes'
+    """,
+)
+def q_joinstate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State reader over a STREAM-STREAM JOIN: run the watermarked
+    inner interval join (purchases x same-user clicks within 30 min)
+    to a checkpoint, then read BOTH sides' symmetric-hash-join state
+    with format('statestore').option('joinSide', 'left'/'right').
+
+    What remains in state after the availableNow drain is exactly what
+    watermark-based eviction has not yet removed, matched or not —
+    symmetric hash join retains every input row until no FUTURE row on
+    the other side could match it. The oracle pins both eviction
+    rules: the left (purchase) side survives while pts >= the global
+    watermark (a future click can have cts up to pts); the right
+    (click) side survives while cts >= watermark - 30 min (a future
+    purchase at the watermark can reach clicks up to 30 min older —
+    Spark's StreamingJoinHelper derives precisely this bound from the
+    range condition). Global watermark = min over both sides of
+    (ms-truncated side max event time - 1 h delay), as pinned by the
+    stream_left_outer_join probe.
+
+    The production surface this covers at 100 TB: join state is the
+    least observable stateful operator (two stores per side); this
+    reads it as a DataFrame to audit per-key growth, find the entity
+    whose clicks never evict, or right-size watermark delays."""
+    import shutil
+    import tempfile
+
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = load_events_stream(spark, sf_dir)
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
+    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+    ).select(F.col("purchase_user").alias("user_id"), "purchase_id", "click_id")
+    ckpt = tempfile.mkdtemp(prefix="joinstate_ckpt_")
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise RuntimeError("joinstate_read stream did not finish in 180s")
+    old = _SS_CKPT.pop("join_ckpt", None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    _SS_CKPT["join_ckpt"] = ckpt
+    left = (
+        spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ckpt)
+        .select(
+            F.lit("left").alias("side"),
+            F.col("value.purchase_user").alias("user_id"),
+            F.col("value.purchase_id").alias("ev_id"),
+        )
+    )
+    right = (
+        spark.read.format("statestore")
+        .option("joinSide", "right")
+        .load(ckpt)
+        .select(
+            F.lit("right").alias("side"),
+            F.col("value.click_user").alias("user_id"),
+            F.col("value.click_id").alias("ev_id"),
+        )
+    )
+    return left.unionAll(right)
