@@ -127,6 +127,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "stream_left_outer_join",
     "pysink_write",
     "joinstate_read",
+    "transpose_metrics",
+    "param_sql",
 )
 
 

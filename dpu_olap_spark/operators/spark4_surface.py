@@ -226,3 +226,83 @@ def q_variant_explode_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM variant_explode_src s, LATERAL variant_explode(s.arr) v
         """
     )
+
+
+@query(
+    "transpose_metrics",
+    oracle="""
+    SELECT 'n_events' AS key,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS DOUBLE) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS DOUBLE) AS view
+    FROM events
+    UNION ALL
+    SELECT 'sum_cents' AS key,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                FILTER (event_type = 'click') AS DOUBLE) AS click,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                FILTER (event_type = 'error') AS DOUBLE) AS error,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                FILTER (event_type = 'view') AS DOUBLE) AS view
+    FROM events
+    """,
+)
+def q_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a metrics-per-group frame so
+    groups become COLUMNS and metric names become rows — the
+    wide-report shape. Transpose EXECUTES its input at the driver when
+    the transposed frame is constructed (the result is a local
+    relation; plan-gated), so it is strictly a small-result operator:
+    always aggregate FIRST (here: 5 event types
+    x 2 metrics from one events scan with partial aggregation), never
+    transpose a fact table. Metrics ride as exact integer counts/cents
+    cast to double (transpose requires one common value type); the
+    oracle is the same pivot written as filtered aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double").alias("sum_cents"),
+    )
+    return agg.transpose()
+
+
+@query(
+    "param_sql",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): named `:start`/`:end` parameters
+    bound server-side through spark.sql(..., args=...) — injection-
+    proof by construction (values never enter the SQL text, so no
+    quoting/escaping path exists) — plus `{orders}` DataFrame
+    interpolation, which templates a python DataFrame into the query
+    as a relation without registering a temp view. Parameter markers
+    fold to literals at plan time, so the date range still prunes at
+    the parquet scan exactly like a hand-inlined predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM {orders}
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+        GROUP BY o_orderpriority
+        """,
+        orders=orders,
+        args={"start": "1995-01-01", "end": "1996-01-01"},
+    )

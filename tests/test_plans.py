@@ -333,3 +333,25 @@ def test_cogroup_asof_copartitions_both_sides(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, f"too many exchanges for a cogroup: {n_exchanges}"
+
+
+def test_param_sql_binds_and_pushes_down(spark):
+    """param_sql: the bound :start/:end parameters must fold to
+    literals that reach the parquet scan as pushed filters — parameter
+    binding must not defeat pushdown."""
+    plan = _formatted_plan(spark, "param_sql")
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0], \
+        "date-range parameters did not push to the scan"
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_transpose_materializes_small_result(spark):
+    """transpose_metrics: DataFrame.transpose EXECUTES its input at the
+    driver when the transposed frame is built (the result plan is a
+    LocalTableScan of the flipped rows) — which is exactly why the
+    operator contract is aggregate-first: whatever feeds transpose is
+    collected. Pin that the output is the 6-column local relation, so
+    a refactor that feeds it a fact table would change this shape."""
+    plan = _formatted_plan(spark, "transpose_metrics")
+    assert "LocalTableScan" in plan, "transpose no longer a local relation"
+    assert "Output [6]" in plan, "unexpected transposed width"
