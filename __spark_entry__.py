@@ -129,6 +129,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "joinstate_read",
     "transpose_metrics",
     "param_sql",
+    "stream_session_append",
 )
 
 

@@ -387,3 +387,74 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_lo_join_{next(_sink_counter)}"
     run_to_memory_sink(joined, sink, "append", state_partitions=8)
     return spark.table(sink)
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM us
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS sess_start,
+             CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS sess_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (
+      SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+             - INTERVAL '2 hours' AS w
+      FROM events
+    )
+    SELECT user_id, sess_start, sess_end, n_events
+    FROM g WHERE sess_end < (SELECT w FROM wm)
+    """,
+)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization in APPEND mode: each session row is
+    emitted exactly once, when the watermark passes its end (last
+    event + 30 min gap) and the merge operator evicts it — the
+    complement of statestore_session_read, which reads the sessions
+    still OPEN in state. Together they account for every session: at
+    100 TB this pair is the session pipeline's delivery contract
+    (closed sessions flow downstream once; in-flight ones are
+    inspectable, never lost).
+
+    The oracle is the batch gaps-and-islands sessionization filtered
+    to sessions closed at the final watermark = ms-truncated max event
+    time minus the 2 h delay (single source, so no min-across-sides
+    here), emission boundary sess_end < watermark (probed: 943 of 946
+    sessions at sf0.001, the 3 still-open withheld)."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    sink = f"stream_sess_app_{next(_sink_counter)}"
+    run_to_memory_sink(agg, sink, "append", state_partitions=8)
+    return spark.table(sink)
