@@ -130,6 +130,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "transpose_metrics",
     "param_sql",
     "stream_session_append",
+    "rocksdb_state_agg",
+    "arrow_udf",
 )
 
 

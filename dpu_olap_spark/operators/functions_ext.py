@@ -855,3 +855,41 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("charge").cast("decimal(18,6)")).cast("double").alias("sum_charge"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "arrow_udf",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-07-01'
+    GROUP BY l_orderkey
+    """,
+)
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (@udf(useArrow=True), Spark 4): same
+    registration surface as a classic Python UDF but batched over
+    Arrow instead of pickled row-at-a-time — the drop-in upgrade for
+    legacy UDF code. The function body is still per-row Python, so
+    this remains the EXTENSION seam, not the hot path (pandas_udf /
+    built-ins stay the perf rule; input pre-filtered to one ship
+    month, filter pushed to the scan). Same IEEE multiply order as
+    both engines' inline expression, then the exact-decimal sum, so
+    the oracle is bit-for-bit."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def disc_price(p, d):
+        return p * (1 - d)
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-07-01")
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.sum(disc_price("l_extendedprice", "l_discount").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )

@@ -734,3 +734,62 @@ def q_joinstate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return left.unionAll(right)
+
+
+@query(
+    "rocksdb_state_agg",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation on the ROCKSDB state store provider — the
+    state backend that actually holds at 100 TB. The default HDFS-
+    backed provider keeps every key in executor heap, so state is
+    bounded by JVM memory; RocksDB spills to local SSD, bounds memory
+    via block cache, and ships changelogs/snapshots to the checkpoint
+    — which is why it (with changelog checkpointing, also enabled
+    here) is the production choice for high-cardinality keyed state.
+    Provider swap + changelog flag are exactly the two confs a
+    deployment flips; the aggregation itself is unchanged Spark.
+
+    Finite availableNow run in update mode; per-(user,type) final
+    snapshot rows equal the batch GROUP BY — the exact oracle (same
+    integer-cents pattern as stateful_user_stats)."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"),
+    )
+    sink = f"rocksdb_state_agg_{next(_sink_counter)}"
+    run_to_memory_sink(
+        agg,
+        sink,
+        "update",
+        state_partitions=8,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+                "true",
+        },
+    )
+    # update-mode sinks may hold multiple snapshots per key (one per
+    # micro-batch that touched it); keep the LAST snapshot per key —
+    # with a finite source it equals the batch aggregate
+    snap = spark.table(sink)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+    last = snap.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return last.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+    )
