@@ -102,6 +102,18 @@ HEADLINE = [
     "variant_paths",
     "udtf_analyze",
     "statestore_read",
+    # round 6, second window
+    "cogroup_asof",
+    "map_in_arrow",
+    "arrow_udf",
+    "param_sql",
+    "transpose_metrics",
+    "pysink_write",
+    "statestore_session_read",
+    "joinstate_read",
+    "stream_left_outer_join",
+    "stream_session_append",
+    "rocksdb_state_agg",
 ]
 
 
