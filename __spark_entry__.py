@@ -132,6 +132,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "stream_session_append",
     "rocksdb_state_agg",
     "arrow_udf",
+    "quality_sample",
+    "corpus_mix",
 )
 
 

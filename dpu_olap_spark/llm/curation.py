@@ -424,3 +424,102 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
+
+
+@query(
+    "quality_sample",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE CASE
+            WHEN n_chars >= 1500 THEN TRUE
+            WHEN n_chars >= 500
+              THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+            ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+          END
+    """,
+)
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling with tiered retention — the
+    standard corpus-shaping move (keep all high-quality documents,
+    thin the middle, heavily thin the tail) done DETERMINISTICALLY:
+    each tier's Bernoulli draw is a fixed md5-prefix threshold on the
+    doc key, so membership is a pure function of (doc_id, tier),
+    reproducible across engines, runs, and cluster sizes, and stable
+    under corpus growth (a new doc never flips an old doc's draw —
+    same property as train_test_split). Long docs (>=1500 chars) keep
+    100%, mid 50%, short 12.5%. Map-side only: one scan, the CASE
+    folds into the scan filter, no shuffle, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("n_chars") >= 1500, F.lit(True))
+        .when(F.col("n_chars") >= 500, h1 < "8")
+        .otherwise(h1.isin("0", "1"))
+    )
+    return d.where(keep).select("doc_id", "source", "lang", "n_chars")
+
+
+_MIX_BUDGET_CHARS = 50_000  # per-source char budget for the mix
+
+
+@query(
+    "corpus_mix",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS prior_chars
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_taken
+    FROM r WHERE prior_chars < {_MIX_BUDGET_CHARS}
+    GROUP BY source
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: draw a deterministic md5-ordered
+    prefix of each source until that source's char budget fills —
+    how training mixes hit target source ratios ("50 k chars of web,
+    50 k of code, ...") without a shuffle-the-world sort. A document
+    is taken while the EXCLUSIVE running sum of chars before it is
+    under budget, so the result overshoots by at most one document per
+    source and never depends on partitioning.
+
+    Two-phase at scale (same shape as reservoir_sample's fix): phase 1
+    runs the prefix-sum per (input partition, source) and keeps only
+    rows whose LOCAL prior is under budget — a superset of the global
+    selection, because a row's local prior never exceeds its global
+    prior, and bounded by ~budget chars per partition; phase 2 runs
+    the true per-source prefix sum over that bounded candidate set.
+    No task ever sorts a full source: the phase-1 window keys on
+    (partition id, source), spreading P x S groups across the
+    cluster, and phase 2 sees <= budget x P chars per source.
+    Output: per-source docs-taken and chars-taken (the realized mix).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rank_cols = [F.md5(F.col("doc_id").cast("string")).alias("h"), F.col("doc_id")]
+    local_w = (
+        Window.partitionBy(F.spark_partition_id(), "source")
+        .orderBy(*[c for c in rank_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    candidates = (
+        d.withColumn("local_prior", F.sum("n_chars").over(local_w) - F.col("n_chars"))
+        .where(F.col("local_prior") < _MIX_BUDGET_CHARS)
+        .drop("local_prior")
+    )
+    global_w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    taken = candidates.withColumn(
+        "prior_chars", F.sum("n_chars").over(global_w) - F.col("n_chars")
+    ).where(F.col("prior_chars") < _MIX_BUDGET_CHARS)
+    return taken.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_taken"),
+    )

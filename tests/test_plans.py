@@ -355,3 +355,35 @@ def test_transpose_materializes_small_result(spark):
     plan = _formatted_plan(spark, "transpose_metrics")
     assert "LocalTableScan" in plan, "transpose no longer a local relation"
     assert "Output [6]" in plan, "unexpected transposed width"
+
+
+def test_quality_sample_is_map_side(spark):
+    """quality_sample: tiered retention must fold into the scan stage —
+    no exchange anywhere (membership is a pure row function)."""
+    plan = _formatted_plan(spark, "quality_sample")
+    assert "Exchange" not in plan, "quality_sample should not shuffle"
+    assert "md5" in plan
+
+
+def test_corpus_mix_two_phase_budget(spark):
+    """corpus_mix: the scale contract is phase-1 local budget filter
+    BEFORE the per-source exchange — two Window nodes, and the
+    source-key exchange must sit above a Filter on the local prior
+    (bounded candidates), never above the raw scan."""
+    plan = _formatted_plan(spark, "corpus_mix")
+    # tree shape, leaf to root: Exchange -> Window -> Filter (local
+    # budget) -> Exchange -> Window -> Filter (global budget). Node
+    # ids increase leaf-to-root in formatted plans.
+    ids = {}
+    for node in ("Exchange", "Window", "Filter"):
+        ids[node] = [int(m.group(1)) for m in re.finditer(rf"\((\d+)\) {node}", plan)]
+    assert len(ids["Window"]) == 2, f"expected 2 windows: {ids}"
+    assert len(ids["Exchange"]) == 2, f"expected 2 exchanges: {ids}"
+    e1, e2 = sorted(ids["Exchange"])
+    w1, w2 = sorted(ids["Window"])
+    f_between = [f for f in ids["Filter"] if w1 < f < e2]
+    assert e1 < w1 < e2 < w2, f"phase order broken: {ids}"
+    assert f_between, f"no local-budget filter between phase-1 window and the per-source exchange: {ids}"
+    # phase-1 keys on the input partition id; phase-2 on source alone
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, \
+        "phase-1 window no longer keys on the input partition id"
