@@ -134,6 +134,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "arrow_udf",
     "quality_sample",
     "corpus_mix",
+    "pandas_udaf",
 )
 
 

@@ -893,3 +893,56 @@ def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+@query(
+    "pandas_udaf",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           sqrt(CAST(SUM(cents * cents) AS DOUBLE) / COUNT(*)) AS rms_cents,
+           COUNT(*) AS n_events
+    FROM c GROUP BY event_type
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the custom-UDAF seam (Series in,
+    scalar out per group). Accumulates sum-of-squares in int64 (exact;
+    bounded by cents^2 x rows << 2^63) and applies the SAME two-step
+    rounding as the oracle (int -> double, then double divide, then
+    sqrt), so equality is bit-for-bit.
+
+    Scale warning carried in the plan: a grouped-agg pandas UDF has NO
+    partial-aggregation form — every row shuffles to its group's
+    reducer before Python sees it (ObjectHashAggregate over the full
+    exchange), unlike built-in aggregates whose map-side partials
+    shrink the shuffle to #groups. Use this seam only for aggregation
+    logic with no distributive decomposition; anything expressible as
+    built-ins (this RMS included — the oracle IS the built-in form)
+    belongs JVM-side. The group count here is 5, so the demo's shuffle
+    is the honest cost of the API, stated rather than hidden."""
+    import math
+
+    @pandas_udf("double")
+    def rms(cents: pd.Series) -> float:
+        ssq = int((cents * cents).sum())
+        return math.sqrt(float(ssq) / float(len(cents)))
+
+    # grouped-agg pandas UDFs cannot mix with non-pandas aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides
+    # as a second pandas aggregate
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        return len(cents)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type").agg(
+        rms("cents").alias("rms_cents"),
+        n_rows("cents").alias("n_events"),
+    )
