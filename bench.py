@@ -114,6 +114,9 @@ HEADLINE = [
     "stream_left_outer_join",
     "stream_session_append",
     "rocksdb_state_agg",
+    "pandas_udaf",
+    "quality_sample",
+    "corpus_mix",
 ]
 
 

@@ -518,6 +518,72 @@ def probe_events_skew(spark, path: str) -> tuple[dict[str, float], dict[str, int
     return t, extra
 
 
+
+
+def gen_docs_sources(spark, n: int, path: str) -> None:
+    """Docs metadata with SKEWED sources (80% of the corpus from one
+    'web' source, the rest split across 2 small sources) — the regime
+    where a naive per-source window would pile 80% of the corpus onto
+    one reducer."""
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("web"))
+        .otherwise(F.concat(F.lit("src"), (F.col("id") % 2).cast("string")))
+        .alias("source"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(1900)) + 100).alias("n_chars"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_corpus_mix(spark, path: str) -> tuple[dict[str, float], dict[str, int]]:
+    """corpus_mix two-phase budget selection (mirrors llm/curation.py)
+    on skewed sources; also measures the per-source (phase-2) exchange
+    record count, which must stay ~budget-bounded regardless of corpus
+    size or the 80%-hot source."""
+    from pyspark.sql import Window
+
+    budget = 50_000
+    docs = spark.read.parquet(path).select("doc_id", "source", "n_chars")
+    t: dict[str, float] = {}
+    extra: dict[str, int] = {}
+
+    local_w = (
+        Window.partitionBy(F.spark_partition_id(), "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    candidates = (
+        docs.withColumn("local_prior", F.sum("n_chars").over(local_w) - F.col("n_chars"))
+        .where(F.col("local_prior") < budget)
+        .drop("local_prior")
+    )
+    global_w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    taken = candidates.withColumn(
+        "prior_chars", F.sum("n_chars").over(global_w) - F.col("n_chars")
+    ).where(F.col("prior_chars") < budget)
+    mix = taken.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_taken")
+    )
+
+    best = min(
+        _timed(lambda: mix.write.format("noop").mode("overwrite").save())
+        for _ in range(3)
+    )
+    t["corpus_mix"] = round(best, 3)
+    recs = _exchange_records(mix)
+    # innermost-first after the walk reverses? record the SMALLEST
+    # exchange: the per-source candidate exchange (the scan-side
+    # exchange carries the raw rows in a naive plan; two-phase keeps
+    # every post-filter exchange candidate-bounded)
+    extra["mix_source_exchange_records"] = min(recs) if recs else -1
+    extra["mix_all_exchanges"] = len(recs)
+    extra["mix_max_exchange_records"] = max(recs) if recs else -1
+    return t, extra
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -547,6 +613,8 @@ def main() -> None:
     event_results: dict[int, dict[str, float]] = {}
     skew_results: dict[int, dict[str, float]] = {}
     skew_extra: dict[int, dict[str, int]] = {}
+    mix_results: dict[int, dict[str, float]] = {}
+    mix_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -567,6 +635,10 @@ def main() -> None:
             path = os.path.join(d, f"events_zipf_{ev_n}")
             gen_events_zipf(spark, ev_n, path)
             skew_results[ev_n], skew_extra[ev_n] = probe_events_skew(spark, path)
+        for docs_n in sorted({500_000, n // 2}):
+            path = os.path.join(d, f"docs_src_{docs_n}")
+            gen_docs_sources(spark, docs_n, path)
+            mix_results[docs_n], mix_extra[docs_n] = probe_corpus_mix(spark, path)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -607,6 +679,23 @@ def main() -> None:
         "",
         "plain_hot_join vs salted_join above share identical inputs and a "
         "forced shuffle-hash build; the gap is pure hot-key serialization.",
+        "",
+    ]
+    lines += _table(
+        "## Budgeted corpus mix, 80%-hot source (two-phase prefix sum)",
+        mix_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "corpus_mix smallest exchange, measured shuffleRecordsWritten "
+        "(phase-1 local budget filter keeps candidates ~ budget/min_chars "
+        "x map partitions per source, independent of corpus size and "
+        "source skew): "
+        + ", ".join(
+            f"{rows:,} rows -> {mix_extra[rows]['mix_source_exchange_records']}"
+            for rows in mix_extra
+        ),
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
