@@ -40,7 +40,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dpu_olap_spark.registry import all_queries
-from dpu_olap_spark.session import get_spark
+from dpu_olap_spark.session import ensure_thread_active, get_spark
 
 HEADLINE = [
     # reference parity
@@ -161,6 +161,9 @@ def main() -> None:
         ).mode("overwrite").save()
 
     def run(name: str) -> None:
+        # thread-pool phase runs this from fresh threads: bind the
+        # active session or Python data sources fail lookup there
+        ensure_thread_active(spark)
         queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # measured scheduling floor: median wall of a trivial 2-stage job

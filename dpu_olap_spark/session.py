@@ -69,7 +69,28 @@ def tune(spark: SparkSession) -> SparkSession:
             # runtime-settable ones above all succeed.
             pass
     _ship_package(spark)
+    ensure_thread_active(spark)
     return spark
+
+
+def ensure_thread_active(spark: SparkSession) -> None:
+    """Bind `spark` as the JVM ACTIVE session for the calling thread.
+
+    Python threads map to distinct py4j connections and therefore
+    distinct JVM threads; a JVM thread that never had a session set
+    has an EMPTY active session, and the Python Data Source lookup
+    path resolves through the active session's dataSourceManager —
+    so a registered source (e.g. pycsv_sink) "disappears" in fresh
+    worker threads (measured in bench's thread-pool phase as
+    DATA_SOURCE_NOT_FOUND). Any code running registry queries from a
+    thread pool must call this (tune() does) in each worker thread."""
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        # non-classic session impls: nothing to bind
+        pass
 
 
 def _ship_package(spark: SparkSession) -> None:

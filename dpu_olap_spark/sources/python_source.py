@@ -89,9 +89,9 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the connector delivers every partition exactly once —
     the reference's generator-vs-engine differential
     (host/generator/generator.cc:22-71) in Spark terms."""
-    # register unconditionally: registration replaces idempotently, and
-    # caching on session identity risks id()-reuse collisions
-    spark.dataSource.register(_make_source())
+    from dpu_olap_spark.sources.tables import register_python_sources_once
+
+    register_python_sources_once(spark)
     df = spark.read.format("synth_metrics").load()
     return df.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -100,9 +100,27 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# pysink_write keeps one committed output dir per process; replaced on
-# rebuild so repeated builds (bench passes) leave exactly one on disk.
+# pysink_write output dirs are cleaned at PROCESS EXIT, not on
+# rebuild: concurrent builds (bench's thread-pool phase) may still be
+# reading a prior build's committed files when a new build finishes,
+# so rebuild-time deletion raced readers into FileNotFound. The dirs
+# are tiny (aggregated CSV of the urgent slice); a bench process
+# accumulates a handful. The LAST dir is kept in _PYSINK_DIR for the
+# commit-protocol pytest.
 _PYSINK_DIR: dict[str, str] = {}
+_PYSINK_ALL_DIRS: list[str] = []
+
+
+def _cleanup_pysink_dirs() -> None:
+    import shutil
+
+    for d in _PYSINK_ALL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit
+
+atexit.register(_cleanup_pysink_dirs)
 
 
 def _make_sink():
@@ -209,12 +227,13 @@ def q_pysink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back aggregation is ordinary partial+final over the CSV
     scan."""
     import os
-    import shutil
     import tempfile
 
     from dpu_olap_spark.sources.tables import load_table
 
-    spark.dataSource.register(_make_sink())
+    from dpu_olap_spark.sources.tables import register_python_sources_once
+
+    register_python_sources_once(spark)
     out_dir = tempfile.mkdtemp(prefix="pysink_write_")
     urgent = (
         load_table(spark, sf_dir, "orders")
@@ -225,10 +244,8 @@ def q_pysink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     urgent.write.format("pycsv_sink").mode("append").option("path", out_dir).save()
-    old = _PYSINK_DIR.pop("dir", None)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
     _PYSINK_DIR["dir"] = out_dir
+    _PYSINK_ALL_DIRS.append(out_dir)
     back = spark.read.schema("o_orderkey bigint, cents bigint").csv(
         os.path.join(out_dir, "committed")
     )

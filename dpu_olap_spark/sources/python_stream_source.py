@@ -98,7 +98,9 @@ def run_stream_to_sink(
     memory sink is not recoverable by design); pass ``path`` to write
     a parquet sink instead, which IS checkpoint-recoverable and what
     the resume-semantics test uses."""
-    spark.dataSource.register(_make_stream_source())
+    from dpu_olap_spark.sources.tables import register_python_sources_once
+
+    register_python_sources_once(spark)
     sdf = spark.readStream.format("synth_stream").load()
     writer = sdf.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint

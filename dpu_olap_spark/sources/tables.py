@@ -110,6 +110,40 @@ _LIVE_SINKS: dict[str, str] = {}
 
 _STATE_CONF_LOCK = threading.Lock()
 
+# Python Data Source registration is NOT safe against concurrent
+# register calls: a register() in one thread can transiently hide
+# other Python sources from a lookup (save/load) in flight in another
+# (measured: bench's 8-thread phase failed pycsv_sink lookup while a
+# sibling source re-registered). Register each source ONCE per session
+# under one shared lock; after that no further register calls race
+# with reads/writes. WeakKeyDictionary so a torn-down session's entry
+# dies with it (and an id()-reused new session never inherits it).
+import weakref
+
+_PY_SRC_LOCK = threading.Lock()
+_PY_SRC_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def register_python_sources_once(spark: SparkSession) -> None:
+    """Register ALL Python data sources in one locked block on first
+    touch. Serializing individual register calls is NOT enough: the
+    JVM-side registry put can break a CONCURRENT lookup for a
+    different, already-registered name (measured: 8-thread cold start
+    lost pycsv_sink while synth_metrics registered), so the only safe
+    schedule is every registration strictly before any save/load. One
+    thread registers the trio; the rest wait on the lock and find the
+    session marked done."""
+    with _PY_SRC_LOCK:
+        if _PY_SRC_REGISTERED.get(spark):
+            return
+        from dpu_olap_spark.sources.python_source import _make_sink, _make_source
+        from dpu_olap_spark.sources.python_stream_source import _make_stream_source
+
+        spark.dataSource.register(_make_source())
+        spark.dataSource.register(_make_sink())
+        spark.dataSource.register(_make_stream_source())
+        _PY_SRC_REGISTERED[spark] = True
+
 
 def run_to_memory_sink(
     stream_df,
