@@ -729,7 +729,7 @@ def q_udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o.o_custkey = e.user_id
                  AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)) AS epoch_date
       FROM events e
-      WHERE e.user_id % 5 = 0
+      WHERE e.user_id % 50 = 0
     )
     SELECT user_id, epoch_date, COUNT(*) AS n_events
     FROM tagged GROUP BY user_id, epoch_date
@@ -747,9 +747,10 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     This exists to cover the cogroup API surface; the relational
     `asof_join` operator (operators/advanced.py) is the hot-path
     formulation of the same semantics (union + window, no Python).
-    Like udtf_word_runs, the input is pre-filtered (user_id % 5) —
+    Like udtf_word_runs, the input is pre-filtered (user_id % 50) —
     Spark's grouped-map path costs ~17 ms per GROUP (measured,
-    grouped_ols docstring), so per-key Python must never see an
+    grouped_ols docstring; measured ~30 ms/key here with merge_asof —
+    300 keys cost 9.5 s), so per-key Python must never see an
     unbounded key set. Dates travel as exact int epoch-days in both
     directions so the Arrow round-trip carries no timezone or dtype
     ambiguity; ties on order date are exact duplicates (deduped) so
@@ -757,12 +758,12 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch0 = F.to_date(F.lit("1970-01-01"))
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("user_id") % 5 == 0)
+        .where(F.col("user_id") % 50 == 0)
         .select("user_id", F.datediff(F.to_date("ts"), epoch0).alias("eday"))
     )
     orders = (
         load_table(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") % 5 == 0)
+        .where(F.col("o_custkey") % 50 == 0)
         .select(
             F.col("o_custkey").alias("user_id"),
             F.datediff(F.to_date("o_orderdate"), epoch0).alias("oday"),
