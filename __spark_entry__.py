@@ -135,6 +135,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "quality_sample",
     "corpus_mix",
     "pandas_udaf",
+    "stream_full_outer_join",
+    "statestore_changefeed",
 )
 
 

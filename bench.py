@@ -117,6 +117,8 @@ HEADLINE = [
     "pandas_udaf",
     "quality_sample",
     "corpus_mix",
+    "stream_full_outer_join",
+    "statestore_changefeed",
 ]
 
 

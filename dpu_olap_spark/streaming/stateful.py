@@ -793,3 +793,84 @@ def q_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("cents").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "statestore_changefeed",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State CHANGE FEED reader: run the per-user count on the RocksDB
+    provider with changelog checkpointing (the changelog IS what makes
+    the feed readable), then read the state's change history with
+    format('statestore').option('readChangeFeed', true) from batch 0 —
+    (batch_id, change_type, key, value) rows, the state-store analog
+    of a CDC stream. The production use at 100 TB: audit WHEN a key's
+    state changed and replay state evolution without re-running the
+    pipeline (pair with snapshotStartBatchId time travel).
+
+    The reshape keeps only each key's LAST change (max batch_id), so
+    the result equals the final aggregation — the exact oracle —
+    regardless of how availableNow split the source into micro-batches
+    (per-batch change counts would be split-dependent; final state is
+    not). update-mode aggregation never deletes, so the last change
+    per key is its final value."""
+    import shutil
+    import tempfile
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = tempfile.mkdtemp(prefix="ss_cf_ckpt_")
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+
+    with _STATE_CONF_LOCK:
+        to_set = {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        }
+        prev_vals = {k: spark.conf.get(k, None) for k in to_set}
+        for k, v in to_set.items():
+            spark.conf.set(k, v)
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            for k, v in prev_vals.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise RuntimeError("statestore_changefeed stream did not finish in 180s")
+    old = _SS_CKPT.pop("cf_ckpt", None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    _SS_CKPT["cf_ckpt"] = ckpt
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key.user_id").orderBy(F.col("batch_id").desc())
+    last = feed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return last.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )

@@ -458,3 +458,71 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_sess_app_{next(_sink_counter)}"
     run_to_memory_sink(agg, sink, "append", state_partitions=8)
     return spark.table(sink)
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(pts)) FROM p),
+                   (SELECT date_trunc('milliseconds', max(cts)) FROM c))
+             - INTERVAL '1 hour' AS w
+    ),
+    j AS (
+      SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+             p.purchase_id, p.pts, c.click_id, c.cts
+      FROM p FULL JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.pts - INTERVAL '30 minutes' AND p.pts
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM j
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND pts < (SELECT w FROM wm))
+       OR (purchase_id IS NULL AND cts < (SELECT w FROM wm) - INTERVAL '30 minutes')
+    """,
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both sides' unmatched
+    rows emit null-extended when their state evicts, completing the
+    streaming outer-join family (inner: stream_stream_join, left:
+    stream_left_outer_join). The oracle applies BOTH eviction rules at
+    once, each already pinned empirically: unmatched purchases emit
+    while pts < global watermark; unmatched clicks emit while
+    cts < watermark - 30 min (the range bound — a future purchase at
+    the watermark can still reach 30 min back; same bound the
+    joinstate_read state rows obey). Global watermark = min across
+    both withWatermark operators of (ms-truncated post-filter max
+    event time - 1 h)."""
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = load_events_stream(spark, sf_dir)
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
+    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    sink = f"stream_fo_join_{next(_sink_counter)}"
+    run_to_memory_sink(joined, sink, "append", state_partitions=8)
+    return spark.table(sink)
