@@ -137,6 +137,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "pandas_udaf",
     "stream_full_outer_join",
     "statestore_changefeed",
+    "identifier_sql",
 )
 
 

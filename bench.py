@@ -119,6 +119,7 @@ HEADLINE = [
     "corpus_mix",
     "stream_full_outer_join",
     "statestore_changefeed",
+    "identifier_sql",
 ]
 
 

@@ -306,3 +306,36 @@ def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=orders,
         args={"start": "1995-01-01", "end": "1996-01-01"},
     )
+
+
+@query(
+    "identifier_sql",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_identifier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause: a table/column NAME arrives as a bound
+    parameter instead of string-spliced SQL — the injection-safe form
+    of dynamic-identifier queries (a value parameter cannot name a
+    relation; IDENTIFIER promotes a parameter to an identifier under
+    the parser's quoting rules, so `orders; DROP ...` never parses as
+    two statements). Pairs with param_sql (which binds VALUES); with
+    GROUP BY ALL resolving the grouping from the select list. The
+    plan is ordinary after resolution: identifier binding happens at
+    parse time and costs nothing at execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("identifier_sql_src")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY ALL
+        """,
+        args={"tbl": "identifier_sql_src"},
+    )
