@@ -138,6 +138,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "stream_full_outer_join",
     "statestore_changefeed",
     "identifier_sql",
+    "sink_zorder",
 )
 
 

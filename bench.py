@@ -120,6 +120,7 @@ HEADLINE = [
     "stream_full_outer_join",
     "statestore_changefeed",
     "identifier_sql",
+    "sink_zorder",
 ]
 
 

@@ -330,3 +330,77 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+def _zvalue(x, y, bits: int = 16):
+    """Bit-interleaved Morton/Z value of two non-negative ints: x's
+    bit i lands at position 2i, y's at 2i+1. Pure column expression —
+    whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+    SELECT CAST(l_suppkey % 8 AS BIGINT) AS supp_bucket,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+    GROUP BY 1
+    """,
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout: lineitem written ordered by the
+    Morton interleave of (l_partkey, l_suppkey), so files cover small
+    RECTANGLES of the two-key space and a selective filter on EITHER
+    key skips most files via parquet min-max stats — the
+    multi-dimensional data-skipping play (single-key range clustering,
+    sink_range_cluster, can only serve one predicate column; Z-order
+    serves both at ~sqrt locality each). The Z value is a pure bit
+    expression (no UDF), computed only at WRITE time; readers filter
+    on the natural columns. tests/test_sinks.py asserts both-dim file
+    pruning via distinct input_file_name counts. Oracle pins the
+    read-back CONTENT (lossless layout change), independent of file
+    boundaries."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = _tmp_path("li_zorder")
+    # normalize both keys to a COMMON bit width before interleaving:
+    # raw keys have unequal ranges (partkey ~20x suppkey), and the
+    # wider key's high bits would dominate the Z top bits, collapsing
+    # Z-order into single-key clustering (measured: suppkey pruning
+    # 16/16 files unnormalized vs <=1/2 after). Two maxes = one
+    # bounded parameter fetch, the broadcast-parameter pattern.
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    xs = F.floor(F.col("l_partkey") * 1024 / F.lit(int(mx[0]) + 1)).cast("int")
+    ys = F.floor(F.col("l_suppkey") * 1024 / F.lit(int(mx[1]) + 1)).cast("int")
+    z = _zvalue(xs, ys, bits=10)
+    (
+        li.withColumn("_z", z)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("l_partkey").between(100, 300))
+        .groupBy((F.col("l_suppkey") % 8).cast("bigint").alias("supp_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

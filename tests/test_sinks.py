@@ -181,3 +181,42 @@ def test_pysink_commit_protocol(spark):
     # recreate it after abort()'s cleanup; published output is what
     # downstream readers see, and there must be none.)
     assert not os.path.exists(os.path.join(bad_dir, "committed"))
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """sink_zorder: a selective filter on EITHER interleaved key must
+    touch a strict minority of the written files (distinct
+    input_file_name under filter vs total) — the property single-key
+    range clustering cannot provide for the second key. Uses sf0.01 so
+    there are enough rows for 16 meaningfully distinct files."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.registry import all_queries
+
+    all_queries()["sink_zorder"].build(spark, "/root/testdata/sf0.01").collect()
+    import glob as _glob
+    import os
+
+    import tempfile
+
+    # the sink writes under the module's per-process tmp dir scheme;
+    # find the newest li_zorder dir
+    cands = _glob.glob(os.path.join(tempfile.gettempdir(), "**", "*li_zorder*"), recursive=True)
+    path = max((c for c in cands if os.path.isdir(c)), key=os.path.getmtime)
+    back = spark.read.parquet(path)
+    total = back.select(F.input_file_name()).distinct().count()
+    part_files = (
+        back.where(F.col("l_partkey").between(100, 300))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    supp_files = (
+        back.where(F.col("l_suppkey").between(10, 20))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert total >= 8, f"too few files for a meaningful pruning test: {total}"
+    assert part_files <= total // 2, (part_files, total)
+    assert supp_files <= total // 2, (supp_files, total)
