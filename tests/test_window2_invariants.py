@@ -1,0 +1,128 @@
+"""Behavioral invariants for the round-6 second-window operators —
+the properties that make them right at scale, beyond oracle equality."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import all_queries
+from dpu_olap_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_zvalue(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zvalue_matches_python_reference(spark, pairs):
+    """The column-expression Morton interleave is bit-exact vs a plain
+    Python reference for arbitrary 16-bit inputs."""
+    from dpu_olap_spark.sources.sink_queries import _zvalue
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = [r.z for r in df.select(_zvalue(F.col("x"), F.col("y")).alias("z")).collect()]
+    want = [_py_zvalue(x, y) for x, y in pairs]
+    assert got == want
+
+
+def test_zvalue_quadrant_locality(spark):
+    """Z-order's point: points sharing high key bits share high Z bits
+    — each (x-half, y-half) quadrant of the key space maps to one
+    contiguous quarter of the Z range. That is what lets min-max file
+    stats prune on either dimension."""
+    from dpu_olap_spark.sources.sink_queries import _zvalue
+
+    pts = [(x, y) for x in (0, 1, 2**15 - 1, 2**15, 2**16 - 1) for y in (0, 3, 2**15 - 1, 2**15, 2**16 - 1)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    rows = df.select("x", "y", _zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in rows:
+        # top two Z bits are exactly (y_msb, x_msb)
+        assert (r.z >> 31) & 1 == (r.y >> 15) & 1
+        assert (r.z >> 30) & 1 == (r.x >> 15) & 1
+
+
+def test_corpus_mix_local_filter_is_superset(spark):
+    """Phase-1's local-budget candidates must be a SUPERSET of the
+    final selection (the two-phase rewrite is only correct because a
+    row's local prefix sum never exceeds its global one) — and the
+    realized per-source chars never exceed budget + one document."""
+    from dpu_olap_spark.llm.curation import _MIX_BUDGET_CHARS
+
+    out = {r.source: r for r in all_queries()["corpus_mix"].build(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    max_chars = {
+        r.source: r.m for r in docs.groupBy("source").agg(F.max("n_chars").alias("m")).collect()
+    }
+    for src, r in out.items():
+        assert r.chars_taken < _MIX_BUDGET_CHARS + max_chars[src], (src, r)
+        assert r.n_docs >= 1
+
+
+def test_quality_sample_growth_stable(spark):
+    """A document's retention decision is a pure function of its own
+    (doc_id, tier): running the operator on the FULL corpus and on a
+    half corpus must agree on every doc present in both — the property
+    that makes the sample stable as the corpus grows."""
+    full = {
+        r.doc_id for r in all_queries()["quality_sample"].build(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").where(F.col("doc_id") % 2 == 0)
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("n_chars") >= 1500, F.lit(True))
+        .when(F.col("n_chars") >= 500, h1 < "8")
+        .otherwise(h1.isin("0", "1"))
+    )
+    half = {r.doc_id for r in docs.where(keep).collect()}
+    all_even = {r.doc_id for r in docs.collect()}
+    assert half == {d for d in full if d in all_even}
+
+
+def test_changefeed_history_is_monotone(spark):
+    """The change feed's per-key value history must be monotonically
+    non-decreasing counts (update-mode counting never shrinks) and end
+    at the final aggregate — the audit property the feed exists for."""
+    from dpu_olap_spark.streaming.stateful import _SS_CKPT
+
+    final = {
+        (r.user_id): r.n_events
+        for r in all_queries()["statestore_changefeed"].build(spark, SF).collect()
+    }
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(_SS_CKPT["cf_ckpt"])
+        .select(
+            F.col("batch_id"),
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n"),
+        )
+        .collect()
+    )
+    hist: dict[int, list[tuple[int, int]]] = {}
+    for r in feed:
+        hist.setdefault(r.user_id, []).append((r.batch_id, r.n))
+    for uid, h in hist.items():
+        h.sort()
+        assert all(a[1] <= b[1] for a, b in zip(h, h[1:])), (uid, h)
+        assert h[-1][1] == final[uid]
