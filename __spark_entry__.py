@@ -139,6 +139,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "statestore_changefeed",
     "identifier_sql",
     "sink_zorder",
+    "statestore_timetravel",
 )
 
 

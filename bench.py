@@ -121,6 +121,7 @@ HEADLINE = [
     "statestore_changefeed",
     "identifier_sql",
     "sink_zorder",
+    "statestore_timetravel",
 ]
 
 

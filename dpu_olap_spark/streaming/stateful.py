@@ -874,3 +874,109 @@ def q_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+# time-travel sources/checkpoints accumulate per process and clean at
+# exit (rebuild-time deletion would race concurrent readers — same
+# lesson as pysink_write)
+_TT_DIRS: list[str] = []
+
+
+def _cleanup_tt_dirs() -> None:
+    import shutil
+
+    for d in _TT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_tt_dirs)
+
+
+@query(
+    "statestore_timetravel",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE event_id % 3 <= 1
+    GROUP BY user_id
+    """,
+)
+def q_statestore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State TIME TRAVEL: read an operator's state AS OF an earlier
+    micro-batch with format('statestore').option('batchId', b) — the
+    recovery/audit surface for "what did this key hold before the bad
+    deploy". To make history deterministic, the source is split into
+    3 slices (event_id % 3) written as separate files with strictly
+    increasing mtimes; the file stream (oldest-first listing,
+    maxFilesPerTrigger=1) then commits exactly one slice per batch, so
+    state at batchId=1 equals the aggregation over slices 0-1 — the
+    exact oracle. At 100 TB the same read answers point-in-time state
+    questions directly from checkpoint snapshots+changelogs without
+    replaying the pipeline (snapshotStartBatchId/snapshotPartitionId
+    narrow the scan to one partition's snapshot lineage for targeted
+    repair)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from dpu_olap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    src = tempfile.mkdtemp(prefix="tt_src_")
+    _TT_DIRS.append(src)
+    now = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"slice{k}")
+        ev.where(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        # strictly increasing mtimes pin the oldest-first batch order
+        os.utime(dst, (now - 300 + k * 60, now - 300 + k * 60))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = tempfile.mkdtemp(prefix="tt_ckpt_")
+    _TT_DIRS.append(ckpt)
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise RuntimeError("statestore_timetravel stream did not finish in 180s")
+    state = (
+        spark.read.format("statestore").option("batchId", "1").load(ckpt)
+    )
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )
