@@ -140,6 +140,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "identifier_sql",
     "sink_zorder",
     "statestore_timetravel",
+    "window_range_frame",
 )
 
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "identifier_sql",
     "sink_zorder",
     "statestore_timetravel",
+    "window_range_frame",
 ]
 
 

@@ -947,3 +947,48 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rms("cents").alias("rms_cents"),
         n_rows("cents").alias("n_events"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY dayn
+                                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cents_30d
+    FROM o
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based window frame (RANGE BETWEEN): each order's trailing
+    30-day spend for its customer — the frame is defined by the ORDER
+    key's VALUE distance, not row offsets, so same-day orders (peers)
+    all see the identical frame and gaps in the calendar shrink it.
+    This is the rolling-window-by-time shape ROWS frames cannot
+    express (window_running covers those). Order key is exact integer
+    epoch-days and the measure exact cents, so frame membership and
+    sums are bit-identical across engines. One hash partition by
+    customer, in-partition sort — the same single-shuffle plan as
+    every other window here."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias(
+            "dayn"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dayn")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.sum("cents").over(w).alias("cents_30d")
+    )
