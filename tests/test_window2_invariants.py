@@ -126,3 +126,169 @@ def test_changefeed_history_is_monotone(spark):
         h.sort()
         assert all(a[1] <= b[1] for a, b in zip(h, h[1:])), (uid, h)
         assert h[-1][1] == final[uid]
+
+
+def test_session_pair_accounts_for_every_session(spark):
+    """The delivery contract claimed by stream_session_append +
+    statestore_session_read, proven on ONE pipeline (same 2 h delay):
+    sessions EMITTED in append mode and sessions REMAINING in state
+    are disjoint and together equal the batch sessionization."""
+    import tempfile
+
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK, load_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream = load_events_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("sess_start"), "n_events")
+    )
+    ckpt = tempfile.mkdtemp(prefix="sess_pair_")
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("sess_pair_sink")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert q.awaitTermination(180)
+    q.stop()
+    emitted = {
+        (r.user_id, r.sess_start, r.n_events)
+        for r in spark.table("sess_pair_sink").collect()
+    }
+    in_state = {
+        (r.user_id, r.sess_start, r.n)
+        for r in spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.session_window.start").alias("sess_start"),
+            F.col("value.count").alias("n"),
+        )
+        .collect()
+    }
+    assert emitted.isdisjoint(in_state)
+
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    acc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = marked.select("user_id", "ts", F.sum("ns").over(acc).alias("sid"))
+    batch = {
+        (r.user_id, r.sess_start, r.n)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("sess_start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "sess_start", "n")
+        .collect()
+    }
+    assert emitted | in_state == batch
+
+
+def test_left_outer_join_accounts_for_every_purchase(spark):
+    """stream_left_outer_join completeness: every UNMATCHED purchase is
+    either emitted null-extended or still held in left join state —
+    disjointly, with nothing lost."""
+    import tempfile
+
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK, load_events_stream
+
+    sf = "/root/testdata/sf0.001"
+
+    def side(kind, id_alias, ts_alias):
+        s = load_events_stream(spark, sf)
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
+    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+        "leftOuter",
+    ).select(F.col("purchase_user").alias("user_id"), "purchase_id", "click_id")
+    ckpt = tempfile.mkdtemp(prefix="lo_acct_")
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("lo_acct_sink")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert q.awaitTermination(180)
+    q.stop()
+    out = spark.table("lo_acct_sink")
+    null_emitted = {r.purchase_id for r in out.where(F.col("click_id").isNull()).collect()}
+    matched = {r.purchase_id for r in out.where(F.col("click_id").isNotNull()).collect()}
+    in_state = {
+        r.pid
+        for r in spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ckpt)
+        .select(F.col("value.purchase_id").alias("pid"))
+        .collect()
+    }
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pb = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    cb = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    jb = pb.join(
+        cb,
+        F.expr("pu = cu AND cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"),
+        "left",
+    )
+    unmatched = {r.purchase_id for r in jb.where(F.col("click_id").isNull()).collect()}
+
+    assert null_emitted.isdisjoint(in_state)
+    assert null_emitted | (in_state & unmatched) == unmatched
+    # matched purchases emitted as pairs are exactly the batch-matched set
+    assert matched == {r.purchase_id for r in jb.where(F.col("click_id").isNotNull()).collect()}
