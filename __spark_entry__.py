@@ -54,20 +54,8 @@ _VERIFIED_R1 = (
     "outer_join", "scalar_funcs", "date_funcs",
 )
 _VERIFIED_R2 = (
-    # CORRECTNESS_r02.json — 43 hash-green + 4 rows-only (simhash,
-    # mm_decode, mm_frame_sample, mm_resize) counted as checked.
-    "fact_fact_join", "decontaminate", "stratified_sample", "grouped_ols",
-    "sink_csv_roundtrip", "bucketed_join", "stream_foreach_batch",
-    "dedup_incremental", "repetition_score", "stateful_user_stats",
-    "stream_tumbling", "window_sliding", "session_window",
-    "stream_stream_join", "rolling_fingerprint", "tfidf_top_terms",
-    "text_clean", "token_positions", "pipeline_corpus", "quality_score",
-    "lang_id", "fingerprint", "token_hist", "token_count", "text_stats",
-    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
-    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
-    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
-    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
-    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
+    # CORRECTNESS_r02.json stragglers that missed the r6 re-check
+    # window (the other 45 r2 rows re-verified r6 → _VERIFIED_R6).
     "cohort_retention", "gap_fill",
 )
 _VERIFIED_R4 = (
@@ -107,41 +95,64 @@ _VERIFIED_R5 = (
     "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
     "merge_upsert",
 )
+_VERIFIED_R6 = (
+    # CORRECTNESS_r06.json — 50 rows: 5 new Spark-4 surface queries,
+    # the r2-vintage dedup/text/multimodal/streaming cohort re-checked
+    # on current code, 46 hash-green + 4 rows-only by design (simhash,
+    # mm_decode, mm_frame_sample, mm_resize).
+    "statestore_read", "stream_dedup_unbounded", "cache_scan",
+    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
+    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
+    "bucketed_join", "stream_foreach_batch", "dedup_incremental",
+    "repetition_score", "stateful_user_stats", "stream_tumbling",
+    "window_sliding", "session_window", "stream_stream_join",
+    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
+    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
+    "fingerprint", "token_hist", "token_count", "text_stats",
+    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
+    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
+    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
+    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
+    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     _VERIFIED_R1 + _VERIFIED_R2 + _VERIFIED_R4 + _VERIFIED_R5
+    + _VERIFIED_R6
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order.  Round 6: any new-surface r6 ops
-# lead (kept to ~5 so the r2-vintage cohort fits the 50-row window).
-# _LOW_PRIORITY names sort BEHIND every verified row: built late in
-# r6 after the window budget was spent — promote to _HIGH_PRIORITY
-# next round for their first CORRECTNESS row.
-_HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = (
+# not depend on module import order.  Round 7 (VERDICT r6 "Next round"
+# #1): the 22 round-6 deferred ops lead the window for their
+# first-ever CORRECTNESS row; new registrations are capped at ~0 this
+# round so 22 deferred + 15 r1-vintage + 2 r2 stragglers + ~11 oldest
+# r4 rows fill the 50-row window exactly.  Streaming-state ops go
+# first — their oracles encode probed Spark eviction semantics and are
+# the highest-risk rows.
+_HIGH_PRIORITY: tuple[str, ...] = (
+    "statestore_session_read",
+    "stream_session_append",
+    "stream_left_outer_join",
+    "stream_full_outer_join",
+    "joinstate_read",
+    "rocksdb_state_agg",
+    "statestore_changefeed",
+    "statestore_timetravel",
     "pystream_scan",
-    "variant_explode_arr",
+    "pysink_write",
+    "sink_zorder",
     "cogroup_asof",
     "map_in_arrow",
-    "statestore_session_read",
-    "stream_left_outer_join",
-    "pysink_write",
-    "joinstate_read",
-    "transpose_metrics",
-    "param_sql",
-    "stream_session_append",
-    "rocksdb_state_agg",
     "arrow_udf",
+    "pandas_udaf",
     "quality_sample",
     "corpus_mix",
-    "pandas_udaf",
-    "stream_full_outer_join",
-    "statestore_changefeed",
+    "param_sql",
     "identifier_sql",
-    "sink_zorder",
-    "statestore_timetravel",
+    "variant_explode_arr",
+    "transpose_metrics",
     "window_range_frame",
 )
+_LOW_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -152,13 +163,13 @@ def _ordered_names() -> list[str]:
     first.sort(key=pri.get)
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
-    # Already-verified tail.  Round 6 priority (VERDICT r5 "Next round"
-    # #1): the 47 _VERIFIED_R2 rows (dedup/text/multimodal/streaming —
-    # last driver-checked on round-2 code, files since edited) lead,
-    # then the 15 never-re-checked r1 leftovers, then r4, then r5.
+    # Already-verified tail, oldest-verified-round first so the
+    # stalest rows re-check soonest: 15 r1 leftovers, 2 r2 stragglers,
+    # then r4 (first ~11 fit the r7 window; the rest lead r8), r5, r6.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R2, _VERIFIED_R1, _VERIFIED_R4, _VERIFIED_R5):
+    for tier in (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R4, _VERIFIED_R5,
+                 _VERIFIED_R6):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JError
 from pyspark.sql import SparkSession
 
 # Scale-oriented defaults. On a real cluster these are the same knobs,
@@ -88,9 +89,34 @@ def ensure_thread_active(spark: SparkSession) -> None:
         spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
             spark._jsparkSession
         )
-    except Exception:
-        # non-classic session impls: nothing to bind
-        pass
+    except AttributeError as exc:
+        # Spark Connect sessions have no _jvm / _jsparkSession; there is
+        # no thread-local JVM active session to bind there. Anything
+        # else (a renamed JVM class path) would silently re-expose the
+        # DATA_SOURCE_NOT_FOUND failure this binding prevents — warn
+        # once so it is diagnosable (r6 ADVICE: don't swallow all).
+        _warn_binding_skipped(f"no JVM session handle ({exc})")
+    except Py4JError as exc:
+        _warn_binding_skipped(f"JVM setActiveSession failed ({exc})")
+
+
+_BINDING_WARNED = False
+
+
+def _warn_binding_skipped(detail: str) -> None:
+    global _BINDING_WARNED
+    if _BINDING_WARNED:
+        return
+    _BINDING_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "ensure_thread_active: skipped JVM active-session binding "
+        f"({detail}); Python Data Source lookups from fresh threads "
+        "may fail with DATA_SOURCE_NOT_FOUND",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _ship_package(spark: SparkSession) -> None:

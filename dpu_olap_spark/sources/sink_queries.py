@@ -38,6 +38,10 @@ _run_counter = itertools.count()
 
 _CONF_LOCK = threading.Lock()
 
+# Most-recent published output path per sink query, for tests that
+# need to re-open the written files (avoids globbing a shared tempdir)
+_SINK_PATHS: dict[str, str] = {}
+
 
 def _tmp_path(tag: str) -> str:
     return os.path.join(
@@ -375,6 +379,9 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     path = _tmp_path("li_zorder")
+    # record the published path for tests (the _PYSINK_DIR pattern) —
+    # pruning tests read this instead of globbing the shared tempdir
+    _SINK_PATHS["sink_zorder"] = path
     # normalize both keys to a COMMON bit width before interleaving:
     # raw keys have unequal ranges (partkey ~20x suppkey), and the
     # wider key's high bits would dominate the Z top bits, collapsing

@@ -456,10 +456,23 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_user_stats(spark.table(sink))
 
 
-# statestore_read keeps one live checkpoint per process; the previous
-# one is torn down on rebuild so repeated builds (bench passes) leave
-# exactly one on disk.
+# The state-reader queries keep one LIVE checkpoint per key; rebuilds
+# retire the previous one to a process-exit cleanup list instead of
+# rmtree-ing it immediately — the returned DataFrame is lazy over the
+# checkpoint, so rebuild-time deletion races a concurrent or
+# still-unevaluated prior read (same hazard class as pysink_write /
+# _TT_DIRS; r6 ADVICE item).
 _SS_CKPT: dict[str, str] = {}
+_SS_RETIRED: list[str] = []
+
+
+def _swap_ckpt(key: str, ckpt: str) -> None:
+    """Record `ckpt` as the live checkpoint for `key`; defer deletion
+    of the previous one to process exit (atexit below)."""
+    old = _SS_CKPT.pop(key, None)
+    if old is not None:
+        _SS_RETIRED.append(old)
+    _SS_CKPT[key] = ckpt
 
 
 @query(
@@ -513,10 +526,7 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     if not finished:
         raise RuntimeError("statestore_read stream did not finish in 180s")
-    old = _SS_CKPT.pop("ckpt", None)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
-    _SS_CKPT["ckpt"] = ckpt
+    _swap_ckpt("ckpt", ckpt)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
@@ -608,10 +618,7 @@ def q_statestore_session_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     if not finished:
         raise RuntimeError("statestore_session_read stream did not finish in 180s")
-    old = _SS_CKPT.pop("sess_ckpt", None)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
-    _SS_CKPT["sess_ckpt"] = ckpt
+    _swap_ckpt("sess_ckpt", ckpt)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
@@ -709,10 +716,7 @@ def q_joinstate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     if not finished:
         raise RuntimeError("joinstate_read stream did not finish in 180s")
-    old = _SS_CKPT.pop("join_ckpt", None)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
-    _SS_CKPT["join_ckpt"] = ckpt
+    _swap_ckpt("join_ckpt", ckpt)
     left = (
         spark.read.format("statestore")
         .option("joinSide", "left")
@@ -856,10 +860,7 @@ def q_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     if not finished:
         raise RuntimeError("statestore_changefeed stream did not finish in 180s")
-    old = _SS_CKPT.pop("cf_ckpt", None)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
-    _SS_CKPT["cf_ckpt"] = ckpt
+    _swap_ckpt("cf_ckpt", ckpt)
     feed = (
         spark.read.format("statestore")
         .option("readChangeFeed", "true")

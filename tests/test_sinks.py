@@ -194,15 +194,12 @@ def test_zorder_prunes_both_dimensions(spark):
     from dpu_olap_spark.registry import all_queries
 
     all_queries()["sink_zorder"].build(spark, "/root/testdata/sf0.01").collect()
-    import glob as _glob
-    import os
+    from dpu_olap_spark.sources.sink_queries import _SINK_PATHS
 
-    import tempfile
-
-    # the sink writes under the module's per-process tmp dir scheme;
-    # find the newest li_zorder dir
-    cands = _glob.glob(os.path.join(tempfile.gettempdir(), "**", "*li_zorder*"), recursive=True)
-    path = max((c for c in cands if os.path.isdir(c)), key=os.path.getmtime)
+    # the sink records its published path at build time (r6 ADVICE:
+    # globbing the shared tempdir can pick up stale dirs from other
+    # processes)
+    path = _SINK_PATHS["sink_zorder"]
     back = spark.read.parquet(path)
     total = back.select(F.input_file_name()).distinct().count()
     part_files = (
