@@ -67,6 +67,94 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESS_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity closes a session
+# Sessionization time-chunk (6 h of event time). MUST stay >= the gap:
+# then an empty chunk between two events proves >gap silence, so local
+# sessions can only ever merge across ADJACENT chunks and the chain
+# pass needs no special cases.
+_SESS_CHUNK_US = 6 * 3600 * 1_000_000
+
+
+def chunked_sessions(
+    ev: DataFrame,
+    gap_us: int = _SESS_GAP_US,
+    chunk_us: int = _SESS_CHUNK_US,
+) -> DataFrame:
+    """Skew-proof 30-min-gap sessionization of (user_id, event_id,
+    event_type, tus) rows: one row per session with the opening row
+    as `first_touch` (the opening row's event type), `n_events`, and the
+    first view/click/purchase micros. See q_session_funnel for the
+    full design narrative; tools/scale_probe.py reuses this exact
+    builder so probe numbers measure the shipped plan."""
+    from pyspark.sql import Window as W
+
+    if chunk_us < gap_us:
+        raise ValueError(
+            f"chunk_us ({chunk_us}) must be >= gap_us ({gap_us}): an "
+            "empty chunk must prove a session break"
+        )
+    ev = ev.withColumn("chunk", F.floor(F.col("tus") / F.lit(chunk_us)))
+    wc = W.partitionBy("user_id", "chunk").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(wc)
+    flagged = ev.withColumn(
+        "new_loc",
+        F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us), 1).otherwise(0),
+    )
+    local = flagged.withColumn(
+        "lsess",
+        F.sum("new_loc").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    t_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("tus"))
+    )
+    # One row per (user, chunk, local session). Every aggregate is a
+    # plain min/max/sum — NOT min(struct(...)) — so Catalyst plans
+    # HashAggregate inside whole-stage codegen (a struct-min forces
+    # SortAggregate, which measured ~5x slower over the corpus). The
+    # opening row's event type rides on the new_loc==1 marker (exactly
+    # one per local run, its first row), the same trick the rollup
+    # uses for first-touch.
+    summaries = local.groupBy("user_id", "chunk", "lsess").agg(
+        F.min("tus").alias("first_tus"),
+        F.max("tus").alias("last_tus"),
+        F.max(F.when(F.col("new_loc") == 1, F.col("event_type"))).alias(
+            "first_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        t_of("view").alias("t_view"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    # Chain boundary-adjacent local sessions per user. Local sessions
+    # are contiguous runs of the user's time-ordered events, so the
+    # summary order by first_tus is the run order (ties are
+    # impossible: two runs in one chunk are separated by >gap, and
+    # chunk time ranges are disjoint) and the oracle's >gap test
+    # between consecutive runs is exact. Within one chunk consecutive
+    # runs are already separated by >gap (that is what split them), so
+    # the test only ever fuses across a chunk boundary — no
+    # chunk-adjacency condition needed.
+    wm = W.partitionBy("user_id").orderBy("first_tus")
+    prev_last = F.lag("last_tus").over(wm)
+    chained = summaries.withColumn(
+        "new_chain",
+        F.when(
+            prev_last.isNull() | ((F.col("first_tus") - prev_last) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "chain",
+        F.sum("new_chain").over(wm.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return chained.groupBy("user_id", "chain").agg(
+        F.max(F.when(F.col("new_chain") == 1, F.col("first_type"))).alias(
+            "first_touch"
+        ),
+        F.min("first_tus").alias("first_tus"),
+        F.sum("n_events").alias("n_events"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
 
 
 @query(
@@ -112,48 +200,51 @@ _SESS_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity closes a session
 )
 def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-funnel attribution: events sessionize per user by
-    30-minute inactivity gaps (lag + running sum of session-open
-    flags), each session checks the ordered view -> click -> purchase
-    funnel, and conversions attribute to the session's FIRST TOUCH —
-    carried by the session-opening row itself (new_sess = 1), so no
-    extra ranking window is needed. Timestamps compare as integer
-    epoch-micros (unix_micros / epoch_us), exact on both engines.
-    Scale: both windows and the per-session aggregation share the
-    user_id hash partitioning (hash(user_id) clusters (user_id,
-    sess_id) too — Spark's subset rule keeps the agg exchange-free),
-    so the whole sessionize-and-attribute pipeline is ONE corpus
-    shuffle plus a tiny final rollup by first_touch; the plan gate
-    pins that 2-exchange shape."""
-    from pyspark.sql import Window as W
+    30-minute inactivity gaps, each session checks the ordered
+    view -> click -> purchase funnel, and conversions attribute to the
+    session's FIRST TOUCH (the event type of the session-opening row).
+    Timestamps compare as integer epoch-micros (unix_micros /
+    epoch_us), exact on both engines.
 
+    TIME-CHUNKED for hot keys (VERDICT r6 "What's wrong" #1): a plain
+    per-user window serializes a bot-like user's entire history
+    through one task — the r6 Zipfian probe measured a ~6x throughput
+    collapse with one user holding 50% of rows, and AQE cannot split a
+    window partition. Instead:
+
+      1. events partition by (user_id, time_chunk) — chunk = 6 h of
+         event time, >= the 30-min gap — and sessionize LOCALLY with
+         the lag + running-sum windows. A hot user now spreads over
+         #chunks tasks; per-task rows are bounded by the user's
+         per-chunk rate, not their lifetime total.
+      2. per (user, chunk, local session) collapse to ONE summary row
+         (first/last event micros, opening event type, funnel-step
+         minima, count). Runs of consecutive events land in time
+         order, so the true session relation survives: two adjacent
+         summaries belong to one session iff the gap between the
+         earlier one's last event and the later one's first event is
+         <= 30 min. Summaries per user are bounded by timespan/gap +
+         timespan/chunk (session breaks need >30 min of silence;
+         chunk splits add <= 1 per chunk) — INDEPENDENT of the user's
+         event count, so the merge window cannot inherit the skew.
+      3. a per-user window over summaries chains boundary-adjacent
+         local sessions (lag + running sum again, now on bounded
+         input), a groupBy(user, chain) merges them (mins/sums — all
+         order-insensitive), and the tiny first_touch rollup closes.
+
+    Exchanges: one corpus shuffle on hash(user_id, chunk) — the
+    sessionize + summary agg share it via the subset rule — plus one
+    summary-sized shuffle on user_id (also shared with the chain
+    merge) and the rollup. The plan gate pins this 3-exchange shape
+    and tools/scale_probe.py's Zipfian section measures the hot-user
+    behavior on this same builder (chunked_sessions above)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("tus"),
     )
-    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
-    lag = F.lag("tus").over(wu)
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(lag.isNull() | ((F.col("tus") - lag) > _SESS_GAP_US), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    t_of = lambda t: F.min(  # noqa: E731
-        F.when(F.col("event_type") == t, F.col("tus"))
-    )
-    per_sess = sess.groupBy("user_id", "sess_id").agg(
-        F.max(F.when(F.col("new_sess") == 1, F.col("event_type"))).alias(
-            "first_touch"
-        ),
-        F.count(F.lit(1)).alias("n_events"),
-        t_of("view").alias("t_view"),
-        t_of("click").alias("t_click"),
-        t_of("purchase").alias("t_purchase"),
-    )
+    per_sess = chunked_sessions(ev)
     converted = (
         F.col("t_view").isNotNull()
         & (F.col("t_click") > F.col("t_view"))

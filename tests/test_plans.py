@@ -188,14 +188,22 @@ def test_bloom_filter_join_prefilters_probe(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_session_funnel_one_corpus_shuffle(spark):
-    """Sessionize (2 windows) + per-session agg must all ride ONE
-    user_id exchange (hash(user_id) clusters (user_id, sess_id) — the
-    subset rule); the only other exchange is the tiny first_touch
-    rollup. A third exchange means the per-session groupBy stopped
-    reusing the window partitioning."""
+def test_session_funnel_chunked_three_exchange(spark):
+    """Time-chunked sessionization (VERDICT r6 #2) must keep exactly
+    3 exchanges: the corpus shuffle on hash(user_id, chunk) — shared
+    by the local sessionize windows AND the summary agg via the subset
+    rule — a summary-sized shuffle on user_id (shared by the chain
+    window and per-chain merge), and the tiny first_touch rollup. A
+    4th exchange means a groupBy stopped riding its window
+    partitioning; a corpus-level user_id-only exchange would
+    resurrect the hot-user serialization this design removes."""
     plan = _formatted_plan(spark, "session_funnel")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    # the FIRST (innermost, corpus) exchange must key on chunk too,
+    # not user_id alone — that's the skew split
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\n(?:Input \[.*?\]\s*\n)?Arguments: (.*)", plan)
+    corpus = [a for a in exchanges if "chunk" in a]
+    assert corpus, f"no exchange keyed on (user_id, chunk): {exchanges}"
     for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert j not in plan, f"unexpected join in plan: {j}"
 

@@ -297,33 +297,22 @@ def probe_events(spark, path: str) -> dict[str, float]:
         )
         t[name] = round(best, 3)
 
-    # session_funnel shape: 2 windows + 2 aggs, all on user_id
-    gap_us = 30 * 60 * 1_000_000
+    # session_funnel: the SHIPPED time-chunked builder (not an inline
+    # copy — probe numbers must measure the real plan)
+    from dpu_olap_spark.operators.events_analytics import chunked_sessions
+
     e = ev.select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
     )
-    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
-    lag = F.lag("tus").over(wu)
-    sess = e.withColumn(
-        "new_sess",
-        F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us), 1).otherwise(0),
-    ).withColumn(
-        "sess_id",
-        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    per_sess = sess.groupBy("user_id", "sess_id").agg(
-        F.max(F.when(F.col("new_sess") == 1, F.col("event_type"))).alias("ft"),
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.when(F.col("event_type") == "view", F.col("tus"))).alias("tv"),
-        F.min(F.when(F.col("event_type") == "click", F.col("tus"))).alias("tc"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("tus"))).alias("tp"),
-    )
+    per_sess = chunked_sessions(e)
     conv = (
-        F.col("tv").isNotNull() & (F.col("tc") > F.col("tv")) & (F.col("tp") > F.col("tc"))
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click"))
     )
     run(
         "session_funnel",
-        per_sess.groupBy("ft").agg(
+        per_sess.groupBy("first_touch").agg(
             F.count(F.lit(1)), F.sum(F.when(conv, 1).otherwise(0))
         ),
     )
@@ -456,25 +445,18 @@ def probe_events_skew(spark, path: str) -> tuple[dict[str, float], dict[str, int
         )
         t[name] = round(best, 3)
 
-    # session_funnel shape under user skew: the hot user's rows all
-    # land in one window partition — the honest cost of per-entity
-    # sessionization when one entity dominates (mitigation at 100 TB:
-    # cap per-entity history upstream; salting can't split a window
-    # whose semantics need the full entity ordered)
-    gap_us = 30 * 60 * 1_000_000
+    # session_funnel under user skew: the r6 probe caught the plain
+    # per-user window serializing the hot user (50% of rows) through
+    # one task (~6x collapse, flat-bad at 10M). The shipped builder
+    # now time-chunks — the hot user's corpus-level window partition
+    # is (user, 6h-chunk), so its rows spread over #chunks tasks and
+    # only bounded session summaries reach the per-user merge window.
+    from dpu_olap_spark.operators.events_analytics import chunked_sessions
+
     e = ev.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus"))
-    wu = W.partitionBy("user_id").orderBy("tus", "event_id")
-    lag = F.lag("tus").over(wu)
-    sess = e.withColumn(
-        "new_sess",
-        F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us), 1).otherwise(0),
-    ).withColumn(
-        "sess_id",
-        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
     run(
         "session_funnel",
-        sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1))).agg(F.count(F.lit(1))),
+        chunked_sessions(e).agg(F.count(F.lit(1))),
     )
 
     # reservoir shape under GROUP skew (60% of rows in one group):
@@ -574,10 +556,13 @@ def probe_corpus_mix(spark, path: str) -> tuple[dict[str, float], dict[str, int]
     )
     t["corpus_mix"] = round(best, 3)
     recs = _exchange_records(mix)
-    # innermost-first after the walk reverses? record the SMALLEST
-    # exchange: the per-source candidate exchange (the scan-side
-    # exchange carries the raw rows in a naive plan; two-phase keeps
-    # every post-filter exchange candidate-bounded)
+    # _exchange_records walks the plan OUTERMOST-first, so recs[0] is
+    # the final per-source agg exchange and later entries are deeper.
+    # The claim under test is that EVERY post-phase-1 exchange is
+    # candidate-bounded, so record min(recs) — the smallest — as the
+    # per-source candidate exchange and max(recs) alongside it; if the
+    # phase-1 window exchange (full corpus) ever leaks past the local
+    # budget filter, max(recs) blows up and the probe table shows it.
     extra["mix_source_exchange_records"] = min(recs) if recs else -1
     extra["mix_all_exchanges"] = len(recs)
     extra["mix_max_exchange_records"] = max(recs) if recs else -1
