@@ -488,37 +488,68 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     under budget, so the result overshoots by at most one document per
     source and never depends on partitioning.
 
-    Two-phase at scale (same shape as reservoir_sample's fix): phase 1
-    runs the prefix-sum per (input partition, source) and keeps only
-    rows whose LOCAL prior is under budget — a superset of the global
-    selection, because a row's local prior never exceeds its global
-    prior, and bounded by ~budget chars per partition; phase 2 runs
-    the true per-source prefix sum over that bounded candidate set.
-    No task ever sorts a full source: the phase-1 window keys on
-    (partition id, source), spreading P x S groups across the
-    cluster, and phase 2 sees <= budget x P chars per source.
+    Two-phase at scale: phase 1 keeps, PER INPUT PARTITION and per
+    source, only the md5-smallest prefix of docs whose exclusive
+    running chars stay under budget — a superset of the global
+    selection, because a row's partition-local prior never exceeds
+    its global prior; phase 2 runs the true per-source prefix sum
+    over that bounded candidate set.
+
+    Phase 1 is EXCHANGE-FREE (r6 verdict #4: the earlier
+    window-on-(spark_partition_id, source) form still shuffled the
+    whole corpus once): a mapInPandas fold keeps a per-source
+    candidate frame, and per Arrow batch concat+sort+cumsum-prefixes
+    it back down to budget — all vectorized pandas, state bounded by
+    ~budget chars per source. The fold is batch-split-independent: a
+    row dropped after any batch has prior >= budget within the rows
+    seen so far, and priors only grow as rows arrive, so it can never
+    re-enter the prefix. The md5 rank is computed JVM-side BEFORE the
+    Python hop and rides through as a column, so Python does no
+    hashing. Phase 2's per-source exchange then carries <= budget x P
+    chars per source, the only shuffle in the plan (gate:
+    tests/test_plans.py::test_corpus_mix_two_phase_budget).
     Output: per-source docs-taken and chars-taken (the realized mix).
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    rank_cols = [F.md5(F.col("doc_id").cast("string")).alias("h"), F.col("doc_id")]
-    local_w = (
-        Window.partitionBy(F.spark_partition_id(), "source")
-        .orderBy(*[c for c in rank_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
     )
-    candidates = (
-        d.withColumn("local_prior", F.sum("n_chars").over(local_w) - F.col("n_chars"))
-        .where(F.col("local_prior") < _MIX_BUDGET_CHARS)
-        .drop("local_prior")
+    return budget_mix(docs, _MIX_BUDGET_CHARS)
+
+
+def budget_mix(docs: DataFrame, budget: int) -> DataFrame:
+    """The corpus_mix pipeline over any (doc_id, source, n_chars)
+    frame — shared by q_corpus_mix and tools/scale_probe.py so probe
+    numbers measure the shipped plan."""
+    d = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id",
+        "source",
+        "n_chars",
     )
+
+    def local_prefix(batches):
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            both = pd.concat([state, pdf]) if state is not None else pdf
+            both = both.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            prior = both.groupby("source", sort=False)["n_chars"].cumsum() - both[
+                "n_chars"
+            ]
+            state = both[prior < budget]
+        if state is not None and len(state):
+            yield state
+
+    candidates = d.mapInPandas(local_prefix, schema=d.schema)
     global_w = (
         Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     taken = candidates.withColumn(
         "prior_chars", F.sum("n_chars").over(global_w) - F.col("n_chars")
-    ).where(F.col("prior_chars") < _MIX_BUDGET_CHARS)
+    ).where(F.col("prior_chars") < budget)
     return taken.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars_taken"),

@@ -517,38 +517,18 @@ def gen_docs_sources(spark, n: int, path: str) -> None:
 
 
 def probe_corpus_mix(spark, path: str) -> tuple[dict[str, float], dict[str, int]]:
-    """corpus_mix two-phase budget selection (mirrors llm/curation.py)
-    on skewed sources; also measures the per-source (phase-2) exchange
-    record count, which must stay ~budget-bounded regardless of corpus
-    size or the 80%-hot source."""
-    from pyspark.sql import Window
+    """corpus_mix budget selection (the SHIPPED llm/curation.py
+    builder) on skewed sources; also measures every exchange's record
+    count — with the exchange-free mapInPandas phase 1 (r7) the plan
+    has ONE exchange, the per-source candidate shuffle, and its
+    record count must stay ~budget-bounded regardless of corpus size
+    or the 80%-hot source."""
+    from dpu_olap_spark.llm.curation import budget_mix
 
-    budget = 50_000
     docs = spark.read.parquet(path).select("doc_id", "source", "n_chars")
     t: dict[str, float] = {}
     extra: dict[str, int] = {}
-
-    local_w = (
-        Window.partitionBy(F.spark_partition_id(), "source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    candidates = (
-        docs.withColumn("local_prior", F.sum("n_chars").over(local_w) - F.col("n_chars"))
-        .where(F.col("local_prior") < budget)
-        .drop("local_prior")
-    )
-    global_w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    taken = candidates.withColumn(
-        "prior_chars", F.sum("n_chars").over(global_w) - F.col("n_chars")
-    ).where(F.col("prior_chars") < budget)
-    mix = taken.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_taken")
-    )
+    mix = budget_mix(docs, 50_000)
 
     best = min(
         _timed(lambda: mix.write.format("noop").mode("overwrite").save())
@@ -556,16 +536,10 @@ def probe_corpus_mix(spark, path: str) -> tuple[dict[str, float], dict[str, int]
     )
     t["corpus_mix"] = round(best, 3)
     recs = _exchange_records(mix)
-    # _exchange_records walks the plan OUTERMOST-first, so recs[0] is
-    # the final per-source agg exchange and later entries are deeper.
-    # The claim under test is that EVERY post-phase-1 exchange is
-    # candidate-bounded, so record min(recs) — the smallest — as the
-    # per-source candidate exchange and max(recs) alongside it; if the
-    # phase-1 window exchange (full corpus) ever leaks past the local
-    # budget filter, max(recs) blows up and the probe table shows it.
-    extra["mix_source_exchange_records"] = min(recs) if recs else -1
+    # One exchange expected (plan-gated); record max so a regression
+    # that re-introduces a corpus-level shuffle shows up as a blowup.
+    extra["mix_source_exchange_records"] = max(recs) if recs else -1
     extra["mix_all_exchanges"] = len(recs)
-    extra["mix_max_exchange_records"] = max(recs) if recs else -1
     return t, extra
 
 
