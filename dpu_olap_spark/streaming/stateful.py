@@ -886,7 +886,10 @@ _TT_DIRS: list[str] = []
 def _cleanup_tt_dirs() -> None:
     import shutil
 
-    for d in _TT_DIRS:
+    # retired state-reader checkpoints (replaced by a rebuild) and the
+    # final live ones: no reader can outlive the interpreter, so both
+    # are safe to remove here and only here
+    for d in _TT_DIRS + _SS_RETIRED + list(_SS_CKPT.values()):
         shutil.rmtree(d, ignore_errors=True)
 
 
