@@ -257,3 +257,39 @@ def test_chunked_sessions_boundary_equivalence(spark):
     # multiple chunks as ONE session
     u2 = [k for k in want if k[0] == 2]
     assert len(u2) == 1 and want[u2[0]][1] == (2 * C) // (G - 1) + 2
+
+
+def test_chunked_sessions_randomized_differential(spark):
+    """Randomized differential check with a deliberately TINY chunk
+    (2x the gap) so almost every session crosses chunk boundaries and
+    the chain-merge path carries the correctness load, not the local
+    sessionize. Brute-force Python sessionization is the second
+    engine (the reference's randomized-test scheme)."""
+    import numpy as np
+
+    from dpu_olap_spark.operators.events_analytics import chunked_sessions
+
+    gap = 1_000_000  # 1 s in micros
+    chunk = 2 * gap
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    for seed in (7, 42, 1337):
+        rng = np.random.default_rng(seed)
+        n = 4000
+        uid = rng.integers(0, 25, size=n)
+        # mixture of sub-gap steps and super-gap jumps per user
+        tus = np.cumsum(
+            rng.choice([gap // 10, gap // 3, gap, gap + 1, 3 * gap], size=n),
+        ) + uid * 17  # interleave users at distinct offsets
+        etype = types[rng.integers(0, 5, size=n)]
+        rows = [
+            (int(uid[i]), i, str(etype[i]), int(tus[i])) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id: long, event_id: long, event_type: string, tus: long"
+        )
+        got = {
+            (r.user_id, r.first_tus): (r.first_touch, r.n_events)
+            for r in chunked_sessions(df, gap_us=gap, chunk_us=chunk).collect()
+        }
+        want = _brute_sessions(rows, gap)
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)} sessions"
