@@ -126,6 +126,16 @@ HEADLINE = [
 ]
 
 
+def _spread(totals: list[float]) -> float:
+    """Relative spread (max-min)/median of the warm pass totals; 0.0
+    when fewer than two passes."""
+    if len(totals) < 2:
+        return 0.0
+    s = sorted(totals)
+    med = s[len(s) // 2]
+    return round((s[-1] - s[0]) / med, 3) if med else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -234,6 +244,15 @@ def main() -> None:
                 # attestation that nothing else ran during the bench;
                 # tools/ scripts must never be launched mid-bench.
                 "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
+                # r6 verdict #6: flag runs whose WARM passes (cold
+                # pass 0 excluded — ~1.6x JIT cost is inherent) spread
+                # more than 20%, so a regression seen in a noisy run
+                # is triaged against exclusive re-runs instead of
+                # trusted at face value.
+                "warm_spread": _spread([sum(p.values()) for p in per_run[1:]]),
+                "noisy_box": _spread(
+                    [sum(p.values()) for p in per_run[1:]]
+                ) > 0.20,
             }
         )
     )
