@@ -292,3 +292,25 @@ def test_left_outer_join_accounts_for_every_purchase(spark):
     assert null_emitted | (in_state & unmatched) == unmatched
     # matched purchases emitted as pairs are exactly the batch-matched set
     assert matched == {r.purchase_id for r in jb.where(F.col("click_id").isNotNull()).collect()}
+
+
+def test_corpus_mix_partition_invariance(spark):
+    """The r7 mapInPandas phase-1 fold must select the SAME mix no
+    matter how the input is partitioned (and therefore no matter how
+    Arrow batches split): the per-partition candidate supersets
+    differ, but the phase-2 global prefix must converge to one
+    answer. This is the invariant that makes the operator safe to
+    run after any upstream repartition/coalesce at 100 TB."""
+    from dpu_olap_spark.llm.curation import budget_mix
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    results = []
+    for parts in (1, 3, 17):
+        out = {
+            r.source: (r.n_docs, r.chars_taken)
+            for r in budget_mix(docs.repartition(parts), 50_000).collect()
+        }
+        results.append(out)
+    assert results[0] == results[1] == results[2], results
