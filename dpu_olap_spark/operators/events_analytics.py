@@ -379,13 +379,15 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_K = 4  # hash functions
 _BLOOM_MIN_WORDS = 256  # 16 Ki bits floor — below this the literal is noise
-_BLOOM_MAX_WORDS = 4096  # 256 Ki bits cap — the bitmap ships as a SQL
-# literal (parameter broadcast); past ~4096 longs the expression text
-# approaches janino's 64 KB codegen limit and the driver should switch
-# to spark.sql.optimizer.runtime.bloomFilter / a broadcast-relation
-# bitmap instead of a literal. At the cap, k=4 holds FPR<=2^-4 up to
-# ~45K distinct build keys; beyond that FPR degrades gracefully (the
-# exact join still corrects it) but the prefilter loses selectivity.
+_BLOOM_MAX_WORDS = 4096  # 256 Ki bits cap — the bitmap ships as a
+# ~32 KB one-row BROADCAST relation (a Catalyst array literal was
+# measured ~2.8 s of driver-side conversion per build at this width,
+# and an expression-text literal would approach janino's 64 KB
+# codegen limit; SCALE.md round-7 profile). At the cap, k=4 holds
+# FPR<=2^-4 up to ~45K distinct build keys; beyond that FPR degrades
+# gracefully (the exact join still corrects it) but the prefilter
+# loses selectivity — at cluster scale raise the cap with executor
+# memory or switch to spark.sql.optimizer.runtime.bloomFilter.
 
 
 def _bloom_words(n_build_distinct: int) -> int:
