@@ -406,3 +406,41 @@ def test_corpus_mix_two_phase_budget(spark):
         md5_projects,
         ids,
     )
+
+
+def test_funnel_pre_aggregates_before_join(spark):
+    """funnel: the scale contract is pre-aggregate-then-join — the
+    event-level purchase stream probes a BROADCAST of per-user click
+    firsts (one row per user), never an event-level shuffle join; the
+    only cross join is the final combine of two one-row aggregates."""
+    plan = _formatted_plan(spark, "funnel")
+    for j in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert j not in plan, f"event-level shuffle join appeared: {j}"
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, \
+        "expected exactly the one scalar-combine cross join"
+    # the per-user click aggregate must sit BELOW its broadcast (ids
+    # increase leaf-to-root): HashAggregate < BroadcastExchange < join
+    joins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) BroadcastHashJoin", plan)]
+    bcasts = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) BroadcastExchange", plan)]
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    assert joins, "per-user probe join missing"
+    j = min(joins)
+    assert any(b < j and any(a < b for a in aggs) for b in bcasts), (
+        "no aggregated broadcast build side below the probe join",
+        joins, bcasts, aggs,
+    )
+
+
+def test_cohort_retention_pre_aggregates_before_join(spark):
+    """cohort_retention: both join inputs are per-user aggregates
+    (firsts; distinct user-weeks) — one row per user/user-week — so
+    the join never sees event-level rows on either side."""
+    plan = _formatted_plan(spark, "cohort_retention")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, f"unexpected join type: {j}"
+    joins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) BroadcastHashJoin", plan)]
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    assert len(joins) == 1, joins
+    # at least two distinct aggregates below the join: one per input
+    assert len([a for a in aggs if a < joins[0]]) >= 2, (joins, aggs)
