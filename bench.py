@@ -128,11 +128,14 @@ HEADLINE = [
 
 def _spread(totals: list[float]) -> float:
     """Relative spread (max-min)/median of the warm pass totals; 0.0
-    when fewer than two passes."""
+    when fewer than two passes. True even-length median — with the
+    default 2 warm passes an upper-middle 'median' would be the max
+    and under-report noise."""
     if len(totals) < 2:
         return 0.0
     s = sorted(totals)
-    med = s[len(s) // 2]
+    mid = len(s) // 2
+    med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
     return round((s[-1] - s[0]) / med, 3) if med else 0.0
 
 
@@ -222,6 +225,7 @@ def main() -> None:
     concurrent_wall = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    warm_spread = _spread([sum(p.values()) for p in per_run[1:]])
     print(
         json.dumps(
             {
@@ -249,10 +253,8 @@ def main() -> None:
                 # more than 20%, so a regression seen in a noisy run
                 # is triaged against exclusive re-runs instead of
                 # trusted at face value.
-                "warm_spread": _spread([sum(p.values()) for p in per_run[1:]]),
-                "noisy_box": _spread(
-                    [sum(p.values()) for p in per_run[1:]]
-                ) > 0.20,
+                "warm_spread": warm_spread,
+                "noisy_box": warm_spread > 0.20,
             }
         )
     )

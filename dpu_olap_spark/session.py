@@ -11,8 +11,14 @@ from __future__ import annotations
 
 import os
 
-from py4j.protocol import Py4JError
 from pyspark.sql import SparkSession
+
+try:  # py4j is absent under Spark Connect-only installs
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover - connect-only environment
+
+    class Py4JError(Exception):
+        """Placeholder so the except clause below stays valid."""
 
 # Scale-oriented defaults. On a real cluster these are the same knobs,
 # sized to executor memory; AQE coalesces/splits at runtime either way.
@@ -92,10 +98,15 @@ def ensure_thread_active(spark: SparkSession) -> None:
     except AttributeError as exc:
         # Spark Connect sessions have no _jvm / _jsparkSession; there is
         # no thread-local JVM active session to bind there. Anything
-        # else (a renamed JVM class path) would silently re-expose the
-        # DATA_SOURCE_NOT_FOUND failure this binding prevents — warn
-        # once so it is diagnosable (r6 ADVICE: don't swallow all).
+        # else would silently re-expose the DATA_SOURCE_NOT_FOUND
+        # failure this binding prevents — warn once so it is
+        # diagnosable (r6 ADVICE: don't swallow all).
         _warn_binding_skipped(f"no JVM session handle ({exc})")
+    except TypeError as exc:
+        # a missing/renamed JVM class path resolves to a py4j
+        # JavaPackage, and calling it raises TypeError ("'JavaPackage'
+        # object is not callable") — measured, not AttributeError
+        _warn_binding_skipped(f"JVM class path unresolved ({exc})")
     except Py4JError as exc:
         _warn_binding_skipped(f"JVM setActiveSession failed ({exc})")
 

@@ -496,7 +496,6 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py asserts lists this operator). The
     checkpoint persists for the read (unlike run_to_memory_sink's
     auto-removed tempdir); one per process, replaced on rebuild."""
-    import shutil
     import tempfile
 
     stream = load_events_stream(spark, sf_dir)
@@ -586,7 +585,6 @@ def q_statestore_session_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is hardest to reason about from the outside. State shards by
     the stream's key partitioning (8 here, pinned like statestore_read
     so the reader sees a stable layout)."""
-    import shutil
     import tempfile
 
     stream = load_events_stream(spark, sf_dir)
@@ -673,7 +671,6 @@ def q_joinstate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     least observable stateful operator (two stores per side); this
     reads it as a DataFrame to audit per-key growth, find the entity
     whose clicks never evict, or right-size watermark delays."""
-    import shutil
     import tempfile
 
     def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
@@ -822,7 +819,6 @@ def q_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-batch change counts would be split-dependent; final state is
     not). update-mode aggregation never deletes, so the last change
     per key is its final value."""
-    import shutil
     import tempfile
 
     stream = load_events_stream(spark, sf_dir)
