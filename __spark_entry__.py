@@ -45,28 +45,11 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R1 = (
-    # CORRECTNESS_r01.json rows NOT re-checked since round 1 (the other
-    # ~35 r1 rows were re-verified in r5 and moved to _VERIFIED_R5).
-    "interval_arith", "explode_outer_demo", "distinct_agg",
-    "approx_distinct", "topk", "window_rank", "window_running",
-    "set_ops", "rollup_agg", "cube_agg", "semi_join", "anti_join",
-    "outer_join", "scalar_funcs", "date_funcs",
-)
-_VERIFIED_R2 = (
-    # CORRECTNESS_r02.json stragglers that missed the r6 re-check
-    # window (the other 45 r2 rows re-verified r6 → _VERIFIED_R6).
-    "cohort_retention", "gap_fill",
-)
 _VERIFIED_R4 = (
-    # CORRECTNESS_r04.json — every r3/r4-window row except the two reds
-    # (stream_dedup: TIMESTAMP_NTZ watermark, fixed this round;
-    # agg_collect: array column reshaped this round) — both stay OUT so
-    # they lead the r5 window. hll_mergeable / approx_percentile are
-    # rows-only by design, counted as checked.
-    "sink_partitioned_prune", "sink_json_roundtrip", "sink_orc_roundtrip",
-    "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17",
+    # CORRECTNESS_r04.json rows whose latest driver check is still r4
+    # (the 11 oldest r4 rows were re-checked r7 → _VERIFIED_R7).
+    # These 37 lead the r8 re-check window, oldest-first.
+    "tpch_q13", "tpch_q16", "tpch_q17",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
     "sink_range_cluster", "unpivot_metrics", "lateral_topn",
@@ -115,43 +98,41 @@ _VERIFIED_R6 = (
     "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
     "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
 )
+_VERIFIED_R7 = (
+    # CORRECTNESS_r07.json — 50 rows, all green: the 22 round-6
+    # deferred ops (first-ever rows, streaming-state family first),
+    # the 15 r1-vintage leftovers, the 2 r2 stragglers
+    # (cohort_retention/gap_fill), and the 11 oldest r4 rows.
+    "statestore_session_read", "stream_session_append",
+    "stream_left_outer_join", "stream_full_outer_join",
+    "joinstate_read", "rocksdb_state_agg", "statestore_changefeed",
+    "statestore_timetravel", "pystream_scan", "pysink_write",
+    "sink_zorder", "cogroup_asof", "map_in_arrow", "arrow_udf",
+    "pandas_udaf", "quality_sample", "corpus_mix", "param_sql",
+    "identifier_sql", "variant_explode_arr", "transpose_metrics",
+    "window_range_frame",
+    "interval_arith", "explode_outer_demo", "distinct_agg",
+    "approx_distinct", "topk", "window_rank", "window_running",
+    "set_ops", "rollup_agg", "cube_agg", "semi_join", "anti_join",
+    "outer_join", "scalar_funcs", "date_funcs",
+    "cohort_retention", "gap_fill",
+    "sink_partitioned_prune", "sink_json_roundtrip",
+    "sink_orc_roundtrip", "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R1 + _VERIFIED_R2 + _VERIFIED_R4 + _VERIFIED_R5
-    + _VERIFIED_R6
+    _VERIFIED_R4 + _VERIFIED_R5 + _VERIFIED_R6 + _VERIFIED_R7
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order.  Round 7 (VERDICT r6 "Next round"
-# #1): the 22 round-6 deferred ops lead the window for their
-# first-ever CORRECTNESS row; new registrations are capped at ~0 this
-# round so 22 deferred + 15 r1-vintage + 2 r2 stragglers + ~11 oldest
-# r4 rows fill the 50-row window exactly.  Streaming-state ops go
-# first — their oracles encode probed Spark eviction semantics and are
-# the highest-risk rows.
-_HIGH_PRIORITY: tuple[str, ...] = (
-    "statestore_session_read",
-    "stream_session_append",
-    "stream_left_outer_join",
-    "stream_full_outer_join",
-    "joinstate_read",
-    "rocksdb_state_agg",
-    "statestore_changefeed",
-    "statestore_timetravel",
-    "pystream_scan",
-    "pysink_write",
-    "sink_zorder",
-    "cogroup_asof",
-    "map_in_arrow",
-    "arrow_udf",
-    "pandas_udaf",
-    "quality_sample",
-    "corpus_mix",
-    "param_sql",
-    "identifier_sql",
-    "variant_explode_arr",
-    "transpose_metrics",
-    "window_range_frame",
-)
+# not depend on module import order.  Round 8 (VERDICT r7 "Next round"
+# #1): all 187 queries have at least one driver row, so no unverified
+# names remain; any NEW registration this round automatically leads
+# the window via the unverified-first rule, but registrations are
+# capped so the 50-row window stays 37 r4-vintage rows + the 13
+# oldest r5 rows (which re-verify the rewritten session_funnel and
+# the profiled bloom_filter_join on current code).
+_HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
 
@@ -164,12 +145,12 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: 15 r1 leftovers, 2 r2 stragglers,
-    # then r4 (first ~11 fit the r7 window; the rest lead r8), r5, r6.
+    # stalest rows re-check soonest: 37 remaining r4 rows lead, then
+    # r5 (first 13 fit the r8 window), r6, r7.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R4, _VERIFIED_R5,
-                 _VERIFIED_R6):
+    for tier in (_VERIFIED_R4, _VERIFIED_R5, _VERIFIED_R6,
+                 _VERIFIED_R7):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
