@@ -532,7 +532,14 @@ def budget_mix(docs: DataFrame, budget: int) -> DataFrame:
 
         state = None
         for pdf in batches:
-            both = pd.concat([state, pdf]) if state is not None else pdf
+            # ignore_index: a carried state frame shares labels with
+            # the incoming batch, and the boolean mask below must not
+            # depend on pandas tolerating duplicate index labels
+            both = (
+                pd.concat([state, pdf], ignore_index=True)
+                if state is not None
+                else pdf
+            )
             both = both.sort_values(["source", "h", "doc_id"], kind="mergesort")
             prior = both.groupby("source", sort=False)["n_chars"].cumsum() - both[
                 "n_chars"

@@ -379,9 +379,6 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     path = _tmp_path("li_zorder")
-    # record the published path for tests (the _PYSINK_DIR pattern) —
-    # pruning tests read this instead of globbing the shared tempdir
-    _SINK_PATHS["sink_zorder"] = path
     # normalize both keys to a COMMON bit width before interleaving:
     # raw keys have unequal ranges (partkey ~20x suppkey), and the
     # wider key's high bits would dominate the Z top bits, collapsing
@@ -400,6 +397,11 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
+    # record the published path for tests (the _PYSINK_DIR pattern) —
+    # pruning tests read this instead of globbing the shared tempdir.
+    # Recorded AFTER the write succeeds so the dict never points at a
+    # missing/partial directory from a failed build (r7 ADVICE).
+    _SINK_PATHS["sink_zorder"] = path
     back = spark.read.parquet(path)
     return (
         back.where(F.col("l_partkey").between(100, 300))

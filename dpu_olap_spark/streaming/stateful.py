@@ -463,15 +463,28 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still-unevaluated prior read (same hazard class as pysink_write /
 # _TT_DIRS; r6 ADVICE item).
 _SS_CKPT: dict[str, str] = {}
-_SS_RETIRED: list[str] = []
+_SS_RETIRED: dict[str, list[str]] = {}
+# How many retired generations to keep per key before eager deletion.
+# Deferred deletion exists because the returned DataFrame is lazy over
+# the checkpoint; a reader two rebuilds stale has necessarily been
+# evaluated or dropped by the caller, so bounding the list at 2 keeps
+# the race fix while capping tempdir growth in long bench loops
+# (high SPARK_GRAFT_BENCH_RUNS; r7 ADVICE).
+_SS_RETIRED_KEEP = 2
 
 
 def _swap_ckpt(key: str, ckpt: str) -> None:
-    """Record `ckpt` as the live checkpoint for `key`; defer deletion
-    of the previous one to process exit (atexit below)."""
+    """Record `ckpt` as the live checkpoint for `key`; retire the
+    previous one (deleted after _SS_RETIRED_KEEP newer retirements of
+    the same key, or at process exit, whichever comes first)."""
+    import shutil
+
     old = _SS_CKPT.pop(key, None)
     if old is not None:
-        _SS_RETIRED.append(old)
+        retired = _SS_RETIRED.setdefault(key, [])
+        retired.append(old)
+        while len(retired) > _SS_RETIRED_KEEP:
+            shutil.rmtree(retired.pop(0), ignore_errors=True)
     _SS_CKPT[key] = ckpt
 
 
@@ -885,7 +898,8 @@ def _cleanup_tt_dirs() -> None:
     # retired state-reader checkpoints (replaced by a rebuild) and the
     # final live ones: no reader can outlive the interpreter, so both
     # are safe to remove here and only here
-    for d in _TT_DIRS + _SS_RETIRED + list(_SS_CKPT.values()):
+    retired = [d for lst in _SS_RETIRED.values() for d in lst]
+    for d in _TT_DIRS + retired + list(_SS_CKPT.values()):
         shutil.rmtree(d, ignore_errors=True)
 
 

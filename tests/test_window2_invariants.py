@@ -300,17 +300,31 @@ def test_corpus_mix_partition_invariance(spark):
     Arrow batches split): the per-partition candidate supersets
     differ, but the phase-2 global prefix must converge to one
     answer. This is the invariant that makes the operator safe to
-    run after any upstream repartition/coalesce at 100 TB."""
+    run after any upstream repartition/coalesce at 100 TB.
+
+    Arrow batch size is forced tiny so every partition yields MANY
+    pandas batches (sf0.001 documents is 500 rows, under the 10k
+    default — one batch per partition would leave the fold's
+    cross-batch `state` carry untested; r7 ADVICE)."""
     from dpu_olap_spark.llm.curation import budget_mix
 
     docs = load_table(spark, SF, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    results = []
-    for parts in (1, 3, 17):
-        out = {
-            r.source: (r.n_docs, r.chars_taken)
-            for r in budget_mix(docs.repartition(parts), 50_000).collect()
-        }
-        results.append(out)
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(batch_key, None)
+    spark.conf.set(batch_key, "32")
+    try:
+        results = []
+        for parts in (1, 3, 17):
+            out = {
+                r.source: (r.n_docs, r.chars_taken)
+                for r in budget_mix(docs.repartition(parts), 50_000).collect()
+            }
+            results.append(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(batch_key)
+        else:
+            spark.conf.set(batch_key, prev)
     assert results[0] == results[1] == results[2], results
