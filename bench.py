@@ -216,12 +216,23 @@ def main() -> None:
     }
 
     # concurrent batch: same queries through a thread pool — the floor
-    # amortizes across in-flight queries like on a shared cluster
+    # amortizes across in-flight queries like on a shared cluster.
+    # Per-query start offset + wall are recorded so a concurrent_wall
+    # move is attributable to specific queries (serialization shows as
+    # late starts or walls far above the query's sequential median;
+    # r7 verdict #2).
     from concurrent.futures import ThreadPoolExecutor
+
+    conc_t: dict[str, list[float]] = {}
+
+    def run_timed(name: str) -> None:
+        s = time.perf_counter() - t0
+        run(name)
+        conc_t[name] = [round(s, 3), round(time.perf_counter() - t0 - s, 3)]
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(run, HEADLINE))
+        list(pool.map(run_timed, HEADLINE))
     concurrent_wall = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -239,6 +250,8 @@ def main() -> None:
                     sum(max(0.0, t - floor) for t in timings.values()), 3
                 ),
                 "concurrent_wall": concurrent_wall,
+                # per-query [start_offset, wall] within the pool phase
+                "concurrent_queries": conc_t,
                 "n_runs": n_runs,
                 "run_totals": [
                     round(sum(p.values()), 3) for p in per_run

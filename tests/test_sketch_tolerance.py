@@ -128,3 +128,101 @@ def test_approx_topk_exact_regime_holds(spark):
     boundary = counts[19]["count"]
     n_at_or_above = sum(1 for r in counts if r["count"] >= boundary)
     assert n_at_or_above < 100, "tie plateau wider than the sketch margin"
+
+
+def test_simhash_majority_vote_exact_differential(spark):
+    """The rows-only `simhash` query's VALUES, gated exactly (r7
+    verdict #5): collect the same (doc_id, xxhash64-token) rows the
+    query aggregates, recompute the 64-bit majority vote in numpy,
+    and assert the signatures are IDENTICAL. This covers everything
+    the query computes above the base hash — the 64 conditional
+    bit-vote aggregates and the bit assembly — leaving only Spark's
+    built-in xxhash64 itself outside the gate."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.llm.dedup import _corpus
+    from dpu_olap_spark.llm.text_analysis import tokens
+
+    corpus = _corpus(spark, SF)
+    hashed = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    pdf = hashed.toPandas()
+    expected: dict[int, int] = {}
+    for doc_id, grp in pdf.groupby("doc_id"):
+        h = grp["h"].to_numpy().astype(np.uint64)
+        n = len(h)
+        sig = 0
+        for k in range(64):
+            ones = int(((h >> np.uint64(k)) & np.uint64(1)).sum())
+            if ones * 2 > n:
+                sig |= 1 << k
+        # to signed 64-bit, matching Spark's BIGINT signature
+        expected[int(doc_id)] = sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    got = {
+        r.doc_id: r.simhash
+        for r in all_queries()["simhash"].build(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_bit_distance_tracks_md5_variant(spark):
+    """Bounded-error agreement between the two SimHash base hashes at
+    the SAME bit width (r7 verdict #5). Width matters: the corpus
+    shares a Zipfian vocabulary, so each bit position's flip rate is
+    set by the shared-token vote margin at that position — measured
+    flip rates per bit span 0.01..0.54 (bits where common tokens give
+    a large margin never flip; near-zero-margin bits flip ~0.5).
+    Different widths therefore sample DIFFERENT numbers of these
+    position-specific rates and their mean distances legitimately
+    diverge (measured xx-64 0.46 vs md5-16 0.31 — not a bug), so the
+    cross-hash gate compares 16-bit signatures from BOTH base hashes.
+    Each mean-over-16-bits is a draw with per-bit flip-rate variance
+    <= ~0.032 (empirical), stderr <= sqrt(0.032/16) ~ 0.045; the two
+    means must agree within 0.2 (~3 sigma of their difference), and
+    both must show real locality structure (planted duplicates at
+    distance 0, unrelated pairs well away from 0)."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.llm.dedup import _corpus, _simhash_of
+    from dpu_olap_spark.llm.text_analysis import tokens
+
+    corpus = _corpus(spark, SF)
+    tok = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    xx16 = {
+        r.doc_id: r.simhash
+        for r in _simhash_of(
+            tok.select("doc_id", F.xxhash64("token").alias("h")), 16
+        ).collect()
+    }
+    md16 = {
+        r.doc_id: r.simhash
+        for r in all_queries()["simhash_md5"].build(spark, SF).collect()
+    }
+    assert set(xx16) == set(md16)
+    dup_ids = [d for d in xx16 if d < 0]
+    assert dup_ids and all(
+        xx16[d] == xx16[-d - 1] and md16[d] == md16[-d - 1] for d in dup_ids
+    ), "planted duplicates must hash identically under both variants"
+    originals = sorted(d for d in xx16 if d >= 0)
+    pairs = list(zip(originals, originals[1:]))
+    assert len(pairs) >= 100, "corpus too small for a statistical gate"
+    mean_xx = sum(
+        bin(xx16[a] ^ xx16[b]).count("1") / 16 for a, b in pairs
+    ) / len(pairs)
+    mean_md = sum(
+        bin(md16[a] ^ md16[b]).count("1") / 16 for a, b in pairs
+    ) / len(pairs)
+    assert abs(mean_xx - mean_md) < 0.2, (
+        f"mean normalized Hamming diverges: xx16 {mean_xx:.3f} vs "
+        f"md5-16 {mean_md:.3f}"
+    )
+    for label, m in (("xx16", mean_xx), ("md5-16", mean_md)):
+        assert 0.05 < m < 0.55, (
+            f"{label} mean distance {m:.3f} outside the locality regime "
+            "(~0 = degenerate collisions, ~0.5+ = no shared-vocab structure)"
+        )
