@@ -511,32 +511,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows
     ]
 
-    # One SQL string per plan instead of ~2,500 py4j Column calls (the
-    # pq_search lesson — same arithmetic, same left-to-right '+' order
-    # as the oracle's unnest-SUM, float literals via correctly-rounded
-    # CAST('repr' AS DOUBLE), embedding[i] 0-based in Spark SQL)
-    def dlit(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    seg_sqls = []
-    for seg in range(_PQ_SEGMENTS):
-        lo = seg * _SEG_DIMS
-        cands = []
-        for code, vec in books:
-            terms = " + ".join(
-                f"(CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
-                f" * (CAST(embedding[{lo + i}] AS DOUBLE) - {dlit(vec[lo + i])})"
-                for i in range(_SEG_DIMS)
+    # Same zip_with/aggregate folds as the index build (see
+    # _best_code_struct for why the unrolled-SQL variant was retired:
+    # janino 64 KB codegen fallback). Arithmetic and left-to-right
+    # '+' order match the oracle's unnest-SUM exactly.
+    seg_entries = F.array(
+        *[
+            F.struct(
+                F.lit(seg).alias("seg"),
+                _best_code_struct(books, seg).alias("best"),
             )
-            cands.append(f"struct(round({terms}, 6) AS d2, {code} AS code)")
-        seg_sqls.append(
-            f"named_struct('seg', {seg}, 'best',"
-            f" array_min(array({', '.join(cands)})))"
-        )
-    seg_entries = F.expr(
-        "array("
-        + ", ".join(seg_sqls)
-        + ")"
+            for seg in range(_PQ_SEGMENTS)
+        ]
     )
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.explode(seg_entries).alias("e")
@@ -620,37 +606,43 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_QUERY = 100  # probe vector id (exists at every SF)
 
 
-def _dlit(x: float) -> str:
-    # float literal via correctly-rounded string->double conversion
-    return f"CAST('{x!r}' AS DOUBLE)"
-
-
-def _pq_code_sql(books, seg: int) -> str:
-    """Nearest-codeword id for one segment as a single SQL expression
-    (the pq_encode/py4j one-string lesson)."""
+def _best_code_struct(books, seg: int) -> F.Column:
+    """Nearest codeword for one segment as struct(d2, code):
+    argmin_{code} round(||v_seg - c_seg||^2, 6) with code tie-break —
+    built from zip_with/aggregate folds like _assign_expr, NOT an
+    unrolled literal expression: the unrolled SQL variant (8 segs x 8
+    codes x 32 dims of inline float terms, plus the 16x64 cell
+    assignment in the index-build projection) blew janino's 64 KB
+    method limit and dropped the whole projection out of codegen into
+    interpreted eval (r8; the fallback warning surfaced in
+    driver-sim). The fold keeps generated code size O(codes), its
+    left-to-right accumulation is the same float order the DuckDB
+    oracle's unnest-SUM uses, and F.lit round-trips each codeword
+    double exactly, so codes and d2 are bit-identical to before."""
     lo = seg * _SEG_DIMS
-    cands = []
+    sub = F.slice(F.col("embedding"), lo + 1, _SEG_DIMS)
+    entries = []
     for code, vec in books:
-        terms = " + ".join(
-            f"(CAST(embedding[{lo + i}] AS DOUBLE) - {_dlit(vec[lo + i])})"
-            f" * (CAST(embedding[{lo + i}] AS DOUBLE) - {_dlit(vec[lo + i])})"
-            for i in range(_SEG_DIMS)
+        cvec = F.array(*[F.lit(x) for x in vec[lo : lo + _SEG_DIMS]])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    cvec,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
         )
-        cands.append(f"struct(round({terms}, 6) AS d2, {code} AS code)")
-    return f"CAST(array_min(array({', '.join(cands)})).code AS INT)"
+        entries.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
+    return F.array_min(F.array(*entries))
 
 
-def _cell_assign_sql(cents) -> str:
-    """Nearest-coarse-centroid id (IVF cell) as one SQL expression."""
-    cands = []
-    for cid, cvec in cents:
-        terms = " + ".join(
-            f"(CAST(embedding[{i}] AS DOUBLE) - {_dlit(cvec[i])})"
-            f" * (CAST(embedding[{i}] AS DOUBLE) - {_dlit(cvec[i])})"
-            for i in range(len(cvec))
-        )
-        cands.append(f"struct(round({terms}, 6) AS d2, {cid} AS cid)")
-    return f"CAST(array_min(array({', '.join(cands)})).cid AS INT)"
+def _code_expr(books, seg: int) -> F.Column:
+    return _best_code_struct(books, seg)["code"].cast("int")
 
 
 # One materialized PQ index per (process, sf_dir): the production ANN
@@ -679,11 +671,6 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
         vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in param_rows}
         books = [(c, vecs[c]) for c in sorted(vecs) if c < _PQ_CODES]
         cents = [(c, vecs[c]) for c in sorted(vecs) if c < _N_CENTROIDS]
-        codes_arr = (
-            "array("
-            + ", ".join(_pq_code_sql(books, seg) for seg in range(_PQ_SEGMENTS))
-            + ")"
-        )
         # tag by a hash of the FULL normalized sf_dir, not its basename:
         # two sf_dirs sharing a basename in one process must not write
         # to (and silently clobber) the same index path (r5 ADVICE)
@@ -698,8 +685,10 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
         (
             emb.select(
                 "vec_id",
-                F.expr(_cell_assign_sql(cents)).alias("cell"),
-                F.expr(codes_arr).alias("codes"),
+                _assign_expr(cents).cast("int").alias("cell"),
+                F.array(
+                    *[_code_expr(books, s) for s in range(_PQ_SEGMENTS)]
+                ).alias("codes"),
             )
             .write.mode("overwrite")
             .parquet(path)
