@@ -444,3 +444,36 @@ def test_cohort_retention_pre_aggregates_before_join(spark):
     assert len(joins) == 1, joins
     # at least two distinct aggregates below the join: one per input
     assert len([a for a in aggs if a < joins[0]]) >= 2, (joins, aggs)
+
+
+def test_pq_encode_stays_inside_codegen(spark):
+    """The r8 regression gate for the janino 64 KB fallback: the
+    unrolled-literal PQ expressions compiled >64 KB of generated code
+    and silently dropped the encode projection into interpreted eval
+    (the warning only surfaced in driver-sim stderr). With
+    spark.sql.codegen.fallback=false a compile failure raises instead
+    of degrading, so running pq_encode AND a fresh index build under
+    that conf proves the fold-based expressions stay compilable —
+    and keeps them that way if _PQ_CODES/_SEG_DIMS ever grow."""
+    from dpu_olap_spark.llm import similarity
+
+    key = "spark.sql.codegen.fallback"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    saved_cache = dict(similarity._PQ_INDEX_CACHE)
+    similarity._PQ_INDEX_CACHE.clear()
+    try:
+        all_queries()["pq_encode"].build(spark, SF).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # pq_search triggers the (now uncached) index build projection
+        all_queries()["pq_search"].build(spark, SF).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        similarity._PQ_INDEX_CACHE.clear()
+        similarity._PQ_INDEX_CACHE.update(saved_cache)
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
