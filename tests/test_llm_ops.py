@@ -419,3 +419,59 @@ def test_observed_clean_metrics_exact(spark, sf_dir):
     assert m["rows_scanned"] == n_exact
     assert m["chars_scanned"] == chars_exact
     assert kept > 0
+
+
+def test_pq_numpy_encode_matches_exact_sql_reference(spark):
+    """The r8 numpy encode (q_pq_encode / the PQ index build) against
+    the exact-SQL fold reference _best_code_struct, per vector and
+    segment: codes must be IDENTICAL and quant_err_micro must equal
+    the reference's round(d2, 6) re-expressed in micro units. This is
+    the differential that licenses the Arrow+numpy fast path's
+    bit-exactness claim on real data."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.llm.similarity import (
+        _PQ_CODES,
+        _PQ_SEGMENTS,
+        _SEG_DIMS,
+        _best_code_struct,
+    )
+    from dpu_olap_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    books = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < _PQ_CODES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    ref_rows = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        _best_code_struct(books, s).alias("best"),
+                    )
+                    for s in range(_PQ_SEGMENTS)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "vec_id",
+        F.col("e.seg").alias("seg"),
+        F.col("e.best.code").cast("int").alias("code"),
+        # round(d2, 6) double -> micro int (k*1e-6 * 1e6 recovers k
+        # within an ulp; floor(.+0.5) snaps it exactly)
+        F.floor(F.col("e.best.d2") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("quant_err_micro"),
+    ).collect()
+    ref = {(r.vec_id, r.seg): (r.code, r.quant_err_micro) for r in ref_rows}
+
+    got_rows = _q("pq_encode").build(spark, SF).collect()
+    got = {(r.vec_id, r.seg): (r.code, r.quant_err_micro) for r in got_rows}
+    assert set(got) == set(ref)
+    bad = {k: (got[k], ref[k]) for k in ref if got[k] != ref[k]}
+    assert not bad, f"{len(bad)} mismatches, e.g. {list(bad.items())[:3]}"

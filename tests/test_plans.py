@@ -446,15 +446,17 @@ def test_cohort_retention_pre_aggregates_before_join(spark):
     assert len([a for a in aggs if a < joins[0]]) >= 2, (joins, aggs)
 
 
-def test_pq_encode_stays_inside_codegen(spark):
+def test_pq_family_compiles_without_codegen_fallback(spark):
     """The r8 regression gate for the janino 64 KB fallback: the
-    unrolled-literal PQ expressions compiled >64 KB of generated code
-    and silently dropped the encode projection into interpreted eval
-    (the warning only surfaced in driver-sim stderr). With
-    spark.sql.codegen.fallback=false a compile failure raises instead
-    of degrading, so running pq_encode AND a fresh index build under
-    that conf proves the fold-based expressions stay compilable —
-    and keeps them that way if _PQ_CODES/_SEG_DIMS ever grow."""
+    retired unrolled-literal PQ expressions compiled >64 KB of
+    generated code and silently dropped their projections out of
+    codegen into interpreted eval (the warning only surfaced in
+    driver-sim stderr). With spark.sql.codegen.fallback=false a
+    compile FAILURE raises instead of degrading, so running the
+    whole PQ family (encode, fresh index build, ADC search) under
+    that conf keeps any future JVM-side expression growth honest.
+    The encode itself is now an Arrow+numpy map stage (see
+    q_pq_encode) — the next gate pins that plan shape."""
     from dpu_olap_spark.llm import similarity
 
     key = "spark.sql.codegen.fallback"
@@ -463,13 +465,10 @@ def test_pq_encode_stays_inside_codegen(spark):
     saved_cache = dict(similarity._PQ_INDEX_CACHE)
     similarity._PQ_INDEX_CACHE.clear()
     try:
-        all_queries()["pq_encode"].build(spark, SF).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        # pq_search triggers the (now uncached) index build projection
-        all_queries()["pq_search"].build(spark, SF).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        for name in ("pq_encode", "pq_search", "ivf_pq_search"):
+            all_queries()[name].build(spark, SF).write.format(
+                "noop"
+            ).mode("overwrite").save()
     finally:
         similarity._PQ_INDEX_CACHE.clear()
         similarity._PQ_INDEX_CACHE.update(saved_cache)
@@ -477,3 +476,12 @@ def test_pq_encode_stays_inside_codegen(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_pq_encode_is_shuffle_free_python_map(spark):
+    """pq_encode's plan: ONE Python map stage (MapInPandas) over the
+    scan, zero exchanges — the shape that lets a billion-vector
+    encode run embarrassingly parallel."""
+    plan = _formatted_plan(spark, "pq_encode")
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, "encode must not shuffle"
