@@ -87,6 +87,8 @@ HEADLINE = [
     "group_size_hist",
     "pq_search",
     "ivf_pq_search",
+    # round 8: the Arrow+numpy encode kernel (full-corpus scan path)
+    "pq_encode",
     "reservoir_sample",
     "session_funnel",
     "bloom_filter_join",

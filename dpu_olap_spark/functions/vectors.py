@@ -1,11 +1,18 @@
 """Vector (embedding) expression builders over array<float> columns.
 
 Everything is built-in higher-order functions (zip_with / aggregate /
-transform) evaluated JVM-side — no Python in the hot path. Elements
-are cast to DOUBLE before multiply-accumulate so results are stable
-and comparable with the DuckDB oracle (which also accumulates in
-double); final similarity values are rounded to 4 decimals before any
-ranking to absorb summation-order ULP differences.
+transform) evaluated JVM-side. Note the r8 finding (SCALE.md): HOF
+expressions are CodegenFallback — interpreted per element, measured
+~115k rows/s x 32 cores on 64-dim math — so these builders are the
+ORACLE-EXACT BASELINE tier (brute-force knn, pair re-rank after LSH
+pruning, where the row count is already cut or the op is the
+reference answer). The scale tier — PQ/IVF index build and encode,
+which scan every vector — uses the Arrow+numpy kernels in
+llm/similarity.py instead. Elements are cast to DOUBLE before
+multiply-accumulate so results are stable and comparable with the
+DuckDB oracle (which also accumulates in double); final similarity
+values are rounded to 4 decimals before any ranking to absorb
+summation-order ULP differences.
 """
 
 from __future__ import annotations

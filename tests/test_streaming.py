@@ -596,3 +596,40 @@ def test_cogroup_asof_handles_one_sided_keys(spark):
     # user 5: event@100 before the order@150 -> NULL epoch; event@200 after -> epoch 150
     # user 10: no orders -> NULL epoch; user 15: no events -> absent
     assert rows == {(5, None): 1, (5, 150): 1, (10, None): 1}, rows
+
+
+def test_retired_checkpoints_bounded_per_key(tmp_path):
+    """The r8 ADVICE fix: _swap_ckpt keeps at most _SS_RETIRED_KEEP
+    retired checkpoint dirs per key, eagerly deleting older ones, so
+    long bench loops (high SPARK_GRAFT_BENCH_RUNS) cannot grow
+    tempdir usage without bound — while the most recent retirees
+    survive for any still-lazy reader. Pure bookkeeping, no Spark."""
+    from dpu_olap_spark.streaming import stateful
+
+    saved_ckpt = dict(stateful._SS_CKPT)
+    saved_retired = {k: list(v) for k, v in stateful._SS_RETIRED.items()}
+    stateful._SS_CKPT.clear()
+    stateful._SS_RETIRED.clear()
+    try:
+        dirs = []
+        for i in range(6):
+            d = tmp_path / f"ckpt_{i}"
+            d.mkdir()
+            dirs.append(str(d))
+            stateful._swap_ckpt("k", str(d))
+        keep = stateful._SS_RETIRED_KEEP
+        retired = stateful._SS_RETIRED["k"]
+        # live = dirs[5]; retired list holds the newest `keep` retirees
+        assert retired == dirs[5 - keep : 5]
+        assert stateful._SS_CKPT["k"] == dirs[5]
+        import os
+
+        for d in dirs[: 5 - keep]:
+            assert not os.path.exists(d), f"old retiree {d} not deleted"
+        for d in dirs[5 - keep :]:
+            assert os.path.exists(d), f"recent dir {d} wrongly deleted"
+    finally:
+        stateful._SS_CKPT.clear()
+        stateful._SS_CKPT.update(saved_ckpt)
+        stateful._SS_RETIRED.clear()
+        stateful._SS_RETIRED.update(saved_retired)
