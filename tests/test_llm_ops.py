@@ -132,6 +132,88 @@ def test_mm_resize_aspect_and_determinism(spark):
     assert {r.doc_id: r.thumb_fp for r in rows} == again
 
 
+def _mm_payloads():
+    """Independent read of the corpus (pyarrow, no Spark): doc_id ->
+    (modality, utf-8 payload bytes), replicating _with_payload's
+    doc_id%3 modality rule. All doc_ids are non-negative in the base
+    table, so Python % and SQL % agree."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    mod = {0: "image", 1: "audio", 2: "video"}
+    out = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        assert doc_id >= 0
+        out[doc_id] = (mod[doc_id % 3], text.encode("utf-8"))
+    return out
+
+
+def test_mm_decode_differential_vs_pure_python(spark):
+    """Byte-exact differential for the rows-only mm_decode: recompute
+    every (width, height, n_frames, mean_byte) from the parquet
+    payload bytes in pure Python and require full-table equality —
+    the mm analog of the simhash numpy majority-vote gate."""
+    expect = {}
+    for doc_id, (modality, data) in _mm_payloads().items():
+        w = 16 + data[0] % 64 if data else 0
+        h = 16 + data[1] % 64 if len(data) > 1 else 0
+        frames = 1 if modality == "image" else 1 + len(data) % 32
+        mean = round(float(sum(data[:256])) / max(1, min(len(data), 256)), 4)
+        expect[doc_id] = (modality, w, h, frames, mean)
+    got = {
+        r.doc_id: (r.modality, r.width, r.height, r.n_frames, r.mean_byte)
+        for r in _q("mm_decode").build(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_mm_frame_sample_differential_vs_pure_python(spark):
+    """Exact multiset differential for the 1:N frame sampler: every
+    video doc yields ceil(len/256) frames, frame_fp = md5 of the
+    256-byte slice, nothing for image/audio docs."""
+    import hashlib
+
+    expect = set()
+    for doc_id, (modality, data) in _mm_payloads().items():
+        if modality != "video":
+            continue
+        n_frames = max(1, (len(data) + 255) // 256)
+        for i in range(n_frames):
+            chunk = data[i * 256 : (i + 1) * 256]
+            expect.add((doc_id, i, hashlib.md5(chunk).hexdigest()))
+    got = {
+        (r.doc_id, r.frame_idx, r.frame_fp)
+        for r in _q("mm_frame_sample").build(spark, SF).collect()
+    }
+    rows = _q("mm_frame_sample").build(spark, SF).count()
+    assert rows == len(expect), "duplicate frame rows emitted"
+    assert got == expect
+
+
+def test_mm_resize_differential_vs_pure_python(spark):
+    """Exact differential for the resize stage: recompute dims, the
+    aspect-preserving 32px scale (same Python round → same banker's
+    rounding), the stride-sampled thumb bytes, and the md5."""
+    import hashlib
+
+    expect = {}
+    for doc_id, (modality, data) in _mm_payloads().items():
+        if modality != "image":
+            continue
+        w = 16 + data[0] % 64 if data else 0
+        h = 16 + data[1] % 64 if len(data) > 1 else 0
+        scale = 32 / max(w, h, 1)
+        rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+        stride = max(1, len(data) // (rw * rh))
+        thumb = data[::stride][: rw * rh]
+        expect[doc_id] = (w, h, rw, rh, hashlib.md5(thumb).hexdigest())
+    got = {
+        r.doc_id: (r.width, r.height, r.resized_w, r.resized_h, r.thumb_fp)
+        for r in _q("mm_resize").build(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_simhash_md5_hamming_close_for_near_dups(spark):
     """The md5-based SimHash: identical docs -> identical signature;
     and the signature is a real locality hash — planted exact dups
