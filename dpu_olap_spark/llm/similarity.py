@@ -521,9 +521,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    books = [
+    # sorted: _np_nearest's first-min argmin reproduces the oracle's
+    # "distance ties break toward the smaller code" only when entries
+    # are ascending by id — collect() order is not guaranteed on a
+    # multi-file scan (the sibling index-build sites already sort)
+    books = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows
-    ]
+    )
 
     def encode(batches):
         import numpy as np
@@ -667,22 +671,26 @@ def _embedding_matrix(pdf):
 
 
 def _best_code_struct(books, seg: int) -> F.Column:
-    """Nearest codeword for one segment as struct(d2, code):
-    argmin_{code} round(||v_seg - c_seg||^2, 6) with code tie-break,
-    as a zip_with/aggregate fold (the _assign_expr pattern). This is
-    the EXACT-SQL REFERENCE the differential tests compare the numpy
-    encode against — the query paths themselves use _np_nearest via
-    mapInPandas, because measured on 200k synthetic vectors the
-    expression routes run at ~115k rows/s (unrolled literals fall out
-    of codegen at janino's 64 KB limit, and HOF folds are
-    CodegenFallback expressions — interpreted per element either
-    way) while the Arrow+numpy route is vectorized C per batch."""
+    """Nearest codeword for one segment as struct(d2u, code):
+    argmin_{code} floor(||v_seg - c_seg||^2 * 1e6 + 0.5) with code
+    tie-break, as a zip_with/aggregate fold (the _assign_expr
+    pattern). This is the EXACT-SQL REFERENCE the differential tests
+    compare the numpy encode against — the micro-int snap is applied
+    to the RAW fold sum, the same float64 path the kernel
+    (_np_nearest) and the DuckDB oracle (round(SUM*1e6)) take, so all
+    three are comparable bit-for-bit with no round-then-reconvert
+    seam. The query paths themselves use _np_nearest via mapInPandas,
+    because measured on 200k synthetic vectors the expression routes
+    run at ~115k rows/s (unrolled literals fall out of codegen at
+    janino's 64 KB limit, and HOF folds are CodegenFallback
+    expressions — interpreted per element either way) while the
+    Arrow+numpy route is vectorized C per batch."""
     lo = seg * _SEG_DIMS
     sub = F.slice(F.col("embedding"), lo + 1, _SEG_DIMS)
     entries = []
     for code, vec in books:
         cvec = F.array(*[F.lit(x) for x in vec[lo : lo + _SEG_DIMS]])
-        d2 = F.round(
+        d2u = F.floor(
             F.aggregate(
                 F.zip_with(
                     sub,
@@ -692,15 +700,12 @@ def _best_code_struct(books, seg: int) -> F.Column:
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        entries.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint")
+        entries.append(F.struct(d2u.alias("d2u"), F.lit(code).alias("code")))
     return F.array_min(F.array(*entries))
-
-
-def _code_expr(books, seg: int) -> F.Column:
-    return _best_code_struct(books, seg)["code"].cast("int")
 
 
 # One materialized PQ index per (process, sf_dir): the production ANN

@@ -507,8 +507,9 @@ def test_pq_numpy_encode_matches_exact_sql_reference(spark):
     """The r8 numpy encode (q_pq_encode / the PQ index build) against
     the exact-SQL fold reference _best_code_struct, per vector and
     segment: codes must be IDENTICAL and quant_err_micro must equal
-    the reference's round(d2, 6) re-expressed in micro units. This is
-    the differential that licenses the Arrow+numpy fast path's
+    the reference's floor(d2*1e6+0.5) micro int (the same transform,
+    applied to the same left-to-right float64 fold sum). This is the
+    differential that licenses the Arrow+numpy fast path's
     bit-exactness claim on real data."""
     import pyspark.sql.functions as F
 
@@ -521,12 +522,12 @@ def test_pq_numpy_encode_matches_exact_sql_reference(spark):
     from dpu_olap_spark.sources.tables import load_table
 
     emb = load_table(spark, SF, "embeddings")
-    books = [
+    books = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < _PQ_CODES)
         .select("vec_id", "embedding")
         .collect()
-    ]
+    )
     ref_rows = emb.select(
         "vec_id",
         F.explode(
@@ -544,11 +545,7 @@ def test_pq_numpy_encode_matches_exact_sql_reference(spark):
         "vec_id",
         F.col("e.seg").alias("seg"),
         F.col("e.best.code").cast("int").alias("code"),
-        # round(d2, 6) double -> micro int (k*1e-6 * 1e6 recovers k
-        # within an ulp; floor(.+0.5) snaps it exactly)
-        F.floor(F.col("e.best.d2") * 1_000_000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("quant_err_micro"),
+        F.col("e.best.d2u").alias("quant_err_micro"),
     ).collect()
     ref = {(r.vec_id, r.seg): (r.code, r.quant_err_micro) for r in ref_rows}
 
