@@ -126,14 +126,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Round 8 (VERDICT r7 "Next round"
-# #1): all 187 queries have at least one driver row, so no unverified
-# names remain; any NEW registration this round automatically leads
-# the window via the unverified-first rule, but registrations are
-# capped so the 50-row window stays 37 r4-vintage rows + the 13
-# oldest r5 rows (which re-verify the rewritten session_funnel and
-# the profiled bloom_filter_join on current code).
+# #1): all 187 prior queries have at least one driver row; the r7
+# verdict pinned the r8 window to EXACTLY the 37 r4-vintage rows +
+# the 13 oldest r5 rows, so the one new r8 registration (pipe_sql,
+# SQL pipe syntax) is deliberately deferred BEHIND the verified tail
+# via _LOW_PRIORITY — it gets its first driver row when r9 reopens
+# the rotation (promote it out of _LOW_PRIORITY then).
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ()
+_LOW_PRIORITY: tuple[str, ...] = ("pipe_sql",)
 
 
 def _ordered_names() -> list[str]:

@@ -339,3 +339,53 @@ def q_identifier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "identifier_sql_src"},
     )
+
+
+@query(
+    "pipe_sql",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(floor(
+             CAST(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS avg_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 5
+    """,
+)
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-era `|>` operators): the
+    same relational program as a linear stage chain — FROM |> WHERE
+    |> JOIN |> AGGREGATE..GROUP BY |> EXTEND |> WHERE — exercising
+    the pipe-specific surface (AGGREGATE as a stage, EXTEND computing
+    over aggregate outputs, a post-aggregation WHERE standing in for
+    HAVING) with {df} templating instead of temp views. Pipe stages
+    are pure parser sugar: Catalyst receives the identical logical
+    plan as the nested-SELECT form, so filter pushdown, the
+    broadcastable dim join, and partial aggregation all apply
+    unchanged at 100 TB. Money stays in exact integer cents
+    (floor(x*100+0.5)); the per-segment average is floored to whole
+    cents through the same float64 division path on both engines
+    (exact below 2**53)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        FROM {orders}
+        |> WHERE o_orderstatus = 'O'
+        |> JOIN {customer} ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+           GROUP BY c_mktsegment
+        |> EXTEND CAST(floor(CAST(sum_cents AS DOUBLE) / n_orders) AS BIGINT)
+             AS avg_cents
+        |> WHERE n_orders > 5
+        """,
+        orders=orders,
+        customer=customer,
+    )

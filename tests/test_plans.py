@@ -485,3 +485,40 @@ def test_pq_encode_is_shuffle_free_python_map(spark):
     plan = _formatted_plan(spark, "pq_encode")
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, "encode must not shuffle"
+
+
+def test_pipe_sql_desugars_to_identical_plan(spark):
+    """SQL pipe syntax is parser sugar: the |> stage chain must yield
+    the IDENTICAL canonicalized optimized plan as its nested-SELECT
+    twin (so every Catalyst property — pushdown, broadcast, partial
+    agg — transfers), and the stage-form WHERE must still reach the
+    parquet scan as a pushed filter."""
+    from dpu_olap_spark.sources.tables import load_table
+
+    df = all_queries()["pipe_sql"].build(spark, SF)
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    twin = spark.sql(
+        """
+        SELECT c_mktsegment, n_orders, sum_cents,
+               CAST(floor(CAST(sum_cents AS DOUBLE) / n_orders) AS BIGINT)
+                 AS avg_cents
+        FROM (
+          SELECT c_mktsegment, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_cents
+          FROM {orders} JOIN {customer} ON o_custkey = c_custkey
+          WHERE o_orderstatus = 'O'
+          GROUP BY c_mktsegment
+        ) WHERE n_orders > 5
+        """,
+        orders=orders,
+        customer=customer,
+    )
+    a = df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    b = twin._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert a == b, "pipe chain and nested form optimized differently"
+    plan = _formatted_plan(spark, "pipe_sql")
+    assert "EqualTo(o_orderstatus,O)" in plan, "pipe WHERE not pushed to scan"
+    assert "BroadcastHashJoin" in plan, "customer dim not broadcast"
+    assert "CartesianProduct" not in plan
