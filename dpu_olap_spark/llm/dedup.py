@@ -454,6 +454,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
+    global _LAST_ITERATIONS
+    _LAST_ITERATIONS = i + 1
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within the "
@@ -475,6 +477,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAST_RESULT = None
+# diagnostics: propagation rounds the last q_dedup_clusters call took
+# (read by tools/scale_probe.py to report iteration count vs size —
+# the "iterations = cluster diameter, not corpus size" scale claim)
+_LAST_ITERATIONS: int | None = None
 
 
 _N_SIM_BITS = 16  # bits of the md5-derived base hash used for the signature

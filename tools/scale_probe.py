@@ -424,6 +424,53 @@ def _exchange_records(frame) -> list[int]:
     return recs
 
 
+def probe_cc(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Connected components over the LSH candidate graph: the REAL
+    q_dedup_clusters end-to-end (LSH pairs + iterative min-label
+    propagation), plus one propagation round instrumented for shuffle
+    volume. Scale claims under test: (a) iteration count tracks the
+    duplicate-cluster DIAMETER (2-3 for dup groups), not corpus size;
+    (b) each round's only exchange carries label-sized partial-agg
+    rows (~nodes-with-edges), never edge x label products."""
+    from dpu_olap_spark.llm import dedup as dd
+
+    t: dict[str, float] = {}
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dd.q_dedup_clusters(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.perf_counter() - t0)
+    t["dedup_clusters"] = round(min(walls), 3)
+    extra: dict[str, int] = {"cc_iterations": int(dd._LAST_ITERATIONS or 0)}
+
+    # one propagation round, instrumented: same pre-partitioned shape
+    # as the production loop (join needs no exchange; groupBy(dst) is
+    # the round's single shuffle)
+    pairs = dd.q_dedup_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    corpus = dd._corpus(spark, sf_dir).select("doc_id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    labels = corpus.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).repartition(n_part, "doc_id")
+    edges_p = edges.repartition(n_part, "src")
+    neigh = (
+        edges_p.join(labels, edges_p.src == labels.doc_id)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("cluster_id").alias("neigh_min"))
+    )
+    recs = _exchange_records(neigh)
+    extra["cc_round_exchange_records"] = recs[0] if recs else -1
+    extra["cc_edges"] = edges.count()
+    return t, extra
+
+
 def probe_events_skew(spark, path: str) -> tuple[dict[str, float], dict[str, int]]:
     """Skew-regime probes: the same plan shapes as probe_events but on
     the Zipfian table, plus salted vs plain hot-key join and the
@@ -574,6 +621,8 @@ def main() -> None:
     skew_extra: dict[int, dict[str, int]] = {}
     mix_results: dict[int, dict[str, float]] = {}
     mix_extra: dict[int, dict[str, int]] = {}
+    cc_results: dict[int, dict[str, float]] = {}
+    cc_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -598,6 +647,10 @@ def main() -> None:
             path = os.path.join(d, f"docs_src_{docs_n}")
             gen_docs_sources(spark, docs_n, path)
             mix_results[docs_n], mix_extra[docs_n] = probe_corpus_mix(spark, path)
+        for docs_n in doc_sizes:
+            sf = os.path.join(d, f"cc_sf_{docs_n}")
+            gen_docs(spark, docs_n, os.path.join(sf, "documents.parquet"))
+            cc_results[docs_n], cc_extra[docs_n] = probe_cc(spark, sf)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -654,6 +707,26 @@ def main() -> None:
         + ", ".join(
             f"{rows:,} rows -> {mix_extra[rows]['mix_source_exchange_records']}"
             for rows in mix_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Connected components over the LSH graph (real q_dedup_clusters)",
+        cc_results,
+        unit_rows=False,
+    )
+    lines += [
+        "",
+        "CC convergence and per-round shuffle, measured on the real "
+        "implementation (iterations = duplicate-cluster diameter, not "
+        "corpus size; the round's single exchange carries label-sized "
+        "partial-agg rows, never edge x label products): "
+        + "; ".join(
+            f"{docs:,} docs -> {cc_extra[docs]['cc_iterations']} rounds, "
+            f"{cc_extra[docs]['cc_edges']:,} directed edges, "
+            f"{cc_extra[docs]['cc_round_exchange_records']:,} records in the "
+            "round exchange"
+            for docs in cc_extra
         ),
     ]
     out = os.path.join(
