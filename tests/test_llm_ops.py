@@ -60,6 +60,59 @@ def test_ann_results_subset_of_bruteforce_order(spark):
         assert r.cos_sim <= best + 1e-9
 
 
+def test_dedup_clusters_randomized_vs_union_find(spark, tmp_path):
+    """End-to-end randomized differential for the iterative CC query:
+    a seeded random corpus over a TINY vocabulary makes the LSH bands
+    produce nontrivial candidate CHAINS (A~B, B~C without A~C) that
+    the planted-dup testdata never exercises; the real query's labels
+    must equal a pure-Python min-rooted union-find over the real
+    candidate pairs plus singleton nodes."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (doc_id, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14))))
+        for doc_id in range(100)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        sf + "/documents.parquet"
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _q("dedup_minhash_pairs").build(spark, sf).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in _q("dedup_clusters").build(spark, sf).collect()
+    }
+
+    parent = {n: n for n in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-rooted union: the root stays the component's min
+            # doc_id, matching the query's cluster_id contract
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expect = {n: find(n) for n in labels}
+    assert labels == expect
+    # the corpus must actually have produced a chain (a cluster of
+    # >= 3 docs), or this test degenerates to the planted-pair case
+    from collections import Counter
+
+    assert Counter(expect.values()).most_common(1)[0][1] >= 3
+
+
 def test_mm_decode_shapes_and_determinism(spark):
     out = _q("mm_decode").build(spark, SF)
     rows = out.collect()
