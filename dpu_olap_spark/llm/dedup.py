@@ -365,6 +365,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_of(hashed, 64)
 
 
+def _cc_edges(pairs: DataFrame) -> DataFrame:
+    """Directed edge list (both directions) from undirected candidate
+    pairs — shared by q_dedup_clusters and tools/scale_probe.py's
+    instrumented round, so the probe can never drift from the shape
+    the query actually runs."""
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: join labels onto edge sources
+    (exchange-free when both sides are pre-partitioned on the key),
+    then groupBy destination — the round's single exchange — taking
+    the min incoming label."""
+    return (
+        edges.join(labels, edges.src == labels.doc_id)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("cluster_id").alias("neigh_min"))
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -402,9 +426,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own cluster."""
     corpus = _corpus(spark, sf_dir).select("doc_id")
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = _cc_edges(pairs)
 
     # cache + explicit unpersist keeps exactly one labels snapshot in
     # storage memory; carrying the previous checksum forward halves the
@@ -431,11 +453,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for i in range(16):  # diameter bound; dup clusters are shallow
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
+        neigh = _cc_round(edges, labels)
         new_labels = labels.join(neigh, "doc_id", "left").select(
             "doc_id",
             F.least(

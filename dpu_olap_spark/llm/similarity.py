@@ -676,10 +676,15 @@ def _best_code_struct(books, seg: int) -> F.Column:
     tie-break, as a zip_with/aggregate fold (the _assign_expr
     pattern). This is the EXACT-SQL REFERENCE the differential tests
     compare the numpy encode against — the micro-int snap is applied
-    to the RAW fold sum, the same float64 path the kernel
-    (_np_nearest) and the DuckDB oracle (round(SUM*1e6)) take, so all
-    three are comparable bit-for-bit with no round-then-reconvert
-    seam. The query paths themselves use _np_nearest via mapInPandas,
+    to the RAW fold sum, the IDENTICAL float64 path the kernel
+    (_np_nearest) takes (left-to-right accumulation, floor(x*1e6+0.5)),
+    so kernel and reference are bit-comparable with no
+    round-then-reconvert seam. The DuckDB oracle's round(SUM*1e6) is
+    the same in practice at these magnitudes but not contractually
+    bit-identical: its group SUM order is not pinned, and round()
+    half-away differs from floor(+0.5) for doubles just under a .5
+    boundary — if a driver hash ever flips on pq values, suspect that
+    seam first. The query paths themselves use _np_nearest via mapInPandas,
     because measured on 200k synthetic vectors the expression routes
     run at ~115k rows/s (unrolled literals fall out of codegen at
     janino's 64 KB limit, and HOF folds are CodegenFallback

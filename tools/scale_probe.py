@@ -445,29 +445,22 @@ def probe_cc(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     t["dedup_clusters"] = round(min(walls), 3)
     extra: dict[str, int] = {"cc_iterations": int(dd._LAST_ITERATIONS or 0)}
 
-    # one propagation round, instrumented: same pre-partitioned shape
-    # as the production loop (join needs no exchange; groupBy(dst) is
-    # the round's single shuffle)
+    # one propagation round, instrumented via the SAME construction
+    # helpers the production loop uses (dd._cc_edges / dd._cc_round —
+    # no copy-paste drift). Edges cached: the uncached LSH pairs
+    # pipeline is the dominant cost and the unionAll + count would
+    # otherwise re-run it four times.
     pairs = dd.q_dedup_minhash_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
     corpus = dd._corpus(spark, sf_dir).select("doc_id")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     labels = corpus.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).repartition(n_part, "doc_id")
-    edges_p = edges.repartition(n_part, "src")
-    neigh = (
-        edges_p.join(labels, edges_p.src == labels.doc_id)
-        .groupBy(F.col("dst").alias("doc_id"))
-        .agg(F.min("cluster_id").alias("neigh_min"))
-    )
-    recs = _exchange_records(neigh)
-    extra["cc_round_exchange_records"] = recs[0] if recs else -1
+    edges = dd._cc_edges(pairs).repartition(n_part, "src").cache()
     extra["cc_edges"] = edges.count()
+    recs = _exchange_records(dd._cc_round(edges, labels))
+    extra["cc_round_exchange_records"] = recs[0] if recs else -1
+    edges.unpersist()
     return t, extra
 
 
