@@ -128,12 +128,13 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # not depend on module import order.  Round 8 (VERDICT r7 "Next round"
 # #1): all 187 prior queries have at least one driver row; the r7
 # verdict pinned the r8 window to EXACTLY the 37 r4-vintage rows +
-# the 13 oldest r5 rows, so the one new r8 registration (pipe_sql,
-# SQL pipe syntax) is deliberately deferred BEHIND the verified tail
-# via _LOW_PRIORITY — it gets its first driver row when r9 reopens
-# the rotation (promote it out of _LOW_PRIORITY then).
+# the 13 oldest r5 rows, so the two new r8 registrations (pipe_sql —
+# SQL pipe syntax — and try_arith — ANSI-safe arithmetic) are
+# deliberately deferred BEHIND the verified tail via _LOW_PRIORITY —
+# they get their first driver rows when r9 reopens the rotation
+# (promote them out of _LOW_PRIORITY then).
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ("pipe_sql",)
+_LOW_PRIORITY: tuple[str, ...] = ("pipe_sql", "try_arith")
 
 
 def _ordered_names() -> list[str]:

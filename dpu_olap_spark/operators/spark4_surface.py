@@ -389,3 +389,52 @@ def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=orders,
         customer=customer,
     )
+
+
+@query(
+    "try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey = 0
+                THEN CAST(9223372036854775807 AS BIGINT) END AS add_ovf,
+           CASE WHEN o_orderkey = 0
+                THEN CAST(-9223372036854775807 - 1 AS BIGINT) END AS sub_ovf,
+           CASE WHEN o_orderkey <= 1
+                THEN CAST(o_orderkey * 4611686018427387904 AS BIGINT)
+           END AS mul_ovf,
+           CASE WHEN o_orderkey % 3 <> 0
+                THEN o_totalprice / (o_orderkey % 3) END AS div0,
+           CASE WHEN (o_orderkey % 5) - 2 <> 0
+                THEN CAST(o_orderkey % ((o_orderkey % 5) - 2) AS BIGINT)
+           END AS mod0
+    FROM orders
+    """,
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (try_add/try_subtract/try_multiply/
+    try_divide/try_mod): overflow and division-by-zero yield NULL
+    instead of failing the job — the semantics a 100 TB pipeline
+    wants, where one poisoned row must not kill a million-task stage
+    and a silent two's-complement wraparound (legacy non-ANSI mode)
+    would corrupt aggregates undetected. Probes: BIGINT max + k and
+    min - k (NULL for every k >= 1), multiply across the 2**63
+    boundary, divide and mod by data-dependent zero/negative
+    divisors (both engines use C-style sign-of-dividend modulo). The
+    oracle encodes the expected NULL-on-overflow semantics as CASE
+    guards since DuckDB's checked arithmetic ERRORS on overflow
+    rather than returning NULL. Plan: pure map-side projection, zero
+    exchanges, whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.try_add(F.lit(9223372036854775807).cast("bigint"), key).alias("add_ovf"),
+        F.try_subtract(
+            F.lit(-9223372036854775807 - 1).cast("bigint"), key
+        ).alias("sub_ovf"),
+        F.try_multiply(key, F.lit(4611686018427387904).cast("bigint")).alias(
+            "mul_ovf"
+        ),
+        F.try_divide(F.col("o_totalprice"), key % 3).alias("div0"),
+        F.try_mod(key, (key % 5) - 2).alias("mod0"),
+    )

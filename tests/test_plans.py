@@ -522,3 +522,14 @@ def test_pipe_sql_desugars_to_identical_plan(spark):
     assert "EqualTo(o_orderstatus,O)" in plan, "pipe WHERE not pushed to scan"
     assert "BroadcastHashJoin" in plan, "customer dim not broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_try_arith_is_map_side_codegen(spark):
+    """ANSI-safe arithmetic is a pure map-side projection: zero
+    exchanges, inside whole-stage codegen (try_* must not fall out)."""
+    plan = _formatted_plan(spark, "try_arith")
+    assert "Exchange" not in plan, "try_arith must not shuffle"
+    # formatted mode marks codegen stages with "[codegen id : N]"
+    assert re.search(r"Project \[codegen id : \d+\]", plan), (
+        "try_arith projection fell out of codegen"
+    )
