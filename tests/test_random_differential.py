@@ -94,3 +94,54 @@ def test_pkfk_join_differential(spark, rnd_dir, seed):
     ).fetchall()[0]
     assert (got.n, got.sl, got.sr) == exp
     assert got.n == N  # every FK hits exactly one PK
+
+
+def test_asof_join_randomized_vs_pure_python(spark, tmp_path):
+    """Randomized as-of join differential over fresh events: coarse
+    timestamps force (ts, event_id) TIES, the part the fixed testdata
+    rarely stresses — a same-instant signup with a LOWER event_id than
+    the purchase must count, a same-instant HIGHER one must not.
+    Expected labels from a pure-Python running scan over the same
+    (user, ts, event_id) ordering the window declares."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(11)
+    base = datetime(2025, 1, 1)
+    rows = [
+        (
+            eid,
+            rng.randint(0, 9),
+            base + timedelta(seconds=rng.randint(0, 49)),
+            rng.choice(["signup", "purchase", "click"]),
+        )
+        for eid in range(600)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    got = {
+        r.event_id: r.last_signup_ts
+        for r in all_queries()["asof_join"].build(spark, str(tmp_path)).collect()
+    }
+
+    expect = {}
+    last = {}
+    for eid, uid, ts, et in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if et == "signup":
+            last[uid] = ts
+        if et == "purchase":
+            expect[eid] = last.get(uid)
+    assert got == expect
+
+    # the corpus must actually contain a same-instant signup/purchase
+    # pair, or the tiebreak path went unexercised
+    kinds = {}
+    for eid, uid, ts, et in rows:
+        kinds.setdefault((uid, ts), set()).add(et)
+    assert any({"signup", "purchase"} <= s for s in kinds.values()), (
+        "seed produced no signup/purchase same-instant tie"
+    )
