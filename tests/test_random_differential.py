@@ -145,3 +145,57 @@ def test_asof_join_randomized_vs_pure_python(spark, tmp_path):
     assert any({"signup", "purchase"} <= s for s in kinds.values()), (
         "seed produced no signup/purchase same-instant tie"
     )
+
+
+def test_gap_fill_randomized_vs_pure_python(spark, tmp_path):
+    """Randomized LOCF differential over fresh events: sparse random
+    purchase hours leave real HOLES in the dense generated spine
+    (asserted present), and each hole must carry the last observed
+    hour's sum forward. Values are exact cents so the
+    decimal(18,2)->double path is reproducible in pure Python."""
+    import random
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(23)
+    base = datetime(2025, 3, 1)
+    rows = []
+    for eid in range(500):
+        minute = rng.randrange(0, 200 * 60)
+        # cluster purchases into ~45 of the 200 hours so holes exist
+        hour_ok = (minute // 60) % 9 in (0, 2, 5) or rng.random() < 0.05
+        et = "purchase" if (hour_ok and rng.random() < 0.7) else "click"
+        cents = rng.randrange(0, 10_000_00)
+        rows.append((eid, base + timedelta(minutes=minute), et, cents / 100.0))
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    got = {
+        r.hour: (r.n_events, r.filled_value)
+        for r in all_queries()["gap_fill"].build(spark, str(tmp_path)).collect()
+    }
+
+    buckets = {}
+    for _eid, ts, et, value in rows:
+        if et != "purchase":
+            continue
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        n, cents = buckets.get(h, (0, 0))
+        buckets[h] = (n + 1, cents + round(value * 100))
+    lo, hi = min(buckets), max(buckets)
+    expect, last = {}, None
+    h = lo
+    while h <= hi:
+        if h in buckets:
+            n, cents = buckets[h]
+            last = float(Decimal(cents) / 100)
+            expect[h] = (n, last)
+        else:
+            expect[h] = (0, last)
+        h += timedelta(hours=1)
+    assert got == expect
+    holes = [h for h, (n, _) in expect.items() if n == 0]
+    assert len(holes) >= 20, "seed produced too few spine holes"
