@@ -199,3 +199,54 @@ def test_gap_fill_randomized_vs_pure_python(spark, tmp_path):
     assert got == expect
     holes = [h for h, (n, _) in expect.items() if n == 0]
     assert len(holes) >= 20, "seed produced too few spine holes"
+
+
+def test_window_range_frame_randomized_vs_pure_python(spark, tmp_path):
+    """Randomized RANGE-frame differential: a tiny day range forces
+    many PEER rows (same customer, same day — asserted present), where
+    RANGE semantics diverge hardest from ROWS (every peer must see the
+    identical frame, including peers AFTER the current row)."""
+    import random
+    from datetime import date, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(31)
+    base = date(1970, 1, 1)
+    rows = []
+    for okey in range(400):
+        cust = rng.randint(0, 7)
+        dayn = rng.randrange(0, 90)  # 8 custs x 90 days -> peers certain
+        cents = rng.randrange(0, 1_000_000)
+        rows.append((okey, cust, dayn, cents / 100.0))
+    spark.createDataFrame(
+        [
+            (okey, cust, base + timedelta(days=dayn), price)
+            for okey, cust, dayn, price in rows
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    got = {
+        r.o_orderkey: r.cents_30d
+        for r in all_queries()["window_range_frame"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+
+    import math
+
+    expect = {}
+    for okey, cust, dayn, price in rows:
+        cents30 = sum(
+            math.floor(p * 100 + 0.5)  # the query's exact cents recipe
+            for _k, c, d, p in rows
+            if c == cust and dayn - 30 <= d <= dayn
+        )
+        expect[okey] = cents30
+    assert got == expect
+
+    peers = {}
+    for _k, cust, dayn, _p in rows:
+        peers[(cust, dayn)] = peers.get((cust, dayn), 0) + 1
+    assert max(peers.values()) >= 2, "seed produced no same-day peers"
