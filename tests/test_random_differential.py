@@ -250,3 +250,50 @@ def test_window_range_frame_randomized_vs_pure_python(spark, tmp_path):
     for _k, cust, dayn, _p in rows:
         peers[(cust, dayn)] = peers.get((cust, dayn), 0) + 1
     assert max(peers.values()) >= 2, "seed produced no same-day peers"
+
+
+def test_range_join_randomized_vs_pure_python(spark, tmp_path):
+    """Randomized band-join differential: events packed into a small
+    (user, time) space so pairs land ON both boundaries (asserted) —
+    strictly-after must exclude the same-instant pair, and the
+    5-minute upper bound is INCLUSIVE."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(43)
+    base = datetime(2025, 5, 1)
+    rows = [
+        (
+            eid,
+            rng.randint(0, 5),
+            base + timedelta(seconds=60 * rng.randrange(0, 40)),  # whole minutes
+        )
+        for eid in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    got = {
+        (r.ev_a, r.ev_b): r.gap_us
+        for r in all_queries()["range_join"].build(spark, str(tmp_path)).collect()
+    }
+
+    expect = {}
+    for ea, ua, ta in rows:
+        for eb, ub, tb in rows:
+            if ua == ub and tb > ta and tb <= ta + timedelta(minutes=5):
+                expect[(ea, eb)] = int((tb - ta).total_seconds() * 1_000_000)
+    assert got == expect
+
+    gaps = set(expect.values())
+    assert 300_000_000 in gaps, "no pair exactly ON the 5-minute bound"
+    same_instant = sum(
+        1
+        for i, (_, ua, ta) in enumerate(rows)
+        for (_, ub, tb) in rows[i + 1 :]
+        if ua == ub and ta == tb
+    )
+    assert same_instant > 0, "no same-instant pair to prove strict lower bound"
