@@ -297,3 +297,40 @@ def test_range_join_randomized_vs_pure_python(spark, tmp_path):
         if ua == ub and ta == tb
     )
     assert same_instant > 0, "no same-instant pair to prove strict lower bound"
+
+
+def test_recursive_cte_randomized_vs_pure_python(spark, tmp_path):
+    """Randomized recursion differential: a random SUBSET of supplier
+    keys makes the implicit parent=floor(k/2) tree irregular — missing
+    parents cut whole subtrees off (unreachable keys asserted
+    present), so frontier sizes and recursion depth vary per seed.
+    Expected per-depth aggregates from a pure-Python ascending scan
+    (parent < child, so one pass assigns every reachable depth)."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(57)
+    keys = [1] + [k for k in range(2, 400) if rng.random() < 0.6]
+    spark.createDataFrame(
+        [(k,) for k in keys], "s_suppkey bigint"
+    ).write.parquet(str(tmp_path) + "/supplier.parquet")
+
+    got = {
+        r.depth: (r.n_nodes, r.sum_nodes)
+        for r in all_queries()["recursive_cte"].build(spark, str(tmp_path)).collect()
+    }
+
+    depth = {1: 0}
+    for k in sorted(keys):
+        if k > 1 and k // 2 in depth:
+            depth[k] = depth[k // 2] + 1
+    expect = {}
+    for k, d in depth.items():
+        n, s = expect.get(d, (0, 0))
+        expect[d] = (n + 1, s + k)
+    assert got == expect
+
+    unreachable = [k for k in keys if k not in depth]
+    assert len(unreachable) >= 10, "seed cut off too few subtrees"
+    assert max(depth.values()) >= 4, "tree too shallow to stress recursion"
