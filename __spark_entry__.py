@@ -45,29 +45,10 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R4 = (
-    # CORRECTNESS_r04.json rows whose latest driver check is still r4
-    # (the 11 oldest r4 rows were re-checked r7 → _VERIFIED_R7).
-    # These 37 lead the r8 re-check window, oldest-first.
-    "tpch_q13", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
-    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
-    "bitmap_presence", "group_size_hist", "chunk_documents",
-    "pack_sequences", "redact_pii", "train_test_split",
-    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
-    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
-    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
-    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
-    "case_expr", "having_filter", "approx_percentile",
-)
 _VERIFIED_R5 = (
-    # CORRECTNESS_r05.json — 50 rows, all green (15 new-surface r5 ops,
-    # the 10 reference-core rows, and ~25 r1-vintage re-checks).
-    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
-    "listagg_stats", "session_funnel", "bloom_filter_join",
-    "udtf_word_runs", "observed_clean", "reservoir_sample",
-    "approx_topk_tokens", "stateful_profile", "stream_static_join",
+    # CORRECTNESS_r05.json rows whose latest driver check is still r5
+    # (the 13 oldest r5 rows were re-checked r8 → _VERIFIED_R8).
+    # These 37 follow pipe_sql/try_arith in the r9 window, oldest-first.
     "pysource_scan", "sink_compaction", "filter", "sum", "take",
     "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
     "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
@@ -120,21 +101,40 @@ _VERIFIED_R7 = (
     "sink_orc_roundtrip", "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
 )
+_VERIFIED_R8 = (
+    # CORRECTNESS_r08.json — 50 rows, 48 hash-green + 2 rows-only by
+    # design (hll_mergeable, approx_percentile — sketches): the 37
+    # r4-vintage rows + the 13 oldest r5 rows, exactly as the r7
+    # verdict ordered.
+    "tpch_q13", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
+    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
+    "bitmap_presence", "group_size_hist", "chunk_documents",
+    "pack_sequences", "redact_pii", "train_test_split",
+    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
+    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
+    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
+    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
+    "case_expr", "having_filter", "approx_percentile",
+    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
+    "listagg_stats", "session_funnel", "bloom_filter_join",
+    "udtf_word_runs", "observed_clean", "reservoir_sample",
+    "approx_topk_tokens", "stateful_profile", "stream_static_join",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R4 + _VERIFIED_R5 + _VERIFIED_R6 + _VERIFIED_R7
+    _VERIFIED_R5 + _VERIFIED_R6 + _VERIFIED_R7 + _VERIFIED_R8
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order.  Round 8 (VERDICT r7 "Next round"
-# #1): all 187 prior queries have at least one driver row; the r7
-# verdict pinned the r8 window to EXACTLY the 37 r4-vintage rows +
-# the 13 oldest r5 rows, so the two new r8 registrations (pipe_sql —
-# SQL pipe syntax — and try_arith — ANSI-safe arithmetic) are
-# deliberately deferred BEHIND the verified tail via _LOW_PRIORITY —
-# they get their first driver rows when r9 reopens the rotation
-# (promote them out of _LOW_PRIORITY then).
+# not depend on module import order.  Round 9 (VERDICT r8 "Next round"
+# #1): _LOW_PRIORITY emptied — pipe_sql and try_arith are now the
+# only queries without a driver row, so the unverified-first rule
+# puts them at the head of the r9 window for their first rows; the
+# oldest-first tail fills the rest with the 37 r5-vintage rows and
+# the oldest r6 rows.
 _HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ("pipe_sql", "try_arith")
+_LOW_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -146,12 +146,13 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: 37 remaining r4 rows lead, then
-    # r5 (first 13 fit the r8 window), r6, r7.
+    # stalest rows re-check soonest: 37 remaining r5 rows lead
+    # (pysource_scan..merge_upsert incl. the 10 reference-core rows),
+    # then r6 (first 11 fit the r9 window), r7, r8.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R4, _VERIFIED_R5, _VERIFIED_R6,
-                 _VERIFIED_R7):
+    for tier in (_VERIFIED_R5, _VERIFIED_R6, _VERIFIED_R7,
+                 _VERIFIED_R8):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}.
+the contract JSON line {"metric": ..., "queries": {...}, "sf": ...,
+"value": N, "unit": "sec"} as the LAST line of stdout (a diagnostics
+JSON line with the per-query concurrent timings precedes it — the
+driver keeps only the stdout tail, so the contract line goes last
+and stays compact; r8 verdict #1).
 
 Each query is forced through full materialization with the noop sink
 (no driver-side collect — same discipline as production). A warmup
@@ -239,30 +242,49 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     warm_spread = _spread([sum(p.values()) for p in per_run[1:]])
+    # The driver records only the LAST ~2,000 chars of stdout, and the
+    # r7/r8 contract lines both overflowed it (r8 verdict "What's
+    # wrong" #1: the 76-entry concurrent_queries map pushed the
+    # sequential medians out of the captured tail; even r7's line was
+    # 2.2 KB so the driver never parsed it).  Two-line fix:
+    # 1. the bulky diagnostics ([start_offset, wall] per concurrent
+    #    query, floor_adjusted_total) go on their OWN line FIRST —
+    #    expendable if the tail clips them;
+    # 2. the contract line is LAST and COMPACT (no-space separators:
+    #    ~1.9 KB at realistic medians vs 2.18 KB default), with the
+    #    scalar figures AFTER "queries" so a clipped head costs only
+    #    the metric label, never the medians or totals.
+    print(
+        json.dumps(
+            {
+                "metric": "concurrent_queries_detail",
+                "floor_adjusted_total": round(
+                    sum(max(0.0, t - floor) for t in timings.values()), 3
+                ),
+                # per-query [start_offset, wall] within the pool phase
+                "concurrent_queries": conc_t,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "floor_sec": round(floor, 3),
-                "floor_adjusted_total": round(
-                    sum(max(0.0, t - floor) for t in timings.values()), 3
-                ),
-                "concurrent_wall": concurrent_wall,
-                # per-query [start_offset, wall] within the pool phase
-                "concurrent_queries": conc_t,
                 "n_runs": n_runs,
-                "run_totals": [
-                    round(sum(p.values()), 3) for p in per_run
-                ],
                 # r5 lesson: probes/sims running concurrently inflated
                 # run_totals[0] by 1.6x. This flag is the operator's
                 # attestation that nothing else ran during the bench;
                 # tools/ scripts must never be launched mid-bench.
                 "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
+                "queries": timings,
+                "floor_sec": round(floor, 3),
+                "concurrent_wall": concurrent_wall,
+                "run_totals": [
+                    round(sum(p.values()), 3) for p in per_run
+                ],
                 # r6 verdict #6: flag runs whose WARM passes (cold
                 # pass 0 excluded — ~1.6x JIT cost is inherent) spread
                 # more than 20%, so a regression seen in a noisy run
@@ -270,7 +292,9 @@ def main() -> None:
                 # trusted at face value.
                 "warm_spread": warm_spread,
                 "noisy_box": warm_spread > 0.20,
-            }
+                "value": total,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -472,8 +472,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    global _LAST_ITERATIONS
-    _LAST_ITERATIONS = i + 1
+    _LAST_ITERATIONS[sf_dir] = i + 1
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within the "
@@ -495,10 +494,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAST_RESULT = None
-# diagnostics: propagation rounds the last q_dedup_clusters call took
-# (read by tools/scale_probe.py to report iteration count vs size —
-# the "iterations = cluster diameter, not corpus size" scale claim)
-_LAST_ITERATIONS: int | None = None
+# diagnostics: propagation rounds the last q_dedup_clusters call took,
+# KEYED BY sf_dir (read by tools/scale_probe.py to report iteration
+# count vs size — the "iterations = cluster diameter, not corpus size"
+# scale claim). Keyed rather than a single global so a concurrent
+# query on a different sf_dir (e.g. the bench's thread-pool phase)
+# cannot attribute its iteration count to the probe's run (r8 ADVICE);
+# concurrent calls on the SAME sf_dir run the same graph, so a
+# same-key overwrite carries the same value.
+_LAST_ITERATIONS: dict[str, int] = {}
 
 
 _N_SIM_BITS = 16  # bits of the md5-derived base hash used for the signature

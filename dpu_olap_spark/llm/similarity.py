@@ -461,16 +461,22 @@ _PQ_SQL = f"""
              embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS sv
       FROM embeddings, segs
     ),
-    pq_pairs AS (
-      SELECT v.vec_id, v.seg, c.code, unnest(v.sv) AS a, unnest(c.cv) AS b
-      FROM vx v JOIN cw c ON v.seg = c.seg
-    ),
     pq_dists AS (
-      SELECT vec_id, seg, code,
-             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
-                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
-                        * 1000000) AS BIGINT) AS d2u
-      FROM pq_pairs GROUP BY vec_id, seg, code
+      -- fold pinned to the kernel's exact float path (r8 ADVICE):
+      -- left-to-right list_reduce accumulation (DuckDB seeds with
+      -- element 1; 0.0 + e1 == e1 bit-exact, so identical to the
+      -- kernel's zero-seeded loop) and floor(x*1e6 + 0.5) instead of
+      -- round() — an unordered GROUP-BY SUM plus round() was only
+      -- same-in-practice, not contractually bit-identical near a
+      -- .5 micro-unit boundary. Verified 0 diffs vs the old SUM form
+      -- on real data at both SFs before switching.
+      SELECT v.vec_id, v.seg, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_SEG_DIMS} + 1),
+                 i -> (CAST(v.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(v.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d2u
+      FROM vx v JOIN cw c ON v.seg = c.seg
     ),
     pq_assign AS (
       SELECT vec_id, seg, code, d2u FROM (
@@ -679,12 +685,16 @@ def _best_code_struct(books, seg: int) -> F.Column:
     to the RAW fold sum, the IDENTICAL float64 path the kernel
     (_np_nearest) takes (left-to-right accumulation, floor(x*1e6+0.5)),
     so kernel and reference are bit-comparable with no
-    round-then-reconvert seam. The DuckDB oracle's round(SUM*1e6) is
-    the same in practice at these magnitudes but not contractually
-    bit-identical: its group SUM order is not pinned, and round()
-    half-away differs from floor(+0.5) for doubles just under a .5
-    boundary — if a driver hash ever flips on pq values, suspect that
-    seam first. The query paths themselves use _np_nearest via mapInPandas,
+    round-then-reconvert seam. The DuckDB oracle is pinned to the SAME
+    contract since r9 (r8 ADVICE): its pq_dists/lut CTEs fold the
+    ordered squared-diff list left-to-right via list_reduce and snap
+    with floor(x*1e6 + 0.5) — the earlier unordered-SUM + round()
+    form was only same-in-practice (verified 0 diffs on real data
+    before the switch), not contractually bit-identical near a .5
+    micro-unit boundary. Kernel, this SQL reference, and the oracle
+    now share one float path end-to-end; the round-vs-floor boundary
+    behavior itself is unit-tested in tests/test_llm_ops.py.
+    The query paths themselves use _np_nearest via mapInPandas,
     because measured on 200k synthetic vectors the expression routes
     run at ~115k rows/s (unrolled literals fall out of codegen at
     janino's 64 KB limit, and HOF folds are CodegenFallback
@@ -793,10 +803,10 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
 def _adc_lut(books, qvec) -> dict[int, list[int]]:
     """8x8 lookup table of query-subvector-to-codeword distances in
     integer micro-units, computed driver-side: Python's left-to-right
-    float64 accumulation IS the fold order DuckDB's unnest-SUM uses
-    (pq_encode verified that order cross-engine), and
-    floor(x*1e6 + 0.5) is round-half-up on the non-negative d2 —
-    identical to both engines' round()."""
+    float64 accumulation and floor(x*1e6 + 0.5) snap are now the
+    PINNED contract shared with the DuckDB oracle's list_reduce lut
+    CTE (r8 ADVICE — previously the oracle's unordered unnest-SUM +
+    round() only matched in practice)."""
     import math
 
     lut: dict[int, list[int]] = {}
@@ -832,16 +842,16 @@ def _adc_sum_sql(lut: dict[int, list[int]]) -> str:
              embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS qv
       FROM embeddings, segs WHERE vec_id = {_PQ_QUERY}
     ),
-    lut_pairs AS (
-      SELECT q.seg, c.code, unnest(q.qv) AS a, unnest(c.cv) AS b
-      FROM q JOIN cw c ON q.seg = c.seg
-    ),
     lut AS (
-      SELECT seg, code,
-             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
-                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
-                        * 1000000) AS BIGINT) AS qd2u
-      FROM lut_pairs GROUP BY seg, code
+      -- same pinned fold + floor(+0.5) as pq_dists, matching
+      -- _adc_lut's driver-side loop bit-for-bit (r8 ADVICE)
+      SELECT q.seg, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_SEG_DIMS} + 1),
+                 i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qd2u
+      FROM q JOIN cw c ON q.seg = c.seg
     ),
     adc AS (
       SELECT pa.vec_id, CAST(SUM(l.qd2u) AS BIGINT) AS adc_d2_micro
@@ -909,16 +919,16 @@ _N_PROBE = 4  # cells probed of the 16 — standard IVF recall/cost knob
              embedding[seg * {_SEG_DIMS} + 1 : seg * {_SEG_DIMS} + {_SEG_DIMS}] AS qv
       FROM embeddings, segs WHERE vec_id = {_PQ_QUERY}
     ),
-    lut_pairs AS (
-      SELECT q.seg, c.code, unnest(q.qv) AS a, unnest(c.cv) AS b
-      FROM q JOIN cw c ON q.seg = c.seg
-    ),
     lut AS (
-      SELECT seg, code,
-             CAST(round(SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
-                            * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
-                        * 1000000) AS BIGINT) AS qd2u
-      FROM lut_pairs GROUP BY seg, code
+      -- same pinned fold + floor(+0.5) as pq_dists, matching
+      -- _adc_lut's driver-side loop bit-for-bit (r8 ADVICE)
+      SELECT q.seg, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_SEG_DIMS} + 1),
+                 i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qd2u
+      FROM q JOIN cw c ON q.seg = c.seg
     ),
     adc AS (
       SELECT pa.vec_id, CAST(SUM(l.qd2u) AS BIGINT) AS adc_d2_micro

@@ -408,6 +408,7 @@ def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(o_orderkey % ((o_orderkey % 5) - 2) AS BIGINT)
            END AS mod0
     FROM orders
+    WHERE o_orderkey >= 0
     """,
 )
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,11 +423,17 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisors (both engines use C-style sign-of-dividend modulo). The
     oracle encodes the expected NULL-on-overflow semantics as CASE
     guards since DuckDB's checked arithmetic ERRORS on overflow
-    rather than returning NULL. Plan: pure map-side projection, zero
+    rather than returning NULL. Those CASE guards are only the
+    overflow predicate for NON-NEGATIVE keys (try_add(MAX, key) is
+    non-NULL for key < 0 where the guard would claim NULL), so both
+    sides carry an explicit o_orderkey >= 0 filter (r8 ADVICE) — a
+    no-op on TPC-H data, where keys start at 1, but it keeps the
+    query/oracle pair symmetric under any future synthetic or
+    randomized orders source. Plan: pure map-side projection, zero
     exchanges, whole-stage codegen."""
     orders = load_table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
-    return orders.select(
+    return orders.where(key >= 0).select(
         "o_orderkey",
         F.try_add(F.lit(9223372036854775807).cast("bigint"), key).alias("add_ovf"),
         F.try_subtract(

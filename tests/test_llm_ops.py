@@ -607,3 +607,104 @@ def test_pq_numpy_encode_matches_exact_sql_reference(spark):
     assert set(got) == set(ref)
     bad = {k: (got[k], ref[k]) for k in ref if got[k] != ref[k]}
     assert not bad, f"{len(bad)} mismatches, e.g. {list(bad.items())[:3]}"
+
+def test_pq_micro_snap_round_vs_floor_boundary():
+    """r8 ADVICE boundary test for the micro-int snap seam: the PQ
+    kernel/_adc_lut use floor(y + 0.5) on y = d2*1e6 while DuckDB's
+    earlier oracle form used round(y).  For non-negative y these are
+    PROVABLY equal whenever k+0.5 and k+1 are exactly representable
+    (always, for k < 2**51): round-to-nearest can never carry a true
+    value < k+0.5 past the representable k+0.5, so floor(fl(y+0.5))
+    <= k exactly when round(y) == k.  This test pins that argument
+    empirically on the adversarial ulp-neighborhood of every .5
+    micro-unit boundary in the PQ operating range, via parameter
+    binding (NOT SQL literals — DuckDB parses decimal literals as
+    DECIMAL first, which silently rounds the double; that trap is the
+    reason this test binds values)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    checked = exact_half = 0
+    for k in list(range(200)) + [997, 4999, 50_000, 1_000_000]:
+        base = (k + 0.5) / 1e6
+        for delta in range(-3, 4):
+            x = base
+            for _ in range(abs(delta)):
+                x = math.nextafter(x, -math.inf if delta < 0 else math.inf)
+            y = x * 1e6
+            if y == k + 0.5:
+                exact_half += 1  # the half-away-vs-banker's case
+            r, f = con.execute(
+                "SELECT CAST(round(? * 1000000) AS BIGINT),"
+                "       CAST(floor(? * 1000000 + 0.5) AS BIGINT)",
+                [x, x],
+            ).fetchone()
+            assert f == math.floor(y + 0.5), (x.hex(), f)
+            assert r == f, f"round/floor diverge at {x.hex()}: {r} vs {f}"
+            checked += 1
+    assert checked >= 1400
+    # the exact .5 landings are the cases where a banker's-rounding
+    # round() WOULD diverge on odd k — assert the sweep actually hit
+    # some, so the half-away agreement above is load-bearing
+    assert exact_half >= 100
+
+
+def test_pq_oracle_fold_is_pinned_to_kernel_float_path():
+    """The r9 pinned PQ oracle fold (list_reduce over the ordered
+    squared-diff list + floor(x*1e6+0.5)) must reproduce the kernel's
+    float path bit-for-bit: numpy per-dimension accumulation
+    (_np_nearest), the pure-Python loop (_adc_lut), and DuckDB's
+    list_reduce must agree EXACTLY on seeded random float32-widened
+    segments, including segments engineered to land near .5 micro
+    boundaries.  An unordered GROUP-BY SUM carries no such guarantee —
+    this is the contract that closes the ADVICE flake risk."""
+    import math
+    import random
+
+    import duckdb
+    import numpy as np
+
+    rng = random.Random(42)
+    con = duckdb.connect()
+    ndims = 8
+    cases = []
+    for _ in range(300):
+        a = [np.float32(rng.uniform(-1, 1)) for _ in range(ndims)]
+        b = [np.float32(rng.uniform(-1, 1)) for _ in range(ndims)]
+        cases.append((a, b))
+    for k in (0, 1, 2, 7, 100):
+        # near-boundary: 8 equal diffs whose squares sum to ~(k+.5)/1e6
+        d = math.sqrt((k + 0.5) / 8e6)
+        a = [np.float32(d)] * ndims
+        b = [np.float32(0.0)] * ndims
+        cases.append((a, b))
+    for a, b in cases:
+        af = [float(x) for x in a]
+        bf = [float(x) for x in b]
+        # pure-Python left-to-right (the _adc_lut loop)
+        d2 = 0.0
+        for x, yv in zip(af, bf):
+            d2 = d2 + (x - yv) * (x - yv)
+        py = math.floor(d2 * 1e6 + 0.5)
+        # numpy accumulation as _np_nearest does it (acc += t*t per dim)
+        acc = np.zeros(1, dtype=np.float64)
+        A = np.array(af, dtype=np.float64)
+        B = np.array(bf, dtype=np.float64)
+        for i in range(ndims):
+            t = A[i] - B[i]
+            acc += t * t
+        np_snap = int(np.floor(acc[0] * 1e6 + 0.5))
+        # DuckDB pinned oracle fold, lists bound as parameters
+        (db,) = con.execute(
+            """
+            SELECT CAST(floor(list_reduce(
+              list_transform(range(1, 9),
+                i -> (sv[i] - cv[i]) * (sv[i] - cv[i])),
+              (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT)
+            FROM (SELECT ?::DOUBLE[] AS sv, ?::DOUBLE[] AS cv)
+            """,
+            [af, bf],
+        ).fetchone()
+        assert py == np_snap == db, (af, bf, py, np_snap, db)

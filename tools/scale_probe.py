@@ -443,7 +443,11 @@ def probe_cc(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         ).save()
         walls.append(time.perf_counter() - t0)
     t["dedup_clusters"] = round(min(walls), 3)
-    extra: dict[str, int] = {"cc_iterations": int(dd._LAST_ITERATIONS or 0)}
+    extra: dict[str, int] = {
+        # keyed by sf_dir (r8 ADVICE): the probe reads ITS run's count
+        # even if another q_dedup_clusters call interleaves elsewhere
+        "cc_iterations": int(dd._LAST_ITERATIONS.get(sf_dir, 0))
+    }
 
     # one propagation round, instrumented via the SAME construction
     # helpers the production loop uses (dd._cc_edges / dd._cc_round —
