@@ -334,3 +334,199 @@ def test_recursive_cte_randomized_vs_pure_python(spark, tmp_path):
     unreachable = [k for k in keys if k not in depth]
     assert len(unreachable) >= 10, "seed cut off too few subtrees"
     assert max(depth.values()) >= 4, "tree too shallow to stress recursion"
+
+
+def test_session_funnel_randomized_boundary_gaps_vs_pure_python(spark, tmp_path):
+    """Randomized sessionization differential over fresh events,
+    FORCING every boundary the 30-min-gap rule has (the fixed testdata
+    rarely lands on any of them): a gap of EXACTLY 30 min must
+    CONTINUE the session (the rule is strictly greater-than), a gap of
+    30 min + 1 us must break it, same-instant ties must resolve by
+    event_id for first-touch attribution, an in-session pair must span
+    a 6-hour chunk boundary (the chunked rewrite's chain-merge path),
+    and a session break must occur WITHIN one chunk (the local-run
+    split path). Expected output from a pure-Python sessionizer over
+    the same (user, tus, event_id) ordering."""
+    import random
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.operators.events_analytics import (
+        _SESS_CHUNK_US,
+        _SESS_GAP_US,
+    )
+    from dpu_olap_spark.registry import all_queries
+
+    GAP, CHUNK = _SESS_GAP_US, _SESS_CHUNK_US
+    MIN = 60 * 1_000_000
+    rng = random.Random(17)
+    base_us = 1_736_467_200 * 1_000_000  # 2025-01-10 UTC — no DST anywhere near
+
+    rows: list[tuple[int, int, int, str]] = []  # (eid, uid, tus, type)
+
+    def add(uid: int, tus: int, et: str) -> None:
+        rows.append((len(rows), uid, tus, et))
+
+    # user 0: in-session pair spanning a chunk edge (5 min either side)
+    k0 = base_us // CHUNK + 2
+    add(0, k0 * CHUNK - 5 * MIN, "view")
+    add(0, k0 * CHUNK + 5 * MIN, "click")
+    add(0, k0 * CHUNK + 6 * MIN, "purchase")
+    # user 1: exactly-GAP continues; GAP+1us breaks
+    t0 = base_us + 3600 * 1_000_000
+    add(1, t0, "view")
+    add(1, t0 + GAP, "click")           # same session (strict >)
+    add(1, t0 + GAP + GAP + 1, "purchase")  # gap GAP+1 -> new session
+    # user 2: same-instant tie — lower event_id opens the session
+    t0 = base_us + 86_400 * 1_000_000
+    add(2, t0, "click")
+    add(2, t0, "view")
+    add(2, t0 + MIN, "purchase")
+    # user 3: session break inside one chunk
+    t0 = (base_us // CHUNK + 10) * CHUNK + MIN
+    add(3, t0, "view")
+    add(3, t0 + GAP + 2 * MIN, "view")
+    # users 4..9: random walks over a boundary-heavy gap pool
+    for uid in range(4, 10):
+        t = base_us + rng.randint(0, 3 * 86_400) * 1_000_000
+        for _ in range(rng.randint(20, 40)):
+            add(uid, t, rng.choice(["view", "click", "purchase", "view", "click"]))
+            t += rng.choice(
+                [0, GAP, GAP + 1, GAP - 1,
+                 rng.randint(1, 600) * 1_000_000,
+                 rng.randint(1, 8) * 3600 * 1_000_000]
+            )
+
+    # attest every forced boundary actually occurs in the corpus
+    by_user: dict[int, list[tuple[int, int, str]]] = defaultdict(list)
+    for eid, uid, tus, et in rows:
+        by_user[uid].append((tus, eid, et))
+    seen = set()
+    for evs in by_user.values():
+        evs.sort()
+        for (t1, _, _), (t2, _, _) in zip(evs, evs[1:]):
+            d = t2 - t1
+            if d == GAP:
+                seen.add("exact_gap")
+            if d == GAP + 1:
+                seen.add("gap_plus_one")
+            if d == 0:
+                seen.add("tie")
+            if d <= GAP and t1 // CHUNK != t2 // CHUNK:
+                seen.add("chunk_crossing")
+            if d > GAP and t1 // CHUNK == t2 // CHUNK:
+                seen.add("intra_chunk_break")
+    assert seen == {
+        "exact_gap", "gap_plus_one", "tie", "chunk_crossing",
+        "intra_chunk_break",
+    }, f"forced boundary cases missing: {seen}"
+
+    epoch = datetime(1970, 1, 1)
+    spark.createDataFrame(
+        [(eid, uid, epoch + timedelta(microseconds=tus), et)
+         for eid, uid, tus, et in rows],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    expect: dict[str, list[int]] = {}
+
+    def close(sess: list[tuple[int, int, str]]) -> None:
+        first_touch = sess[0][2]
+        firsts: dict[str, int] = {}
+        for tus, _, et in sess:  # sorted ascending -> first hit is min
+            firsts.setdefault(et, tus)
+        conv = (
+            "view" in firsts and "click" in firsts and "purchase" in firsts
+            and firsts["click"] > firsts["view"]
+            and firsts["purchase"] > firsts["click"]
+        )
+        a = expect.setdefault(first_touch, [0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if conv else 0
+        a[2] += len(sess)
+
+    for evs in by_user.values():
+        cur: list[tuple[int, int, str]] = []
+        for ev in evs:
+            if cur and ev[0] - cur[-1][0] > GAP:
+                close(cur)
+                cur = [ev]
+            else:
+                cur.append(ev)
+        close(cur)
+
+    got = {
+        r.first_touch: [r.n_sessions, r.n_converted, r.n_events]
+        for r in all_queries()["session_funnel"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_salted_join_randomized_all_join_types(spark):
+    """Randomized differential for the salting utility itself across
+    every supported join type: under a 60%-hot key, NULL keys on both
+    sides, and duplicate build keys, salted_join must be multiset-
+    identical to the PLAIN Spark join (salt invariance) AND to a
+    pure-Python join (cross-engine truth) for inner / left / semi /
+    anti. The registered salted_join query exercises only inner; this
+    pins the NULL-never-matches and left-preserves-unmatched semantics
+    the salt scatter/replicate must not disturb."""
+    import random
+    from collections import Counter
+
+    from dpu_olap_spark.plans.skew import salted_join
+
+    rng = random.Random(99)
+    left_rows: list[tuple[int | None, int]] = []
+    for i in range(4000):
+        r = rng.random()
+        k = 7 if r < 0.6 else (None if r < 0.65 else rng.randint(0, 50))
+        left_rows.append((k, i))
+    right_rows: list[tuple[int | None, int]] = []
+    rid = 0
+    for k in range(51):
+        for _ in range(rng.randint(0, 3)):
+            right_rows.append((k, 1000 + rid))
+            rid += 1
+    right_rows += [(None, 9000), (None, 9001), (7, 9100), (7, 9101)]
+
+    rmap: dict[int, list[int]] = {}
+    for k, v in right_rows:
+        if k is not None:
+            rmap.setdefault(k, []).append(v)
+    # forced-case attestations: heavy skew, NULLs both sides, dup build
+    assert sum(1 for k, _ in left_rows if k == 7) / len(left_rows) > 0.5
+    assert any(k is None for k, _ in left_rows)
+    assert any(k is None for k, _ in right_rows)
+    assert len(rmap[7]) >= 2
+
+    left = spark.createDataFrame(left_rows, "lk bigint, lv bigint")
+    right = spark.createDataFrame(right_rows, "rk bigint, rv bigint")
+
+    for how in ("inner", "left", "semi", "anti"):
+        got_df = salted_join(left, right, "lk", "rk", n_salts=5, how=how)
+        exp_py: Counter = Counter()
+        if how in ("semi", "anti"):
+            cols = ["lk", "lv"]
+            for k, v in left_rows:
+                matched = k is not None and k in rmap
+                if (how == "semi") == matched:
+                    exp_py[(k, v)] += 1
+        else:
+            cols = ["lk", "lv", "rv"]
+            for k, v in left_rows:
+                if k is not None and k in rmap:
+                    for rv in rmap[k]:
+                        exp_py[(k, v, rv)] += 1
+                elif how == "left":
+                    exp_py[(k, v, None)] += 1
+        got = Counter(tuple(r) for r in got_df.select(*cols).collect())
+        plain = Counter(
+            tuple(r)
+            for r in left.join(right, left.lk == right.rk, how)
+            .select(*cols)
+            .collect()
+        )
+        assert got == plain == exp_py, f"salted_join diverges for {how}"
