@@ -530,3 +530,182 @@ def test_salted_join_randomized_all_join_types(spark):
             .collect()
         )
         assert got == plain == exp_py, f"salted_join diverges for {how}"
+
+
+def test_topk_randomized_tie_at_kth_boundary(spark, tmp_path):
+    """Randomized top-k differential FORCING a price tie that straddles
+    the k=10 cut — the case where the result is only deterministic
+    because of the o_orderkey ASC tiebreak (TakeOrderedAndProject must
+    pick the LOWER keys among equal prices). Expected rows from a
+    pure-Python sort over the same composite ordering."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(23)
+    # fillers stay strictly below the tie value so the engineered
+    # dozen are the true top-12
+    prices = [round(rng.uniform(100, 400), 2) for _ in range(40)]
+    # force a 4-way tie spanning ranks 9..12: three distinct top prices
+    # then the tie group right at the boundary
+    tie = 500.50
+    prices[:12] = [999.99, 998.0, 997.0, 996.0, 995.0, 994.0, 993.0, 992.0,
+                   tie, tie, tie, tie]
+    rng.shuffle(prices)
+    rows = [
+        (k, rng.randint(1, 99), float(p))
+        for k, p in zip(rng.sample(range(1000, 9999), len(prices)), prices)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    expect = sorted(rows, key=lambda r: (-r[2], r[0]))[:10]
+    # the forced tie must actually straddle the cut: same price on both
+    # sides of rank 10
+    full = sorted(rows, key=lambda r: (-r[2], r[0]))
+    assert full[9][2] == full[10][2], "tie does not straddle the k-boundary"
+
+    got = [
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in all_queries()["topk"].build(spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+
+
+def test_percentiles_randomized_interpolation_vs_python_and_duckdb(
+    spark, tmp_path
+):
+    """Randomized exact-percentile differential: integer quantities and
+    quarter-cent prices with group sizes chosen so the (n-1)p index
+    lands exactly ON an element for some groups and strictly BETWEEN
+    two elements for others (both interpolation branches forced and
+    attested). Expected values from a pure-Python (n-1)p interpolation
+    and cross-checked against DuckDB quantile_cont."""
+    import math
+    import os
+    import random
+
+    import duckdb
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(31)
+    rows = []
+    # group sizes: 11 -> (n-1)*0.5 = 5.0 exact, (n-1)*0.9 = 9.0 exact;
+    # 12 -> 5.5 and 9.9 (both fractional); 21 -> 10.0 and 18.0 exact
+    for flag, n in (("A", 11), ("B", 12), ("C", 21), ("D", 14)):
+        for _ in range(n):
+            rows.append(
+                (flag, float(rng.randint(1, 50)), rng.randint(400, 40000) * 0.25)
+            )
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+
+    def pct(vals, p):
+        s = sorted(vals)
+        idx = (len(s) - 1) * p
+        lo = math.floor(idx)
+        frac = idx - lo
+        v = s[lo] if frac == 0 else s[lo] + frac * (s[lo + 1] - s[lo])
+        return round(v, 4)
+
+    branches = set()
+    for _, n in (("A", 11), ("B", 12), ("C", 21), ("D", 14)):
+        for p in (0.5, 0.9, 0.25):
+            branches.add("exact" if ((n - 1) * p) % 1 == 0 else "interp")
+    assert branches == {"exact", "interp"}, "both branches must be forced"
+
+    by_flag: dict[str, list[tuple[float, float]]] = {}
+    for flag, q, price in rows:
+        by_flag.setdefault(flag, []).append((q, price))
+    expect = {
+        flag: (
+            pct([q for q, _ in vs], 0.5),
+            pct([q for q, _ in vs], 0.9),
+            pct([p for _, p in vs], 0.25),
+        )
+        for flag, vs in by_flag.items()
+    }
+
+    got = {
+        r.l_returnflag: (r.p50_qty, r.p90_qty, r.p25_price)
+        for r in all_queries()["percentiles"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+    path = os.path.join(str(tmp_path), "lineitem.parquet")
+    db = {
+        f: (a, b, c)
+        for f, a, b, c in duckdb.sql(
+            f"""SELECT l_returnflag,
+                  round(quantile_cont(l_quantity, 0.5), 4),
+                  round(quantile_cont(l_quantity, 0.9), 4),
+                  round(quantile_cont(l_extendedprice, 0.25), 4)
+                FROM read_parquet('{path}/*.parquet') GROUP BY l_returnflag"""
+        ).fetchall()
+    }
+    assert db == expect
+
+
+def test_fuzzy_join_randomized_edit_distance_boundary(spark, tmp_path):
+    """Randomized fuzzy-join differential over a synthetic nation
+    table whose names are random 0-4-edit corruptions of the query's
+    probe strings: matches must be exactly the pairs a pure-Python
+    Levenshtein DP puts at distance <= 2, and the corpus must contain
+    pairs at distance exactly 2 (kept) and exactly 3 (dropped) so the
+    inclusive threshold boundary is actually exercised."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    probes = ["NATON_1", "NATIONN_5", "NTION_19", "NATION-7",
+              "MATION_12", "NOWHERELAND"]
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ_0123456789-"
+    rng = random.Random(47)
+
+    def corrupt(s: str, k: int) -> str:
+        for _ in range(k):
+            op = rng.choice(("sub", "ins", "del")) if len(s) > 3 else "ins"
+            i = rng.randrange(len(s))
+            if op == "sub":
+                s = s[:i] + rng.choice(alpha.replace(s[i], "")) + s[i + 1:]
+            elif op == "ins":
+                s = s[:i] + rng.choice(alpha) + s[i:]
+            else:
+                s = s[:i] + s[i + 1:]
+        return s
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = []
+    for k in range(60):
+        base = rng.choice(probes)
+        names.append(corrupt(base, rng.randint(0, 4)))
+    rows = [(i, n) for i, n in enumerate(dict.fromkeys(names))]
+    spark.createDataFrame(rows, "n_nationkey bigint, n_name string").write.parquet(
+        str(tmp_path) + "/nation.parquet"
+    )
+
+    dists = {lev(n, p) for _, n in rows for p in probes}
+    assert 2 in dists and 3 in dists, (
+        "corpus must hit the inclusive boundary from both sides"
+    )
+
+    expect = sorted(
+        (n, p, lev(n, p)) for _, n in rows for p in probes if lev(n, p) <= 2
+    )
+    got = sorted(
+        (r.n_name, r.probe, r.dist)
+        for r in all_queries()["fuzzy_join"].build(spark, str(tmp_path)).collect()
+    )
+    assert got == expect
