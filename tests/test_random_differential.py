@@ -709,3 +709,162 @@ def test_fuzzy_join_randomized_edit_distance_boundary(spark, tmp_path):
         for r in all_queries()["fuzzy_join"].build(spark, str(tmp_path)).collect()
     )
     assert got == expect
+
+
+def _word(rng, i):
+    return f"w{rng.randint(0, 30)}x{i % 7}"
+
+
+def test_chunk_documents_randomized_stride_boundaries(spark, tmp_path):
+    """Randomized chunking differential FORCING the stride boundaries:
+    a document of exactly k*stride tokens must produce exactly k
+    chunks (no empty trailing chunk), k*stride + 1 tokens must add a
+    1-token trailing chunk, and a document of exactly CHUNK_TOKENS
+    must stay a single full chunk with a second 16-token chunk
+    (64 > stride). Expected rows (ids, sizes, md5 fingerprints) from
+    a pure-Python slicer over the same whitespace tokens."""
+    import hashlib
+    import random
+
+    from dpu_olap_spark.llm.chunking import CHUNK_STRIDE, CHUNK_TOKENS
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(53)
+    lengths = [rng.randint(1, 300) for _ in range(30)]
+    # forced boundary lengths
+    lengths += [CHUNK_STRIDE, 2 * CHUNK_STRIDE, 2 * CHUNK_STRIDE + 1,
+                CHUNK_TOKENS, CHUNK_TOKENS + 1, 1]
+    assert any(n % CHUNK_STRIDE == 0 for n in lengths)
+    assert any(n % CHUNK_STRIDE == 1 for n in lengths)
+    docs = []
+    for i, n in enumerate(lengths):
+        words = [_word(rng, j) for j in range(n)]
+        docs.append((i, " ".join(words), "en", "webby"))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    expect = set()
+    for doc_id, text, _, _ in docs:
+        t = text.split(" ")
+        st = 1
+        cid = 0
+        while st <= len(t):
+            chunk = t[st - 1 : st - 1 + CHUNK_TOKENS]
+            fp = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            expect.add((doc_id, cid, len(chunk), fp))
+            st += CHUNK_STRIDE
+            cid += 1
+    got = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_fp)
+        for r in all_queries()["chunk_documents"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+    # the k*stride doc really produced k chunks and the k*stride+1 doc
+    # produced k+1 (the empty-trailing-chunk trap)
+    per_doc = {}
+    for d, c, _, _ in expect:
+        per_doc[d] = max(per_doc.get(d, 0), c + 1)
+    i_exact = lengths.index(2 * CHUNK_STRIDE)
+    i_plus = lengths.index(2 * CHUNK_STRIDE + 1)
+    assert per_doc[i_exact] == 2 and per_doc[i_plus] == 3
+
+
+def test_pack_sequences_randomized_budget_boundaries(spark, tmp_path):
+    """Randomized packing differential FORCING the budget boundaries:
+    a document of exactly PACK_BUDGET tokens (the next offset lands
+    exactly on a bin multiple — exclusive-sum rule keeps it in its
+    own bin), a document LONGER than the budget (spans bins but must
+    not split), and multi-shard input (bins restart per (lang,
+    source)). Expected bins from a pure-Python running-total walk in
+    doc_id order."""
+    import random
+
+    from dpu_olap_spark.llm.chunking import PACK_BUDGET
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(61)
+    docs = []
+    doc_id = 0
+    sizes_by_shard = {}
+    for lang in ("en", "de"):
+        for source in ("web", "book"):
+            sizes = [rng.randint(5, 120) for _ in range(25)]
+            # forced: exact-budget doc first (offset of the NEXT doc is
+            # exactly one budget), and an over-budget doc mid-stream
+            sizes[0] = PACK_BUDGET
+            sizes[7] = PACK_BUDGET + 37
+            sizes_by_shard[(lang, source)] = sizes
+            for n in sizes:
+                docs.append(
+                    (doc_id, " ".join(_word(rng, j) for j in range(n)),
+                     lang, source)
+                )
+                doc_id += 1
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    expect = {}
+    by_shard = {}
+    for d, text, lang, source in docs:
+        by_shard.setdefault((lang, source), []).append((d, len(text.split(" "))))
+    for (lang, source), entries in by_shard.items():
+        offset = 0
+        for d, n in sorted(entries):
+            b = offset // PACK_BUDGET
+            key = (lang, source, b)
+            cur = expect.setdefault(key, [0, 0, d])
+            cur[0] += 1
+            cur[1] += n
+            cur[2] = min(cur[2], d)
+            offset += n
+    got = {
+        (r.lang, r.source, r.bin_id): [r.n_docs, r.bin_tokens, r.first_doc_id]
+        for r in all_queries()["pack_sequences"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+    # attest the exact-budget rule: in every shard the second doc's
+    # offset is exactly PACK_BUDGET, so it must OPEN bin 1 while the
+    # budget-filling first doc is alone in bin 0
+    for (lang, source), sizes in sizes_by_shard.items():
+        assert sizes[0] == PACK_BUDGET
+        assert expect[(lang, source, 0)][0] == 1
+
+
+def test_hash_sample_randomized_vs_python_hashlib(spark, tmp_path):
+    """Randomized content-hash sampling differential: the md5-prefix
+    Bernoulli rule must select EXACTLY the keys Python's hashlib
+    selects (same 'key:linenumber' preimage), and the seeded corpus
+    must contain selected AND rejected rows adjacent in key space so
+    the prefix test — not key locality — does the filtering."""
+    import hashlib
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(67)
+    rows = [
+        (rng.randint(1, 10**9), ln, float(rng.randint(1, 50)))
+        for _ in range(800)
+        for ln in range(1, rng.randint(2, 5))
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber bigint, l_quantity double"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+
+    def picked(k, ln):
+        return hashlib.md5(f"{k}:{ln}".encode()).hexdigest()[0] in ("0", "1")
+
+    expect = sorted((k, ln, q) for k, ln, q in rows if picked(k, ln))
+    assert expect, "sample came out empty"
+    assert len(expect) < len(rows), "sample selected everything"
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_quantity)
+        for r in all_queries()["hash_sample"].build(spark, str(tmp_path)).collect()
+    )
+    assert got == expect
