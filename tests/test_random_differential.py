@@ -868,3 +868,142 @@ def test_hash_sample_randomized_vs_python_hashlib(spark, tmp_path):
         for r in all_queries()["hash_sample"].build(spark, str(tmp_path)).collect()
     )
     assert got == expect
+
+
+def test_date_arith_randomized_calendar_boundaries(spark, tmp_path):
+    """Randomized date-arithmetic differential FORCING the calendar
+    boundaries the fixed TPC-H date range rarely lands on: leap day
+    (2024-02-29), Feb 28 in leap and non-leap years, every quarter
+    edge (Mar 31 / Apr 1), year end, and +30-day offsets that cross a
+    year boundary. Expected values from Python's datetime/calendar
+    modules; also cross-checked against the registered DuckDB oracle
+    shape (dayofweek aligned to Sunday=0)."""
+    import calendar
+    import random
+    from datetime import date, datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(71)
+    forced = [
+        date(2024, 2, 29), date(2024, 2, 28), date(2023, 2, 28),
+        date(2023, 12, 31), date(2024, 1, 1), date(2024, 3, 31),
+        date(2024, 4, 1), date(2024, 6, 30), date(2024, 9, 30),
+        date(2024, 12, 2),  # +30 crosses into 2025
+        date(1999, 12, 31), date(2000, 1, 1),
+    ]
+    dates = forced + [
+        date(1995, 1, 1) + timedelta(days=rng.randint(0, 11_000))
+        for _ in range(80)
+    ]
+    # keys: multiples of 7 so the query's o_orderkey % 7 = 0 filter
+    # keeps every row; interleave non-multiples that must be dropped
+    rows = []
+    for i, d in enumerate(dates):
+        rows.append((7 * (i + 1), d))
+        rows.append((7 * (i + 1) + 3, d))  # filtered out
+    spark.createDataFrame(rows, "o_orderkey bigint, o_orderdate date").write.parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+
+    assert any(d.month == 2 and d.day == 29 for d in dates)
+    assert any((d + timedelta(days=30)).year != d.year for d in dates)
+
+    def quarter_start(d: date) -> datetime:
+        return datetime(d.year, 3 * ((d.month - 1) // 3) + 1, 1)
+
+    def last_day(d: date) -> date:
+        return date(d.year, d.month, calendar.monthrange(d.year, d.month)[1])
+
+    expect = {}
+    for k, d in rows:
+        if k % 7 != 0:
+            continue
+        expect[k] = (
+            d + timedelta(days=30),
+            quarter_start(d),
+            last_day(d),
+            (date(2000, 1, 1) - d).days,
+            (d.weekday() + 1) % 7,  # Python Mon=0 -> Sunday=0 convention
+        )
+
+    got = {
+        r.o_orderkey: (r.due_date, r.quarter_start, r.month_end,
+                       r.days_to_y2k, r.dow)
+        for r in all_queries()["date_arith"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_randomized_overlap_boundaries(spark, tmp_path):
+    """Randomized decontamination differential FORCING the overlap
+    boundaries: a corpus document sharing EXACTLY ONE distinct 3-gram
+    with the eval split (minimum positive hit — must be reported), one
+    sharing ALL its grams (ratio exactly 1.0), one sharing none (must
+    be absent), a document of exactly NGRAM tokens (single gram), one
+    of NGRAM-1 tokens (excluded entirely), and a document repeating
+    the same contaminated gram (within-doc DISTINCT must count it
+    once). Expected rows from a pure-Python n-gram set walk."""
+    import random
+
+    from dpu_olap_spark.llm.curation import _EVAL_MOD, _NGRAM
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(83)
+
+    def words(n, lo=0, hi=400):
+        return [f"t{rng.randint(lo, hi)}" for _ in range(n)]
+
+    docs: dict[int, list[str]] = {}
+    # eval doc (id % 41 == 0) with a known vocabulary
+    eval_words = ["e1", "e2", "e3", "e4", "e5", "e6"]
+    docs[_EVAL_MOD] = eval_words  # grams: e1..e3, e2..e4, e3..e5, e4..e6
+    # corpus docs with engineered overlap against those grams
+    docs[1] = words(10) + ["e2", "e3", "e4"] + words(10)  # >= one shared gram
+    docs[2] = ["e1", "e2", "e3"]                      # ALL grams shared (1.0)
+    docs[3] = words(30, lo=500, hi=900)               # disjoint vocab: clean
+    docs[4] = ["e4", "e5", "e6"]                      # exactly NGRAM tokens
+    docs[5] = ["e4", "e5"]                            # NGRAM-1: excluded
+    docs[6] = ["e1", "e2", "e3", "x9", "e1", "e2", "e3"]  # repeated gram
+    next_id = 7
+    for _ in range(40):
+        if next_id % _EVAL_MOD == 0:
+            next_id += 1
+        docs[next_id] = words(rng.randint(2, 40))
+        next_id += 1
+
+    rows = [(i, " ".join(ws), "en", "web") for i, ws in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    def grams(ws):
+        return {
+            " ".join(ws[i : i + _NGRAM]) for i in range(len(ws) - _NGRAM + 1)
+        } if len(ws) >= _NGRAM else set()
+
+    eval_grams = set()
+    for i, ws in docs.items():
+        if i % _EVAL_MOD == 0:
+            eval_grams |= grams(ws)
+    expect = {}
+    for i, ws in docs.items():
+        if i % _EVAL_MOD == 0:
+            continue
+        g = grams(ws)
+        hit = len(g & eval_grams)
+        if hit > 0:
+            expect[i] = (len(g), hit, round(hit / len(g), 6))
+
+    # forced-boundary attestations
+    assert any(v[1] == 1 for v in expect.values()), "no exactly-one-hit doc"
+    assert expect[2][2] == 1.0
+    assert 3 not in expect and 5 not in expect
+    assert expect[4] == (1, 1, 1.0)
+    assert expect[6][1] == len(grams(docs[6]) & eval_grams)  # dup counted once
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_contam, r.contam_ratio)
+        for r in all_queries()["decontaminate"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
