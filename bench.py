@@ -267,36 +267,46 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_runs": n_runs,
-                # r5 lesson: probes/sims running concurrently inflated
-                # run_totals[0] by 1.6x. This flag is the operator's
-                # attestation that nothing else ran during the bench;
-                # tools/ scripts must never be launched mid-bench.
-                "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
-                "queries": timings,
-                "floor_sec": round(floor, 3),
-                "concurrent_wall": concurrent_wall,
-                "run_totals": [
-                    round(sum(p.values()), 3) for p in per_run
-                ],
-                # r6 verdict #6: flag runs whose WARM passes (cold
-                # pass 0 excluded — ~1.6x JIT cost is inherent) spread
-                # more than 20%, so a regression seen in a noisy run
-                # is triaged against exclusive re-runs instead of
-                # trusted at face value.
-                "warm_spread": warm_spread,
-                "noisy_box": warm_spread > 0.20,
-                "value": total,
-            },
-            separators=(",", ":"),
-        )
+    contract = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_runs": n_runs,
+            # r5 lesson: probes/sims running concurrently inflated
+            # run_totals[0] by 1.6x. This flag is the operator's
+            # attestation that nothing else ran during the bench;
+            # tools/ scripts must never be launched mid-bench.
+            "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
+            "queries": timings,
+            "floor_sec": round(floor, 3),
+            "concurrent_wall": concurrent_wall,
+            "run_totals": [
+                round(sum(p.values()), 3) for p in per_run
+            ],
+            # r6 verdict #6: flag runs whose WARM passes (cold
+            # pass 0 excluded — ~1.6x JIT cost is inherent) spread
+            # more than 20%, so a regression seen in a noisy run
+            # is triaged against exclusive re-runs instead of
+            # trusted at face value.
+            "warm_spread": warm_spread,
+            "noisy_box": warm_spread > 0.20,
+            "value": total,
+        },
+        separators=(",", ":"),
     )
+    # regression guard for the 2,000-char stdout tail the driver keeps
+    # (r8 verdict #1): a grown HEADLINE or slow run must not silently
+    # push the medians out of the captured artifact again. 1894 chars
+    # at 76 queries in r9 — warn well before the cliff.
+    if len(contract) > 1950:
+        print(
+            f"WARNING: contract line {len(contract)} chars nears the "
+            "2000-char driver tail capture — trim fields or shard "
+            "HEADLINE before it truncates",
+            file=sys.stderr,
+        )
+    print(contract)
 
 
 if __name__ == "__main__":
