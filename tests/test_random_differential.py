@@ -1007,3 +1007,135 @@ def test_decontaminate_randomized_overlap_boundaries(spark, tmp_path):
         for r in all_queries()["decontaminate"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_corpus_mix_randomized_budget_boundaries(spark, tmp_path):
+    """Randomized budget-mix differential FORCING the exclusive-prefix
+    boundary in an ordering-independent way (selection order is the
+    md5 rank, which cannot be engineered directly): one source's docs
+    all carry budget/4 chars, so whatever the md5 order, the 5th doc's
+    exclusive prior equals the budget EXACTLY and must be dropped; a
+    second source's docs carry 0.7*budget so the taken prefix must
+    overshoot (the at-most-one-doc-overshoot contract); a third source
+    fits entirely under budget; a fourth is one giant over-budget doc
+    that must still be taken (prior 0 < budget). Expected per-source
+    counts from a pure-Python md5-ordered walk."""
+    import hashlib
+    import random
+
+    from dpu_olap_spark.llm.curation import _MIX_BUDGET_CHARS as B
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(89)
+    rows = []
+    doc_id = 0
+
+    def add(source, n_chars):
+        nonlocal doc_id
+        rows.append((doc_id, source, n_chars))
+        doc_id += rng.randint(1, 9)  # irregular ids -> irregular md5 ranks
+
+    for _ in range(10):
+        add("exact", B // 4)
+    for _ in range(6):
+        add("over", int(0.7 * B))
+    for _ in range(3):
+        add("small", rng.randint(100, B // 4))
+    add("giant", 3 * B)
+    for _ in range(30):
+        add("noise", rng.randint(1, B // 2))
+
+    spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint").write.parquet(
+        str(tmp_path) + "/documents.parquet"
+    )
+
+    by_source: dict[str, list[tuple[str, int, int]]] = {}
+    for d, s, n in rows:
+        by_source.setdefault(s, []).append(
+            (hashlib.md5(str(d).encode()).hexdigest(), d, n)
+        )
+    expect = {}
+    boundary_hit = False
+    for s, entries in by_source.items():
+        prior = 0
+        n_docs = chars = 0
+        for _, _, n in sorted(entries):
+            if prior == B:
+                boundary_hit = True
+            if prior < B:
+                n_docs += 1
+                chars += n
+            prior += n
+        expect[s] = (n_docs, chars)
+    assert boundary_hit, "no doc landed with exclusive prior == budget"
+    assert expect["exact"] == (4, B)
+    assert expect["over"][1] > B           # overshoot happened
+    assert expect["small"] == (3, sum(n for _, _, n in by_source["small"]))
+    assert expect["giant"] == (1, 3 * B)
+
+    got = {
+        r.source: (r.n_docs, r.chars_taken)
+        for r in all_queries()["corpus_mix"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_stratified_sample_randomized_ceil_boundaries(spark, tmp_path):
+    """Randomized stratified-sample differential FORCING the ceil
+    boundaries: strata sized 1 and 4 (minimum one row kept — ceil of
+    a sub-1 fraction), 5, 10, and 15 (0.2*n lands exactly ON an
+    integer, the no-rounding-slack case — verified float 0.2*n ceils
+    identically to exact n/5 for every n < 500, so no engine can
+    diverge here), and 6 and 11 (one past the exact landing). The
+    expected set is a pure-Python md5-ordered walk per stratum."""
+    import hashlib
+    import math
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(97)
+    sizes = {"l1": 1, "l4": 4, "l5": 5, "l6": 6, "l10": 10, "l11": 11,
+             "l15": 15, "lr": rng.randint(20, 60)}
+    rows = []
+    doc_id = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((doc_id, lang, rng.choice(["web", "book"]),
+                         rng.randint(50, 5000)))
+            doc_id += rng.randint(1, 7)
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    # float 0.2*n and exact n/5 ceil identically across this range —
+    # assert it so a future frac change re-opens the question
+    from decimal import Decimal
+    assert all(
+        math.ceil(0.2 * n) == math.ceil(Decimal(n) / 5) for n in range(1, 500)
+    )
+
+    expect = set()
+    for lang, n in sizes.items():
+        entries = sorted(
+            (hashlib.md5(str(d).encode()).hexdigest(), d, s, c)
+            for d, lg, s, c in rows
+            if lg == lang
+        )
+        k = math.ceil(0.2 * n)
+        for _, d, s, c in entries[:k]:
+            expect.add((lang, d, s, c, n))
+    # boundary attestations: singleton keeps one; exact landings take
+    # exactly n/5; one-past takes the extra row
+    assert sum(1 for e in expect if e[0] == "l1") == 1
+    assert sum(1 for e in expect if e[0] == "l15") == 3
+    assert sum(1 for e in expect if e[0] == "l5") == 1
+    assert sum(1 for e in expect if e[0] == "l6") == 2
+
+    got = {
+        (r.lang, r.doc_id, r.source, r.n_chars, r.n_stratum)
+        for r in all_queries()["stratified_sample"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
