@@ -1139,3 +1139,79 @@ def test_stratified_sample_randomized_ceil_boundaries(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_grouped_ols_randomized_degenerate_and_floor_boundaries(spark, tmp_path):
+    """Randomized per-group OLS differential FORCING the degenerate
+    branches and the floor contract: a user with every event on the
+    SAME day (denominator n*sxx - sx^2 == 0) and a single-event user
+    must both be EXCLUDED; a perfect integer line must recover its
+    slope bit-exactly; negative values must take the floor (toward
+    -inf) cents path — floor(v*100) != trunc for at least one row,
+    asserted — because a cast-style truncation would diverge there.
+    Expected doubles from the IDENTICAL exact-integer moments and
+    IEEE op order the kernel uses (float(num)/float(den), then
+    (sy - slope*sx)/n)."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(101)
+    DAY_US = 86_400_000_000
+    epoch = datetime(1970, 1, 1)
+    base_day = 20_200  # ~2025 in days-since-epoch
+    rows = []
+
+    def add(uid, day, value):
+        tus = day * DAY_US + rng.randint(0, DAY_US - 1)
+        rows.append((uid, epoch + timedelta(microseconds=tus), value))
+
+    for _ in range(5):          # u1: all same day -> excluded
+        add(1, base_day, rng.uniform(-50, 50))
+    add(2, base_day + 3, 12.34)  # u2: single event -> excluded
+    for i in range(6):           # u3: perfect line y_cents = 300x + 700
+        add(3, base_day + i, (300 * (base_day + i) + 700) / 100.0)
+    for i in range(8):           # u4: negative values force floor path
+        add(4, base_day + 2 * i, -rng.uniform(0.005, 99.995))
+    for uid in range(5, 12):     # random users
+        for _ in range(rng.randint(2, 20)):
+            add(uid, base_day + rng.randint(0, 60), rng.uniform(-100, 100))
+
+    spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    # floor-vs-trunc must actually matter somewhere in u4
+    assert any(
+        uid == 4 and math.floor(v * 100.0) != int(v * 100.0)
+        for uid, _, v in rows
+    )
+
+    moments: dict[int, list[int]] = {}
+    for uid, ts, v in rows:
+        tus = round((ts - epoch).total_seconds() * 1_000_000)
+        x = tus // DAY_US
+        y = math.floor(v * 100.0)
+        s = moments.setdefault(uid, [0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * x
+        s[4] += x * y
+    expect = {}
+    for uid, (n, sx, sy, sxx, sxy) in moments.items():
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = float(num) / float(den)
+        expect[uid] = (n, slope, (float(sy) - slope * float(sx)) / n)
+    assert 1 not in expect and 2 not in expect  # degenerate users excluded
+    assert expect[3][1] == 300.0                # perfect line, bit-exact
+
+    got = {
+        r.user_id: (r.n_events, r.slope, r.intercept)
+        for r in all_queries()["grouped_ols"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
