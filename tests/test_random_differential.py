@@ -1215,3 +1215,181 @@ def test_grouped_ols_randomized_degenerate_and_floor_boundaries(spark, tmp_path)
         for r in all_queries()["grouped_ols"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_window_nav_randomized_nulls_ties_singletons(spark, tmp_path):
+    """Randomized navigation-window differential FORCING the cases the
+    fixed data rarely isolates: a single-order customer (lag/lead/
+    nth_value(2) all NULL, first_value = self), same-date ties broken
+    by o_orderkey, and NULL prices flowing THROUGH lag/lead/nth as
+    values. Expected rows from a pure-Python walk over the identical
+    (date, key) ordering."""
+    import random
+    from datetime import date, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(103)
+    rows = []
+    key = 1000
+    for cust in range(1, 15):
+        n = 1 if cust == 1 else rng.randint(2, 12)
+        d0 = date(2024, 1, 1) + timedelta(days=rng.randint(0, 300))
+        for i in range(n):
+            # coarse dates force same-date ties inside a customer
+            d = d0 + timedelta(days=rng.randint(0, max(1, n // 2)))
+            price = None if rng.random() < 0.15 else round(rng.uniform(10, 999), 2)
+            rows.append((key, cust, d, price))
+            key += rng.randint(1, 5)
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    by_cust: dict[int, list[tuple[date, int, float | None]]] = {}
+    for k, c, d, p in rows:
+        by_cust.setdefault(c, []).append((d, k, p))
+    # forced-case attestations
+    assert len(by_cust[1]) == 1
+    assert any(
+        len({(d) for d, _, _ in v}) < len(v) for v in by_cust.values()
+    ), "no same-date tie"
+    assert any(p is None for _, _, p in sum(by_cust.values(), []))
+
+    expect = {}
+    for c, v in by_cust.items():
+        v.sort(key=lambda t: (t[0], t[1]))
+        for i, (_, k, p) in enumerate(v):
+            expect[k] = (
+                c,
+                v[i - 1][2] if i > 0 else None,
+                v[i + 1][2] if i + 1 < len(v) else None,
+                v[0][2],
+                v[1][2] if i >= 1 else None,
+            )
+    got = {
+        r.o_orderkey: (r.o_custkey, r.prev_price, r.next_price,
+                       r.first_price, r.second_price)
+        for r in all_queries()["window_nav"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_reservoir_sample_randomized_group_size_boundaries(spark, tmp_path):
+    """Randomized per-group reservoir differential FORCING the K
+    boundary: one group smaller than K (kept whole), one exactly K,
+    one exactly K+1 (exactly one row dropped — the md5-largest), and
+    one much larger. Expected membership from a pure-Python md5-rank
+    walk."""
+    import hashlib
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.llm.curation import _RESERVOIR_K as K
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(107)
+    sizes = {"view": K - 2, "click": K, "purchase": K + 1, "scroll": 10 * K}
+    rows = []
+    eid = 0
+    base = datetime(2025, 2, 1)
+    for et, n in sizes.items():
+        for _ in range(n):
+            rows.append((eid, rng.randint(1, 50), base + timedelta(seconds=eid),
+                         et, round(rng.uniform(0, 100), 2)))
+            eid += rng.randint(1, 6)
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp,"
+        " event_type string, value double"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    expect = set()
+    dropped = {}
+    for et, n in sizes.items():
+        entries = sorted(
+            (hashlib.md5(str(e).encode()).hexdigest(), e, u, v)
+            for e, u, ts, t, v in rows
+            if t == et
+        )
+        for _, e, u, v in entries[:K]:
+            expect.add((et, e, u, v))
+        dropped[et] = len(entries) - min(K, len(entries))
+    assert dropped == {"view": 0, "click": 0, "purchase": 1, "scroll": 9 * K}
+
+    got = {
+        (r.event_type, r.event_id, r.user_id, r.value)
+        for r in all_queries()["reservoir_sample"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_quality_sample_randomized_tier_and_hex_boundaries(spark, tmp_path):
+    """Randomized tiered-retention differential FORCING every decision
+    boundary: documents at exactly 1500 / 1499 chars (full-keep vs mid
+    tier) and exactly 500 / 499 (mid vs short tier), plus doc_ids
+    searched so their md5 first hex is exactly '7' (kept by the
+    strict '< 8' mid draw), exactly '8' (dropped), and '1' vs '2'
+    (short-tier keep set boundary). Expected membership from a
+    pure-Python evaluation of the same CASE."""
+    import hashlib
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(109)
+
+    def h1(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[0]
+
+    def find_id(start, hexc):
+        d = start
+        while h1(d) != hexc:
+            d += 1
+        return d
+
+    rows = []
+    used = set()
+
+    def add(doc_id, n_chars):
+        if doc_id in used:
+            return
+        used.add(doc_id)
+        rows.append((doc_id, rng.choice(["web", "book"]), "en", n_chars))
+
+    # tier-size boundaries with every relevant hex class
+    for hexc in ("7", "8", "1", "2", "0", "f"):
+        for n_chars in (1500, 1499, 500, 499, 10):
+            add(find_id(rng.randint(1, 10**6), hexc), n_chars)
+    for _ in range(60):
+        add(rng.randint(1, 10**6), rng.randint(1, 4000))
+
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, n_chars bigint"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    def keep(d, n):
+        if n >= 1500:
+            return True
+        if n >= 500:
+            return h1(d) < "8"
+        return h1(d) in ("0", "1")
+
+    expect = {(d, s, lg, n) for d, s, lg, n in rows if keep(d, n)}
+    # boundary attestations: a 1499-char '8'-hex doc is dropped while
+    # the same-size '7'-hex doc survives; short-tier '1' kept, '2' not
+    assert any(n == 1499 and h1(d) == "7" for d, _, _, n in rows)
+    kept_ids = {e[0] for e in expect}
+    for d, _, _, n in rows:
+        if n == 1499:
+            assert (d in kept_ids) == (h1(d) < "8")
+        if n == 499:
+            assert (d in kept_ids) == (h1(d) in ("0", "1"))
+    got = {
+        (r.doc_id, r.source, r.lang, r.n_chars)
+        for r in all_queries()["quality_sample"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
