@@ -1393,3 +1393,122 @@ def test_quality_sample_randomized_tier_and_hex_boundaries(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_window_dist_randomized_ntile_remainder_and_tiny_n(spark, tmp_path):
+    """Randomized distribution-window differential FORCING the ntile
+    remainder rule (n = 47 over 4 tiles -> the first 47%4 = 3 buckets
+    take the extra row), fewer rows than tiles (n = 3 -> buckets
+    1..3, bucket 4 empty), and the single-row edge where
+    percent_rank's (rank-1)/(n-1) is 0/0 and both engines define it
+    as 0.0. Expected values from a pure-Python walk over the same
+    (price, key) total order; DuckDB cross-check via the registered
+    oracle happens in the driver — here the focus is the remainder
+    arithmetic."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(113)
+    for sub, n in (("a", 47), ("b", 3), ("c", 1)):
+        d = str(tmp_path) + "/" + sub
+        rows = []
+        key = 100
+        for _ in range(n):
+            rows.append((key, round(rng.uniform(10, 999), 2)))
+            key += rng.randint(1, 5)
+        spark.createDataFrame(
+            rows, "o_orderkey bigint, o_totalprice double"
+        ).write.parquet(d + "/orders.parquet")
+
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        expect = {}
+        base, extra = divmod(n, 4)
+        for i, (k, _) in enumerate(order):
+            # first `extra` tiles hold base+1 rows
+            boundary = extra * (base + 1)
+            if i < boundary:
+                tile = i // (base + 1) + 1 if base + 1 else 1
+            else:
+                tile = extra + (i - boundary) // base + 1 if base else i + 1
+            pr = 0.0 if n == 1 else round(i / (n - 1), 6)
+            expect[k] = (tile, pr, round((i + 1) / n, 6))
+        got = {
+            r.o_orderkey: (r.quartile, r.pct_rank, r.cume)
+            for r in all_queries()["window_dist"].build(spark, d).collect()
+        }
+        assert got == expect, f"mismatch for n={n}"
+        if n == 47:
+            from collections import Counter
+            c = Counter(t for t, _, _ in expect.values())
+            assert c == {1: 12, 2: 12, 3: 12, 4: 11}  # remainder rule
+        if n == 3:
+            assert {t for t, _, _ in expect.values()} == {1, 2, 3}
+        if n == 1:
+            assert list(expect.values()) == [(1, 0.0, 1.0)]
+
+
+def test_bm25_randomized_tie_straddles_top5_cut(spark, tmp_path):
+    """Randomized BM25 differential FORCING an exact score tie that
+    straddles the top-5 cut: in the probe document, two tokens are
+    unique to it (df=1, the clear top-2) and five tokens share
+    identical tf, dl, and df (identical scores bit-for-bit, whatever
+    the op order) so ranks 3..7 are one tie group and the token-ASC
+    tiebreak alone decides which three survive. Expected rows from a
+    pure-Python replication of the oracle's round-before-rank
+    formula over the whole corpus."""
+    import math
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(127)
+    docs = {}
+    docs[0] = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    docs[1] = ["cc", "dd", "ee", "ff", "gg", "hh", "zz"]  # shares the tie group
+    for i in range(2, 14):
+        docs[i] = [f"r{rng.randint(0, 40)}" for _ in range(rng.randint(3, 30))]
+    rows = [(i, " ".join(ws), "en", "web") for i, ws in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    # pure-Python replication of the oracle expression (k1=1.2, b=0.75)
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    dfc: dict[str, set] = {}
+    for i, ws in docs.items():
+        dl[i] = len(ws)
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+            dfc.setdefault(w, set()).add(i)
+    n_docs = len(docs)
+    avgdl = float(sum(dl.values())) / n_docs
+    scored: dict[int, list[tuple[float, str]]] = {}
+    for (i, w), f in tf.items():
+        idf = round(math.log((float(n_docs) - len(dfc[w]) + 0.5)
+                             / (len(dfc[w]) + 0.5) + 1.0), 6)
+        s = round(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl[i] / avgdl)), 6)
+        scored.setdefault(i, []).append((s, w))
+    expect = set()
+    tie_checked = False
+    for i, entries in scored.items():
+        entries.sort(key=lambda t: (-t[0], t[1]))
+        for s, w in entries[:5]:
+            expect.add((i, w, s))
+        if i == 0:
+            # ranks 3..7 must be one exact tie group -> cut inside it
+            vals = [s for s, _ in entries]
+            assert vals[2] == vals[3] == vals[4] == vals[5] == vals[6]
+            assert {w for _, w in entries[:2]} == {"aa", "bb"}
+            assert {w for s, w in entries if s == vals[2]} >= {
+                "cc", "dd", "ee", "ff", "gg"
+            }
+            tie_checked = True
+    assert tie_checked
+
+    got = {
+        (r.doc_id, r.token, r.bm25)
+        for r in all_queries()["bm25_scores"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
