@@ -1512,3 +1512,35 @@ def test_bm25_randomized_tie_straddles_top5_cut(spark, tmp_path):
         for r in all_queries()["bm25_scores"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_tvf_range_join_randomized_half_open_bounds(spark, tmp_path):
+    """Randomized generator-relation differential FORCING the
+    half-open range(0, 25) bounds: a synthetic nation table carrying
+    keys exactly -1, 0, 24, 25 (plus random in/out keys) must join
+    only 0 and 24 of those — 25 sits ON the exclusive upper bound and
+    must be absent. Expected rows from a pure-Python range walk."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(131)
+    keys = {-1, 0, 24, 25}
+    while len(keys) < 20:
+        keys.add(rng.randint(-10, 60))
+    rows = [(k, f"NATION_{k}", k % 5) for k in sorted(keys)]
+    spark.createDataFrame(
+        rows, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).write.parquet(str(tmp_path) + "/nation.parquet")
+
+    expect = {
+        (k, f"NATION_{k}", 2 * k) for k, _, _ in rows if 0 <= k < 25
+    }
+    assert (0, "NATION_0", 0) in expect and (24, "NATION_24", 48) in expect
+    assert not any(k in (25, -1) for k, _, _ in expect)
+
+    got = {
+        (r.id, r.n_name, r.double_id)
+        for r in all_queries()["tvf_range_join"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
