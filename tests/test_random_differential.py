@@ -1544,3 +1544,103 @@ def test_tvf_range_join_randomized_half_open_bounds(spark, tmp_path):
         for r in all_queries()["tvf_range_join"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_set_ops_randomized_multiplicity_and_null_semantics(spark, tmp_path):
+    """Randomized set-operation differential FORCING the semantics the
+    fixed data cannot isolate: a key held 5x by customer and 1x by
+    supplier must appear ONCE under 'both' and NOT under 'cust_only'
+    (set-EXCEPT removes the key entirely — exceptAll would keep the
+    surplus 4), and NULL keys on BOTH sides must intersect (set ops
+    use null-safe equality, unlike joins). Expected rows from a
+    pure-Python set walk."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(137)
+    cust_keys = [9] * 5 + [11] * 3 + [None, None] + [
+        rng.choice([1, 2, 3, 4, 20, 21]) for _ in range(40)
+    ]
+    supp_keys = [9, 30, None] + [
+        rng.choice([2, 3, 22, 23]) for _ in range(20)
+    ]
+    spark.createDataFrame(
+        [(i, k) for i, k in enumerate(cust_keys)],
+        "c_custkey bigint, c_nationkey bigint",
+    ).write.parquet(str(tmp_path) + "/customer.parquet")
+    spark.createDataFrame(
+        [(i, k) for i, k in enumerate(supp_keys)],
+        "s_suppkey bigint, s_nationkey bigint",
+    ).write.parquet(str(tmp_path) + "/supplier.parquet")
+
+    cset = {k for k in cust_keys}
+    sset = {k for k in supp_keys}
+    expect = {("both", k) for k in cset & sset} | {
+        ("cust_only", k) for k in cset - sset
+    }
+    # forced semantics attestations
+    assert ("both", 9) in expect and ("cust_only", 9) not in expect
+    assert ("both", None) in expect        # null-safe intersection
+    assert ("cust_only", 11) in expect
+    assert not any(k == 30 for _, k in expect)
+
+    got = {
+        (r.src, r.n)
+        for r in all_queries()["set_ops"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    # set semantics: exactly one output row per (src, key), no dups
+    rows = all_queries()["set_ops"].build(spark, str(tmp_path)).collect()
+    assert len(rows) == len(got)
+
+
+def test_pivot_randomized_missing_cells_and_unknown_types(spark, tmp_path):
+    """Randomized pivot differential FORCING missing cells: users with
+    zero events of some types must get 0 (the coalesce contract, not
+    NULL or a dropped column), a user with only ONE type fills four
+    zeros, and event types OUTSIDE the explicit pivot value list must
+    be ignored entirely (the single-pass explicit-list contract).
+    Expected counts from a pure-Python tally."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.operators.advanced import EVENT_TYPES
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(139)
+    base = datetime(2025, 5, 1)
+    rows = []
+    eid = 0
+
+    def add(uid, et):
+        nonlocal eid
+        rows.append((eid, uid, base + timedelta(seconds=eid), et))
+        eid += 1
+
+    for _ in range(6):
+        add(1, "click")           # user 1: ONLY clicks
+    add(2, "rage_quit")           # user 2: only an unlisted type
+    add(2, "view")
+    for uid in range(3, 12):
+        for _ in range(rng.randint(1, 15)):
+            add(uid, rng.choice(list(EVENT_TYPES) + ["rage_quit"]))
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    tally: dict[int, dict[str, int]] = {}
+    for _e, uid, _ts, et in rows:
+        tally.setdefault(uid, {})[et] = tally.setdefault(uid, {}).get(et, 0) + 1
+    expect = {
+        uid: tuple(c.get(t, 0) for t in EVENT_TYPES) for uid, c in tally.items()
+    }
+    assert expect[1] == (6, 0, 0, 0, 0)          # four forced zero cells
+    assert expect[2] == (0, 0, 0, 0, 1)          # unlisted type ignored
+    assert any("rage_quit" in c for c in tally.values())
+
+    got = {
+        r.user_id: tuple(r[f"n_{t}"] for t in EVENT_TYPES)
+        for r in all_queries()["pivot"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
