@@ -1644,3 +1644,150 @@ def test_pivot_randomized_missing_cells_and_unknown_types(spark, tmp_path):
         for r in all_queries()["pivot"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_cross_source_overlap_randomized_prefix_boundaries(spark, tmp_path):
+    """Randomized overlap-matrix differential FORCING the fingerprint
+    boundaries: documents sharing exactly their first 5 tokens count
+    as overlap even when everything after differs, documents sharing
+    only 4 of 5 do NOT, duplicate fingerprints WITHIN one source
+    collapse (distinct (fp, source) semantics), a fingerprint present
+    in three sources contributes to all three pairwise cells, and
+    sub-5-token documents fingerprint on their full (shorter) prefix.
+    Expected matrix from a pure-Python md5 walk."""
+    import hashlib
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(149)
+
+    def tail(n):
+        return [f"z{rng.randint(0, 9999)}" for _ in range(n)]
+
+    P5 = ["p1", "p2", "p3", "p4", "p5"]
+    P4 = ["p1", "p2", "p3", "p4", "q5"]          # differs at token 5
+    SHORT = ["s1", "s2", "s3"]                   # sub-5-token prefix
+    TRI = ["t1", "t2", "t3", "t4", "t5"]         # shared by 3 sources
+    docs = [
+        (0, P5 + tail(10), "web"),
+        (1, P5 + tail(10), "book"),              # same 5-prefix, diff tail
+        (2, P4 + tail(10), "forum"),             # only 4 shared -> no match
+        (3, P5 + tail(5), "web"),                # same-source dup fp
+        (4, SHORT, "web"),
+        (5, SHORT, "forum"),                     # short-prefix cross match
+        (6, TRI + tail(3), "web"),
+        (7, TRI + tail(3), "book"),
+        (8, TRI + tail(3), "forum"),
+    ]
+    next_id = 9
+    for _ in range(40):
+        docs.append((next_id, tail(rng.randint(1, 20)),
+                     rng.choice(["web", "book", "forum"])))
+        next_id += 1
+    rows = [(i, " ".join(ws), "en", s) for i, ws, s in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    fps = {
+        (hashlib.md5(" ".join(ws[:5]).encode()).hexdigest(), s)
+        for _, ws, s in docs
+    }
+    by_fp: dict[str, set] = {}
+    for fp, s in fps:
+        by_fp.setdefault(fp, set()).add(s)
+    expect: dict[tuple[str, str], int] = {}
+    for srcs in by_fp.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                expect[(ss[i], ss[j])] = expect.get((ss[i], ss[j]), 0) + 1
+
+    # forced-boundary attestations on the python side
+    tri_fp = hashlib.md5(" ".join(TRI).encode()).hexdigest()
+    assert by_fp[tri_fp] == {"web", "book", "forum"}
+    p5_fp = hashlib.md5(" ".join(P5).encode()).hexdigest()
+    assert by_fp[p5_fp] == {"web", "book"}       # doc 2's 4/5 missed it;
+    # docs 0 and 3 (same source, same fp) collapsed to one 'web' entry
+    short_fp = hashlib.md5(" ".join(SHORT).encode()).hexdigest()
+    assert by_fp[short_fp] == {"web", "forum"}
+
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in all_queries()["cross_source_overlap"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_interval_arith_randomized_midnight_and_fraction_boundaries(
+    spark, tmp_path
+):
+    """Randomized interval-arithmetic differential FORCING the clock
+    boundaries: timestamps at exactly 22:30:00 (the +90-minute
+    deadline lands exactly on midnight), after 22:30 (deadline
+    crosses into the next day), 23:59:59.999999 (maximum fractional
+    second — epoch floor must truncate, not round), and midnight
+    itself (hour/minute both 0). Expected values from pure-Python
+    datetime arithmetic; the event_id % 11 filter keeps every crafted
+    row and drops interleaved non-multiples."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(151)
+    base = datetime(2025, 7, 3)
+    forced_times = [
+        base.replace(hour=22, minute=30),                      # deadline == midnight
+        base.replace(hour=23, minute=15, second=7),            # crosses midnight
+        base.replace(hour=23, minute=59, second=59, microsecond=999_999),
+        base,                                                  # midnight itself
+        base.replace(hour=12, minute=0, second=0, microsecond=500_000),
+    ]
+    rows = []
+    eid = 11
+    for ts in forced_times:
+        rows.append((eid, ts))
+        eid += 11
+    for _ in range(40):
+        ts = base + timedelta(seconds=rng.randint(0, 5 * 86_400),
+                              microseconds=rng.randint(0, 999_999))
+        rows.append((eid, ts))
+        eid += 11
+        rows.append((eid + 3, ts))  # not % 11 — must be filtered out
+        eid += 11
+    spark.createDataFrame(rows, "event_id bigint, ts timestamp").write.parquet(
+        str(tmp_path) + "/events.parquet"
+    )
+
+    epoch = datetime(1970, 1, 1)
+    expect = {}
+    for k, ts in rows:
+        if k % 11 != 0:
+            continue
+        total_us = round((ts - epoch).total_seconds() * 1_000_000)
+        # recompute exactly from components to avoid float total_seconds
+        total_us = ((ts - epoch).days * 86_400 + (ts - epoch).seconds) * 1_000_000 + (
+            ts - epoch
+        ).microseconds
+        expect[k] = (
+            ts + timedelta(minutes=90),
+            ts.hour,
+            ts.minute,
+            total_us // 1_000_000,                # floor(epoch seconds)
+            datetime(2024, 6, 15, 12, 30, 0),
+        )
+    # forced attestations
+    assert expect[11][0].hour == 0 and expect[11][0].minute == 0
+    # .999999s must floor to the whole second, not round up to the next
+    d = forced_times[2] - epoch
+    assert expect[33][3] == d.days * 86_400 + d.seconds
+
+    got = {
+        r.event_id: (r.deadline, r.h, r.m, r.epoch_s, r.fixed_ts)
+        for r in all_queries()["interval_arith"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
