@@ -1791,3 +1791,73 @@ def test_interval_arith_randomized_midnight_and_fraction_boundaries(
         for r in all_queries()["interval_arith"].build(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_cohort_retention_randomized_week_boundaries(spark, tmp_path):
+    """Randomized cohort-retention differential FORCING the week
+    boundaries: users whose first event is a SUNDAY 23:59:59 with a
+    next event MONDAY 00:00:00 (adjacent truncation weeks — offset
+    exactly 1), a user active only within one Monday-to-Sunday span
+    (offset 0 despite 6 calendar days elapsed), duplicate events in
+    one (user, week) cell (pre-join dedup must count the user once),
+    and a user whose cohort week IS a Monday midnight. Expected
+    matrix from a pure-Python Monday-start truncation walk."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(157)
+    MON = datetime(2025, 6, 2)  # a Monday
+    assert MON.weekday() == 0
+    rows = []
+    eid = 0
+
+    def add(uid, ts):
+        nonlocal eid
+        rows.append((eid, uid, ts, "view"))
+        eid += 1
+
+    add(1, MON + timedelta(days=6, hours=23, minutes=59, seconds=59))  # Sunday
+    add(1, MON + timedelta(days=7))                # next Monday 00:00 -> offset 1
+    add(2, MON)                                    # Monday midnight cohort
+    add(2, MON + timedelta(days=6, hours=12))      # same trunc week -> offset 0
+    for _ in range(4):                             # dup (user, week) events
+        add(3, MON + timedelta(days=rng.randint(0, 4)))
+    add(3, MON + timedelta(days=15))               # offset 2
+    for uid in range(4, 12):
+        t0 = MON + timedelta(days=rng.randint(0, 20),
+                             seconds=rng.randint(0, 86_399))
+        for _ in range(rng.randint(1, 8)):
+            add(uid, t0 + timedelta(days=rng.randint(0, 40),
+                                    seconds=rng.randint(0, 86_399)))
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    def week(ts):
+        d = ts.date() - timedelta(days=ts.weekday())
+        return datetime(d.year, d.month, d.day)
+
+    firsts = {}
+    for _e, uid, ts, _t in rows:
+        firsts[uid] = min(firsts.get(uid, ts), ts)
+    cohort = {uid: week(ts) for uid, ts in firsts.items()}
+    cells = {(uid, week(ts)) for _e, uid, ts, _t in rows}
+    expect: dict[tuple[datetime, int], int] = {}
+    for uid, w in cells:
+        key = (cohort[uid], (w - cohort[uid]).days // 7)
+        expect[key] = expect.get(key, 0) + 1
+
+    # forced attestations
+    assert cohort[1] == MON and (MON + timedelta(days=7) - MON).days // 7 == 1
+    assert (2, MON) in cells and len([c for c in cells if c[0] == 2]) == 1
+    assert len([c for c in cells if c[0] == 3]) == 2  # dups collapsed
+
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in all_queries()["cohort_retention"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
