@@ -45,29 +45,11 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R5 = (
-    # CORRECTNESS_r05.json rows whose latest driver check is still r5
-    # (the 13 oldest r5 rows were re-checked r8 → _VERIFIED_R8).
-    # These 37 follow pipe_sql/try_arith in the r9 window, oldest-first.
-    "pysource_scan", "sink_compaction", "filter", "sum", "take",
-    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
-    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
-    "scalar_subquery", "decorrelated_subquery", "stats_agg",
-    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
-    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
-    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
-    "merge_upsert",
-)
 _VERIFIED_R6 = (
-    # CORRECTNESS_r06.json — 50 rows: 5 new Spark-4 surface queries,
-    # the r2-vintage dedup/text/multimodal/streaming cohort re-checked
-    # on current code, 46 hash-green + 4 rows-only by design (simhash,
-    # mm_decode, mm_frame_sample, mm_resize).
-    "statestore_read", "stream_dedup_unbounded", "cache_scan",
-    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
-    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
-    "bucketed_join", "stream_foreach_batch", "dedup_incremental",
+    # CORRECTNESS_r06.json rows whose latest driver check is still r6
+    # (the 11 oldest r6 rows were re-checked r9 → _VERIFIED_R9).
+    # These 39 lead the r10 window, oldest-first — the stalest cohort.
+    "stream_foreach_batch", "dedup_incremental",
     "repetition_score", "stateful_user_stats", "stream_tumbling",
     "window_sliding", "session_window", "stream_stream_join",
     "rolling_fingerprint", "tfidf_top_terms", "text_clean",
@@ -122,17 +104,36 @@ _VERIFIED_R8 = (
     "udtf_word_runs", "observed_clean", "reservoir_sample",
     "approx_topk_tokens", "stateful_profile", "stream_static_join",
 )
+_VERIFIED_R9 = (
+    # CORRECTNESS_r09.json — 50 rows, all green: pipe_sql/try_arith
+    # got their FIRST driver rows, then the 37 r5-vintage rows
+    # (the 10 reference-core rows included) and the 11 oldest r6
+    # rows, exactly as the r8 verdict ordered.
+    "pipe_sql", "try_arith",
+    "pysource_scan", "sink_compaction", "filter", "sum", "take",
+    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
+    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
+    "scalar_subquery", "decorrelated_subquery", "stats_agg",
+    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
+    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
+    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
+    "merge_upsert",
+    "statestore_read", "stream_dedup_unbounded", "cache_scan",
+    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
+    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
+    "bucketed_join",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R5 + _VERIFIED_R6 + _VERIFIED_R7 + _VERIFIED_R8
+    _VERIFIED_R6 + _VERIFIED_R7 + _VERIFIED_R8 + _VERIFIED_R9
 )
 
 # Explicit ordering among unverified queries, so window priority does
-# not depend on module import order.  Round 9 (VERDICT r8 "Next round"
-# #1): _LOW_PRIORITY emptied — pipe_sql and try_arith are now the
-# only queries without a driver row, so the unverified-first rule
-# puts them at the head of the r9 window for their first rows; the
-# oldest-first tail fills the rest with the 37 r5-vintage rows and
-# the oldest r6 rows.
+# not depend on module import order.  As of r9 every registered query
+# has a driver CORRECTNESS row, so the rotation is purely
+# oldest-verified-round first: the r10 window starts with the 39
+# remaining r6-vintage rows (stream_foreach_batch cohort onward) plus
+# the 11 oldest r7 rows.
 _HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
@@ -146,13 +147,13 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: 37 remaining r5 rows lead
-    # (pysource_scan..merge_upsert incl. the 10 reference-core rows),
-    # then r6 (first 11 fit the r9 window), r7, r8.
+    # stalest rows re-check soonest: the 39 remaining r6 rows lead
+    # (stream_foreach_batch..funnel), then r7 (first 11 fit the r10
+    # window), r8, r9.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R5, _VERIFIED_R6, _VERIFIED_R7,
-                 _VERIFIED_R8):
+    for tier in (_VERIFIED_R6, _VERIFIED_R7, _VERIFIED_R8,
+                 _VERIFIED_R9):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

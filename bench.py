@@ -254,58 +254,67 @@ def main() -> None:
     #    ~1.9 KB at realistic medians vs 2.18 KB default), with the
     #    scalar figures AFTER "queries" so a clipped head costs only
     #    the metric label, never the medians or totals.
-    print(
-        json.dumps(
-            {
-                "metric": "concurrent_queries_detail",
-                "floor_adjusted_total": round(
-                    sum(max(0.0, t - floor) for t in timings.values()), 3
-                ),
-                # per-query [start_offset, wall] within the pool phase
-                "concurrent_queries": conc_t,
-            },
-            separators=(",", ":"),
-        )
-    )
-    contract = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "unit": "sec",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "n_runs": n_runs,
-            # r5 lesson: probes/sims running concurrently inflated
-            # run_totals[0] by 1.6x. This flag is the operator's
-            # attestation that nothing else ran during the bench;
-            # tools/ scripts must never be launched mid-bench.
-            "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
-            "queries": timings,
-            "floor_sec": round(floor, 3),
-            "concurrent_wall": concurrent_wall,
-            "run_totals": [
-                round(sum(p.values()), 3) for p in per_run
-            ],
-            # r6 verdict #6: flag runs whose WARM passes (cold
-            # pass 0 excluded — ~1.6x JIT cost is inherent) spread
-            # more than 20%, so a regression seen in a noisy run
-            # is triaged against exclusive re-runs instead of
-            # trusted at face value.
-            "warm_spread": warm_spread,
-            "noisy_box": warm_spread > 0.20,
-            "value": total,
-        },
-        separators=(",", ":"),
-    )
+    diagnostics = {
+        "metric": "concurrent_queries_detail",
+        "floor_adjusted_total": round(
+            sum(max(0.0, t - floor) for t in timings.values()), 3
+        ),
+        # per-query [start_offset, wall] within the pool phase
+        "concurrent_queries": conc_t,
+    }
+    contract_fields = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_runs": n_runs,
+        # r5 lesson: probes/sims running concurrently inflated
+        # run_totals[0] by 1.6x. This flag is the operator's
+        # attestation that nothing else ran during the bench;
+        # tools/ scripts must never be launched mid-bench.
+        "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
+        "queries": timings,
+        "floor_sec": round(floor, 3),
+        "concurrent_wall": concurrent_wall,
+        "run_totals": [
+            round(sum(p.values()), 3) for p in per_run
+        ],
+        # r6 verdict #6: flag runs whose WARM passes (cold
+        # pass 0 excluded — ~1.6x JIT cost is inherent) spread
+        # more than 20%, so a regression seen in a noisy run
+        # is triaged against exclusive re-runs instead of
+        # trusted at face value.
+        "warm_spread": warm_spread,
+        "noisy_box": warm_spread > 0.20,
+        "value": total,
+    }
     # regression guard for the 2,000-char stdout tail the driver keeps
     # (r8 verdict #1): a grown HEADLINE or slow run must not silently
-    # push the medians out of the captured artifact again. 1894 chars
-    # at 76 queries in r9 — warn well before the cliff.
+    # push the medians out of the captured artifact again (1,894 chars
+    # at 76 queries in r9).  If the contract line nears the cliff,
+    # DEMOTE optional fields to the expendable diagnostics line rather
+    # than relying on a stderr warning being seen (r9 ADVICE #2):
+    # run_totals first, then concurrent_wall — queries/value/warm flags
+    # are the contract and are never dropped.
+    contract = json.dumps(contract_fields, separators=(",", ":"))
+    for demotable in ("run_totals", "concurrent_wall"):
+        if len(contract) <= 1950:
+            break
+        diagnostics[demotable] = contract_fields.pop(demotable)
+        contract = json.dumps(contract_fields, separators=(",", ":"))
+        print(
+            f"WARNING: contract line neared the 2000-char driver tail "
+            f"capture — moved {demotable} to the diagnostics line "
+            f"(now {len(contract)} chars)",
+            file=sys.stderr,
+        )
     if len(contract) > 1950:
         print(
-            f"WARNING: contract line {len(contract)} chars nears the "
-            "2000-char driver tail capture — trim fields or shard "
+            f"WARNING: contract line {len(contract)} chars STILL nears "
+            "the 2000-char driver tail capture after demotions — shard "
             "HEADLINE before it truncates",
             file=sys.stderr,
         )
+    print(json.dumps(diagnostics, separators=(",", ":")))
     print(contract)
 
 
