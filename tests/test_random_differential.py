@@ -1861,3 +1861,265 @@ def test_cohort_retention_randomized_week_boundaries(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def _oracle_on_tmp(sql: str, d: str):
+    """Run a registered oracle against a DuckDB connection whose views
+    cover only the parquet files present in a tmp dir (tests.oracle's
+    _connect assumes the full testdata table set exists)."""
+    con = duckdb.connect()
+    try:
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                con.execute(
+                    f"CREATE VIEW {f[:-8]} AS SELECT * FROM '{os.path.join(d, f)}'"
+                )
+        cur = con.execute(sql)
+        cols = [c[0] for c in cur.description]
+        return cur.fetchall(), cols
+    finally:
+        con.close()
+
+
+def _edge_part_rows():
+    """Forced edge strings for the scalar/string function queries, plus
+    seeded random bulk.  Constraints that keep the three-way
+    differential (Spark == DuckDB == Python) exact:
+    - prices are multiples of 0.25 so price*2.0 is binary-exact and
+      round(x, 2) is the identity in every engine;
+    - non-ASCII chars are single-codepoint (é, ö) so DuckDB's
+      grapheme-wise reverse equals Spark's codepoint-wise reverse;
+    - brands stay ASCII so upper() agrees byte-for-byte."""
+    import random
+
+    rows = [
+        # pk, name, brand, type, retailprice, size
+        (1, "", "", "", 0.25, 25),            # empty strings; abs(size-25)==0
+        (2, "ALLUPPER NAME", "toolongbrandXYZ", "ab", 1.25, 0),
+        # ^ regexp ([a-z]+) no-match -> ''; lpad TRUNCATES >12; short substr
+        (3, "héllo wörld", "b", " promo x", 2.50, -10),
+        # ^ multibyte reverse/length; leading-sep split_part -> ''; negative %
+        (4, "aeiou AEIOU", "exact12chars", "PROMO", 99999.75, 7),
+        # ^ all-vowel translate; lpad exact length; no-separator split_part
+        (5, "xyz", "brand", "a b c", 3.00, 49),  # 49 % 7 == 0
+    ]
+    rng = random.Random(31)
+    words = ["olive", "navy", "PROMO", "brushed", "tin", "é", "", "steel"]
+    for pk in range(6, 206):
+        name = " ".join(rng.choice(words) for _ in range(rng.randint(0, 3)))
+        brand = "".join(rng.choice("brand#") for _ in range(rng.randint(0, 16)))
+        typ = " ".join(rng.choice(words) for _ in range(rng.randint(0, 2)))
+        rows.append(
+            (pk, name, brand, typ, rng.randint(1, 400_000) * 0.25,
+             rng.randint(-50, 100))
+        )
+    return rows
+
+
+def _write_edge_part(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": pa.array([r[1] for r in rows], pa.string()),
+                "p_brand": pa.array([r[2] for r in rows], pa.string()),
+                "p_type": pa.array([r[3] for r in rows], pa.string()),
+                "p_retailprice": pa.array([r[4] for r in rows], pa.float64()),
+                "p_size": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path) + "/part.parquet",
+    )
+
+
+def test_scalar_funcs_edge_strings_three_way(spark, tmp_path):
+    """scalar_funcs on forced edge strings: empty name/brand/type,
+    substr past end-of-string, size exactly 25 (abs == 0), negative
+    size (SQL %: sign of the DIVIDEND — Python's % follows the divisor,
+    so the expected values use math.fmod).  Spark vs the registered
+    DuckDB oracle vs a pure-Python row walk."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = _edge_part_rows()
+    _write_edge_part(tmp_path, rows)
+    q = all_queries()["scalar_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {
+        pk: (
+            brand.upper(),
+            len(name),
+            typ[:5],
+            price * 2.0,  # binary-exact: price is a multiple of 0.25
+            abs(size - 25),
+            int(math.fmod(size, 7)),
+        )
+        for pk, name, brand, typ, price, size in rows
+    }
+    got = {
+        r.p_partkey: (r.brand_u, r.name_len, r.type5, r.doubled_price,
+                      r.size_dev, r.size_mod)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+    # the forced edges actually occurred
+    assert got[1] == ("", 0, "", 0.5, 0, 4)          # empty strings, abs==0
+    assert got[2][2] == "ab"                          # substr past the end
+    assert any(v[5] < 0 for v in got.values())        # negative dividend %
+    assert any(s < 0 for *_x, s in rows)              # negative size present
+
+
+def test_string_funcs2_edge_strings_three_way(spark, tmp_path):
+    """string_funcs2 forced edges: regexp no-match (all-uppercase name)
+    -> '' in BOTH engines, lpad truncation past 12 chars, codepoint
+    reverse over multibyte é/ö, leading-separator split_part -> '',
+    no-separator split_part -> whole string.  Spark vs the registered
+    DuckDB oracle vs a pure-Python walk."""
+    import re
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = _edge_part_rows()
+    _write_edge_part(tmp_path, rows)
+    q = all_queries()["string_funcs2"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    tr = str.maketrans("aeiou", "AEIOU")
+    expect = {}
+    for pk, name, brand, typ, _price, size in rows:
+        m = re.search("([a-z]+)", name)
+        expect[pk] = (
+            m.group(1) if m else "",
+            (brand if len(brand) >= 12 else "*" * (12 - len(brand)) + brand)[:12],
+            typ.translate(tr),
+            name[::-1],
+            typ.split(" ")[0],
+            f"{brand}#{size}",
+        )
+    got = {
+        r.p_partkey: (r.first_word, r.brand_pad, r.type_tr, r.name_rev,
+                      r.type_head, r.brand_size)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+    # forced edges occurred, in the corpus AND in the Spark output
+    assert got[2][0] == ""                   # no-lowercase name -> no match
+    assert got[2][1] == "toolongbrand"       # lpad TRUNCATES, keeps head
+    assert got[3][3] == "dlröw olléh"        # multibyte codepoint reverse
+    assert got[3][4] == ""                   # leading separator -> empty head
+    assert got[4][4] == "PROMO"              # no separator -> whole string
+    assert got[1] == ("", "************", "", "", "", "#25")  # all-empty row
+
+
+def test_variant_json_path_edges_vs_oracle_and_pinned(spark, tmp_path):
+    """variant_json forced path edges.  Two tiers:
+    1. oracle-comparable values (ints incl. int64 min/max, JSON null,
+       missing key, digit-strings, 1e3, a literal 'missing' key) run
+       through the REGISTERED query and oracle on a tmp events table —
+       exact agreement, plus filter-exclusion rows prove the
+       event_type/modulo predicates drop rows.
+    2. values OUTSIDE the oracle's domain, where the two engines'
+       semantics genuinely diverge (probed, then pinned): Spark's
+       try_variant_get(bigint) TRUNCATES float 3.9 -> 3 while DuckDB's
+       TRY_CAST(json_extract_string(...)) ROUNDS '3.9' -> 4, and maps
+       true -> 1 vs NULL.  The registered oracle is only valid because
+       the testdata props hold integers; this test documents the edge."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    safe = [
+        # (event_id, event_type, props) — ids % 3 == 0 and type 'click'
+        (0, "click", '{"k": 7}'),
+        (3, "click", '{"k": null}'),
+        (6, "click", "{}"),
+        (9, "click", '{"k": 9223372036854775807}'),
+        (12, "click", '{"k": -9223372036854775808}'),
+        (15, "click", '{"k": "12"}'),
+        (18, "click", '{"k": 0}'),
+        (21, "click", '{"k": -1}'),
+        (24, "click", '{"k": 1e3}'),
+        (27, "click", '{"k": 1, "missing": 5}'),
+        # filter-exclusion rows: wrong type / wrong modulo
+        (30, "view", '{"k": 999}'),
+        (31, "click", '{"k": 888}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in safe], pa.int64()),
+                "event_type": pa.array([r[1] for r in safe], pa.string()),
+                "props": pa.array([r[2] for r in safe], pa.string()),
+            }
+        ),
+        str(tmp_path) + "/events.parquet",
+    )
+    q = all_queries()["variant_json"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {r.event_id: (r.k_typed, r.k_missing) for r in sdf.collect()}
+    assert got == {
+        0: (7, None),
+        3: (None, None),       # JSON null -> NULL
+        6: (None, None),       # missing key -> NULL (try semantics)
+        9: (9223372036854775807, None),
+        12: (-9223372036854775808, None),
+        15: (12, None),        # digit-string casts in both engines
+        18: (0, None),
+        21: (-1, None),
+        24: (1000, None),      # 1e3 normalizes to 1000 in both engines
+        27: (1, 5),            # a literal "missing" key IS extracted
+    }
+    assert 30 not in got and 31 not in got  # filters actually excluded
+
+    # tier 2: pinned Spark-only semantics outside the oracle's domain
+    wild = [
+        ("float", '{"k": 3.9}', 3),        # cast truncation, NOT rounding
+        ("float_neg", '{"k": -3.9}', -3),  # truncation toward zero
+        ("bool", '{"k": true}', 1),
+        ("str_alpha", '{"k": "abc"}', None),
+        ("nested", '{"k": {"x": 1}}', None),
+        ("array", '{"k": [1]}', None),
+        ("huge", '{"k": 10000000000000000000}', None),  # > int64 max
+    ]
+    wdf = spark.createDataFrame(
+        [(lbl, p) for lbl, p, _e in wild], "label string, props string"
+    )
+    wgot = {
+        r.label: r.b
+        for r in wdf.select(
+            "label",
+            F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("b"),
+        ).collect()
+    }
+    assert wgot == {lbl: e for lbl, _p, e in wild}
+    # and the divergence that keeps these OUT of the SQL oracle is real:
+    assert (
+        duckdb.sql(
+            """SELECT TRY_CAST(json_extract_string('{"k": 3.9}', '$.k') AS BIGINT)"""
+        ).fetchone()[0]
+        == 4  # DuckDB rounds the string '3.9'; Spark's variant cast gives 3
+    )
