@@ -1871,9 +1871,10 @@ def _oracle_on_tmp(sql: str, d: str):
     try:
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
-                con.execute(
-                    f"CREATE VIEW {f[:-8]} AS SELECT * FROM '{os.path.join(d, f)}'"
-                )
+                p = os.path.join(d, f)
+                # Spark writes a DIRECTORY of part files; pyarrow a file
+                src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+                con.execute(f"CREATE VIEW {f[:-8]} AS SELECT * FROM {src}")
         cur = con.execute(sql)
         cols = [c[0] for c in cur.description]
         return cur.fetchall(), cols
@@ -2123,3 +2124,250 @@ def test_variant_json_path_edges_vs_oracle_and_pinned(spark, tmp_path):
         ).fetchone()[0]
         == 4  # DuckDB rounds the string '3.9'; Spark's variant cast gives 3
     )
+
+
+def test_merge_upsert_many_to_many_and_key_collision(spark, tmp_path):
+    """merge_upsert forced edges: a target key divisible by BOTH source
+    branches' moduli (7*97), DUPLICATE target keys meeting duplicate
+    update rows (the full-outer algebra fans out 2x2 — exactly what a
+    transactional MERGE would reject, pinned here as the documented
+    semantics of the join form), and an existing target key that
+    COLLIDES with an inserted key (k + 10000000 already present), which
+    a real upsert must treat as a match, not an append.  Spark vs the
+    registered DuckDB oracle vs a pure-Python full-outer walk."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (o_orderkey, o_totalprice) — prices are multiples of 0.25
+        (7, 100.25),              # %7 only -> updated
+        (97, 200.50),             # %97 only -> existing + inserted twin
+        (679, 300.75),            # 7*97: updated AND spawns insert twin
+        (21, 10.00), (21, 20.00),  # DUP target key, %7: 2x2 fan-out
+        (5, 50.25),               # neither -> existing passthrough
+        (10000000 + 194, 999.00),  # collision target for 194's insert
+        (194, 40.50),             # %97 -> insert twin k=10000194 MATCHES above
+    ]
+    spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double").write.parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+    q = all_queries()["merge_upsert"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    # pure-Python full-outer join + coalesce with multiplicity
+    target = [(k, p, "existing") for k, p in rows]
+    updates = [(k, p + 1000.0, "updated") for k, p in rows if k % 7 == 0]
+    updates += [(k + 10000000, p, "inserted") for k, p in rows if k % 97 == 0]
+    expect = []
+    matched_u = [False] * len(updates)
+    for k, p, s in target:
+        hits = [i for i, (uk, _up, _us) in enumerate(updates) if uk == k]
+        if hits:
+            for i in hits:
+                matched_u[i] = True
+                expect.append(updates[i])
+        else:
+            expect.append((k, p, s))
+    expect += [u for i, u in enumerate(updates) if not matched_u[i]]
+    got = sorted((r.o_orderkey, r.price, r.row_origin) for r in sdf.collect())
+    assert got == sorted(expect)
+
+    # the forced edges actually occurred
+    origins = [r[2] for r in got]
+    assert sum(1 for k, _p, s in got if k == 21 and s == "updated") == 4  # 2x2
+    assert (10000194, 40.5, "inserted") in got     # collision resolved as match
+    assert not any(k == 10000194 and s == "existing" for k, _p, s in got)
+    assert (679, 1300.75, "updated") in got and (10000679, 300.75, "inserted") in got
+    assert origins.count("existing") == 3  # keys 5, 97, 194 (the %97 row
+    # itself stays 'existing' — only its +10000000 twin is an insert)
+
+
+def test_gap_fill_locf_boundaries_vs_python(spark, tmp_path):
+    """gap_fill forced edges: an event exactly ON an hour boundary, one
+    at HH:59:59.999999, a MULTI-hour gap (LOCF must carry across
+    consecutive empty hours), adjacent full hours, and a value change
+    right after a gap.  Spark vs the registered DuckDB oracle vs a
+    pure-Python spine walk."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    B = datetime(2025, 3, 1, 6, 0, 0)  # hour-exact base
+    ev = [
+        # (event_id, event_type, ts, value) — purchases only count
+        (1, "purchase", B, 10.25),                                  # ON boundary
+        (2, "purchase", B + timedelta(minutes=59, seconds=59,
+                                      microseconds=999999), 4.75),  # last us
+        (3, "view", B + timedelta(hours=1, minutes=5), 99.0),       # filtered out
+        # hours +1..+3 EMPTY -> three-hour gap, LOCF carries 15.00
+        (4, "purchase", B + timedelta(hours=4, minutes=30), 7.50),  # new value
+        (5, "purchase", B + timedelta(hours=5, minutes=1), 1.25),   # adjacent hour
+        (6, "purchase", B + timedelta(hours=5, minutes=2), 2.50),
+        # hour +6 empty, then the last hour
+        (7, "purchase", B + timedelta(hours=7, minutes=45), 0.25),
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, event_type string, ts timestamp, value double"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+    q = all_queries()["gap_fill"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    # pure-Python spine walk
+    hourly: dict[datetime, list[float]] = {}
+    for _i, et, ts, v in ev:
+        if et == "purchase":
+            hourly.setdefault(ts.replace(minute=0, second=0, microsecond=0),
+                              []).append(v)
+    lo, hi = min(hourly), max(hourly)
+    expect = {}
+    h, last = lo, None
+    while h <= hi:
+        vals = hourly.get(h)
+        if vals:
+            last = sum(vals)
+            expect[h] = (len(vals), last)
+        else:
+            expect[h] = (0, last)
+        h += timedelta(hours=1)
+    got = {r.hour: (r.n_events, r.filled_value) for r in sdf.collect()}
+    assert got == expect
+
+    # forced edges occurred
+    assert got[B] == (2, 15.0)                       # boundary + last-us rows
+    assert [got[B + timedelta(hours=k)] for k in (1, 2, 3)] == [(0, 15.0)] * 3
+    assert got[B + timedelta(hours=4)] == (1, 7.5)   # value change after gap
+    assert got[B + timedelta(hours=6)] == (0, 3.75)  # gap after adjacent hours
+    assert len(got) == 8                             # dense spine, no holes
+
+
+def test_lateral_topn_ties_at_cut_vs_python(spark, tmp_path):
+    """lateral_topn forced edges: a region where ranks 2 and 3 have
+    EQUAL customer counts (name ASC alone decides who makes the top-2),
+    a region with a full three-way tie, a single-nation region, and a
+    region whose nations have ZERO customers (the lateral subquery is
+    empty, so the region vanishes — CROSS JOIN LATERAL semantics in
+    both engines).  Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    regions = [(0, "AMERICA"), (1, "ASIA"), (2, "SOLO"), (3, "EMPTY")]
+    nations = [
+        (0, "ALPHA", 0), (1, "BRAVO", 0), (2, "CHARLIE", 0),  # 5,3,3: tie@2
+        (3, "XRAY", 1), (4, "YANKEE", 1), (5, "ZULU", 1),     # 2,2,2: all tie
+        (6, "SINGLE", 2),                                     # 1 nation
+        (7, "GHOST", 3), (8, "WRAITH", 3),                    # 0 customers
+    ]
+    counts = {0: 5, 1: 3, 2: 3, 3: 2, 4: 2, 5: 2, 6: 4, 7: 0, 8: 0}
+    customers = []
+    ck = 0
+    for nk, n in counts.items():
+        for _ in range(n):
+            customers.append((ck, nk))
+            ck += 1
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([r[0] for r in regions], pa.int64()),
+                  "r_name": pa.array([r[1] for r in regions], pa.string())}),
+        str(tmp_path) + "/region.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([n[0] for n in nations], pa.int64()),
+                  "n_name": pa.array([n[1] for n in nations], pa.string()),
+                  "n_regionkey": pa.array([n[2] for n in nations], pa.int64())}),
+        str(tmp_path) + "/nation.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+                  "c_nationkey": pa.array([c[1] for c in customers], pa.int64())}),
+        str(tmp_path) + "/customer.parquet",
+    )
+    q = all_queries()["lateral_topn"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = sorted((r.r_name, r.n_name, r.n_customers) for r in sdf.collect())
+    assert got == [
+        ("AMERICA", "ALPHA", 5), ("AMERICA", "BRAVO", 3),  # CHARLIE loses tie
+        ("ASIA", "XRAY", 2), ("ASIA", "YANKEE", 2),        # ZULU loses 3-way
+        ("SOLO", "SINGLE", 4),                             # top-2 of 1 is 1
+    ]
+    assert not any(r == "EMPTY" for r, _n, _c in got)      # empty lateral drops
+
+
+def test_rollup_cube_with_real_null_group_keys(spark, tmp_path):
+    """rollup_agg / cube_agg forced edge: grouping columns that contain
+    REAL NULLs, so data-null group rows conflate with generated
+    subtotal rows in the output (the classic ROLLUP ambiguity — the
+    query surface has no GROUPING() column, so the multiset must agree
+    with the same conflation in both engines, and with a pure-Python
+    grouping-sets walk that reproduces it)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    li = [
+        # (l_returnflag, l_linestatus, l_quantity)
+        ("A", "F", 1.25), ("A", "O", 2.50), ("A", None, 4.00),
+        (None, "F", 8.25), (None, None, 16.50), ("B", "F", 32.75),
+        ("B", "F", 64.00), (None, "O", 128.25),
+    ]
+    spark.createDataFrame(
+        li, "l_returnflag string, l_linestatus string, l_quantity double"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    ords = [
+        # (o_orderstatus, o_orderpriority, o_totalprice)
+        ("O", "1-URGENT", 1.25), ("O", None, 2.50), (None, "1-URGENT", 4.75),
+        (None, None, 8.00), ("F", "2-HIGH", 16.25), (None, None, 32.50),
+    ]
+    spark.createDataFrame(
+        ords, "o_orderstatus string, o_orderpriority string, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    def py_sets(rows, sets):
+        out = []
+        for keep in sets:
+            groups: dict[tuple, list[float]] = {}
+            for a, b, v in rows:
+                key = (a if 0 in keep else None, b if 1 in keep else None)
+                groups.setdefault(key, []).append(v)
+            out += [(k[0], k[1], len(vs), sum(vs)) for k, vs in groups.items()]
+        return sorted(out, key=repr)
+
+    for name, rows, sets in (
+        ("rollup_agg", li, [{0, 1}, {0}, set()]),
+        ("cube_agg", ords, [{0, 1}, {0}, {1}, set()]),
+    ):
+        q = all_queries()[name]
+        sdf = q.build(spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+        sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+        oset, ocols_s = _rows_to_multiset(orows, ocols)
+        assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s], name
+        assert sset == oset, name
+        got = sorted(((r[0], r[1], r[2], r[3]) for r in srows), key=repr)
+        assert got == py_sets(rows, sets), name
+
+    # the conflation actually occurred: lineitem's rollup output holds
+    # MULTIPLE rows whose key columns are both NULL (the real
+    # (NULL,NULL) data group, the NULL-flag subtotal, the grand total)
+    sdf = all_queries()["rollup_agg"].build(spark, str(tmp_path))
+    nn = [r for r in sdf.collect() if r[0] is None and r[1] is None]
+    assert len(nn) == 3
+    assert sorted(r.n_rows for r in nn) == [1, 3, 8]
