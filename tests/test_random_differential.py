@@ -2371,3 +2371,250 @@ def test_rollup_cube_with_real_null_group_keys(spark, tmp_path):
     nn = [r for r in sdf.collect() if r[0] is None and r[1] is None]
     assert len(nn) == 3
     assert sorted(r.n_rows for r in nn) == [1, 3, 8]
+
+
+def test_recursive_cte_unreachable_subtree_vs_python(spark, tmp_path):
+    """recursive_cte forced edges: a MISSING intermediate node (6) cuts
+    its whole subtree (12, 13, and 13's children 26, 27) out of the
+    traversal even though those keys exist, and an orphan (100, parent
+    50 absent) never joins.  Spark vs the registered DuckDB oracle vs a
+    pure-Python BFS over parent = floor(key/2)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    keys = [k for k in range(1, 16) if k != 6] + [13, 26, 27, 100]
+    # dedupe while keeping the forced members obvious
+    keys = sorted(set(keys))
+    assert 6 not in keys and {13, 26, 27, 100} <= set(keys)
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array(keys, pa.int64())}),
+        str(tmp_path) + "/supplier.parquet",
+    )
+    q = all_queries()["recursive_cte"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    # pure-Python BFS from the root over parent = floor(k/2)
+    present = set(keys)
+    frontier, depth, levels = {1}, 0, {}
+    while frontier:
+        levels[depth] = frontier
+        frontier = {k for k in present if k > 1 and k // 2 in frontier}
+        depth += 1
+    expect = {d: (len(ns), sum(ns)) for d, ns in levels.items()}
+    got = {r.depth: (r.n_nodes, r.sum_nodes) for r in sdf.collect()}
+    assert got == expect
+
+    # the forced cut actually happened: 12/13 (children of the missing
+    # 6), 26/27 (its grandchildren), and the orphan 100 all exist but
+    # are unreachable, so depth 3 holds only 8..11,14,15
+    reached = set().union(*levels.values())
+    assert {12, 13, 26, 27, 100}.isdisjoint(reached)
+    assert got[3] == (6, 8 + 9 + 10 + 11 + 14 + 15)
+    assert max(got) == 3                      # nothing deeper survives
+
+
+def test_listagg_stats_order_ties_and_median_vs_python(spark, tmp_path):
+    """listagg_stats forced edges: two orders on the SAME date (the
+    o_orderkey tie-break alone fixes the concatenation order), a
+    single-order customer (median == its price), and an even-count
+    customer (median interpolates the midpoint).  Spark vs the
+    registered DuckDB oracle vs a pure-Python walk."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    D = datetime(2024, 5, 1)
+    E = datetime(2024, 5, 2)
+    rows = [
+        # (o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice)
+        # cust 50: same-date tie — keys 11 < 12 fix 'AB', not 'BA'
+        (12, 50, "B", D, 10.25), (11, 50, "A", D, 20.75),
+        # cust 100: single order
+        (20, 100, "F", E, 300.50),
+        # cust 150: even count — median midpoint of (1.25, 2.75) = 2.0
+        (31, 150, "O", D, 1.25), (30, 150, "P", E, 2.75),
+        # cust 151: NOT a multiple of 50 — filtered out
+        (40, 151, "X", D, 9.00),
+        # cust 200: odd count >1, interleaved dates
+        (52, 200, "C", E, 5.25), (51, 200, "A", D, 7.75), (53, 200, "B", E, 6.50),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_orderdate timestamp, o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["listagg_stats"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    def med(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    expect = {}
+    for ck in {r[1] for r in rows if r[1] % 50 == 0}:
+        grp = sorted((r for r in rows if r[1] == ck), key=lambda r: (r[3], r[0]))
+        expect[ck] = ("".join(r[2] for r in grp), len(grp), med([r[4] for r in grp]))
+    got = {r.o_custkey: (r.status_seq, r.n_orders, r.med_price)
+           for r in sdf.collect()}
+    assert got == expect
+
+    # forced edges occurred
+    assert got[50] == ("AB", 2, 15.5)      # tie broken by key, not input order
+    assert got[100] == ("F", 1, 300.5)     # singleton median
+    assert got[150][2] == 2.0              # interpolated midpoint
+    assert got[200] == ("ACB", 3, 6.5)     # date-major, key-minor ordering
+    assert 151 not in got
+
+
+def test_scalar_subquery_exact_boundary(spark, tmp_path):
+    """scalar_subquery forced boundary: one order sits EXACTLY at
+    price * n == 1.5 * sum (300 * 5 == 1.5 * 1000 — all terms
+    binary-exact), so the strict > must exclude it in both engines
+    while 400 qualifies."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [(1, 50.0), (2, 100.0), (3, 150.0), (4, 300.0), (5, 400.0)]
+    spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double").write.parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+    q = all_queries()["scalar_subquery"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    assert srows == [(5, 400.0)]  # 300*5 == 1500 == 1.5*1000: excluded
+
+
+def test_union_by_name_alignment_and_strict_boundary(spark, tmp_path):
+    """union_by_name forced edges: the supplier branch's columns are
+    deliberately REVERSED (kind, entity_key) — unionByName must align
+    by name, not position; a key present on BOTH sides stays duplicated
+    (UNION ALL); and c_acctbal exactly 9000.0 is excluded by the strict
+    >.  Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [(1, 9500.25), (2, 9000.0), (3, 8999.75), (7, 9200.50)]
+    supp = [(7,), (9,)]
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([c[0] for c in cust], pa.int64()),
+                  "c_acctbal": pa.array([c[1] for c in cust], pa.float64())}),
+        str(tmp_path) + "/customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([s[0] for s in supp], pa.int64())}),
+        str(tmp_path) + "/supplier.parquet",
+    )
+    q = all_queries()["union_by_name"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    # positional union would have produced kind='7' rows; by-name keeps
+    # entity_key integral and kind in {'customer','supplier'}
+    got = sorted(srows)
+    assert got == [(1, "customer"), (7, "customer"), (7, "supplier"),
+                   (9, "supplier")]
+    assert (2, "customer") not in got      # exactly 9000.0: strict >
+
+
+def test_having_filter_exact_count_boundary(spark, tmp_path):
+    """having_filter forced boundary: a customer with EXACTLY 12 orders
+    is kept, 11 is dropped.  Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = []
+    k = 0
+    for ck, n in ((1, 11), (2, 12), (3, 13), (4, 1)):
+        for _ in range(n):
+            rows.append((k, ck, 10.25 + k))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["having_filter"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_custkey: r.n_orders for r in sdf.collect()}
+    assert got == {2: 12, 3: 13}           # 12 kept at the boundary, 11 out
+
+
+def test_in_subquery_null_outer_key_and_empty_subquery(spark, tmp_path):
+    """in_subquery forced edges: a NULL o_custkey makes the IN predicate
+    UNKNOWN (row filtered — three-valued logic), and an empty subquery
+    (no customer above the threshold) yields ZERO rows, not an error.
+    Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [(1, 6000.25), (2, 4000.50), (3, 5000.0)]  # 3: exactly at, strict >
+    orders = [
+        (10, 1, 100.25, "O"),     # qualifies
+        (11, 2, 200.50, "O"),     # custkey below threshold
+        (12, None, 300.75, "O"),  # NULL key: IN -> UNKNOWN -> dropped
+        (13, 1, 400.00, "F"),     # wrong status
+        (14, 3, 500.25, "O"),     # 5000.0 is NOT > 5000.0
+    ]
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([c[0] for c in cust], pa.int64()),
+                  "c_acctbal": pa.array([c[1] for c in cust], pa.float64())}),
+        str(tmp_path) + "/customer.parquet",
+    )
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderstatus string",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["in_subquery"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    assert srows == [(10, 1, 100.25)]
+
+    # empty-subquery tier: nobody clears the threshold -> zero rows
+    import shutil
+
+    d2 = str(tmp_path) + "_empty"
+    os.makedirs(d2, exist_ok=True)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_acctbal": pa.array([10.0, 20.0], pa.float64())}),
+        d2 + "/customer.parquet",
+    )
+    shutil.copytree(str(tmp_path) + "/orders.parquet", d2 + "/orders.parquet")
+    sdf2 = all_queries()["in_subquery"].build(spark, d2)
+    assert sdf2.count() == 0
+    orows2, _ = _oracle_on_tmp(q.oracle, d2)
+    assert orows2 == []
