@@ -2618,3 +2618,243 @@ def test_in_subquery_null_outer_key_and_empty_subquery(spark, tmp_path):
     assert sdf2.count() == 0
     orows2, _ = _oracle_on_tmp(q.oracle, d2)
     assert orows2 == []
+
+
+def test_null_funcs_null_inputs_vs_python(spark, tmp_path):
+    """null_funcs forced edges: NULL o_orderstatus flows through
+    nullif -> coalesce to 'open' (same label as a real 'O'), NULL
+    o_totalprice through greatest/least (both engines IGNORE NULL
+    arguments — probed, not assumed — returning the non-null one, and
+    NULL only when all arguments are) and through the CASE else-branch.
+    Spark vs the registered DuckDB oracle vs pure Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (o_orderkey, o_orderstatus, o_totalprice)
+        (1, "O", 100.25),
+        (2, None, 200.50),        # nullif(NULL,'O') -> NULL -> 'open'
+        (3, "P", 300.75),         # CASE 'P' -> price_or_null NULL
+        (4, "F", None),           # greatest(NULL, 250000) -> 250000
+        (5, None, None),          # everything NULL at once
+        (6, "F", 250000.0),       # exactly AT the greatest/least pivot
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["null_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    P = 250000.0
+    expect = {}
+    for k, st, pr in rows:
+        status_x = "open" if st in (None, "O") else st
+        gr = max(v for v in (pr, P) if v is not None)
+        le = min(v for v in (pr, P) if v is not None)
+        expect[k] = (status_x, gr, le, None if st == "P" else pr)
+    got = {r.o_orderkey: (r.status_x, r.floor_price, r.cap_price, r.price_or_null)
+           for r in sdf.collect()}
+    assert got == expect
+    # forced edges occurred
+    assert got[2][0] == "open" == got[1][0]   # NULL and 'O' conflate
+    assert got[4] == ("F", P, P, None)        # NULL price ignored, not poisoned
+    assert got[5] == ("open", P, P, None)
+    assert got[6][1] == P and got[6][2] == P  # exact pivot both ways
+
+
+def test_stats_agg_single_row_sample_variance_null(spark, tmp_path):
+    """stats_agg forced edge: a SINGLE-row table makes the sample
+    variance denominator (n-1) zero — both engines return NULL for the
+    double division (probed: neither raises nor yields inf under this
+    session's config), and a two-row table checks the exact algebra.
+    Spark vs the registered DuckDB oracle vs Python."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    for tag, quantities in (("one", [5.25]), ("two", [1.25, 2.75])):
+        d = str(tmp_path) + "_" + tag
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"l_quantity": pa.array(quantities, pa.float64())}),
+            d + "/lineitem.parquet",
+        )
+        q = all_queries()["stats_agg"]
+        sdf = q.build(spark, d)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows, ocols = _oracle_on_tmp(q.oracle, d)
+        sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+        oset, ocols_s = _rows_to_multiset(orows, ocols)
+        assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s], tag
+        assert sset == oset, tag
+        n = len(quantities)
+        sq, sqq = sum(quantities), sum(x * x for x in quantities)
+        if n == 1:
+            expect = (1, round(sq / n, 4), None, None)
+        else:
+            var = (sqq - sq * sq / n) / (n - 1)
+            expect = (n, round(sq / n, 4), round(var, 4),
+                      round(math.sqrt(var), 4))
+        assert srows == [expect], tag
+    # the n=1 case really exercised the 0-denominator branch
+    assert srows[0][2] is not None  # (the LAST loop iteration is n=2)
+
+
+def test_window_running_same_date_ties_vs_python(spark, tmp_path):
+    """window_running forced edges: multiple orders on the SAME date
+    (the o_orderkey tie-break fixes both the running-sum prefix order
+    and row_number), a single-order customer, and exact-cents DECIMAL
+    accumulation.  Spark vs the registered DuckDB oracle vs Python."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    D = datetime(2024, 7, 1)
+    E = datetime(2024, 7, 2)
+    rows = [
+        # (o_orderkey, o_custkey, o_orderdate, o_totalprice)
+        (12, 1, D, 10.25), (11, 1, D, 20.50), (13, 1, E, 30.75),  # same-date tie
+        (20, 2, E, 99.99),                                        # singleton
+        (31, 3, E, 5.25), (30, 3, D, 4.75),                       # input order reversed
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["window_running"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for ck in {r[1] for r in rows}:
+        run = 0.0
+        for seq, (ok, _c, _d, p) in enumerate(
+            sorted(((r[0], r[1], r[2], r[3]) for r in rows if r[1] == ck),
+                   key=lambda r: (r[2], r[0])), start=1):
+            run += p
+            expect[ok] = (round(run, 2), seq)
+    got = {r.o_orderkey: (r.running_spend, r.order_seq) for r in sdf.collect()}
+    assert got == expect
+    # forced edges occurred: 11 before 12 despite input order; singleton
+    assert got[11] == (20.5, 1) and got[12] == (30.75, 2)
+    assert got[20] == (99.99, 1)
+    assert got[30] == (4.75, 1) and got[31] == (10.0, 2)
+
+
+def test_agg_collect_duplicate_keys_and_md5_vs_python(spark, tmp_path):
+    """agg_collect forced edges: DUPLICATE order keys inside one group
+    (array_sort keeps both), a negative key (string form '-5' must
+    match in the md5 fingerprint), and a singleton group.  Spark vs the
+    registered DuckDB oracle vs a hashlib.md5 recomputation."""
+    import hashlib
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (o_orderkey, o_custkey) — custkeys are multiples of 10
+        (5, 10), (5, 10), (7, 10), (-5, 10),  # dup key + negative key
+        (42, 20),                             # singleton group
+        (9, 15),                              # custkey 15: filtered out
+        (3, 30), (1, 30), (2, 30),
+    ]
+    spark.createDataFrame(rows, "o_orderkey bigint, o_custkey bigint").write.parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+    q = all_queries()["agg_collect"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for ck in (10, 20, 30):
+        keys = sorted(r[0] for r in rows if r[1] == ck)
+        expect[ck] = (
+            hashlib.md5(",".join(str(k) for k in keys).encode()).hexdigest(),
+            sum(keys),
+            len(keys),
+        )
+    got = {r.o_custkey: (r.keys_md5, r.keys_sum, r.n_orders)
+           for r in sdf.collect()}
+    assert got == expect
+    assert 15 not in got
+    # the dup and the negative key are inside the fingerprint: the
+    # sorted string is '-5,5,5,7' (numeric sort, not lexicographic)
+    assert got[10][0] == hashlib.md5(b"-5,5,5,7").hexdigest()
+    assert got[10][2] == 4
+
+
+def test_json_funcs_path_edges_vs_oracle_and_pinned(spark, tmp_path):
+    """json_funcs (get_json_object + string cast) forced path edges,
+    mirroring the variant_json two-tier scheme: oracle-exact agreement
+    on the integer/null/missing domain, then Spark-only pinned
+    semantics outside it — under this session's non-ANSI casts,
+    '3.9' -> 3 (truncation), 'abc' -> NULL, and a nested object
+    extracts as its JSON text, which casts to NULL."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    safe = [
+        # (event_id, event_type, props)
+        (1, "purchase", '{"k": 7}'),
+        (2, "signup", '{"k": null}'),
+        (3, "purchase", "{}"),
+        (4, "signup", '{"k": -12}'),
+        (5, "purchase", '{"k": 9223372036854775807}'),
+        (6, "click", '{"k": 999}'),   # filtered out by event_type
+    ]
+    pq.write_table(
+        pa.table({"event_id": pa.array([r[0] for r in safe], pa.int64()),
+                  "event_type": pa.array([r[1] for r in safe], pa.string()),
+                  "props": pa.array([r[2] for r in safe], pa.string())}),
+        str(tmp_path) + "/events.parquet",
+    )
+    q = all_queries()["json_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.event_id: r.prop_k for r in sdf.collect()}
+    assert got == {1: 7, 2: None, 3: None, 4: -12, 5: 9223372036854775807}
+
+    # Spark-only tier: non-ANSI string->bigint cast semantics
+    wild = [
+        ("float", '{"k": 3.9}', 3),
+        ("float_neg", '{"k": -3.9}', -3),
+        ("alpha", '{"k": "abc"}', None),
+        ("nested", '{"k": {"x": 1}}', None),
+        ("arr", '{"k": [1, 2]}', None),
+        ("strnum", '{"k": "42"}', 42),
+    ]
+    wdf = spark.createDataFrame(
+        [(lbl, p) for lbl, p, _e in wild], "label string, props string"
+    )
+    wgot = {
+        r.label: r.b
+        for r in wdf.select(
+            "label",
+            F.get_json_object("props", "$.k").cast("bigint").alias("b"),
+        ).collect()
+    }
+    assert wgot == {lbl: e for lbl, _p, e in wild}
