@@ -2858,3 +2858,172 @@ def test_json_funcs_path_edges_vs_oracle_and_pinned(spark, tmp_path):
         ).collect()
     }
     assert wgot == {lbl: e for lbl, _p, e in wild}
+
+
+def test_explode_outer_empty_and_dup_tokens_vs_python(spark, tmp_path):
+    """explode_outer forced edges: a document with ZERO matching tokens
+    must survive as a NULL row (plain explode would drop it), repeated
+    identical tokens explode to duplicate rows, consecutive separators
+    produce empty tokens in BOTH engines' split, and an all-match
+    document round-trips fully.  Spark vs the registered DuckDB oracle
+    vs Python.  Tier 2 pins Spark's explode_outer(NULL array) -> one
+    NULL row (the oracle's CASE-on-len form yields ZERO rows for a
+    NULL list, so NULL text is outside the oracle's domain — the
+    testdata has none)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        # (doc_id, text) — doc_id % 25 == 0 passes the filter
+        (0, "alpha beta gamma"),          # zero z-tokens -> NULL row
+        (25, "zip zap zip"),              # dup token 'zip' twice
+        (50, "zebra"),                    # all-match single token
+        (75, "a  zb"),                    # double space -> empty token
+        (100, ""),                        # empty text -> [''] -> no match
+        (13, "zzz"),                      # filtered out by doc_id
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["explode_outer_demo"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = []
+    for did, text in docs:
+        if did % 25:
+            continue
+        toks = [t for t in text.split(" ") if t.startswith("z")]
+        expect += [(did, t) for t in toks] or [(did, None)]
+    assert sorted(srows, key=repr) == sorted(expect, key=repr)
+    # forced edges occurred
+    assert srows.count((25, "zip")) == 2      # duplicate token kept twice
+    assert (0, None) in srows and (100, None) in srows
+    assert (75, "zb") in srows and len([r for r in srows if r[0] == 75]) == 1
+
+    # tier 2: NULL array explodes to one NULL row on the Spark side
+    ndf = spark.createDataFrame([(1,)], "doc_id bigint").select(
+        "doc_id", F.explode_outer(F.lit(None).cast("array<string>")).alias("tok")
+    )
+    assert [tuple(r) for r in ndf.collect()] == [(1, None)]
+
+
+def test_map_funcs_null_values_vs_python(spark, tmp_path):
+    """map_funcs forced edges: NULL map VALUES (a NULL o_orderstatus /
+    o_orderpriority rides inside the map and element_at returns it as
+    NULL without disturbing size or key enumeration).  Spark vs the
+    registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (o_orderkey, o_orderstatus, o_orderpriority)
+        (50, "O", "1-URGENT"),
+        (100, None, "2-HIGH"),    # NULL value under 'status'
+        (150, "F", None),         # NULL value under 'priority'
+        (200, None, None),        # both NULL — map still has 2 keys
+        (151, "X", "Y"),          # filtered out (not % 50)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_orderpriority string"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["map_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {r.o_orderkey: (r.status_val, r.priority_val, r.n_props, r.keys_csv)
+           for r in sdf.collect()}
+    assert got == {
+        50: ("O", "1-URGENT", 2, "status,priority"),
+        100: (None, "2-HIGH", 2, "status,priority"),
+        150: ("F", None, 2, "status,priority"),
+        200: (None, None, 2, "status,priority"),
+    }
+
+
+def test_variant_explode_arr_zero_and_negative_ids(spark, tmp_path):
+    """variant_explode_arr forced edges: event_id 0 (all three array
+    elements are 0 — only pos distinguishes the rows) and a NEGATIVE
+    event_id (negative JSON numbers through the variant path).  Spark
+    vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    ids = [0, -13, 13, 26, 7]  # 7 fails the % 13 filter
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64())}),
+        str(tmp_path) + "/events.parquet",
+    )
+    q = all_queries()["variant_explode_arr"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = sorted(
+        (i, p, i * (p + 1)) for i in ids if i % 13 == 0 for p in range(3)
+    )
+    assert sorted(srows) == expect
+    assert (0, 0, 0) in srows and (0, 2, 0) in srows   # dup elems, distinct pos
+    assert (-13, 2, -39) in srows                      # negative through variant
+
+
+def test_transpose_metrics_singleton_type_and_exact_cents(spark, tmp_path):
+    """transpose_metrics forced edges (within the oracle's all-5-types
+    domain): one event type with a SINGLE event, negative and zero
+    values through the floor(x*100 + 0.5) cent conversion (all values
+    binary-exact multiples of 0.25 so both engines floor identically).
+    Tier 2 pins the domain restriction itself: with a type MISSING,
+    Spark's transpose emits only the present types as columns (the
+    oracle would still emit all five)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        ("click", 1.25), ("click", -0.25),   # negative cents: -25
+        ("error", 0.0),                      # zero value, singleton type
+        ("purchase", 10.75), ("purchase", 0.25),
+        ("signup", 2.50),
+        ("view", 0.25), ("view", 0.25),      # duplicate values
+    ]
+    spark.createDataFrame(rows, "event_type string, value double").write.parquet(
+        str(tmp_path) + "/events.parquet"
+    )
+    q = all_queries()["transpose_metrics"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {tuple(r)[0]: tuple(r)[1:] for r in srows}
+    cols = [c for c in sdf.columns][1:]
+    assert cols == ["click", "error", "purchase", "signup", "view"]
+    assert got["n_events"] == (2.0, 1.0, 2.0, 1.0, 2.0)
+    assert got["sum_cents"] == (100.0, 0.0, 1100.0, 250.0, 50.0)
+
+    # tier 2: a missing type narrows Spark's transposed schema
+    d2 = str(tmp_path) + "_four"
+    os.makedirs(d2, exist_ok=True)
+    spark.createDataFrame(
+        [r for r in rows if r[0] != "error"], "event_type string, value double"
+    ).write.parquet(d2 + "/events.parquet")
+    sdf2 = all_queries()["transpose_metrics"].build(spark, d2)
+    assert [c for c in sdf2.columns][1:] == ["click", "purchase", "signup", "view"]
