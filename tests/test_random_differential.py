@@ -3027,3 +3027,111 @@ def test_transpose_metrics_singleton_type_and_exact_cents(spark, tmp_path):
     ).write.parquet(d2 + "/events.parquet")
     sdf2 = all_queries()["transpose_metrics"].build(spark, d2)
     assert [c for c in sdf2.columns][1:] == ["click", "purchase", "signup", "view"]
+
+
+def test_array_funcs_short_and_empty_arrays_vs_python(spark, tmp_path):
+    """array_funcs forced edges: a SHORT array (element_at index 64
+    past the end -> NULL in both engines under this session's non-ANSI
+    config), an EMPTY array (size 0, min/max/first NULL, zero
+    positives), an all-negative vector, and a value exactly 0.0 (the
+    strict > excludes it from n_positive).  Values are binary-exact
+    float32 quarters so the float->double cast is value-preserving.
+    Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    vecs = {
+        1: [0.25] * 63 + [-1.5],          # full 64-dim, negative last
+        2: [1.25, -2.5, 3.75],            # SHORT: index 64 out of bounds
+        3: [],                            # EMPTY
+        4: [-0.25, -64.0],                # all negative
+        5: [0.0, 0.25, -0.5],             # exact zero excluded by >
+    }
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+            ),
+        }),
+        str(tmp_path) + "/embeddings.parquet",
+    )
+    q = all_queries()["array_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {
+        k: (
+            len(v),
+            v[0] if v else None,
+            v[63] if len(v) >= 64 else None,
+            max(v) if v else None,
+            min(v) if v else None,
+            sum(1 for x in v if x > 0),
+        )
+        for k, v in vecs.items()
+    }
+    got = {r.vec_id: (r.n_dims, r.first_dim, r.last_dim, r.max_dim,
+                      r.min_dim, r.n_positive) for r in sdf.collect()}
+    assert got == expect
+    # forced edges occurred
+    assert got[2][2] is None and got[2][0] == 3     # out-of-bounds -> NULL
+    assert got[3] == (0, None, None, None, None, 0)  # empty array
+    assert got[4][5] == 0 and got[5][5] == 1         # 0.0 not positive
+
+
+def test_range_join_interval_endpoint_boundaries_vs_python(spark, tmp_path):
+    """range_join forced endpoint edges: a pair EXACTLY 5 minutes apart
+    is kept (closed upper bound <=), 5 minutes + 1 microsecond is
+    dropped, the SAME instant is dropped (strict lower >), and a
+    1-microsecond gap is kept.  Cross-user pairs at qualifying gaps
+    must not match.  Spark vs the registered DuckDB oracle vs a
+    pure-Python pair walk."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    B = datetime(2025, 4, 1, 12, 0, 0)
+    FIVE = timedelta(minutes=5)
+    US = timedelta(microseconds=1)
+    ev = [
+        # (event_id, user_id, ts)
+        (1, 1, B),
+        (2, 1, B + FIVE),          # exactly 5 min after 1 -> kept
+        (3, 1, B + FIVE + US),     # 5 min + 1 us after 1 -> dropped
+        (4, 2, B), (5, 2, B),      # same instant, same user -> dropped
+        (6, 2, B + US),            # 1 us after 4/5 -> kept (twice)
+        (7, 3, B + timedelta(minutes=2)),  # cross-user, in range of 1
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, user_id bigint, ts timestamp"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+    q = all_queries()["range_join"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = sorted(
+        (ua, ea, eb, int((tb - ta) / US))
+        for ea, ua, ta in ev
+        for eb, ub, tb in ev
+        if ua == ub and tb > ta and tb <= ta + FIVE
+    )
+    got = sorted((r.user_id, r.ev_a, r.ev_b, r.gap_us) for r in sdf.collect())
+    assert got == expect
+    # forced edges occurred
+    assert (1, 1, 2, 300_000_000) in got            # exactly 5 min kept
+    assert not any(p[1] == 1 and p[2] == 3 for p in got)  # +1 us dropped
+    assert not any(p[1] == 4 and p[2] == 5 for p in got)  # same instant
+    assert (2, 4, 6, 1) in got and (2, 5, 6, 1) in got    # 1 us gap, twice
+    assert not any(p[1] == 1 and p[2] == 7 for p in got)  # cross-user
