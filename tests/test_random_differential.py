@@ -3135,3 +3135,142 @@ def test_range_join_interval_endpoint_boundaries_vs_python(spark, tmp_path):
     assert not any(p[1] == 4 and p[2] == 5 for p in got)  # same instant
     assert (2, 4, 6, 1) in got and (2, 5, 6, 1) in got    # 1 us gap, twice
     assert not any(p[1] == 1 and p[2] == 7 for p in got)  # cross-user
+
+
+def test_window_range_frame_peers_and_day_boundaries_vs_python(spark, tmp_path):
+    """window_range_frame forced edges: SAME-day orders are RANGE peers
+    — each one's frame includes the other (the defining difference from
+    a ROWS frame), a prior order exactly 30 days back is INSIDE the
+    closed frame, 31 days back is outside, and a calendar gap > 30 days
+    resets the rolling sum.  Spark vs the registered DuckDB oracle vs a
+    pure-Python frame walk."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    D0 = datetime(2024, 1, 10)
+    rows = [
+        # (o_orderkey, o_custkey, o_orderdate, o_totalprice)
+        (1, 1, D0, 10.00), (2, 1, D0, 20.00),        # same-day PEERS
+        (3, 1, D0 + timedelta(days=30), 40.00),      # exactly 30d: includes 1,2
+        (4, 1, D0 + timedelta(days=31), 80.00),      # 31d from D0: drops 1,2
+        (5, 1, D0 + timedelta(days=90), 160.00),     # >30d gap: frame resets
+        (6, 2, D0, 5.00),                            # another customer, alone
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["window_range_frame"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    days = {k: (d - datetime(1970, 1, 1)).days for k, _c, d, _p in rows}
+    cents = {k: round(p * 100) for k, _c, _d, p in rows}
+    expect = {
+        k: sum(
+            cents[k2]
+            for k2, c2, _d2, _p2 in rows
+            if c2 == c and days[k] - 30 <= days[k2] <= days[k]
+        )
+        for k, c, _d, _p in rows
+    }
+    got = {r.o_orderkey: r.cents_30d for r in sdf.collect()}
+    assert got == expect
+    # forced edges occurred
+    assert got[1] == got[2] == 3000          # peers see EACH OTHER: 10+20
+    assert got[3] == 7000                    # 30d back included: 10+20+40
+    assert got[4] == 12000                   # 31d: only 40+80
+    assert got[5] == 16000                   # gap reset: alone
+    assert got[6] == 500
+
+
+def test_semi_anti_join_null_keys_and_threshold_vs_python(spark, tmp_path):
+    """semi_join / anti_join forced edges: a NULL c_custkey row never
+    matches (semi DROPS it, anti KEEPS it — NOT EXISTS over a
+    never-true predicate), an order with a NULL o_custkey matches
+    nobody, and a customer whose only large order sits EXACTLY at the
+    strict > threshold counts as having none.  Spark vs the registered
+    DuckDB oracles vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [(1, "big"), (2, "edge"), (3, "small"), (None, "anon")]
+    orders = [
+        # (o_custkey, o_totalprice)
+        (1, 500000.25),     # above BOTH thresholds
+        (2, 400000.0),      # exactly at anti's 400k (NOT big for anti,
+                            # but > semi's 300k, so 2 IS semi-matched)
+        (3, 300000.0),      # exactly at semi's 300k: NOT a big order
+        (None, 999999.75),  # NULL build key matches nobody
+    ]
+    spark.createDataFrame(cust, "c_custkey bigint, c_name string").write.parquet(
+        str(tmp_path) + "/customer.parquet"
+    )
+    spark.createDataFrame(
+        orders, "o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    for name, thr in (("semi_join", 300000.0), ("anti_join", 400000.0)):
+        q = all_queries()[name]
+        sdf = q.build(spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+        sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+        oset, ocols_s = _rows_to_multiset(orows, ocols)
+        assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s], name
+        assert sset == oset, name
+        having = {
+            ck for ck, p in orders if ck is not None and p > thr
+        }
+        if name == "semi_join":
+            expect = sorted((ck, nm) for ck, nm in cust
+                            if ck is not None and ck in having)
+        else:
+            expect = sorted(((ck, nm) for ck, nm in cust if ck not in having),
+                            key=repr)
+        assert sorted(srows, key=repr) == sorted(expect, key=repr), name
+
+    # forced edges: NULL customer kept by anti, dropped by semi; the
+    # exactly-at-400k customer 2 is anti-kept yet semi-matched (400k >
+    # 300k), and the exactly-at-300k customer 3 is semi-dropped
+    anti = {tuple(r) for r in all_queries()["anti_join"].build(spark, str(tmp_path)).collect()}
+    semi = {tuple(r) for r in all_queries()["semi_join"].build(spark, str(tmp_path)).collect()}
+    assert (None, "anon") in anti and not any(n == "anon" for _k, n in semi)
+    assert (2, "edge") in anti and (2, "edge") in semi
+    assert (3, "small") in anti and (3, "small") not in semi
+    assert (1, "big") in semi and (1, "big") not in anti
+
+
+def test_distinct_agg_nulls_and_duplicates_vs_python(spark, tmp_path):
+    """distinct_agg forced edges: COUNT(DISTINCT) ignores NULLs in both
+    engines — a column of dups+NULLs counts its non-null distincts, and
+    an ALL-NULL column counts ZERO (not one).  Spark vs the registered
+    DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (l_partkey, l_suppkey, l_returnflag) — l_returnflag all NULL
+        (1, 7, None), (1, 7, None), (2, None, None), (None, 8, None),
+        (2, 9, None), (None, None, None),
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey bigint, l_suppkey bigint, l_returnflag string"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    q = all_queries()["distinct_agg"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    assert srows == [(2, 3, 0)]   # {1,2}, {7,8,9}, all-NULL -> 0
