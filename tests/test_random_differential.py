@@ -3274,3 +3274,143 @@ def test_distinct_agg_nulls_and_duplicates_vs_python(spark, tmp_path):
     assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
     assert sset == oset
     assert srows == [(2, 3, 0)]   # {1,2}, {7,8,9}, all-NULL -> 0
+
+
+def test_window_rank_tied_prices_at_cut_vs_python(spark, tmp_path):
+    """window_rank forced edge: FOUR equal-price orders for one
+    customer — the o_orderkey ASC tie-break totalizes the order, so
+    ranks are 1..4 (no rank gaps survive the tie-break) and the
+    price_rank <= 3 cut keeps exactly the three lowest keys; a
+    customer with fewer than 3 orders keeps them all.  Spark vs the
+    registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (o_orderkey, o_custkey, o_totalprice) — cust 1: 4-way price tie
+        (14, 1, 500.25), (11, 1, 500.25), (13, 1, 500.25), (12, 1, 500.25),
+        (20, 1, 400.00),                 # below the tie, never ranks <= 3
+        (30, 2, 9.75), (31, 2, 8.25),    # short partition: all kept
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["window_rank"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = []
+    for ck in {r[1] for r in rows}:
+        grp = sorted((r for r in rows if r[1] == ck),
+                     key=lambda r: (-r[2], r[0]))
+        expect += [(ck, r[0], r[2], i + 1) for i, r in enumerate(grp[:3])]
+    assert sorted(srows) == sorted(expect)
+    kept_keys = {r[1] for r in srows if r[0] == 1}
+    assert kept_keys == {11, 12, 13}      # key ASC decides the 4-way tie
+    assert {r[1] for r in srows if r[0] == 2} == {30, 31}
+
+
+def test_grouping_sets_real_nulls_with_indicators_vs_python(spark, tmp_path):
+    """grouping_sets forced edge: REAL NULLs in both grouping columns.
+    Unlike rollup_agg/cube_agg, this query carries grouping()
+    indicators, so a data-NULL group row (g=0) is DISTINGUISHABLE from
+    a generated subtotal row (g=1) even though their key columns print
+    identically — the output must contain BOTH, with different
+    indicator values.  Spark vs the registered DuckDB oracle vs
+    Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    li = [
+        ("A", "F"), ("A", None), (None, "F"), (None, None), ("B", "O"),
+        (None, "F"),
+    ]
+    spark.createDataFrame(
+        [(f, s, 1.0) for f, s in li],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    q = all_queries()["grouping_sets"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    from collections import Counter
+
+    by_flag = Counter(f for f, _s in li)
+    by_status = Counter(s for _f, s in li)
+    expect = sorted(
+        [(f, None, 0, 1, n) for f, n in by_flag.items()]
+        + [(None, s, 1, 0, n) for s, n in by_status.items()]
+        + [(None, None, 1, 1, len(li))],
+        key=repr,
+    )
+    assert sorted(srows, key=repr) == expect
+    # the disambiguation actually occurred: three rows print (NULL,
+    # NULL, ...) and only the indicators tell them apart
+    nn = sorted(r[2:] for r in srows if r[0] is None and r[1] is None)
+    # data-NULL flag group (3 rows), data-NULL status subtotal (2 rows),
+    # grand total (6 rows)
+    assert nn == [(0, 1, 3), (1, 0, 2), (1, 1, 6)]
+
+
+def test_funnel_strict_after_first_click_vs_python(spark, tmp_path):
+    """funnel forced edges: a purchase at EXACTLY the first click's
+    instant does NOT convert (strict >), one microsecond later does; a
+    purchase BEFORE the only click does not; multiple qualifying
+    purchases count the user once; a purchase-only user is outside the
+    funnel.  A second tier pins the zero-clicker corpus: 0/0 conversion
+    is NULL in BOTH engines.  Spark vs the registered DuckDB oracle vs
+    Python."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    B = datetime(2025, 5, 1, 9, 0, 0)
+    US = timedelta(microseconds=1)
+    ev = [
+        # (event_id, user_id, event_type, ts)
+        (1, 1, "click", B), (2, 1, "purchase", B),            # same instant: no
+        (3, 2, "click", B), (4, 2, "purchase", B + US),       # +1 us: yes
+        (5, 3, "purchase", B - US), (6, 3, "click", B),       # before: no
+        (7, 4, "click", B + timedelta(minutes=1)),            # click-only
+        (8, 5, "purchase", B),                                # purchase-only
+        (9, 2, "purchase", B + timedelta(hours=1)),           # dup convert
+        (10, 6, "click", B), (11, 6, "click", B + US),        # first-click MIN
+        (12, 6, "purchase", B + US),                          # after FIRST: yes
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+    q = all_queries()["funnel"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    # Python walk: clickers 1,2,3,4,6; converted = 2 (+1us) and 6
+    # (purchase after user 6's FIRST click at B, thanks to MIN)
+    assert srows == [(5, 2, 0.4)]
+
+    # tier 2: zero clickers -> 0/0 -> NULL conversion in both engines
+    d2 = str(tmp_path) + "_zero"
+    os.makedirs(d2, exist_ok=True)
+    spark.createDataFrame(
+        [(1, 9, "purchase", B)],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    ).write.parquet(d2 + "/events.parquet")
+    s2 = [tuple(r) for r in all_queries()["funnel"].build(spark, d2).collect()]
+    o2, _ = _oracle_on_tmp(q.oracle, d2)
+    assert s2 == [(0, 0, None)] and [tuple(r) for r in o2] == [(0, 0, None)]
