@@ -3414,3 +3414,242 @@ def test_funnel_strict_after_first_click_vs_python(spark, tmp_path):
     s2 = [tuple(r) for r in all_queries()["funnel"].build(spark, d2).collect()]
     o2, _ = _oracle_on_tmp(q.oracle, d2)
     assert s2 == [(0, 0, None)] and [tuple(r) for r in o2] == [(0, 0, None)]
+
+
+def test_unpivot_metrics_nonnull_domain_and_null_divergence(spark, tmp_path):
+    """unpivot_metrics forced edges: tier 1 checks the registered query
+    against its oracle on boundary values (zero, negative, the % 100
+    filter edge).  Tier 2 pins a REAL engine divergence (probed):
+    Spark's DataFrame.unpivot KEEPS rows whose value is NULL while
+    DuckDB's UNPIVOT drops them by default — so NULL metric cells are
+    outside the registered oracle's domain (the testdata has none;
+    DuckDB would need INCLUDE NULLS to agree)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount)
+        (100, 1, 0.0, -12.25, 0.25),    # zero and negative metrics
+        (200, 1, 5.25, 300.50, 0.0),
+        (200, 2, 7.75, 400.75, 0.5),    # same key, two line numbers
+        (101, 1, 9.0, 9.0, 9.0),        # fails % 100 filter
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber bigint, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    q = all_queries()["unpivot_metrics"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    expect = sorted(
+        (k, ln, m, v)
+        for k, ln, qy, ep, dc in rows
+        if k % 100 == 0
+        for m, v in (("quantity", qy), ("extendedprice", ep), ("discount", dc))
+    )
+    assert sorted(srows) == expect
+    assert (100, 1, "extendedprice", -12.25) in srows
+    assert (100, 1, "quantity", 0.0) in srows       # zero is NOT dropped
+
+    # tier 2: the NULL-cell divergence is real (probed, now pinned)
+    ndf = spark.createDataFrame(
+        [(1, 2.0, None)], "k bigint, a double, b double"
+    ).unpivot(["k"], ["a", "b"], "metric", "value")
+    assert sorted((r.k, r.metric, r.value) for r in ndf.collect()) == [
+        (1, "a", 2.0), (1, "b", None)   # Spark keeps the NULL cell
+    ]
+    import duckdb as _dd
+
+    assert _dd.sql(
+        """SELECT COUNT(*) FROM (SELECT 1 k, 2.0 a, NULL::DOUBLE b)
+           UNPIVOT (value FOR metric IN (a, b))"""
+    ).fetchone()[0] == 1                 # DuckDB drops it
+
+
+def test_redact_pii_regex_boundaries_vs_python(spark, tmp_path):
+    """redact_pii forced regex edges: an email at the very START and
+    very END of a document, two adjacent emails, an email directly
+    FOLLOWED by a phone (the greedy domain must backtrack to the TLD
+    and leave '555-1234' for the phone pass), a near-email without a
+    TLD that must NOT match, a 8-digit run whose SUFFIX matches the
+    phone shape, and an injected doc (id % 7 == 0) whose text already
+    held an email.  Spark vs the registered DuckDB oracle vs Python's
+    re module (same patterns, same replace order)."""
+    import hashlib
+    import re
+
+    from dpu_olap_spark.llm.curation import _EMAIL_RE, _PHONE_RE, _PII_MOD
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        # (doc_id, lang, text) — ids chosen NOT to trigger injection
+        (1, "en", "a@b.co starts and ends z@y.org"),
+        (2, "en", "x@y.com555-1234"),            # email then phone, glued
+        (3, "en", "a@b c@d.com e@f.net"),        # no-TLD miss + two hits
+        (4, "en", "digits 1234-5678 run"),       # suffix 234-5678 matches
+        (5, "en", ""),                           # empty text
+        (6, "en", "555-0000"),                   # phone only, whole text
+        (7, "en", "already p@q.io here"),        # % 7 == 0: injection adds one
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "text": pa.array([d[2] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["redact_pii"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for did, lang, text in docs:
+        itext = text
+        if did % _PII_MOD == 0:
+            itext = (f"{text} contact user{did}@example.com or "
+                     f"555-{did % 10000:04d}")
+        red = re.sub(_PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", itext))
+        expect[did] = (
+            lang,
+            len(re.findall(_EMAIL_RE, itext)),
+            len(re.findall(_PHONE_RE, itext)),
+            hashlib.md5(red.encode()).hexdigest(),
+        )
+    got = {r.doc_id: (r.lang, r.n_emails, r.n_phones, r.redacted_fp)
+           for r in sdf.collect()}
+    assert got == expect
+    # forced edges occurred
+    assert got[1][1] == 2 and got[2][1] == 1 and got[2][2] == 1
+    assert got[3][1] == 2                      # 'a@b' without TLD missed
+    assert got[4][2] == 1 and got[5] == ("en", 0, 0, expect[5][3])
+    assert got[7][1] == 2                      # injection on top of one
+
+
+def test_case_expr_threshold_boundaries_and_null(spark, tmp_path):
+    """case_expr forced boundaries: prices exactly AT 300000.0 and
+    100000.0 take the >= branch, a quarter below each falls through,
+    and NULL price/status take the ELSE branch (UNKNOWN is not TRUE) in
+    both engines.  Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        (1, "F", 300000.0), (2, "O", 299999.75),
+        (3, "F", 100000.0), (4, "P", 99999.75),
+        (5, None, None), (6, "F", None),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["case_expr"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_orderkey: (r.bucket, r.is_final) for r in sdf.collect()}
+    assert got == {
+        1: ("large", 1), 2: ("medium", 0), 3: ("medium", 1),
+        4: ("small", 0), 5: ("small", 0), 6: ("small", 1),
+    }
+
+
+def test_outer_joins_null_keys_and_join_side_predicate(spark, tmp_path):
+    """outer_join / full_outer_join forced edges: a NULL customer key
+    and a NULL order key never match each other (both surface as
+    padded rows), and an order EXACTLY at the join-side predicate
+    threshold fails the strict >, leaving its customer NULL-padded —
+    the predicate lives in the JOIN condition, so the row is padded,
+    not dropped.  Spark vs the registered DuckDB oracles vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [(1, "hit"), (2, "edge"), (3, "quiet"), (None, "anon")]
+    orders = [
+        # (o_orderkey, o_custkey, o_totalprice)
+        (10, 1, 500000.25),   # above both 450k and 400k
+        (11, 2, 450000.0),    # exactly at outer_join's 450k: padded
+        (12, 2, 400000.0),    # exactly at full_outer's 400k: dropped side
+        (13, None, 999999.5), # NULL order key: never matches
+    ]
+    spark.createDataFrame(cust, "c_custkey bigint, c_name string").write.parquet(
+        str(tmp_path) + "/customer.parquet"
+    )
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    for name in ("outer_join", "full_outer_join"):
+        q = all_queries()[name]
+        sdf = q.build(spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+        sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+        oset, ocols_s = _rows_to_multiset(orows, ocols)
+        assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s], name
+        assert sset == oset, name
+
+    lo = sorted((tuple(r) for r in
+                 all_queries()["outer_join"].build(spark, str(tmp_path)).collect()),
+                key=repr)
+    # left outer: every customer appears; only order 10 clears > 450k
+    assert (1, "hit", 10, 500000.25) in lo
+    assert (2, "edge", None, None) in lo          # 450000.0 fails strict >
+    assert (None, "anon", None, None) in lo
+    assert len(lo) == 4
+
+    fo = sorted((tuple(r) for r in
+                 all_queries()["full_outer_join"].build(spark, str(tmp_path)).collect()),
+                key=repr)
+    # full outer vs orders > 400000: order 13 (NULL key) surfaces as an
+    # order-side padded row; order 12 (== 400k) is filtered out of the
+    # join input entirely, so customer 2 still pads
+    assert (None, None, 13, 999999.5) in fo
+    assert (2, "edge", 11, 450000.0) in fo        # 450k > 400k matches here
+    assert (3, "quiet", None, None) in fo and (None, "anon", None, None) in fo
+    assert not any(r[2] == 12 for r in fo)
+    assert len(fo) == 5   # 1-10, 2-11, quiet pad, anon pad, order-13 pad
+
+
+def test_group_size_hist_null_key_and_whale_vs_python(spark, tmp_path):
+    """group_size_hist forced edges: a NULL o_custkey forms its OWN
+    group in both engines (grouping treats NULLs as equal), a whale key
+    dominates one bucket, and singleton keys pile into group_size 1.
+    Spark vs the registered DuckDB oracle vs Python."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    keys = [1] * 10 + [2, 3, 4] + [5] * 2 + [None] * 3
+    spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "o_orderkey bigint, o_custkey bigint"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["group_size_hist"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    sizes = Counter(Counter(keys).values())
+    expect = sorted((gs, n, gs * n) for gs, n in sizes.items())
+    assert sorted(srows) == expect
+    # NULLs grouped together: a size-3 bucket exists only because the
+    # three NULL keys count as ONE group
+    assert (3, 1, 3) in srows and (10, 1, 10) in srows and (1, 3, 3) in srows
