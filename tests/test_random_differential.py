@@ -3653,3 +3653,136 @@ def test_group_size_hist_null_key_and_whale_vs_python(spark, tmp_path):
     # NULLs grouped together: a size-3 bucket exists only because the
     # three NULL keys count as ONE group
     assert (3, 1, 3) in srows and (10, 1, 10) in srows and (1, 3, 3) in srows
+
+
+def test_bitmap_presence_merge_idempotence_vs_python(spark, tmp_path):
+    """bitmap_presence forced edges: the SAME priority seen in multiple
+    market segments of one nation must set its bit ONCE (bit_or
+    idempotence across the two-level partial merge), a nation with all
+    five priorities fills bits 1..5 (bitmap 62, popcount 5), and a
+    single-priority nation has popcount 1.  Spark (two-level partial
+    aggregation) vs the registered DuckDB oracle (direct aggregation)
+    vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [
+        # (c_custkey, c_nationkey, c_mktsegment)
+        (1, 0, "AUTO"), (2, 0, "STEEL"),      # nation 0: two segments
+        (3, 1, "AUTO"),                       # nation 1: all-five customer
+        (4, 2, "FURN"),                       # nation 2: one priority
+    ]
+    orders = [
+        # (o_custkey, o_orderpriority)
+        (1, "1-URGENT"), (2, "1-URGENT"),     # same prio via BOTH segments
+        (2, "3-MEDIUM"),
+        (3, "1-URGENT"), (3, "2-HIGH"), (3, "3-MEDIUM"),
+        (3, "4-NOT SPECIFIED"), (3, "5-LOW"),
+        (4, "5-LOW"), (4, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_nationkey bigint, c_mktsegment string"
+    ).write.parquet(str(tmp_path) + "/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_custkey bigint, o_orderpriority string"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["bitmap_presence"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    nation = dict((ck, nk) for ck, nk, _s in cust)
+    bitmaps: dict[int, int] = {}
+    for ck, prio in orders:
+        bitmaps[nation[ck]] = bitmaps.get(nation[ck], 0) | (1 << int(prio[0]))
+    expect = {nk: (bm, bin(bm).count("1")) for nk, bm in bitmaps.items()}
+    got = {r.c_nationkey: (r.prio_bitmap, r.n_prios) for r in sdf.collect()}
+    assert got == expect
+    assert got[0] == ((1 << 1) | (1 << 3), 2)  # cross-segment prio once
+    assert got[1] == (62, 5)                   # bits 1..5 all set
+    assert got[2] == (32, 1)                   # dup orders, one bit
+
+
+def test_train_test_split_md5_bucket_boundaries_vs_python(spark, tmp_path):
+    """train_test_split forced boundaries: doc_ids sitting EXACTLY on
+    the md5-prefix cut points ('e5' is the last train bucket, 'e6' the
+    first val bucket, 'f2' the last val, 'f3' the first test — string
+    comparison is strict <), plus corner buckets '00' and 'ff'.  The
+    ids were searched offline so each boundary bucket is guaranteed
+    present.  Spark vs the registered DuckDB oracle vs Python."""
+    import hashlib
+    from collections import Counter
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    # md5(str(id))[:2]: 265->'e5' 572->'e6' 149->'f2' 241->'f3'
+    # 168->'00' 373->'ff' (precomputed; re-asserted below)
+    ids = [265, 572, 149, 241, 168, 373] + list(range(40))
+    docs = [(i, "en" if i % 3 else "de", 100 + i) for i in ids]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "n_chars": pa.array([d[2] for d in docs], pa.int64())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["train_test_split"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    def split_of(i):
+        b = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "train" if b < "e6" else ("val" if b < "f3" else "test")
+
+    # the searched ids really sit on the boundaries
+    assert [hashlib.md5(str(i).encode()).hexdigest()[:2]
+            for i in (265, 572, 149, 241, 168, 373)] == [
+        "e5", "e6", "f2", "f3", "00", "ff"]
+    assert split_of(265) == "train" and split_of(572) == "val"
+    assert split_of(149) == "val" and split_of(241) == "test"
+
+    tagged = [(split_of(i), lang, nc) for i, lang, nc in docs]
+    expect = sorted(
+        (s, n, sum(nc for s2, _l, nc in tagged if s2 == s),
+         len({l for s2, l, _nc in tagged if s2 == s}))
+        for s, n in Counter(s for s, _l, _nc in tagged).items()
+    )
+    assert sorted(srows) == expect
+    assert {r[0] for r in srows} == {"train", "val", "test"}
+
+
+def test_observed_clean_char_threshold_and_lang_filter(spark, tmp_path):
+    """observed_clean forced boundaries: n_chars exactly 120 is kept
+    (>=), 119 dropped, and a lang outside {en,de,fr} drops a long
+    document.  Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (1, "en", 120), (2, "en", 119), (3, "de", 5000),
+        (4, "zz", 5000), (5, "fr", 121), (6, "de", 0),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "n_chars": pa.array([d[2] for d in docs], pa.int64())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["observed_clean"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    assert sorted(srows) == [(1, "en", 120), (3, "de", 5000), (5, "fr", 121)]
