@@ -3786,3 +3786,151 @@ def test_observed_clean_char_threshold_and_lang_filter(spark, tmp_path):
     assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
     assert sset == oset
     assert sorted(srows) == [(1, "en", 120), (3, "de", 5000), (5, "fr", 121)]
+
+
+def test_quality_score_token_and_stopword_boundaries(spark, tmp_path):
+    """quality_score forced boundaries: exactly MIN_TOKENS (20) and
+    MAX_TOKENS (2000) are inside the length band, 19 and 2001 are out;
+    the stopword rule hits*10 >= n passes at exactly 2 stopwords in 20
+    tokens and fails at 1; quality lands on 0.0 / 0.5 / 1.0 exactly.
+    Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.functions.text import MAX_TOKENS, MIN_TOKENS, STOPWORDS
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    assert (MIN_TOKENS, MAX_TOKENS) == (20, 2000)
+    filler = "zzz"
+    assert filler not in STOPWORDS and "the" in STOPWORDS
+    docs = [
+        # exactly 20 tokens, exactly 2 stopwords: both rules pass
+        (1, " ".join(["the", "the"] + [filler] * 18)),
+        # exactly 20 tokens, 1 stopword: stopword rule fails (10 < 20)
+        (2, " ".join(["the"] + [filler] * 19)),
+        # 19 tokens, all stopwords: length fails, stopwords pass
+        (3, " ".join(["the"] * 19)),
+        # exactly 2000 tokens, 200 stopwords (exact 10%): both pass
+        (4, " ".join(["the"] * 200 + [filler] * 1800)),
+        # 2001 tokens: length fails
+        (5, " ".join(["the"] * 2001)),
+        # 19 filler tokens: both fail -> quality 0.0
+        (6, " ".join([filler] * 19)),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["quality_score"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {r.doc_id: (r.len_ok, r.stopword_ok, r.quality) for r in sdf.collect()}
+    assert got == {
+        1: (1, 1, 1.0),   # both boundaries exactly met
+        2: (1, 0, 0.5),   # 1 stopword in 20: 10 < 20
+        3: (0, 1, 0.5),   # 19 tokens: below MIN
+        4: (1, 1, 1.0),   # 2000 tokens, exact 10% stopwords
+        5: (0, 1, 0.5),   # 2001 tokens: above MAX
+        6: (0, 0, 0.0),
+    }
+
+
+def test_lang_id_tie_break_cascade_vs_python(spark, tmp_path):
+    """lang_id forced tie edges: the fixed argmax order en > es > de >
+    fr decides EVERY pairwise tie in cascade order — an en/es tie goes
+    'en', an es/de tie 'es', a de/fr tie 'de', fr wins only strictly,
+    and zero hits everywhere is 'unknown'.  Spark vs the registered
+    DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        # (doc_id, lang label [unused by pred], text)
+        (1, "xx", "the el"),        # en==es==1 -> en
+        (2, "xx", "el der"),        # es==de==1 -> es
+        (3, "xx", "der le"),        # de==fr==1 -> de
+        (4, "xx", "le"),            # only fr -> fr (via the else branch)
+        (5, "xx", "zzz qqq"),       # nothing -> unknown
+        (6, "xx", "the el el"),     # es strictly wins over en
+        (7, "xx", "le et les le"),  # fr dominates every other
+        (8, "xx", ""),              # empty text: [''] -> unknown
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "text": pa.array([d[2] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["lang_id"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.doc_id: r.pred_lang for r in sdf.collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr",
+                   5: "unknown", 6: "es", 7: "fr", 8: "unknown"}
+
+
+def test_fingerprint_multibyte_head_and_null_metadata(spark, tmp_path):
+    """fingerprint forced edges: the 64-char head boundary cut INSIDE a
+    multibyte region (substr counts CODEPOINTS in both engines, md5
+    then hashes the UTF-8 bytes), text shorter than 64 chars, and empty
+    text — all re-derived with hashlib.  Tier 2 pins a REAL divergence
+    that keeps NULL metadata outside the oracle's domain: Spark's
+    concat_ws skips a NULL lang AND its separator (md5 of 'src') while
+    DuckDB's concat keeps the ':' literal (md5 of ':src')."""
+    import hashlib
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    long_multi = "é" * 63 + "ö" + "tail after the cut"   # cut lands after ö
+    docs = [
+        # (doc_id, lang, source, text)
+        (1, "en", "web", long_multi),
+        (2, "de", "books", "short"),
+        (3, "fr", "web", ""),
+        (4, "", "web", "x" * 64),     # empty lang still joins with ':'
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "source": pa.array([d[2] for d in docs], pa.string()),
+                  "text": pa.array([d[3] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["fingerprint"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {r.doc_id: (r.fp_full, r.fp_head, r.fp_meta) for r in sdf.collect()}
+    assert got == {
+        d: (md5(t), md5(t[:64]), md5(f"{l}:{s}")) for d, l, s, t in docs
+    }
+    # the multibyte head really cut after codepoint 64 (the ö)
+    assert got[1][1] == md5("é" * 63 + "ö")
+
+    # tier 2: NULL metadata diverges between concat_ws and concat
+    ndf = spark.createDataFrame([(None, "src")], "lang string, source string")
+    sfp = ndf.select(F.md5(F.concat_ws(":", "lang", "source")).alias("m")).first().m
+    assert sfp == md5("src")              # separator dropped with the NULL
+    import duckdb as _dd
+
+    ofp = _dd.sql(
+        "SELECT md5(concat(NULL, ':', 'src'))"
+    ).fetchone()[0]
+    assert ofp == md5(":src")             # DuckDB keeps the ':' literal
