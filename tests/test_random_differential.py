@@ -3934,3 +3934,191 @@ def test_fingerprint_multibyte_head_and_null_metadata(spark, tmp_path):
         "SELECT md5(concat(NULL, ':', 'src'))"
     ).fetchone()[0]
     assert ofp == md5(":src")             # DuckDB keeps the ':' literal
+
+
+def test_token_count_bpe_segmentation_edges_vs_python(spark, tmp_path):
+    """token_count forced edges: empty text (whitespace split yields
+    one empty token but the BPE regex finds none — fertility 0), an
+    UPPERCASE run that the lowercase-only regex segments into
+    single-char punctuation-class matches, a glued letter/digit/punct
+    string with fertility 6, and a double space adding a phantom
+    whitespace token.  Spark vs the registered DuckDB oracle vs
+    Python's re module."""
+    import re
+
+    from dpu_olap_spark.llm.text_analysis import _BPE_RE
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (1, ""),             # ws=1 (['']), sub=0
+        (2, "a1b2!?"),       # a|1|b|2|!|? -> 6 subtokens in 1 word
+        (3, "ABC abc"),      # A,B,C single-char matches + 'abc'
+        (4, "a  b"),         # ['a','','b'] -> 3 ws tokens, 2 subtokens
+        (5, "12345"),        # one digit-run subtoken
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["token_count"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for did, text in docs:
+        ws = len(text.split(" "))
+        sub = len(re.findall(_BPE_RE, text))
+        expect[did] = (ws, sub, round(sub / ws, 4))
+    got = {r.doc_id: (r.n_ws_tokens, r.n_sub_tokens, r.fertility)
+           for r in sdf.collect()}
+    assert got == expect
+    assert got[1] == (1, 0, 0.0)
+    assert got[2] == (1, 6, 6.0)
+    assert got[3] == (2, 4, 2.0)      # uppercase chars segment singly
+    assert got[4] == (3, 2, 0.6667)
+
+
+def test_rolling_fingerprint_order_sensitivity_vs_python(spark, tmp_path):
+    """rolling_fingerprint forced edges: the SAME token multiset in two
+    different orders yields two DIFFERENT fingerprints (the property
+    the md5 set-fingerprints cannot see), empty text folds to 0, an
+    empty mid-token (double space) contributes code 0*256+0, a
+    multibyte first char uses its codepoint, and a 200-token document
+    wraps the modulus.  Spark vs the registered DuckDB oracle vs a
+    pure-Python fold."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "gamma beta alpha"),      # same tokens, reordered
+        (3, ""),                      # -> fp 0
+        (4, "a  b"),                  # empty token in the middle
+        (5, "élan start"),            # ord('é') = 233 leads
+        (6, " ".join(f"tok{i}" for i in range(200))),  # modulus wrap
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["rolling_fingerprint"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    def fold(text):
+        acc = 0
+        for t in text.split(" "):
+            code = (ord(t[0]) if t else 0) * 256 + len(t)
+            acc = (acc * 31 + code) % 1000000007
+        return acc
+
+    got = {r.doc_id: r.roll_fp for r in sdf.collect()}
+    assert got == {d: fold(t) for d, t in docs}
+    assert got[1] != got[2]          # order sensitivity actually held
+    assert got[3] == 0
+    # the 200-token doc really wrapped the modulus at least once
+    acc = 0
+    wrapped = False
+    for t in docs[5][1].split(" "):
+        raw = acc * 31 + (ord(t[0]) * 256 + len(t))
+        wrapped = wrapped or raw >= 1000000007
+        acc = raw % 1000000007
+    assert wrapped
+
+
+def test_text_clean_unicode_strip_and_collapse_vs_python(spark, tmp_path):
+    """text_clean forced edges: non-ASCII letters are OUTSIDE [a-z0-9 ]
+    and get stripped even after lowercasing ('Héllo' -> 'hllo'),
+    an all-punctuation document cleans to the empty string, runs of
+    spaces collapse, and leading/trailing space trims.  Spark vs the
+    registered DuckDB oracle vs Python's re module."""
+    import re
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (1, "Héllo,  Wörld!"),
+        (2, "!!! ??? ..."),
+        (3, "  spaced   out  "),
+        (4, "MiXeD123cAsE"),
+        (5, ""),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["text_clean"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    def clean(text):
+        s = re.sub("[^a-z0-9 ]", "", text.lower())
+        return re.sub(" +", " ", s).strip()
+
+    got = {r.doc_id: (r.cleaned, r.clean_len, r.removed) for r in sdf.collect()}
+    assert got == {
+        d: (clean(t), len(clean(t)), len(t) - len(clean(t))) for d, t in docs
+    }
+    assert got[1][0] == "hllo wrld"   # é/ö stripped AFTER lowercase
+    assert got[2][0] == "" and got[2][1] == 0
+    assert got[3][0] == "spaced out"
+    assert got[4][0] == "mixed123case"
+
+
+def test_token_positions_one_based_and_empty_tokens(spark, tmp_path):
+    """token_positions forced edges: positions are 1-BASED, a repeated
+    token keeps distinct positions, a double space injects an empty
+    token at its exact position, and empty text yields one row at
+    position 1 with the empty token.  Spark vs the registered DuckDB
+    oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (0, "to be or not to be"),    # 'to'/'be' repeat at distinct pos
+        (50, "a  b"),                 # empty token at pos 2
+        (100, ""),                    # one row: (1, '')
+        (7, "never seen"),            # fails doc_id % 50
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["token_positions"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = sorted(
+        (did, i, t)
+        for did, text in docs if did % 50 == 0
+        for i, t in enumerate(text.split(" "), start=1)
+    )
+    assert sorted(srows) == expect
+    assert (0, 1, "to") in srows and (0, 5, "to") in srows
+    assert (50, 2, "") in srows and (100, 1, "") in srows
