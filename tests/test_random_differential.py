@@ -4122,3 +4122,178 @@ def test_token_positions_one_based_and_empty_tokens(spark, tmp_path):
     assert sorted(srows) == expect
     assert (0, 1, "to") in srows and (0, 5, "to") in srows
     assert (50, 2, "") in srows and (100, 1, "") in srows
+
+
+def test_repetition_score_shingle_boundaries_vs_python(spark, tmp_path):
+    """repetition_score forced edges: a document with EXACTLY 3 tokens
+    (one trigram, rep_ratio 0), exactly 2 tokens (filtered OUT by the
+    >= NGRAM guard), an all-same-token document (every gram identical,
+    ratio (n-1)/n), and a half-repeated document.  Spark vs the
+    registered DuckDB oracle vs a pure-Python shingle walk."""
+    from dpu_olap_spark.llm.curation import _NGRAM
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    assert _NGRAM == 3
+    docs = [
+        (1, "en", "a b c"),                   # exactly 3 tokens: 1 gram
+        (2, "en", "a b"),                     # 2 tokens: filtered out
+        (3, "en", "x x x x x"),               # 3 identical grams of 3
+        (4, "en", "a b c a b c a b c"),       # cyclic repeats
+        (5, "en", "p q r s"),                 # 2 grams, both distinct
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "text": pa.array([d[2] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["repetition_score"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for did, lang, text in docs:
+        t = text.split(" ")
+        if len(t) < _NGRAM:
+            continue
+        gs = [" ".join(t[i:i + _NGRAM]) for i in range(len(t) - _NGRAM + 1)]
+        expect[did] = (lang, len(gs), len(set(gs)),
+                       round(1.0 - len(set(gs)) / len(gs), 6))
+    got = {r.doc_id: (r.lang, r.n_grams, r.n_distinct, r.rep_ratio)
+           for r in sdf.collect()}
+    assert got == expect
+    assert 2 not in got                       # below-NGRAM doc filtered
+    assert got[1] == ("en", 1, 1, 0.0)
+    assert got[3] == ("en", 3, 1, round(2 / 3, 6))
+    assert got[4] == ("en", 7, 3, round(4 / 7, 6))
+
+
+def test_text_stats_empty_and_phantom_tokens_vs_python(spark, tmp_path):
+    """text_stats forced edges: empty text (the whitespace split still
+    yields ONE empty token, so ratios divide by 1 not 0), double-space
+    phantom tokens deflating avg_token_len, an all-stopword document
+    (ratio exactly 1.0), and multibyte chars counted as single
+    codepoints.  Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.functions.text import STOPWORDS
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        # (doc_id, lang, n_chars, text)
+        (1, "en", 0, ""),
+        (2, "en", 4, "a  b"),                 # phantom middle token
+        (3, "en", 10, "the and is"),          # 3/3 stopwords
+        (4, "fr", 5, "héllo"),                # 5 codepoints, 0 stopwords
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "lang": pa.array([d[1] for d in docs], pa.string()),
+                  "n_chars": pa.array([d[2] for d in docs], pa.int64()),
+                  "text": pa.array([d[3] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["text_stats"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = {}
+    for did, lang, nc, text in docs:
+        toks = text.split(" ")
+        nonspace = len(text.replace(" ", ""))
+        sw = sum(1 for t in toks if t in STOPWORDS)
+        expect[did] = (lang, len(toks), len(text), nc, nonspace,
+                       round(nonspace / len(toks), 4), sw,
+                       round(sw / len(toks), 4))
+    got = {r.doc_id: (r.lang, r.n_tokens, r.text_len, r.n_chars,
+                      r.n_nonspace, r.avg_token_len, r.n_stopwords,
+                      r.stopword_ratio) for r in sdf.collect()}
+    assert got == expect
+    assert got[1][1] == 1 and got[1][5] == 0.0   # [''] divides by 1
+    assert got[2][1] == 3 and got[2][5] == round(2 / 3, 4)
+    assert got[3][7] == 1.0                      # all-stopword ratio
+    assert got[4][2] == 5                        # codepoint length
+
+
+def test_token_hist_tie_at_top50_cut_vs_python(spark, tmp_path):
+    """token_hist forced edge: sixty singleton tokens tie at the
+    rank-50 cut behind three frequent tokens — token ASC alone decides
+    which 47 singletons survive.  Spark vs the registered DuckDB
+    oracle vs Python."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    frequent = ["aaa"] * 5 + ["bbb"] * 4 + ["ccc"] * 3
+    singles = [f"s{i:02d}" for i in range(60)]      # s00..s59, one each
+    corpus = frequent + singles
+    docs = [(i, " ".join(corpus[i::7])) for i in range(7)]  # spread over docs
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["token_hist"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    counts = Counter(corpus)
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(srows, key=lambda r: (-r[1], r[0])) == expect
+    # the tie straddles the cut: 47 singletons kept, 13 dropped by name
+    kept = {t for t, _n in srows if t.startswith("s")}
+    assert kept == {f"s{i:02d}" for i in range(47)}
+
+
+def test_date_funcs_timestamp_filter_boundary(spark, tmp_path):
+    """date_funcs forced boundary: an order at EXACTLY 1997-01-01
+    00:00:00 passes the >= filter, one microsecond earlier does not;
+    year/month/day extraction and month truncation pin New Year's
+    midnight and a month's last microsecond.  Spark vs the registered
+    DuckDB oracle."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    CUT = datetime(1997, 1, 1)
+    rows = [
+        (1, CUT),                                     # exactly at the cut
+        (2, CUT - timedelta(microseconds=1)),         # 1 us early: dropped
+        (3, datetime(1997, 3, 31, 23, 59, 59, 999999)),  # month's last us
+        (4, datetime(1998, 12, 31, 23, 59, 59)),      # year end
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["date_funcs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {r.o_orderkey: (r.order_year, r.order_month, r.order_day,
+                          r.month_start) for r in sdf.collect()}
+    assert 2 not in got and len(got) == 3
+    assert got[1] == (1997, 1, 1, CUT)
+    assert got[3] == (1997, 3, 31, datetime(1997, 3, 1))
+    assert got[4] == (1998, 12, 31, datetime(1998, 12, 1))
