@@ -4297,3 +4297,149 @@ def test_date_funcs_timestamp_filter_boundary(spark, tmp_path):
     assert got[1] == (1997, 1, 1, CUT)
     assert got[3] == (1997, 3, 31, datetime(1997, 3, 1))
     assert got[4] == (1998, 12, 31, datetime(1998, 12, 1))
+
+
+def test_param_sql_date_range_boundaries(spark, tmp_path):
+    """param_sql forced boundaries: an order at EXACTLY the :start
+    parameter (1995-01-01 00:00:00) is included by >=, one at EXACTLY
+    :end (1996-01-01) is excluded by <, and the last microsecond of
+    1995 is included — the bound parameters must behave like inlined
+    literals.  Spark vs the registered DuckDB oracle."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    S, E = datetime(1995, 1, 1), datetime(1996, 1, 1)
+    rows = [
+        (1, "1-URGENT", S, 10.25),
+        (2, "1-URGENT", E, 999.0),                      # AT :end: out
+        (3, "2-HIGH", E - timedelta(microseconds=1), 5.50),
+        (4, "2-HIGH", S - timedelta(microseconds=1), 777.0),  # before: out
+        (5, "3-MEDIUM", datetime(1995, 7, 4), 2.75),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderpriority string, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["param_sql"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_orderpriority: (r.n_orders, r.sum_cents) for r in sdf.collect()}
+    assert got == {
+        "1-URGENT": (1, 1025),    # only the AT-:start row
+        "2-HIGH": (1, 550),       # only the last-us-of-1995 row
+        "3-MEDIUM": (1, 275),
+    }
+
+
+def test_identifier_sql_group_by_all_with_null_status(spark, tmp_path):
+    """identifier_sql forced edge: GROUP BY ALL over a status column
+    containing NULL — the NULL statuses form their own group through
+    the IDENTIFIER()-bound relation, exactly as through a literal
+    table name.  Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        (1, "O", 1.25), (2, "O", 2.50), (3, None, 4.75),
+        (4, None, 8.25), (5, "F", 16.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["identifier_sql"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_orderstatus: (r.n_orders, r.sum_cents) for r in sdf.collect()}
+    assert got == {"O": (2, 375), None: (2, 1300), "F": (1, 1600)}
+
+
+def test_pipe_sql_having_boundary_and_floored_average(spark, tmp_path):
+    """pipe_sql forced edges: a segment with EXACTLY 6 open orders
+    survives the post-aggregation WHERE n > 5 while one with exactly 5
+    is cut; a NULL market segment with enough orders forms its own
+    surviving group; the EXTEND's floored average is forced onto a
+    .5-cent value (275/2 -> 137).  Spark vs the registered DuckDB
+    oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    cust = [(1, "AUTO"), (2, "STEEL"), (3, None)]
+    orders = []
+    k = 0
+    # AUTO: exactly 6 open orders, cents 125 + 150 + 4x100 -> avg 112.5
+    for p in (1.25, 1.50, 1.0, 1.0, 1.0, 1.0):
+        orders.append((k, 1, "O", p)); k += 1
+    # STEEL: exactly 5 open orders -> cut by n > 5
+    for _ in range(5):
+        orders.append((k, 2, "O", 9.99)); k += 1
+    # NULL segment: 7 open orders + one non-open that must not count
+    for _ in range(7):
+        orders.append((k, 3, "O", 2.0)); k += 1
+    orders.append((k, 3, "F", 1000.0)); k += 1
+    spark.createDataFrame(cust, "c_custkey bigint, c_mktsegment string").write.parquet(
+        str(tmp_path) + "/customer.parquet"
+    )
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["pipe_sql"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.c_mktsegment: (r.n_orders, r.sum_cents, r.avg_cents)
+           for r in sdf.collect()}
+    assert got == {
+        "AUTO": (6, 675, 112),   # 675/6 = 112.5 floors to 112
+        None: (7, 1400, 200),
+    }
+    assert "STEEL" not in got    # exactly 5 fails n > 5
+
+
+def test_sql_udf_inlined_expression_edges(spark, tmp_path):
+    """sql_udf forced value edges through the Catalyst-inlined SQL
+    function: zero, negative, and large prices through p*0.9 + 50
+    (all binary-exact multiples of 0.25 times 0.9 stay exact in
+    float64 well below 2**53 — asserted against Python), and the 'F'
+    status filter.  Spark vs the registered DuckDB oracle."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        (1, "F", 0.0),            # -> 50.0
+        (2, "F", -100.0),         # -> -40.0
+        (3, "F", 1000000.0),      # -> 900050.0
+        (4, "O", 77.0),           # filtered
+        (5, "F", 0.25),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["sql_udf"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_orderkey: r.discounted for r in sdf.collect()}
+    assert got == {k: p * 0.9 + 50.0 for k, s, p in rows if s == "F"}
+    assert got[1] == 50.0 and got[2] == -40.0 and 4 not in got
