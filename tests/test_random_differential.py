@@ -4443,3 +4443,152 @@ def test_sql_udf_inlined_expression_edges(spark, tmp_path):
     got = {r.o_orderkey: r.discounted for r in sdf.collect()}
     assert got == {k: p * 0.9 + 50.0 for k, s, p in rows if s == "F"}
     assert got[1] == 50.0 and got[2] == -40.0 and 4 not in got
+
+
+def test_cogroup_asof_same_day_and_no_prior_order(spark, tmp_path):
+    """cogroup_asof forced edges: an event the SAME DAY as an order is
+    attributed to it (backward as-of is <=), an event BEFORE any order
+    keeps a NULL epoch, duplicate order dates dedupe (merge_asof's
+    last-match equals the oracle's max), and a user with no orders at
+    all stays all-NULL.  Spark (cogrouped applyInPandas) vs the
+    registered DuckDB oracle vs Python."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    D1, D2 = datetime(2024, 3, 1), datetime(2024, 3, 10)
+    events = [
+        # (user_id, ts)
+        (50, datetime(2024, 3, 1, 8)),      # SAME day as order D1
+        (50, datetime(2024, 2, 28, 9)),     # before any order: NULL
+        (50, datetime(2024, 3, 15, 10)),    # after D2
+        (50, datetime(2024, 3, 15, 11)),    # same epoch, second event
+        (100, datetime(2024, 1, 1)),        # user with NO orders
+        (51, datetime(2024, 3, 2)),         # fails user_id % 50
+    ]
+    orders = [
+        (50, D1), (50, D2), (50, D2),       # duplicate order date
+        (150, datetime(2024, 1, 1)),        # order-only user: absent
+    ]
+    spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+    spark.createDataFrame(
+        [(i, u, d) for i, (u, d) in enumerate(orders)],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+    q = all_queries()["cogroup_asof"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {(r.user_id, r.epoch_date): r.n_events for r in sdf.collect()}
+    assert got == {
+        (50, D1.date()): 1,     # same-day attribution
+        (50, None): 1,          # pre-order event
+        (50, D2.date()): 2,     # two events on the deduped epoch
+        (100, None): 1,         # no orders at all
+    }
+
+
+def test_dedup_keep_best_synthesized_clones_and_singletons(spark, tmp_path):
+    """dedup_keep_best forced edges: the corpus synthesizes a clone
+    (-id-1) for every doc_id % 10 == 0, so doc 10 forms a 2-member
+    cluster with its clone -11 (equal token counts — the doc_id ASC
+    tie-break elects -11), two SAME-TEXT originals 20 and 30 merge with
+    their clones into one 4-member cluster, and a unique doc stays a
+    singleton electing itself.  Spark vs the registered DuckDB
+    recursive-CTE oracle vs Python expectations."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (10, "alpha beta gamma delta epsilon"),
+        (20, "one two three four five six"),
+        (30, "one two three four five six"),     # same text as 20
+        (3, "lonely unique text with tokens"),   # singleton, no clone
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["dedup_keep_best"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    got = {r.cluster_id: (r.kept_doc, r.kept_tokens, r.n_members)
+           for r in sdf.collect()}
+    # doc 10 + clone -11: tie on 5 tokens -> lowest doc_id (-11) kept
+    assert got[-11] == (-11, 5, 2)
+    # docs 20, 30 and clones -21, -31 share one text -> one 4-cluster
+    assert got[-31] == (-31, 6, 4)
+    # unique doc 3 is its own cluster
+    assert got[3] == (3, 5, 1)
+    assert len(got) == 3
+
+
+def test_vector_stats_norms_and_empty_vector_divergence(spark, tmp_path):
+    """vector_stats forced edges: per-label min/max dims and norms on
+    binary-exact quarter values (a 3-4-0 vector has norm exactly 5),
+    single-vector labels.  Tier 2 pins the domain restriction found by
+    construction: an EMPTY embedding vanishes from the oracle's unnest
+    entirely (changing n_vecs) while Spark's fold-based norm keeps the
+    vector with norm 0 — so empty embeddings are outside the oracle's
+    domain (the testdata has none)."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    vecs = [
+        (1, "a", [3.0, 4.0, 0.0]),        # norm exactly 5
+        (2, "a", [1.0, 0.0, 0.0]),        # norm 1 -> label-a min
+        (3, "b", [0.25, 0.25]),           # 2 dims, norm sqrt(0.125)
+    ]
+    pq.write_table(
+        pa.table({"vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                  "label": pa.array([v[1] for v in vecs], pa.string()),
+                  "embedding": pa.array([v[2] for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path) + "/embeddings.parquet",
+    )
+    q = all_queries()["vector_stats"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.label: (r.n_vecs, r.min_dims, r.max_dims, r.min_norm, r.max_norm)
+           for r in sdf.collect()}
+    assert got == {
+        "a": (2, 3, 3, 1.0, 5.0),
+        "b": (1, 2, 2, round(0.125 ** 0.5, 4), round(0.125 ** 0.5, 4)),
+    }
+
+    # tier 2: an empty embedding diverges — Spark keeps it (norm 0),
+    # DuckDB's unnest drops the vector from the count entirely
+    d2 = str(tmp_path) + "_empty"
+    os.makedirs(d2, exist_ok=True)
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                  "label": pa.array(["a", "a"], pa.string()),
+                  "embedding": pa.array([[1.0], []], pa.list_(pa.float32()))}),
+        d2 + "/embeddings.parquet",
+    )
+    s2 = {r.label: r.n_vecs
+          for r in all_queries()["vector_stats"].build(spark, d2).collect()}
+    o2, _ = _oracle_on_tmp(q.oracle, d2)
+    assert s2 == {"a": 2}                       # Spark counts the empty vec
+    assert [(r[0], r[1]) for r in o2] == [("a", 1)]  # the oracle loses it
