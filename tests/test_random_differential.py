@@ -4592,3 +4592,145 @@ def test_vector_stats_norms_and_empty_vector_divergence(spark, tmp_path):
     o2, _ = _oracle_on_tmp(q.oracle, d2)
     assert s2 == {"a": 2}                       # Spark counts the empty vec
     assert [(r[0], r[1]) for r in o2] == [("a", 1)]  # the oracle loses it
+
+
+def test_pandas_udf_demo_value_edges(spark, tmp_path):
+    """pandas_udf_demo forced value edges through the Arrow-batched
+    scalar UDF (p*3+1)/7: zero, negative, and large prices (exact IEEE
+    agreement with the oracle's inline expression and Python), plus
+    the o_orderkey % 5 filter boundary.  Spark vs the registered
+    DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        (0, 0.0), (5, -700.0), (10, 0.25), (15, 1e12), (3, 999.0),
+    ]
+    spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double").write.parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+    q = all_queries()["pandas_udf_demo"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.o_orderkey: r.poly_score for r in sdf.collect()}
+    assert got == {k: (p * 3.0 + 1.0) / 7.0 for k, p in rows if k % 5 == 0}
+    assert 3 not in got and got[0] == 1.0 / 7.0
+
+
+def test_arrow_udf_ship_month_boundaries_and_full_discount(spark, tmp_path):
+    """arrow_udf forced edges: shipments exactly AT the month's start
+    are included (>=), exactly at the next month's start excluded (<);
+    a 100% discount zeroes its revenue and a 0% discount passes the
+    price through — all through the Arrow-batched per-row UDF, summed
+    in exact DECIMAL.  Spark vs the registered DuckDB oracle vs
+    Python."""
+    from datetime import datetime, timedelta
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    S, E = datetime(1995, 6, 1), datetime(1995, 7, 1)
+    rows = [
+        # (l_orderkey, l_extendedprice, l_discount, l_shipdate)
+        (1, 100.25, 0.0, S),                          # at start, no discount
+        (1, 200.50, 1.0, S + timedelta(days=10)),     # 100% discount -> 0
+        (2, 400.75, 0.5, E - timedelta(microseconds=1)),
+        (3, 999.00, 0.25, E),                         # at end: excluded
+        (4, 777.00, 0.25, S - timedelta(days=1)),     # before: excluded
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double, l_discount double, "
+              "l_shipdate timestamp"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    q = all_queries()["arrow_udf"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.l_orderkey: r.revenue for r in sdf.collect()}
+    assert got == {1: 100.25, 2: 200.375}
+    assert 3 not in got and 4 not in got
+
+
+def test_pandas_udaf_rms_singleton_and_negative_cents(spark, tmp_path):
+    """pandas_udaf forced edges: a SINGLE-event group (RMS equals the
+    absolute cent value), a zero-value event, and negative values whose
+    cents square positive — the grouped-agg pandas UDF must agree
+    bit-for-bit with the oracle's int64 sum-of-squares path.  Spark vs
+    the registered DuckDB oracle vs Python."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        ("click", 3.0), ("click", -4.0),     # cents 300, -400
+        ("error", 0.0),                      # singleton zero: rms 0
+        ("view", 1.25),                      # singleton: rms == 125
+    ]
+    spark.createDataFrame(
+        [(i, t, v) for i, (t, v) in enumerate(rows)],
+        "event_id bigint, event_type string, value double",
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+    q = all_queries()["pandas_udaf"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    import collections
+
+    groups = collections.defaultdict(list)
+    for t, v in rows:
+        groups[t].append(round(v * 100))
+    expect = {
+        t: (math.sqrt(sum(c * c for c in cs) / len(cs)), len(cs))
+        for t, cs in groups.items()
+    }
+    got = {r.event_type: (r.rms_cents, r.n_events) for r in sdf.collect()}
+    assert got == expect
+    assert got["error"] == (0.0, 1) and got["view"] == (125.0, 1)
+    assert got["click"] == (math.sqrt((300 * 300 + 400 * 400) / 2), 2)
+
+
+def test_map_in_arrow_quantity_boundary_and_zero_rates(spark, tmp_path):
+    """map_in_arrow forced edges: quantity EXACTLY 25 is excluded by
+    the strict <, 24.75 included; zero discount and zero tax pass the
+    price through; a discount/tax pair exercises the fixed IEEE
+    multiply order.  Spark (pyarrow compute kernels) vs the registered
+    DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [
+        # (l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax)
+        ("A", 24.75, 100.0, 0.0, 0.0),    # passthrough charge 100
+        ("A", 25.0, 999.0, 0.5, 0.5),     # AT the bound: excluded
+        ("B", 1.0, 200.0, 0.25, 0.5),     # 200*0.75*1.5 = 225
+        ("B", 24.0, 400.0, 1.0, 0.25),    # full discount: charge 0
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+    q = all_queries()["map_in_arrow"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    got = {r.l_returnflag: (r.sum_charge, r.n_items) for r in sdf.collect()}
+    assert got == {"A": (100.0, 1), "B": (225.0, 2)}
