@@ -4734,3 +4734,150 @@ def test_map_in_arrow_quantity_boundary_and_zero_rates(spark, tmp_path):
     assert sset == oset
     got = {r.l_returnflag: (r.sum_charge, r.n_items) for r in sdf.collect()}
     assert got == {"A": (100.0, 1), "B": (225.0, 2)}
+
+
+def test_bigram_lm_single_token_and_self_bigrams_vs_python(spark, tmp_path):
+    """bigram_lm forced edges: a single-token document contributes NO
+    bigrams (the >= 2 guard), a repeated-token document produces
+    self-bigrams ('x x'), and the conditional probabilities p(w2|w1)
+    split exactly (1/3, 2/3) across a forced three-way conditioning
+    count.  Spark (zip-with-tail, no self-join) vs the registered
+    DuckDB oracle vs Python."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (1, "a b a b"),       # bigrams: a-b, b-a, a-b
+        (2, "solo"),          # no bigrams
+        (3, "x x x"),         # self-bigrams x-x twice
+        (4, "a c"),           # a conditions on b twice, c once
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["bigram_lm"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    bigrams = Counter()
+    for _d, text in docs:
+        t = text.split(" ")
+        bigrams.update(zip(t, t[1:]))
+    w1_tot = Counter()
+    for (w1, _w2), n in bigrams.items():
+        w1_tot[w1] += n
+    expect = {
+        (w1, w2): (n, w1_tot[w1], round(n / w1_tot[w1], 6))
+        for (w1, w2), n in bigrams.items()
+    }
+    got = {(r.w1, r.w2): (r.n_bigram, r.n_w1, r.p) for r in sdf.collect()}
+    assert got == expect
+    assert got[("x", "x")] == (2, 2, 1.0)        # self-bigram, certain
+    assert got[("a", "b")] == (2, 3, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, 3, round(1 / 3, 6))
+    assert not any(w1 == "solo" for w1, _ in got)
+
+
+def test_vocab_coverage_cumulative_share_ties_vs_python(spark, tmp_path):
+    """vocab_coverage forced edges: frequency ties resolved by token
+    ASC define the cumulative order (so cum_share is only correct if
+    BOTH engines walk the tie identically), and the final cumulative
+    share reaches exactly 1.0 when the vocabulary fits inside the
+    top-30 cut.  Spark vs the registered DuckDB oracle vs Python."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    corpus = ["top"] * 6 + ["mid1"] * 3 + ["mid2"] * 3 + ["tailb"] * 1 + ["taila"] * 1
+    docs = [(i, " ".join(corpus[i::3])) for i in range(3)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["vocab_coverage"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    counts = Counter(corpus)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cum, expect = 0, []
+    for rank, (tok, n) in enumerate(ranked[:30], start=1):
+        cum += n
+        expect.append((rank, tok, n, round(cum / total, 6)))
+    assert sorted(srows) == expect
+    # ties actually exercised: mid1 before mid2, taila before tailb
+    order = [t for _r, t, _n, _c in sorted(srows)]
+    assert order == ["top", "mid1", "mid2", "taila", "tailb"]
+    assert sorted(srows)[-1][3] == 1.0           # full coverage at the tail
+
+
+def test_embedding_quantize_flat_vector_and_rounding_vs_python(spark, tmp_path):
+    """embedding_quantize forced edges: a FLAT vector (vmax == vmin)
+    takes the all-zero-codes branch instead of dividing by zero, the
+    min and max elements land exactly on codes 0 and 255, and a
+    midpoint value hits the floor(+0.5) rounding on an exact .5
+    (sum asserted via Python).  Spark vs the registered DuckDB oracle
+    vs a hashlib/md5 recomputation."""
+    import hashlib
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    vecs = [
+        (1, [2.0, 2.0, 2.0]),          # flat: all codes 0
+        (2, [0.0, 1.0, 0.5]),          # 0 -> 0, 1 -> 255, 0.5 -> 128
+        (3, [-1.0, 1.0]),              # min/max at the ends
+    ]
+    pq.write_table(
+        pa.table({"vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                  "embedding": pa.array([v[1] for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path) + "/embeddings.parquet",
+    )
+    q = all_queries()["embedding_quantize"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    import math
+
+    expect = {}
+    for vid, v in vecs:
+        vmin, vmax = min(v), max(v)
+        if vmax > vmin:
+            cs = [int(math.floor((x - vmin) / (vmax - vmin) * 255 + 0.5))
+                  for x in v]
+        else:
+            cs = [0] * len(v)
+        expect[vid] = (
+            len(v), vmin, vmax,
+            hashlib.md5(",".join(map(str, cs)).encode()).hexdigest(),
+            sum(cs),
+        )
+    got = {r.vec_id: (r.n_dims, r.vmin, r.vmax, r.codes_fp, r.sum_codes)
+           for r in sdf.collect()}
+    assert got == expect
+    assert got[1][4] == 0                      # flat vector: all zeros
+    assert got[2][4] == 0 + 255 + 128          # exact .5 rounds UP via +0.5
+    assert got[3][4] == 0 + 255
