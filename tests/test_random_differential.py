@@ -4881,3 +4881,114 @@ def test_embedding_quantize_flat_vector_and_rounding_vs_python(spark, tmp_path):
     assert got[1][4] == 0                      # flat vector: all zeros
     assert got[2][4] == 0 + 255 + 128          # exact .5 rounds UP via +0.5
     assert got[3][4] == 0 + 255
+
+
+def test_udtf_word_runs_run_boundaries_vs_python(spark, tmp_path):
+    """udtf_word_runs forced edges: a whole-document single run, an
+    alternating sequence (every run length 1), the SAME word restarting
+    a new run after a gap, a run ending at the document's last token,
+    and empty text (one run of the empty token).  Spark (Python UDTF)
+    vs the registered window-based DuckDB oracle vs a pure-Python
+    run-length encoder."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    docs = [
+        (0, "x x x x"),           # one run of 4
+        (20, "a b a b"),          # four runs of 1
+        (40, "w w y w w w"),      # 'w' runs twice, separated
+        (60, ""),                 # one run: the empty token
+        (7, "skip me"),           # fails doc_id % 20
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path) + "/documents.parquet",
+    )
+    q = all_queries()["udtf_word_runs"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = []
+    for did, text in docs:
+        if did % 20:
+            continue
+        toks = text.split(" ")
+        start = 0
+        for i in range(1, len(toks) + 1):
+            if i == len(toks) or toks[i] != toks[start]:
+                expect.append((did, toks[start], i - start, start))
+                start = i
+    assert sorted(srows, key=repr) == sorted(expect, key=repr)
+    assert (0, "x", 4, 0) in srows                 # whole-doc run
+    assert [r for r in srows if r[0] == 20] and all(
+        r[2] == 1 for r in srows if r[0] == 20)    # alternation
+    runs_w = sorted(r for r in srows if r[0] == 40 and r[1] == "w")
+    assert [(r[2], r[3]) for r in runs_w] == [(2, 0), (3, 3)]  # split runs
+    assert (60, "", 1, 0) in srows                 # empty-token run
+
+
+def test_take_index_vector_short_table(spark, tmp_path):
+    """take forced edge: a customer table SMALLER than the index
+    vector's modulus — take positions whose target row number does not
+    exist drop out of the inner gather in BOTH engines (the reference's
+    out[i] = buffer[indices[i]] is only defined for in-range indices;
+    the oracle's JOIN USING(rn) encodes the same contract).  Spark vs
+    the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    n_cust = 50  # < _TAKE_BASE = 150: most gather positions miss
+    cust = [(k, f"name{k:03d}", k * 0.25) for k in range(n_cust)]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_name string, c_acctbal double"
+    ).write.parquet(str(tmp_path) + "/customer.parquet")
+    q = all_queries()["take"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+    expect = sorted(
+        (i, rn, f"name{rn:03d}", rn * 0.25)
+        for i in range(64)
+        for rn in [(i * 37) % 150]
+        if rn < n_cust
+    )
+    assert sorted(srows) == expect
+    assert 0 < len(srows) < 64            # some positions hit, some missed
+
+
+def test_partition_conservation_negative_keys(spark, tmp_path):
+    """partition forced edge: negative and zero keys through the hash
+    repartition — the conservation invariants (row count, key sum,
+    exact decimal quantity sum) must survive the shuffle regardless of
+    key sign, mirroring the reference's column-sum conservation test.
+    Spark vs the registered DuckDB oracle vs Python."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rows = [(k, q) for k, q in zip(
+        [-(10 ** 12), -7, 0, 0, 3, 10 ** 12],
+        [0.25, 1.50, 99.75, 0.0, 7.25, 3.50],
+    )]
+    spark.createDataFrame(rows, "l_orderkey bigint, l_quantity double").write.parquet(
+        str(tmp_path) + "/lineitem.parquet"
+    )
+    q = all_queries()["partition"]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols_s = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    assert srows == [(6, -7 + 0 + 0 + 3, round(sum(r[1] for r in rows), 2))]
