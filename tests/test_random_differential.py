@@ -4992,3 +4992,185 @@ def test_partition_conservation_negative_keys(spark, tmp_path):
     assert [c.lower() for c in scols_s] == [c.lower() for c in ocols_s]
     assert sset == oset
     assert srows == [(6, -7 + 0 + 0 + 3, round(sum(r[1] for r in rows), 2))]
+
+
+def test_minhash_pipeline_randomized_vs_pure_python(spark, tmp_path):
+    """Full MinHash pipeline differential — signatures -> band keys ->
+    LSH candidate pairs -> exact 3-gram Jaccard — replicated in pure
+    Python (hashlib.md5 + XOR lanes, the identical hash path as
+    functions/text.py base_hash60/lane_constants), three-way against
+    the registered DuckDB oracles. FORCES: the 2-token doc excluded by
+    the size>=3 shingle guard, the exactly-3-token doc carrying ONE
+    shingle, the %10==0 augmentation boundary at doc_id 0 (rekey
+    -0-1 = -1, jaccard exactly 1.0 through all 16 bands), a
+    7-of-9-shingle near-dup the replication attests collides in >=1
+    band, and a token-disjoint doc colliding in none."""
+    import hashlib
+    import math
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rng = random.Random(151)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        2: "one two",
+        3: "red green blue",
+        4: "zz1 zz2 zz3 zz4 zz5",
+    }
+    for i in range(5, 15):
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+    rows = [(i, t, "en", "web") for i, t in sorted(docs.items())]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    # --- pure-Python replication -------------------------------------
+    lanes_c = [(i * 0x9E3779B97F4A7C15) % (1 << 60) for i in range(64)]
+
+    def base60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    corpus = dict(docs)
+    for i, t in docs.items():
+        if i % 10 == 0:
+            corpus[-i - 1] = t  # augmentation rekey (dedup.py _CORPUS_SQL)
+    sh_of: dict[int, list[str]] = {}
+    for i, t in corpus.items():
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            sh_of[i] = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+    assert 2 not in sh_of  # 2-token doc excluded by the shingle guard
+    assert len(sh_of[3]) == 1  # exactly-3-token doc: ONE shingle
+    sig = {
+        i: [min(base60(s) ^ c for s in shs) for c in lanes_c]
+        for i, shs in sh_of.items()
+    }
+    exp_sig = {(i, s, mh) for i, mhs in sig.items() for s, mh in enumerate(mhs)}
+    bands = {
+        i: [
+            hashlib.md5(
+                ",".join(str(mhs[b * 4 + r]) for r in range(4)).encode()
+            ).hexdigest()
+            for b in range(16)
+        ]
+        for i, mhs in sig.items()
+    }
+    ids = sorted(bands)
+    exp_pairs = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if any(bands[a][k] == bands[b][k] for k in range(16)):
+                exp_pairs.add((a, b))
+    # forced edges, attested from the replication itself
+    assert (-1, 0) in exp_pairs  # identical augmented pair, all bands
+    assert all(bands[-1][k] == bands[0][k] for k in range(16))
+    assert (0, 1) in exp_pairs  # 7-of-9-shingle near-dup collides
+    assert not any(4 in p for p in exp_pairs)  # disjoint doc: no bands
+    exp_jac = {}
+    for a, b in exp_pairs:
+        sa, sb = set(sh_of[a]), set(sh_of[b])
+        j = len(sa & sb) / len(sa | sb)
+        exp_jac[(a, b)] = math.floor(j * 1e4 + 0.5) / 1e4
+    assert exp_jac[(-1, 0)] == 1.0
+    assert exp_jac[(0, 1)] == math.floor(7 / 9 * 1e4 + 0.5) / 1e4
+
+    # --- Spark vs replication vs registered DuckDB oracle -------------
+    qs = all_queries()
+    got_sig = {
+        (r.doc_id, r.seed, r.minhash)
+        for r in qs["minhash_signatures"].build(spark, str(tmp_path)).collect()
+    }
+    assert got_sig == exp_sig
+    got_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in qs["dedup_minhash_pairs"].build(spark, str(tmp_path)).collect()
+    }
+    assert got_pairs == exp_pairs
+    jdf = qs["dedup_jaccard"].build(spark, str(tmp_path))
+    got_jac = {(r.doc_a, r.doc_b): r.jaccard for r in jdf.collect()}
+    assert got_jac == exp_jac
+    for name in ("minhash_signatures", "dedup_minhash_pairs", "dedup_jaccard"):
+        sdf = qs[name].build(spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        orows, ocols = _oracle_on_tmp(qs[name].oracle, str(tmp_path))
+        sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+        oset, ocols_s = _rows_to_multiset(orows, ocols)
+        assert [c.lower() for c in scols] == [c.lower() for c in ocols_s], name
+        assert sset == oset, name
+
+
+def test_tfidf_top_terms_randomized_tie_straddles_cut(spark, tmp_path):
+    """TF-IDF differential FORCING a six-way exact score tie that
+    straddles the top-5 cut (tokens with identical tf AND identical
+    df tie bit-for-bit; token-ASC alone picks which three survive
+    behind the two df=1 tokens), an idf=0 token present in EVERY doc
+    (zero-score row still returned when the doc has <5 distinct
+    tokens), and a 2-distinct-token doc returning all its rows.
+    Expected rows from a pure-Python replication of the
+    round-inside-then-round-outside formula; three-way vs the
+    registered DuckDB oracle."""
+    import math
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rng = random.Random(157)
+    fillers = [f"f{i}" for i in range(12)]
+    docs = {0: "uniq1 uniq2 s1 s2 s3 s4 s5 s6 com"}
+    for i in range(1, 7):
+        extra = " ".join(rng.choice(fillers) for _ in range(rng.randint(2, 6)))
+        docs[i] = f"com s{i} {extra}"
+    docs[7] = "com dup dup"
+    rows = [(i, t, "en", "web") for i, t in sorted(docs.items())]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    # --- pure-Python replication -------------------------------------
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    tf: dict[tuple[int, str], int] = {}
+    dfc: dict[str, set] = {}
+    for i, t in docs.items():
+        for w in t.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+            dfc.setdefault(w, set()).add(i)
+    n_docs = len(docs)
+    assert len(dfc["com"]) == n_docs  # idf = ln(1) = 0 forced
+    scored: dict[int, list[tuple[float, str]]] = {}
+    for (i, w), f in tf.items():
+        score = r6(f * r6(math.log(n_docs / len(dfc[w]))))
+        scored.setdefault(i, []).append((score, w))
+    expect = set()
+    for i, entries in scored.items():
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        for s, w in entries[:5]:
+            expect.add((i, w, s))
+    # forced-edge attestations on the replication
+    probe = sorted(scored[0], key=lambda e: (-e[0], e[1]))
+    assert {w for _, w in probe[:2]} == {"uniq1", "uniq2"}
+    tie = [w for s, w in probe if s == probe[2][0]]
+    assert tie == ["s1", "s2", "s3", "s4", "s5", "s6"]  # tie spans the cut
+    assert {w for _, w in probe[2:5]} == {"s1", "s2", "s3"}  # token ASC decides
+    assert (7, "com", 0.0) in expect  # zero-idf row survives in a short doc
+    assert (7, "dup", r6(2 * r6(math.log(n_docs)))) in expect
+    assert sum(1 for d, _, _ in expect if d == 7) == 2
+
+    # --- Spark vs replication vs registered DuckDB oracle -------------
+    q = all_queries()["tfidf_top_terms"]
+    sdf = q.build(spark, str(tmp_path))
+    got = {(r.doc_id, r.token, r.tfidf) for r in sdf.collect()}
+    assert got == expect
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
+    assert sset == oset
