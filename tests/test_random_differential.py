@@ -5174,3 +5174,333 @@ def test_tfidf_top_terms_randomized_tie_straddles_cut(spark, tmp_path):
     oset, ocols_s = _rows_to_multiset(orows, ocols)
     assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
     assert sset == oset
+
+
+def test_knn_bruteforce_tie_straddles_top20_cut(spark, tmp_path):
+    """Brute-force kNN differential FORCING an exact cosine tie that
+    straddles the top-20 cut: 18 distinct high-similarity vectors,
+    then FOUR bit-identical clones at ranks 19-22 (identical rounded
+    cosine), so vec_id-ASC alone picks which two survive. Expected
+    rows from a pure-Python replication of the left-to-right double
+    fold (vectors/py dot) + HALF_UP 4-decimal rounding."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    vecs = {0: [1000.0, 0.0, 0.0, 0.0]}  # query vector (vec_id = 0)
+    for i in range(1, 19):  # high group: cos = 1000/sqrt(1e6 + i^2)
+        vecs[i] = [1000.0, float(i), 0.0, 0.0]
+    clone = [1.0, 1.0, 0.0, 0.0]  # cos = 0.7071...
+    for i in range(19, 23):
+        vecs[i] = list(clone)
+    for i in range(23, 28):  # low group, distinct cosines
+        vecs[i] = [1.0, float(4 + i), 0.0, 0.0]
+    rows = [(i, v, 0) for i, v in sorted(vecs.items())]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path) + "/embeddings.parquet")
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q = vecs[0]
+    scored = []
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        c = r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(dot(q, q))))
+        scored.append((i, c))
+    scored.sort(key=lambda e: (-e[1], e[0]))
+    # forced-edge attestation: ranks 19..22 are one exact tie group
+    tie_val = scored[18][1]
+    tie_ids = [i for i, c in scored if c == tie_val]
+    assert tie_ids == [19, 20, 21, 22]
+    expect = scored[:20]
+    assert [i for i, _ in expect[18:]] == [19, 20]  # vec_id ASC decides
+
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in all_queries()["knn_bruteforce"].build(spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+
+
+def test_embedding_neardup_rounded_threshold_and_lsh_miss(spark, tmp_path):
+    """Embedding near-dup differential FORCING the >= 0.35 cut to be
+    decided AFTER 4-decimal rounding: one same-bucket pair whose raw
+    cosine is strictly BELOW 0.35 but rounds to 0.35 (kept) and one
+    rounding to 0.3499 (dropped); an identical pair at exactly 1.0;
+    and the LSH miss inherent to sign bucketing — a cos > 0.999 pair
+    split across buckets by one sign flip is ABSENT. Expected pairs
+    from a pure-Python replication of bucket + fold + rounding."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    anchor = [40.0, 10000.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0]
+
+    def search(lo: float, hi: float) -> list[float]:
+        # deterministic grid search for an integer-component partner
+        # whose raw cosine lands in [lo, hi) against the anchor
+        for c1 in range(1, 40000):
+            cand = [float(c1), 3000.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0]
+            if lo <= cos(anchor, cand) < hi:
+                return cand
+        raise AssertionError(f"no grid point in [{lo}, {hi})")
+
+    keep = search(0.34995, 0.35)  # rounds UP to 0.35 -> kept
+    drop = search(0.34985, 0.34995)  # rounds to 0.3499 -> dropped
+    assert cos(anchor, keep) < 0.35 and r4(cos(anchor, keep)) == 0.35
+    assert r4(cos(anchor, drop)) == 0.3499
+    near_a = [1.0, 900.0, 900.0, 1.0, 1.0, 1.0, 0.0, 0.0]
+    near_b = [-1.0, 900.0, 900.0, 1.0, 1.0, 1.0, 0.0, 0.0]  # one sign flip
+    assert cos(near_a, near_b) > 0.999
+    vecs = {
+        1: anchor,
+        2: keep,
+        3: drop,
+        4: list(anchor),  # identical pair (1,4): cos exactly 1.0
+        5: near_a,
+        6: near_b,
+        7: [-5.0, -5.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0],  # other bucket
+        8: [-5.0, -6.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+    }
+    rows = [(i, v, 0) for i, v in sorted(vecs.items())]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path) + "/embeddings.parquet")
+
+    def bucket(v) -> int:
+        return sum(2**d for d in range(6) if v[d] > 0)
+
+    assert bucket(near_a) != bucket(near_b)  # the forced LSH miss
+    ids = sorted(vecs)
+    expect = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bucket(vecs[a]) == bucket(vecs[b]):
+                c = r4(cos(vecs[a], vecs[b]))
+                if c >= 0.35:
+                    expect[(a, b)] = c
+    assert expect[(1, 2)] == 0.35 and (1, 3) not in expect
+    assert expect[(1, 4)] == 1.0
+    assert (5, 6) not in expect  # split buckets despite cos > 0.999
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in all_queries()["embedding_neardup"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_perplexity_score_zero_and_exact_division_boundaries(spark, tmp_path):
+    """Perplexity differential FORCING: a doc whose every bigram is
+    corpus-deterministic (all p = 1 -> avg_logp exactly 0.0), a doc
+    whose micro-unit log-prob sum divides exactly by its bigram count
+    (integer landing at the 6th decimal), the single-token doc
+    excluded by the len >= 2 guard, and a mixed p=1 / p=1/2 doc.
+    Expected rows from a pure-Python replication of the integer
+    micro-unit path (half-away-from-zero at both roundings)."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+
+    def half_away(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def r6(x: float) -> float:
+        return (
+            math.floor(x * 1e6 + 0.5) / 1e6
+            if x >= 0
+            else -(math.floor(-x * 1e6 + 0.5) / 1e6)
+        )
+
+    docs = {
+        0: "p q r",  # p,q,r unique -> all bigram probs 1 -> avg 0.0
+        1: "a b a c",  # with doc 2: ln(2/3), ln(1/2), ln(1/3)
+        2: "a b b",
+        3: "z",  # single token: excluded by the len >= 2 guard
+        4: "m n m",  # ln(1/2) + ln(1) over 2 bigrams
+        5: "m o",  # makes p(n|m) = 1/2
+    }
+    rows = [(i, t, "en", "web") for i, t in sorted(docs.items())]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    c2: dict[tuple[str, str], int] = {}
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for i, t in docs.items():
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        for bg in bgs:
+            c2[bg] = c2.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), n in c2.items():
+        c1[w1] = c1.get(w1, 0) + n
+    logp_u = {bg: half_away(math.log(n / c1[bg[0]]) * 1e6) for bg, n in c2.items()}
+    expect = {}
+    for i, bgs in per_doc.items():
+        s = sum(logp_u[bg] for bg in bgs)
+        expect[i] = (len(bgs), r6(float(s) / len(bgs) / 1e6))
+    # forced-edge attestations
+    assert expect[0] == (2, 0.0)  # deterministic bigrams: exactly zero
+    assert sum(logp_u[bg] for bg in per_doc[1]) % len(per_doc[1]) == 0
+    assert expect[1] == (3, -0.732408)  # exact integer landing
+    assert 3 not in expect  # guard excluded the 1-token doc
+    assert logp_u[("n", "m")] == 0 and logp_u[("m", "n")] == half_away(
+        math.log(0.5) * 1e6
+    )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in all_queries()["perplexity_score"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_window_sliding_exact_slide_boundary_timestamps(spark, tmp_path):
+    """Sliding-window differential FORCING events exactly ON a 30-min
+    slide boundary (10:30:00.000000 lands in the [10:00,11:00) AND
+    [10:30,11:30) windows — never [09:30,10:30)) and one microsecond
+    BEFORE it (10:29:59.999999 lands in [09:30,...) and [10:00,...)).
+    Expected (window_start, event_type, n) from a pure-Python floor
+    over epoch microseconds."""
+    import datetime as dt
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(163)
+    base = dt.datetime(2024, 3, 1, 10, 30, 0)
+    stamps = [
+        (1, base, "click"),  # exactly on the slide boundary
+        (2, base - dt.timedelta(microseconds=1), "click"),  # 1us before
+        (3, base + dt.timedelta(minutes=29, seconds=59, microseconds=999999), "view"),  # 1us before 11:00
+        (4, dt.datetime(2024, 3, 1, 11, 0, 0), "view"),  # next boundary
+    ]
+    eid = 5
+    for _ in range(40):
+        stamps.append(
+            (
+                eid,
+                dt.datetime(2024, 3, 1, 8, 0, 0)
+                + dt.timedelta(seconds=rng.randint(0, 6 * 3600)),
+                rng.choice(["click", "view", "buy"]),
+            )
+        )
+        eid += 1
+    rows = [(e, ts, e % 7, et, 1.0, "{}") for e, ts, et in stamps]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    epoch = dt.datetime(1970, 1, 1)
+    slide_us = 30 * 60 * 1_000_000
+    expect: dict[tuple, int] = {}
+    contrib: dict[int, set] = {}
+    for e, ts, et in stamps:
+        us = int(round((ts - epoch) / dt.timedelta(microseconds=1)))
+        base_start = (us // slide_us) * slide_us
+        for k in (0, 1):
+            start = base_start - k * slide_us
+            w = epoch + dt.timedelta(microseconds=start)
+            expect[(w, et)] = expect.get((w, et), 0) + 1
+            contrib.setdefault(e, set()).add(w)
+    # forced-edge attestations
+    assert contrib[1] == {dt.datetime(2024, 3, 1, 10, 0), dt.datetime(2024, 3, 1, 10, 30)}
+    assert contrib[2] == {dt.datetime(2024, 3, 1, 9, 30), dt.datetime(2024, 3, 1, 10, 0)}
+    assert contrib[3] == {dt.datetime(2024, 3, 1, 10, 0), dt.datetime(2024, 3, 1, 10, 30)}
+    assert contrib[4] == {dt.datetime(2024, 3, 1, 10, 30), dt.datetime(2024, 3, 1, 11, 0)}
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in all_queries()["window_sliding"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_decorrelated_subquery_exact_half_mean_boundary(spark, tmp_path):
+    """Decorrelated-subquery differential FORCING the strict-< cut:
+    a row whose qty * cnt * 2 EQUALS its group sum exactly (qty is
+    exactly half the group mean -> excluded), one a quarter-step
+    below (included), positive and zero singletons (never included),
+    and a NEGATIVE singleton where -2*qty < qty holds (included).
+    All quantities on exact quarter steps so decimal and double sums
+    agree bit-for-bit; expected rows from a pure-Python walk."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+
+    rng = random.Random(167)
+    rows = [
+        (100, 1, 1.0),  # 1*2*2 == 4.0 -> excluded (exactly half mean)
+        (101, 1, 3.0),
+        (102, 2, 0.75),  # 0.75*2*2 = 3.0 < 4.0 -> included
+        (103, 2, 3.25),
+        (104, 3, 2.0),  # positive singleton: 2*1*2 < 2 false
+        (105, 4, -2.0),  # negative singleton: -4 < -2 TRUE -> included
+        (106, 5, 0.0),  # zero group: 0 < 0 false
+        (107, 5, 0.0),
+    ]
+    okey = 200
+    for pk in range(6, 12):
+        for _ in range(rng.randint(1, 6)):
+            rows.append((okey, pk, rng.randint(0, 40) * 0.25))
+            okey += 1
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_quantity double"
+    ).write.parquet(str(tmp_path) + "/lineitem.parquet")
+
+    groups: dict[int, list[tuple[int, float]]] = {}
+    for o, p, q in rows:
+        groups.setdefault(p, []).append((o, q))
+    expect = set()
+    for p, members in groups.items():
+        cnt = len(members)
+        s = sum(q for _, q in members)
+        for o, q in members:
+            if q * cnt * 2.0 < s:
+                expect.add((o, p, q))
+    # forced-edge attestations
+    g1 = groups[1]
+    assert 1.0 * len(g1) * 2.0 == sum(q for _, q in g1)  # exact equality
+    assert (100, 1, 1.0) not in expect and (102, 2, 0.75) in expect
+    assert (104, 3, 2.0) not in expect and (106, 5, 0.0) not in expect
+    assert (105, 4, -2.0) in expect  # negative singleton flips the cut
+
+    got = {
+        (r.l_orderkey, r.l_partkey, r.l_quantity)
+        for r in all_queries()["decorrelated_subquery"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
