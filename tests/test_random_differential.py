@@ -5504,3 +5504,242 @@ def test_decorrelated_subquery_exact_half_mean_boundary(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_try_arith_key_zero_and_overflow_thresholds(spark, tmp_path):
+    """try_arith differential FORCING the branches TPC-H keys never
+    reach: o_orderkey = 0 (the ONLY key where try_add(MAX, k) and
+    try_subtract(MIN, k) are non-NULL and try_multiply yields 0),
+    k = 1 (mul exactly 2**62 — the last non-overflow), k = 2 (mul
+    crosses 2**63 -> NULL; mod divisor hits 0), negative-divisor
+    try_mod (Java remainder: SIGN OF THE DIVIDEND — Python % follows
+    the divisor, so the walk uses truncated division), and a negative
+    key attesting the >= 0 filter. Spark vs pure Python vs the
+    registered DuckDB oracle."""
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    I64_MAX = 9223372036854775807
+    I64_MIN = -9223372036854775808
+
+    rng = random.Random(173)
+    rows = [(k, (4 * k + 1) * 0.25) for k in (0, 1, 2, 3, 5, 7, 12, -4)]
+    for _ in range(60):
+        rows.append((rng.randint(13, 10_000), rng.randint(1, 2_000_000) * 0.25))
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    def jrem(a: int, b: int) -> int:
+        # Java/SQL %: remainder with the sign of the dividend
+        q = abs(a) // abs(b)
+        if (a < 0) != (b < 0):
+            q = -q
+        return a - q * b
+
+    expect = {}
+    for k, price in rows:
+        if k < 0:
+            continue  # the query's o_orderkey >= 0 filter
+        add_ovf = I64_MAX + k if k == 0 else None
+        sub_ovf = I64_MIN - k if k == 0 else None
+        mul = k * 4611686018427387904
+        mul_ovf = mul if I64_MIN <= mul <= I64_MAX else None
+        div0 = price / (k % 3) if k % 3 != 0 else None
+        d = (k % 5) - 2
+        mod0 = jrem(k, d) if d != 0 else None
+        expect[k] = (add_ovf, sub_ovf, mul_ovf, div0, mod0)
+    # forced-edge attestations
+    assert expect[0] == (I64_MAX, I64_MIN, 0, None, 0)  # 0 % -2 == 0
+    assert expect[1][2] == 2**62 and expect[2][2] is None  # mul cut at 2
+    assert expect[2][4] is None and expect[7][4] is None  # (k%5)-2 == 0
+    assert expect[3][4] == jrem(3, 1) == 0 and expect[12][4] == 0  # div 1 / -2
+    assert jrem(3, -2) == 1  # sign-of-dividend: Python 3 % -2 would be -1
+    assert expect[3][3] is None  # k % 3 == 0 -> try_divide NULL
+    assert -4 not in expect
+
+    q = all_queries()["try_arith"]
+    sdf = q.build(spark, str(tmp_path))
+    got = {
+        r.o_orderkey: (r.add_ovf, r.sub_ovf, r.mul_ovf, r.div0, r.mod0)
+        for r in sdf.collect()
+    }
+    assert got == expect
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+
+def test_asof_join_same_instant_ties_and_no_prior_signup(spark, tmp_path):
+    """As-of join differential FORCING the window's (ts ASC, event_id
+    ASC) tie order at the SAME instant: a signup with a LOWER event_id
+    than a same-ts purchase IS its match; with a HIGHER event_id it is
+    NOT (NULL); a purchase before any signup is NULL; a later purchase
+    picks the NEWEST of two prior signups, including two signups at
+    one instant where the higher event_id wins. Spark vs a pure-Python
+    sweep vs the registered DuckDB oracle."""
+    import datetime as dt
+    import random
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def m(minutes: float) -> dt.datetime:
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = [
+        # user 1: signup id 10 and purchase id 11 at the SAME instant
+        (10, m(0), 1, "signup"),
+        (11, m(0), 1, "purchase"),  # -> matched (signup sorts first)
+        # user 2: purchase id 20 BEFORE same-instant signup id 21
+        (20, m(0), 2, "purchase"),  # -> NULL (signup sorts after)
+        (21, m(0), 2, "signup"),
+        (22, m(5), 2, "purchase"),  # -> m(0) signup
+        # user 3: purchases only
+        (30, m(1), 3, "purchase"),  # -> NULL
+        # user 4: two signups at ONE instant, then a purchase
+        (40, m(2), 4, "signup"),
+        (41, m(2), 4, "signup"),  # same ts: higher id is "last"
+        (42, m(3), 4, "purchase"),  # -> m(2) (either: equal ts)
+        (43, m(1), 4, "purchase"),  # before both -> NULL
+        # user 5: signup, purchase, signup, purchase
+        (50, m(0), 5, "signup"),
+        (51, m(1), 5, "purchase"),  # -> m(0)
+        (52, m(2), 5, "signup"),
+        (53, m(3), 5, "purchase"),  # -> m(2), not m(0)
+    ]
+    rng = random.Random(179)
+    eid = 100
+    for _ in range(80):
+        events.append(
+            (
+                eid,
+                m(rng.randint(0, 600) / 10.0),
+                rng.randint(6, 12),
+                rng.choice(["signup", "purchase", "click", "view"]),
+            )
+        )
+        eid += 1
+    rows = [(e, ts, u, et, 1.0, "{}") for e, ts, u, et in events]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path) + "/events.parquet")
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for e, ts, u, et in events:
+        by_user.setdefault(u, []).append((ts, e, et))
+    for u, evs in by_user.items():
+        last_signup = None
+        for ts, e, et in sorted(evs):
+            if et == "signup":
+                last_signup = ts
+            elif et == "purchase":
+                expect[e] = (u, ts, last_signup)
+    # forced-edge attestations
+    assert expect[11] == (1, m(0), m(0))  # same-instant match
+    assert expect[20] == (2, m(0), None)  # same-instant NON-match
+    assert expect[30] == (3, m(1), None) and expect[43] == (4, m(1), None)
+    assert expect[42] == (4, m(3), m(2))
+    assert expect[51] == (5, m(1), m(0)) and expect[53] == (5, m(3), m(2))
+
+    q = all_queries()["asof_join"]
+    sdf = q.build(spark, str(tmp_path))
+    got = {
+        r.event_id: (r.user_id, r.ts, r.last_signup_ts) for r in sdf.collect()
+    }
+    assert got == expect
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
+    assert sset == oset
+
+
+def test_cube_agg_real_nulls_collide_with_margin_rows(spark, tmp_path):
+    """CUBE differential FORCING real NULLs in BOTH grouping columns,
+    so detail rows are shape-identical to cube margin rows: a real
+    (NULL, NULL) detail group makes the output carry FOUR distinct
+    (NULL, NULL)-keyed rows (detail, two single-margin, grand total)
+    distinguishable only by their measures — a multiset compare over
+    full tuples. Sums replicated in exact cents (Decimal), matching
+    the query's DECIMAL(18,2) accumulation. Spark vs pure Python vs
+    the registered DuckDB oracle."""
+    import random
+    from collections import Counter
+    from decimal import Decimal
+
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    rng = random.Random(181)
+    rows = [
+        (1, None, None, 11.25),
+        (2, None, None, 0.50),  # real (NULL, NULL) detail group, n=2
+        (3, None, "P1", 7.00),  # real NULL status under a priority
+        (4, "O", None, 2.25),  # real NULL priority under a status
+    ]
+    okey = 5
+    for _ in range(120):
+        rows.append(
+            (
+                okey,
+                rng.choice(["O", "F", "P", None]),
+                rng.choice(["P1", "P2", "P3", None]),
+                rng.randint(0, 400_000) * 0.25,
+            )
+        )
+        okey += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderstatus string, o_orderpriority string,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path) + "/orders.parquet")
+
+    def cents(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.01"))
+
+    expect: Counter = Counter()
+    for keyer in (
+        lambda s, p: (s, p),
+        lambda s, p: (s, None),
+        lambda s, p: (None, p),
+        lambda s, p: (None, None),
+    ):
+        groups: dict = {}
+        for _, s, p, price in rows:
+            g = groups.setdefault(keyer(s, p), [0, Decimal(0)])
+            g[0] += 1
+            g[1] += cents(price)
+        for (s, p), (n, tot) in groups.items():
+            expect[(s, p, n, float(tot))] += 1
+    # forced-edge attestations: four (NULL, NULL) rows, all distinct
+    nn = [k for k in expect if k[0] is None and k[1] is None]
+    assert len(nn) == 4 and all(expect[k] == 1 for k in nn)
+    n_detail_nn = sum(1 for r in rows if r[1] is None and r[2] is None)
+    assert n_detail_nn >= 2 and any(k[2] == n_detail_nn for k in nn)  # detail row
+    assert any(k[2] == len(rows) for k in nn)  # the grand-total row
+
+    sdf = all_queries()["cube_agg"].build(spark, str(tmp_path))
+    got = Counter(
+        (r.o_orderstatus, r.o_orderpriority, r.n_orders, r.sum_price)
+        for r in sdf.collect()
+    )
+    assert got == expect
+    q = all_queries()["cube_agg"]
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
+    assert sset == oset
