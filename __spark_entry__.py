@@ -45,32 +45,12 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R6 = (
-    # CORRECTNESS_r06.json rows whose latest driver check is still r6
-    # (the 11 oldest r6 rows were re-checked r9 → _VERIFIED_R9).
-    # These 39 lead the r10 window, oldest-first — the stalest cohort.
-    "stream_foreach_batch", "dedup_incremental",
-    "repetition_score", "stateful_user_stats", "stream_tumbling",
-    "window_sliding", "session_window", "stream_stream_join",
-    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
-    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
-    "fingerprint", "token_hist", "token_count", "text_stats",
-    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
-    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
-    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
-    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
-    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
-)
 _VERIFIED_R7 = (
-    # CORRECTNESS_r07.json — 50 rows, all green: the 22 round-6
-    # deferred ops (first-ever rows, streaming-state family first),
-    # the 15 r1-vintage leftovers, the 2 r2 stragglers
-    # (cohort_retention/gap_fill), and the 11 oldest r4 rows.
-    "statestore_session_read", "stream_session_append",
-    "stream_left_outer_join", "stream_full_outer_join",
-    "joinstate_read", "rocksdb_state_agg", "statestore_changefeed",
-    "statestore_timetravel", "pystream_scan", "pysink_write",
-    "sink_zorder", "cogroup_asof", "map_in_arrow", "arrow_udf",
+    # CORRECTNESS_r07.json rows whose latest driver check is still r7
+    # (the 11 oldest r7 rows — statestore_session_read..sink_zorder —
+    # were re-checked r10 → _VERIFIED_R10).  These 39 lead the r11
+    # window, oldest-first — the stalest cohort.
+    "cogroup_asof", "map_in_arrow", "arrow_udf",
     "pandas_udaf", "quality_sample", "corpus_mix", "param_sql",
     "identifier_sql", "variant_explode_arr", "transpose_metrics",
     "window_range_frame",
@@ -124,16 +104,39 @@ _VERIFIED_R9 = (
     "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
     "bucketed_join",
 )
+_VERIFIED_R10 = (
+    # CORRECTNESS_r10.json — 50 rows: 46 hash-green + 4 rows-only by
+    # design (simhash, mm_decode, mm_frame_sample, mm_resize — no
+    # DuckDB oracle possible; each carries byte-exact pure-Python
+    # local differentials).  The window was the 39 r6-vintage rows +
+    # the 11 oldest r7 rows, exactly as the r9 verdict ordered.
+    "stream_foreach_batch", "dedup_incremental",
+    "repetition_score", "stateful_user_stats", "stream_tumbling",
+    "window_sliding", "session_window", "stream_stream_join",
+    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
+    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
+    "fingerprint", "token_hist", "token_count", "text_stats",
+    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
+    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
+    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
+    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
+    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
+    "statestore_session_read", "stream_session_append",
+    "stream_left_outer_join", "stream_full_outer_join",
+    "joinstate_read", "rocksdb_state_agg", "statestore_changefeed",
+    "statestore_timetravel", "pystream_scan", "pysink_write",
+    "sink_zorder",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R6 + _VERIFIED_R7 + _VERIFIED_R8 + _VERIFIED_R9
+    _VERIFIED_R7 + _VERIFIED_R8 + _VERIFIED_R9 + _VERIFIED_R10
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  As of r9 every registered query
 # has a driver CORRECTNESS row, so the rotation is purely
-# oldest-verified-round first: the r10 window starts with the 39
-# remaining r6-vintage rows (stream_foreach_batch cohort onward) plus
-# the 11 oldest r7 rows.
+# oldest-verified-round first: the r11 window starts with the 39
+# remaining r7-vintage rows (cogroup_asof cohort onward) plus the 11
+# oldest r8 rows (tpch_q13..bitmap_presence).
 _HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
@@ -147,13 +150,13 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 39 remaining r6 rows lead
-    # (stream_foreach_batch..funnel), then r7 (first 11 fit the r10
-    # window), r8, r9.
+    # stalest rows re-check soonest: the 39 remaining r7 rows lead
+    # (cogroup_asof..tpch_q12), then r8 (first 11 fit the r11
+    # window), r9, r10.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R6, _VERIFIED_R7, _VERIFIED_R8,
-                 _VERIFIED_R9):
+    for tier in (_VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R9,
+                 _VERIFIED_R10):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -5555,7 +5555,9 @@ def test_try_arith_key_zero_and_overflow_thresholds(spark, tmp_path):
     assert expect[0] == (I64_MAX, I64_MIN, 0, None, 0)  # 0 % -2 == 0
     assert expect[1][2] == 2**62 and expect[2][2] is None  # mul cut at 2
     assert expect[2][4] is None and expect[7][4] is None  # (k%5)-2 == 0
-    assert expect[3][4] == jrem(3, 1) == 0 and expect[12][4] == 0  # div 1 / -2
+    assert expect[3][4] == jrem(3, 1) == 0  # divisor (3%5)-2 == 1
+    assert expect[12][4] is None  # (12%5)-2 == 0 -> try_mod NULL (like k=2, 7)
+    assert expect[5][4] == jrem(5, -2) == 1  # negative divisor -2: sign of dividend
     assert jrem(3, -2) == 1  # sign-of-dividend: Python 3 % -2 would be -1
     assert expect[3][3] is None  # k % 3 == 0 -> try_divide NULL
     assert -4 not in expect
