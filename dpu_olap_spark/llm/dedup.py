@@ -347,22 +347,54 @@ def _simhash_of(hashed: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
-@query("simhash")  # xxhash64 has no cross-engine twin -> rows-only check
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: xxhash64 each token (JVM built-in),
-    majority-vote each bit. Hamming distance between signatures then
-    approximates token-set similarity; pytest verifies invariants
-    (identical text -> identical signature; see tests/test_llm_ops.py).
+_N_SIMHASH_BITS = 60  # full width of the md5-derived base hash
 
-    Plan shape: explode tokens -> ONE partial-agg groupBy with 64
+
+@query(
+    "simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit, (h >> CAST(b.bit AS INT)) & 1 AS v
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, {_N_SIMHASH_BITS})) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit, SUM(v) AS ones, COUNT(*) AS n
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN ones * 2 > n
+                         THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: md5-derived base hash per token
+    (base_hash60 — cross-engine exact, so the signature carries a full
+    DuckDB oracle; migrated from xxhash64 per the r10 verdict, which
+    had no cross-engine twin and forced a rows-only check),
+    majority-vote each bit. Hamming distance between signatures then
+    approximates token-set similarity; tests/test_sketch_tolerance.py
+    additionally recomputes the whole vote in numpy, bit-exact.
+
+    Plan shape: explode tokens -> ONE partial-agg groupBy with 60
     conditional bit-vote aggregates (no row-per-bit explode — that
-    variant shuffled 64x the rows). Linear in corpus size; no
+    variant shuffled 60x the rows). Linear in corpus size; no
     all-pairs stage.
     """
     corpus = _corpus(spark, sf_dir)
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
-    return _simhash_of(hashed, 64)
+    hashed = tok.select("doc_id", base_hash60(F.col("token")).alias("h"))
+    return _simhash_of(hashed, _N_SIMHASH_BITS)
 
 
 def _cc_edges(pairs: DataFrame) -> DataFrame:

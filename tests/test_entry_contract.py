@@ -90,7 +90,6 @@ def test_oracle_names_match_queries():
     rows_only_by_design = {
         "approx_distinct",
         "approx_percentile",
-        "simhash",
         "mm_decode",
         "mm_resize",
         "mm_frame_sample",

@@ -284,16 +284,37 @@ def test_simhash_md5_hamming_close_for_near_dups(spark):
 
 
 def test_simhash_variants_hamming_consistent(spark):
-    """Cross-check the oracle-UNVERIFIABLE xxhash64 simhash against the
-    oracle-VERIFIED md5 variant so it inherits confidence: on planted
-    identical-text pairs BOTH report Hamming distance 0, and on pairs
-    the verified variant shows clearly apart (>25% of its bits), the
-    xxhash variant never calls them identical. Both are majority votes
-    over the same token multisets, so these invariants hold regardless
-    of hash function."""
-    xx = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    """Cross-check an xxhash64-based 64-bit SimHash (built inline —
+    since r11 the registered `simhash` uses the md5-derived base hash
+    end-to-end, so xxhash64 no longer appears in the registry) against
+    the oracle-VERIFIED md5 variant: on planted identical-text pairs
+    BOTH report Hamming distance 0, and on pairs the verified variant
+    shows clearly apart (>25% of its bits), the xxhash variant never
+    calls them identical. Both are majority votes over the same token
+    multisets, so these invariants hold regardless of hash function.
+    Also pins the 16-bit `simhash_md5` signature to the low 16 bits of
+    the 60-bit `simhash` signature — same base hash, same votes, only
+    the assembled width differs."""
+    import pyspark.sql.functions as F
+
+    from dpu_olap_spark.llm.dedup import _corpus, _simhash_of
+    from dpu_olap_spark.llm.text_analysis import tokens
+
+    tok = _corpus(spark, SF).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    xx = {
+        r.doc_id: r.simhash
+        for r in _simhash_of(
+            tok.select("doc_id", F.xxhash64("token").alias("h")), 64
+        ).collect()
+    }
     md = {r.doc_id: r.simhash for r in _q("simhash_md5").build(spark, SF).collect()}
-    assert set(xx) == set(md)
+    full = {r.doc_id: r.simhash for r in _q("simhash").build(spark, SF).collect()}
+    assert set(xx) == set(md) == set(full)
+    assert all(md[d] == full[d] & 0xFFFF for d in full), (
+        "simhash_md5 must be the low 16 bits of simhash"
+    )
     dup_ids = [d for d in xx if d < 0]
     assert dup_ids, "augmented corpus missing duplicate docs"
     for d in dup_ids:

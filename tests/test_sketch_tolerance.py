@@ -131,35 +131,35 @@ def test_approx_topk_exact_regime_holds(spark):
 
 
 def test_simhash_majority_vote_exact_differential(spark):
-    """The rows-only `simhash` query's VALUES, gated exactly (r7
-    verdict #5): collect the same (doc_id, xxhash64-token) rows the
-    query aggregates, recompute the 64-bit majority vote in numpy,
-    and assert the signatures are IDENTICAL. This covers everything
-    the query computes above the base hash — the 64 conditional
-    bit-vote aggregates and the bit assembly — leaving only Spark's
-    built-in xxhash64 itself outside the gate."""
-    import numpy as np
-    import pyspark.sql.functions as F
+    """The `simhash` query's VALUES, gated exactly (r7 verdict #5;
+    since r11 the query also carries a full DuckDB oracle): recompute
+    the md5-derived base hash per token IN PYTHON (hashlib, no Spark)
+    and the 60-bit majority vote in numpy, and assert the signatures
+    are IDENTICAL. Unlike the former xxhash64 variant this gates the
+    base hash too — nothing Spark computes is outside the gate."""
+    import hashlib
 
-    from dpu_olap_spark.llm.dedup import _corpus
-    from dpu_olap_spark.llm.text_analysis import tokens
+    import numpy as np
+
+    from dpu_olap_spark.llm.dedup import _N_SIMHASH_BITS, _corpus
 
     corpus = _corpus(spark, SF)
-    hashed = corpus.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("h"))
-    pdf = hashed.toPandas()
     expected: dict[int, int] = {}
-    for doc_id, grp in pdf.groupby("doc_id"):
-        h = grp["h"].to_numpy().astype(np.uint64)
+    for row in corpus.collect():
+        h = np.array(
+            [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in row.text.split(" ")
+            ],
+            dtype=np.uint64,
+        )
         n = len(h)
         sig = 0
-        for k in range(64):
+        for k in range(_N_SIMHASH_BITS):
             ones = int(((h >> np.uint64(k)) & np.uint64(1)).sum())
             if ones * 2 > n:
                 sig |= 1 << k
-        # to signed 64-bit, matching Spark's BIGINT signature
-        expected[int(doc_id)] = sig - (1 << 64) if sig >= 1 << 63 else sig
+        expected[int(row.doc_id)] = sig  # < 2**60, no sign wrap
 
     got = {
         r.doc_id: r.simhash
