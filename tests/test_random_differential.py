@@ -5745,3 +5745,968 @@ def test_cube_agg_real_nulls_collide_with_margin_rows(spark, tmp_path):
     oset, ocols_s = _rows_to_multiset(orows, ocols)
     assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
     assert sset == oset
+
+
+# ---------------------------------------------------------------------------
+# TPC-H forced-boundary differentials (r10 verdict #6): each test builds
+# a tiny adversarial fixture that FORCES the edges the fixed testdata
+# rarely lands on (rows exactly ON date cutoffs, exact-equality
+# threshold hits, empty outer-join groups, tie-at-min keeps), attests
+# the forcing worked, then checks Spark against a pure-Python walk AND
+# the registered DuckDB oracle on the same parquet.  All monetary
+# values are dyadic rationals (multiples of 0.25 / 0.0625) so the
+# decimal casts in both engines are exact and the Python float walk is
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+_TPCH_DDL = {
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "region": "r_regionkey int, r_name string",
+}
+
+
+def _tpch_defaults():
+    from datetime import datetime
+
+    return {
+        "lineitem": dict(
+            l_orderkey=1, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=100.0, l_discount=0.0,
+            l_tax=0.0, l_returnflag="N", l_linestatus="O",
+            l_shipdate=datetime(1997, 6, 1),
+        ),
+        "orders": dict(
+            o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=100.0, o_orderdate=datetime(1997, 6, 1),
+            o_orderpriority="3-MEDIUM",
+        ),
+        "customer": dict(
+            c_custkey=1, c_name="cust", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="BUILDING",
+        ),
+        "supplier": dict(s_suppkey=1, s_name="supp", s_nationkey=0, s_acctbal=0.0),
+        "part": dict(
+            p_partkey=1, p_name="part", p_brand="Brand#1", p_type="STANDARD",
+            p_size=1, p_retailprice=10.0,
+        ),
+        "nation": dict(n_nationkey=0, n_name="NATION_0", n_regionkey=0),
+        "region": dict(r_regionkey=0, r_name="REGION_0"),
+    }
+
+
+def _write_tpch(spark, tmp_path, name, rows):
+    """Write `name`.parquet from override dicts over per-table defaults."""
+    defaults = _tpch_defaults()[name]
+    cols = list(defaults)
+    for r in rows:
+        unknown = set(r) - set(cols)
+        assert not unknown, f"bad columns for {name}: {unknown}"
+    data = [tuple({**defaults, **r}[c] for c in cols) for r in rows]
+    spark.createDataFrame(data, _TPCH_DDL[name]).write.parquet(
+        str(tmp_path) + f"/{name}.parquet"
+    )
+
+
+def _spark_vs_registered_oracle(spark, name, tmp_path):
+    """Run the registered query and its DuckDB oracle on the tmp fixture
+    and assert the driver's multiset contract holds; returns the Spark
+    DataFrame for further value checks."""
+    from dpu_olap_spark.registry import all_queries
+    from tests.oracle import _rows_to_multiset
+
+    q = all_queries()[name]
+    sdf = q.build(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    orows, ocols = _oracle_on_tmp(q.oracle, str(tmp_path))
+    sset, scols = _rows_to_multiset(srows, list(sdf.columns))
+    oset, ocols_s = _rows_to_multiset(orows, ocols)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols_s]
+    assert sset == oset
+    return sdf
+
+
+def test_tpch_q1_shipdate_cutoff_and_singleton_group(spark, tmp_path):
+    """Q1 differential FORCING the <= cutoff boundary (a row exactly AT
+    2001-08-06 00:00:00 is kept; +1 microsecond is dropped) and a
+    singleton group whose averages divide by 1. All prices/quantities
+    dyadic so the decimal sums are exact in Spark, DuckDB, and the
+    Python walk."""
+    import random
+    from datetime import datetime, timedelta
+
+    CUTOFF = datetime(2001, 8, 6)
+    rng = random.Random(411)
+    rows = [
+        # forced: exactly AT the cutoff (kept) and 1us past (dropped)
+        dict(l_returnflag="A", l_linestatus="F", l_shipdate=CUTOFF,
+             l_quantity=5.0, l_extendedprice=100.25, l_discount=0.25, l_tax=0.5),
+        dict(l_returnflag="A", l_linestatus="F",
+             l_shipdate=CUTOFF + timedelta(microseconds=1),
+             l_quantity=7.0, l_extendedprice=999.75),
+        # singleton group: averages must equal the row's own values
+        dict(l_returnflag="R", l_linestatus="O",
+             l_shipdate=datetime(1999, 1, 1),
+             l_quantity=3.25, l_extendedprice=50.5, l_discount=0.5, l_tax=0.25),
+    ]
+    for _ in range(120):
+        rows.append(
+            dict(
+                l_returnflag=rng.choice(["A", "N", "R"]),
+                l_linestatus=rng.choice(["F", "O"]),
+                l_shipdate=datetime(1996, 1, 1)
+                + timedelta(days=rng.randint(0, 2500)),
+                l_quantity=rng.randint(1, 200) * 0.25,
+                l_extendedprice=rng.randint(1, 400_000) * 0.25,
+                l_discount=rng.choice([0.0, 0.25, 0.5]),
+                l_tax=rng.choice([0.0, 0.25, 0.5]),
+            )
+        )
+    _write_tpch(spark, tmp_path, "lineitem", rows)
+
+    kept = [r for r in rows if r["l_shipdate"] <= CUTOFF]
+    # attest the forcing: the at-cutoff row is in, the +1us row is out
+    assert any(r["l_shipdate"] == CUTOFF for r in kept)
+    assert sum(1 for r in rows if r["l_shipdate"] > CUTOFF) >= 1
+    groups: dict[tuple, list[dict]] = {}
+    for r in kept:
+        groups.setdefault((r["l_returnflag"], r["l_linestatus"]), []).append(r)
+    assert len(groups[("R", "O")]) >= 1
+
+    expect = {}
+    for key, g in groups.items():
+        n = len(g)
+        sq = sum(x["l_quantity"] for x in g)
+        sb = sum(x["l_extendedprice"] for x in g)
+        sd = sum(x["l_extendedprice"] * (1 - x["l_discount"]) for x in g)
+        sc = sum(
+            x["l_extendedprice"] * (1 - x["l_discount"]) * (1 + x["l_tax"])
+            for x in g
+        )
+        sdisc = sum(x["l_discount"] for x in g)
+        expect[key] = (sq, sb, sd, sc, sq / n, sb / n, sdisc / n, n)
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q1", tmp_path)
+    got = {
+        (r.l_returnflag, r.l_linestatus): (
+            r.sum_qty, r.sum_base_price, r.sum_disc_price, r.sum_charge,
+            r.avg_qty, r.avg_price, r.avg_disc, r.count_order,
+        )
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_tpch_q12_priority_split_and_date_window(spark, tmp_path):
+    """Q12 differential FORCING the half-open ship-date window (row AT
+    1997-01-01 kept, row AT 1998-01-01 dropped) and one returnflag
+    group that is all-high priority (low_line_count must be exactly 0,
+    not an absent row)."""
+    from datetime import datetime, timedelta
+    import random
+
+    rng = random.Random(412)
+    LO, HI = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    orders = [
+        dict(o_orderkey=1, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=2, o_orderpriority="2-HIGH"),
+        dict(o_orderkey=3, o_orderpriority="3-MEDIUM"),
+        dict(o_orderkey=4, o_orderpriority="5-LOW"),
+    ]
+    lines = [
+        # boundary rows: AT the lower bound kept, AT the upper dropped
+        dict(l_orderkey=1, l_returnflag="A", l_shipdate=LO),
+        dict(l_orderkey=3, l_returnflag="A", l_shipdate=HI),
+        dict(l_orderkey=3, l_returnflag="A", l_shipdate=HI - timedelta(microseconds=1)),
+        # group "H": only high-priority orders -> low_line_count == 0
+        dict(l_orderkey=2, l_returnflag="H", l_shipdate=datetime(1997, 6, 1)),
+        dict(l_orderkey=1, l_returnflag="H", l_shipdate=datetime(1997, 7, 1)),
+    ]
+    for i in range(80):
+        lines.append(
+            dict(
+                l_orderkey=rng.randint(1, 4),
+                l_returnflag=rng.choice(["A", "N", "R"]),
+                l_shipdate=datetime(1996, 6, 1) + timedelta(days=rng.randint(0, 900)),
+            )
+        )
+    _write_tpch(spark, tmp_path, "orders", orders)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    prio = {o["o_orderkey"]: o["o_orderpriority"] for o in orders}
+    kept = [ln for ln in lines if LO <= ln["l_shipdate"] < HI]
+    assert any(ln["l_shipdate"] == LO for ln in kept)
+    assert any(ln["l_shipdate"] == HI for ln in lines)  # forced drop exists
+    expect: dict[str, list[int]] = {}
+    for ln in kept:
+        hi = prio[ln["l_orderkey"]] in ("1-URGENT", "2-HIGH")
+        e = expect.setdefault(ln["l_returnflag"], [0, 0])
+        e[0 if hi else 1] += 1
+    assert expect["H"][1] == 0 and expect["H"][0] >= 2  # forced all-high group
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q12", tmp_path)
+    got = {
+        r.l_returnflag: [r.high_line_count, r.low_line_count]
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_tpch_q13_zero_order_customers_survive(spark, tmp_path):
+    """Q13 differential FORCING the left-join edges: a customer with NO
+    orders and a customer whose ONLY orders are '5-LOW' (filtered in
+    the ON clause, NOT a WHERE) both land in the c_count=0 bucket; two
+    customers with the same count collapse into one histogram row."""
+    import random
+
+    rng = random.Random(413)
+    customers = [dict(c_custkey=k) for k in range(1, 11)]
+    orders = [
+        # custkey 1: two qualifying + one 5-LOW -> c_count 2
+        dict(o_orderkey=101, o_custkey=1, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=102, o_custkey=1, o_orderpriority="3-MEDIUM"),
+        dict(o_orderkey=103, o_custkey=1, o_orderpriority="5-LOW"),
+        # custkey 2: ONLY 5-LOW orders -> c_count 0 (ON-clause filter)
+        dict(o_orderkey=104, o_custkey=2, o_orderpriority="5-LOW"),
+        dict(o_orderkey=105, o_custkey=2, o_orderpriority="5-LOW"),
+        # custkey 3: no orders at all (also c_count 0)
+        # custkey 4: two qualifying -> ties with custkey 1 in the histogram
+        dict(o_orderkey=106, o_custkey=4, o_orderpriority="2-HIGH"),
+        dict(o_orderkey=107, o_custkey=4, o_orderpriority="4-NOT SPECIFIED"),
+    ]
+    for k in range(108, 160):
+        orders.append(
+            dict(
+                o_orderkey=k,
+                o_custkey=rng.randint(5, 10),
+                o_orderpriority=rng.choice(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                ),
+            )
+        )
+    _write_tpch(spark, tmp_path, "customer", customers)
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    per_cust = {c["c_custkey"]: 0 for c in customers}
+    for o in orders:
+        if o["o_orderpriority"] != "5-LOW":
+            per_cust[o["o_custkey"]] += 1
+    assert per_cust[2] == 0 and per_cust[3] == 0  # both zero paths forced
+    assert per_cust[1] == per_cust[4] == 2  # histogram tie forced
+    expect: dict[int, int] = {}
+    for n in per_cust.values():
+        expect[n] = expect.get(n, 0) + 1
+    assert expect[0] >= 2
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q13", tmp_path)
+    got = {r.c_count: r.custdist for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q16_not_in_boundary_and_distinct_pairs(spark, tmp_path):
+    """Q16 differential FORCING the NOT-IN boundary (supplier with
+    s_acctbal exactly 0 is KEPT — the exclusion is strictly < 0),
+    duplicate (partkey, suppkey) lineitem pairs that must collapse, one
+    supplier serving two parts of the SAME attribute triple (counted
+    once per triple), and the p_size IN-list edge (size 1 in, 2 out)."""
+    suppliers = [
+        dict(s_suppkey=1, s_acctbal=0.0),     # boundary: kept (not < 0)
+        dict(s_suppkey=2, s_acctbal=-0.25),   # excluded
+        dict(s_suppkey=3, s_acctbal=100.0),
+        dict(s_suppkey=4, s_acctbal=50.0),
+    ]
+    parts = [
+        dict(p_partkey=1, p_brand="Brand#1", p_type="LARGE", p_size=1),
+        dict(p_partkey=2, p_brand="Brand#1", p_type="LARGE", p_size=1),  # same triple
+        dict(p_partkey=3, p_brand="Brand#5", p_type="LARGE", p_size=5),  # brand out
+        dict(p_partkey=4, p_brand="Brand#2", p_type="MEDIUM", p_size=5),  # type out
+        dict(p_partkey=5, p_brand="Brand#2", p_type="SMALL", p_size=2),  # size out
+        dict(p_partkey=6, p_brand="Brand#3", p_type="SMALL", p_size=35),
+    ]
+    lines = [
+        # duplicate pair (1,1) x3 -> one distinct pair
+        dict(l_partkey=1, l_suppkey=1),
+        dict(l_partkey=1, l_suppkey=1),
+        dict(l_partkey=1, l_suppkey=1),
+        # supplier 3 serves parts 1 AND 2 (same triple) -> counted ONCE
+        dict(l_partkey=1, l_suppkey=3),
+        dict(l_partkey=2, l_suppkey=3),
+        # excluded supplier 2 on an otherwise-qualifying part
+        dict(l_partkey=1, l_suppkey=2),
+        # rows feeding filtered-out parts
+        dict(l_partkey=3, l_suppkey=4),
+        dict(l_partkey=4, l_suppkey=4),
+        dict(l_partkey=5, l_suppkey=4),
+        dict(l_partkey=6, l_suppkey=4),
+    ]
+    _write_tpch(spark, tmp_path, "supplier", suppliers)
+    _write_tpch(spark, tmp_path, "part", parts)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    bad = {s["s_suppkey"] for s in suppliers if s["s_acctbal"] < 0}
+    assert bad == {2} and 1 not in bad  # acctbal==0 boundary attested
+    pinfo = {p["p_partkey"]: p for p in parts}
+    ok_sizes = {1, 5, 10, 15, 20, 25, 30, 35}
+    pairs = {(ln["l_partkey"], ln["l_suppkey"]) for ln in lines}
+    expect: dict[tuple, set] = {}
+    for pk, sk in pairs:
+        p = pinfo[pk]
+        if (
+            sk not in bad
+            and p["p_brand"] != "Brand#5"
+            and p["p_type"] != "MEDIUM"
+            and p["p_size"] in ok_sizes
+        ):
+            expect.setdefault(
+                (p["p_brand"], p["p_type"], p["p_size"]), set()
+            ).add(sk)
+    assert expect[("Brand#1", "LARGE", 1)] == {1, 3}  # dup pair + cross-part once
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q16", tmp_path)
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in sdf.collect()
+    }
+    assert got == {k: len(v) for k, v in expect.items()}
+
+
+def test_tpch_q11_value_fraction_exact_equality_dropped(spark, tmp_path):
+    """Q11 differential FORCING the strict-> threshold: a part whose
+    value*1000 equals the global total EXACTLY (1.00 of a 1000.00
+    total) must be dropped; parts supplied only by out-of-nation
+    suppliers must not even enter the total."""
+    nations = [
+        dict(n_nationkey=5, n_name="NATION_5"),
+        dict(n_nationkey=6, n_name="NATION_6"),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_nationkey=5),
+        dict(s_suppkey=2, s_nationkey=6),  # out of nation
+    ]
+    lines = [
+        dict(l_partkey=1, l_suppkey=1, l_extendedprice=1.00),
+        # part 2 sums to 999.00 across two rows
+        dict(l_partkey=2, l_suppkey=1, l_extendedprice=499.50),
+        dict(l_partkey=2, l_suppkey=1, l_extendedprice=499.50),
+        # part 3 only via the excluded supplier: absent from supval
+        dict(l_partkey=3, l_suppkey=2, l_extendedprice=5000.0),
+        # part 1 also ships via the excluded supplier: must not inflate
+        dict(l_partkey=1, l_suppkey=2, l_extendedprice=5000.0),
+    ]
+    _write_tpch(spark, tmp_path, "nation", nations)
+    _write_tpch(spark, tmp_path, "supplier", suppliers)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    value = {1: 1.00, 2: 999.00}
+    total = sum(value.values())
+    assert value[1] * 1000 == total  # forced exact equality -> dropped
+    assert value[2] * 1000 > total
+    expect = {2: 999.00}
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q11", tmp_path)
+    got = {r.ps_partkey: r.value for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q17_quantity_threshold_exact_equality(spark, tmp_path):
+    """Q17 differential FORCING the multiplied-through threshold
+    l_quantity*5*cnt < sum_qty at EXACT equality (2.5*5*2 == 25 ->
+    dropped) next to a strictly-below row (1.0*5*2 = 10 < 25 -> kept),
+    plus a part failing the brand filter whose rows would otherwise
+    qualify."""
+    parts = [
+        dict(p_partkey=1, p_brand="Brand#3", p_size=10),  # size boundary: kept
+        dict(p_partkey=2, p_brand="Brand#3", p_size=1),
+        dict(p_partkey=3, p_brand="Brand#9", p_size=1),   # brand out
+        dict(p_partkey=4, p_brand="Brand#3", p_size=11),  # size out
+    ]
+    lines = [
+        # part 1: cnt=2 sum=25.0; the 2.5 row hits equality exactly
+        dict(l_partkey=1, l_quantity=2.5, l_extendedprice=100.25),
+        dict(l_partkey=1, l_quantity=22.5, l_extendedprice=200.0),
+        # part 2: cnt=2 sum=25.0; the 1.0 row is strictly below
+        dict(l_partkey=2, l_quantity=1.0, l_extendedprice=500.75),
+        dict(l_partkey=2, l_quantity=24.0, l_extendedprice=300.0),
+        # part 3 (brand out) and part 4 (size out): tiny qty, huge price
+        dict(l_partkey=3, l_quantity=0.25, l_extendedprice=9999.0),
+        dict(l_partkey=3, l_quantity=50.0, l_extendedprice=9999.0),
+        dict(l_partkey=4, l_quantity=0.25, l_extendedprice=9999.0),
+        dict(l_partkey=4, l_quantity=60.0, l_extendedprice=9999.0),
+    ]
+    _write_tpch(spark, tmp_path, "part", parts)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    stats = {}
+    for ln in lines:
+        s, c = stats.get(ln["l_partkey"], (0.0, 0))
+        stats[ln["l_partkey"]] = (s + ln["l_quantity"], c + 1)
+    assert 2.5 * 5 * stats[1][1] == stats[1][0] == 25.0  # equality forced
+    kept_price = [
+        ln["l_extendedprice"]
+        for ln in lines
+        if ln["l_partkey"] in (1, 2)
+        and ln["l_quantity"] * 5 * stats[ln["l_partkey"]][1]
+        < stats[ln["l_partkey"]][0]
+    ]
+    assert kept_price == [500.75]  # ONLY the strictly-below row survives
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q17", tmp_path)
+    rows = sdf.collect()
+    assert len(rows) == 1
+    assert rows[0].avg_yearly == 500.75 / 7.0
+
+
+def test_tpch_q19_disjunct_between_boundaries(spark, tmp_path):
+    """Q19 differential FORCING every BETWEEN endpoint of the three
+    disjuncts: quantities exactly at 1/11 (Brand#12), 10/20 (Brand#23),
+    20/30 (Brand#34) are IN; one quarter past each upper bound is OUT;
+    and a lineitem that joins on partkey but fails all disjuncts
+    contributes nothing."""
+    parts = [
+        dict(p_partkey=1, p_brand="Brand#12", p_size=5),   # d1 size edge (1..5)
+        dict(p_partkey=2, p_brand="Brand#23", p_size=10),  # d2 size edge
+        dict(p_partkey=3, p_brand="Brand#34", p_size=15),  # d3 size edge
+        dict(p_partkey=4, p_brand="Brand#12", p_size=6),   # size out for d1
+    ]
+    lines = [
+        dict(l_partkey=1, l_quantity=1.0, l_extendedprice=100.0, l_discount=0.25),
+        dict(l_partkey=1, l_quantity=11.0, l_extendedprice=200.0),
+        dict(l_partkey=1, l_quantity=11.25, l_extendedprice=5000.0),  # out
+        dict(l_partkey=2, l_quantity=10.0, l_extendedprice=300.0, l_discount=0.5),
+        dict(l_partkey=2, l_quantity=20.0, l_extendedprice=400.0),
+        dict(l_partkey=2, l_quantity=9.75, l_extendedprice=5000.0),   # out
+        dict(l_partkey=3, l_quantity=20.0, l_extendedprice=500.0),
+        dict(l_partkey=3, l_quantity=30.0, l_extendedprice=600.0),
+        dict(l_partkey=3, l_quantity=30.25, l_extendedprice=5000.0),  # out
+        dict(l_partkey=4, l_quantity=3.0, l_extendedprice=5000.0),    # size out
+    ]
+    _write_tpch(spark, tmp_path, "part", parts)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    pinfo = {p["p_partkey"]: p for p in parts}
+
+    def disjuncts(p, q):
+        return (
+            (p["p_brand"] == "Brand#12" and 1 <= p["p_size"] <= 5 and 1 <= q <= 11)
+            or (p["p_brand"] == "Brand#23" and 1 <= p["p_size"] <= 10 and 10 <= q <= 20)
+            or (p["p_brand"] == "Brand#34" and 1 <= p["p_size"] <= 15 and 20 <= q <= 30)
+        )
+
+    kept = [
+        ln for ln in lines if disjuncts(pinfo[ln["l_partkey"]], ln["l_quantity"])
+    ]
+    assert len(kept) == 6  # exactly the six boundary-IN rows
+    assert all(ln["l_extendedprice"] != 5000.0 for ln in kept)
+    revenue = sum(
+        ln["l_extendedprice"] * (1 - ln.get("l_discount", 0.0)) for ln in kept
+    )
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q19", tmp_path)
+    rows = sdf.collect()
+    assert len(rows) == 1 and rows[0].revenue == revenue
+
+
+def test_tpch_q22_average_equality_and_recent_order_cutoff(spark, tmp_path):
+    """Q22 differential FORCING (a) the above-average strict inequality
+    at exact equality (acctbal 200.00 against avg 200.00 -> dropped),
+    (b) the c_acctbal > 0 boundary (a zero-balance customer is outside
+    the average), (c) the recent-order cutoff (an order exactly AT
+    1999-01-01 disqualifies; one microsecond earlier does not), and
+    (d) the %7 country-code wrap (nationkey 8 -> code 1)."""
+    from datetime import datetime, timedelta
+
+    CUT = datetime(1999, 1, 1)
+    customers = [
+        # codes from %7: 1,3,5 are in; 2 is out
+        dict(c_custkey=1, c_nationkey=1, c_acctbal=100.00),  # below avg
+        dict(c_custkey=2, c_nationkey=3, c_acctbal=290.00),  # == avg: dropped
+        dict(c_custkey=3, c_nationkey=5, c_acctbal=300.00),  # above avg, no orders
+        dict(c_custkey=4, c_nationkey=8, c_acctbal=300.00),  # code 1 via wrap
+        dict(c_custkey=5, c_nationkey=1, c_acctbal=0.00),    # outside the avg
+        dict(c_custkey=6, c_nationkey=2, c_acctbal=9999.0),  # code 2: out
+        dict(c_custkey=7, c_nationkey=3, c_acctbal=350.00),  # above, HAS recent
+        dict(c_custkey=8, c_nationkey=5, c_acctbal=400.00),  # above, old order only
+    ]
+    orders = [
+        dict(o_orderkey=1, o_custkey=7, o_orderdate=CUT),  # exactly AT: recent
+        dict(o_orderkey=2, o_custkey=8, o_orderdate=CUT - timedelta(microseconds=1)),
+        dict(o_orderkey=3, o_custkey=6, o_orderdate=CUT),  # excluded code anyway
+    ]
+    _write_tpch(spark, tmp_path, "customer", customers)
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    in_code = [c for c in customers if c["c_nationkey"] % 7 in (1, 3, 5)]
+    pos = [c for c in in_code if c["c_acctbal"] > 0]
+    bal_sum, bal_cnt = sum(c["c_acctbal"] for c in pos), len(pos)
+    # attest: customer 2 hits exact equality (290*6 == 1740 == the pos
+    # sum 100+290+300+300+350+400); zero-balance is outside pos
+    assert customers[1]["c_acctbal"] * bal_cnt == bal_sum == 1740.0
+    assert all(c["c_custkey"] != 5 for c in pos)
+    recent = {o["o_custkey"] for o in orders if o["o_orderdate"] >= CUT}
+    assert 7 in recent and 8 not in recent  # cutoff boundary attested
+    expect: dict[int, tuple[int, float]] = {}
+    for c in in_code:
+        if c["c_acctbal"] * bal_cnt > bal_sum and c["c_custkey"] not in recent:
+            code = c["c_nationkey"] % 7
+            n, t = expect.get(code, (0, 0.0))
+            expect[code] = (n + 1, t + c["c_acctbal"])
+    assert set(expect) == {1, 5}  # codes 1 (incl. the %7 wrap) and 5 survive
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q22", tmp_path)
+    got = {r.cntrycode: (r.numcust, r.totacctbal) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q2_min_cost_tie_keeps_both(spark, tmp_path):
+    """Q2 differential FORCING the tie-at-min edge: two EUROPE
+    suppliers of the same part at the identical minimum acctbal must
+    BOTH be returned, and a CHEAPER supplier outside EUROPE must not
+    define the min (it is filtered before the window). Part filters
+    (size exactly 15, type exactly 'LARGE') each knocked out once."""
+    regions = [
+        dict(r_regionkey=0, r_name="EUROPE"),
+        dict(r_regionkey=1, r_name="ASIA"),
+    ]
+    nations = [
+        dict(n_nationkey=10, n_name="NATION_A", n_regionkey=0),
+        dict(n_nationkey=11, n_name="NATION_B", n_regionkey=1),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_name="s1", s_nationkey=10, s_acctbal=10.0),
+        dict(s_suppkey=2, s_name="s2", s_nationkey=10, s_acctbal=10.0),  # tie
+        dict(s_suppkey=3, s_name="s3", s_nationkey=10, s_acctbal=20.0),
+        dict(s_suppkey=4, s_name="s4", s_nationkey=11, s_acctbal=1.0),   # non-EU, cheaper
+    ]
+    parts = [
+        dict(p_partkey=1, p_type="LARGE", p_size=15),
+        dict(p_partkey=2, p_type="LARGE", p_size=14),   # size out
+        dict(p_partkey=3, p_type="SMALL", p_size=15),   # type out
+    ]
+    lines = [
+        dict(l_partkey=1, l_suppkey=1),
+        dict(l_partkey=1, l_suppkey=1),  # duplicate pair collapses
+        dict(l_partkey=1, l_suppkey=2),
+        dict(l_partkey=1, l_suppkey=3),
+        dict(l_partkey=1, l_suppkey=4),
+        dict(l_partkey=2, l_suppkey=1),
+        dict(l_partkey=3, l_suppkey=2),
+    ]
+    for name, rows in [
+        ("region", regions), ("nation", nations), ("supplier", suppliers),
+        ("part", parts), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    # Python walk: candidates for part 1 are suppliers 1,2,3 (supplier 4
+    # is ASIA); min acctbal 10.0 is shared by 1 and 2
+    assert suppliers[3]["s_acctbal"] < suppliers[0]["s_acctbal"]  # forced decoy
+    expect = {
+        (1, "LARGE", 1, "s1", 10.0, "NATION_A"),
+        (1, "LARGE", 2, "s2", 10.0, "NATION_A"),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q2", tmp_path)
+    got = {
+        (r.p_partkey, r.p_type, r.s_suppkey, r.s_name, r.s_acctbal, r.n_name)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_tpch_q5_same_nation_predicate_and_date_window(spark, tmp_path):
+    """Q5 differential FORCING the customer-nation == supplier-nation
+    join predicate (a cross-nation sale is dropped even though every
+    equi-key matches) and the half-open order-date window (order AT
+    1997-01-01 in, AT 1998-01-01 out)."""
+    from datetime import datetime
+
+    regions = [
+        dict(r_regionkey=0, r_name="ASIA"),
+        dict(r_regionkey=1, r_name="EUROPE"),
+    ]
+    nations = [
+        dict(n_nationkey=1, n_name="NATION_X", n_regionkey=0),
+        dict(n_nationkey=2, n_name="NATION_Y", n_regionkey=0),
+        dict(n_nationkey=3, n_name="NATION_Z", n_regionkey=1),  # non-ASIA
+    ]
+    customers = [
+        dict(c_custkey=1, c_nationkey=1),
+        dict(c_custkey=2, c_nationkey=2),
+        dict(c_custkey=3, c_nationkey=3),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_nationkey=1),
+        dict(s_suppkey=2, s_nationkey=2),
+        dict(s_suppkey=3, s_nationkey=3),
+    ]
+    orders = [
+        dict(o_orderkey=1, o_custkey=1, o_orderdate=datetime(1997, 1, 1)),  # AT lower
+        dict(o_orderkey=2, o_custkey=1, o_orderdate=datetime(1998, 1, 1)),  # AT upper
+        dict(o_orderkey=3, o_custkey=2, o_orderdate=datetime(1997, 7, 1)),
+        dict(o_orderkey=4, o_custkey=3, o_orderdate=datetime(1997, 7, 1)),  # non-ASIA cust
+    ]
+    lines = [
+        dict(l_orderkey=1, l_suppkey=1, l_extendedprice=100.0, l_discount=0.25),
+        dict(l_orderkey=1, l_suppkey=2, l_extendedprice=999.0),  # cross-nation: out
+        dict(l_orderkey=2, l_suppkey=1, l_extendedprice=5000.0),  # date out
+        dict(l_orderkey=3, l_suppkey=2, l_extendedprice=200.0, l_discount=0.5),
+        dict(l_orderkey=4, l_suppkey=3, l_extendedprice=7000.0),  # region out
+    ]
+    for name, rows in [
+        ("region", regions), ("nation", nations), ("customer", customers),
+        ("supplier", suppliers), ("orders", orders), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    # Python walk mirrors every predicate
+    nat = {n["n_nationkey"]: n for n in nations}
+    cust = {c["c_custkey"]: c for c in customers}
+    supp = {s["s_suppkey"]: s for s in suppliers}
+    ordr = {o["o_orderkey"]: o for o in orders}
+    LO, HI = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    expect: dict[str, float] = {}
+    for ln in lines:
+        o = ordr[ln["l_orderkey"]]
+        c = cust[o["o_custkey"]]
+        s = supp[ln["l_suppkey"]]
+        n = nat[s["s_nationkey"]]
+        if (
+            LO <= o["o_orderdate"] < HI
+            and c["c_nationkey"] == s["s_nationkey"]
+            and nat[n["n_nationkey"]]["n_regionkey"] == 0  # ASIA
+        ):
+            rev = ln["l_extendedprice"] * (1 - ln.get("l_discount", 0.0))
+            expect[n["n_name"]] = expect.get(n["n_name"], 0.0) + rev
+    assert expect == {"NATION_X": 75.0, "NATION_Y": 100.0}  # forcing attested
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q5", tmp_path)
+    got = {r.n_name: r.revenue for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q7_symmetric_pair_and_year_boundary(spark, tmp_path):
+    """Q7 differential FORCING both directions of the symmetric nation
+    pair (1->2 and 2->1 each keep their own group), the SAME-nation
+    decoy (1->1 dropped), a third-nation decoy, and the ship-date
+    year boundary (1997-12-31 groups under 1997; 1998-01-01 is outside
+    the window entirely)."""
+    from datetime import datetime
+
+    nations = [
+        dict(n_nationkey=1, n_name="NATION_1"),
+        dict(n_nationkey=2, n_name="NATION_2"),
+        dict(n_nationkey=3, n_name="NATION_3"),
+    ]
+    suppliers = [dict(s_suppkey=k, s_nationkey=k) for k in (1, 2, 3)]
+    customers = [dict(c_custkey=k, c_nationkey=k) for k in (1, 2, 3)]
+    orders = [dict(o_orderkey=k, o_custkey=k) for k in (1, 2, 3)]
+    lines = [
+        # supp 1 -> cust 2, AT the lower bound (kept, year 1996)
+        dict(l_orderkey=2, l_suppkey=1, l_shipdate=datetime(1996, 1, 1),
+             l_extendedprice=100.0, l_discount=0.25),
+        # supp 2 -> cust 1, last day of 1997 (kept, year 1997)
+        dict(l_orderkey=1, l_suppkey=2, l_shipdate=datetime(1997, 12, 31),
+             l_extendedprice=200.0),
+        # supp 1 -> cust 2 again in 1997: second group row
+        dict(l_orderkey=2, l_suppkey=1, l_shipdate=datetime(1997, 6, 1),
+             l_extendedprice=400.0, l_discount=0.5),
+        # AT the upper bound: dropped
+        dict(l_orderkey=2, l_suppkey=1, l_shipdate=datetime(1998, 1, 1),
+             l_extendedprice=9999.0),
+        # same-nation decoy 1 -> 1: dropped
+        dict(l_orderkey=1, l_suppkey=1, l_shipdate=datetime(1997, 6, 1),
+             l_extendedprice=9999.0),
+        # third nation decoy 3 -> 2: dropped
+        dict(l_orderkey=2, l_suppkey=3, l_shipdate=datetime(1997, 6, 1),
+             l_extendedprice=9999.0),
+    ]
+    for name, rows in [
+        ("nation", nations), ("supplier", suppliers), ("customer", customers),
+        ("orders", orders), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    expect = {
+        ("NATION_1", "NATION_2", 1996): 75.0,
+        ("NATION_1", "NATION_2", 1997): 200.0,
+        ("NATION_2", "NATION_1", 1997): 200.0,
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q7", tmp_path)
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue
+        for r in sdf.collect()
+    }
+    assert got == expect
+    assert all(v != 9999.0 and v < 9999.0 for v in got.values())  # decoys out
+
+
+def test_tpch_q20_qty_threshold_and_semi_join_once(spark, tmp_path):
+    """Q20 differential FORCING the strict qty > 40 threshold (a
+    supplier whose in-window shipped total is EXACTLY 40.0 is dropped;
+    40.25 qualifies), the ship-date window edges feeding that sum, the
+    LIKE '%bolt%' part filter, and the left-semi collapse (a supplier
+    qualifying via TWO parts appears exactly once)."""
+    from datetime import datetime, timedelta
+
+    LO, HI = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    nations = [
+        dict(n_nationkey=7, n_name="NATION_7"),
+        dict(n_nationkey=8, n_name="NATION_8"),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_name="s1", s_nationkey=7),  # exactly 40: dropped
+        dict(s_suppkey=2, s_name="s2", s_nationkey=7),  # 40.25: kept
+        dict(s_suppkey=3, s_name="s3", s_nationkey=7),  # kept via two parts
+        dict(s_suppkey=4, s_name="s4", s_nationkey=8),  # wrong nation
+        dict(s_suppkey=5, s_name="s5", s_nationkey=7),  # only non-bolt parts
+    ]
+    parts = [
+        dict(p_partkey=1, p_name="steel bolt large"),
+        dict(p_partkey=2, p_name="boltless rivet"),   # still contains 'bolt'
+        dict(p_partkey=3, p_name="copper nut"),       # no match
+    ]
+    lines = [
+        # s1 on part 1: 25.0 in-window + 15.0 in-window = exactly 40.0
+        dict(l_partkey=1, l_suppkey=1, l_quantity=25.0, l_shipdate=LO),
+        dict(l_partkey=1, l_suppkey=1, l_quantity=15.0,
+             l_shipdate=HI - timedelta(microseconds=1)),
+        # s1 extra 10.0 OUTSIDE the window (AT the upper bound): not counted
+        dict(l_partkey=1, l_suppkey=1, l_quantity=10.0, l_shipdate=HI),
+        # s2 on part 1: 40.25 total
+        dict(l_partkey=1, l_suppkey=2, l_quantity=40.25,
+             l_shipdate=datetime(1997, 6, 1)),
+        # s3 qualifies via part 1 AND part 2 -> one output row
+        dict(l_partkey=1, l_suppkey=3, l_quantity=41.0,
+             l_shipdate=datetime(1997, 6, 1)),
+        dict(l_partkey=2, l_suppkey=3, l_quantity=50.0,
+             l_shipdate=datetime(1997, 6, 1)),
+        # s4 qualifies on quantity but is in NATION_8
+        dict(l_partkey=1, l_suppkey=4, l_quantity=99.0,
+             l_shipdate=datetime(1997, 6, 1)),
+        # s5 ships a mountain of the non-matching part
+        dict(l_partkey=3, l_suppkey=5, l_quantity=500.0,
+             l_shipdate=datetime(1997, 6, 1)),
+    ]
+    for name, rows in [
+        ("nation", nations), ("supplier", suppliers), ("part", parts),
+        ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    # attest the forced threshold: s1's in-window total is exactly 40
+    s1_total = sum(
+        ln["l_quantity"] for ln in lines
+        if ln["l_suppkey"] == 1 and LO <= ln["l_shipdate"] < HI
+    )
+    assert s1_total == 40.0
+    expect = {(2, "s2"), (3, "s3")}
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q20", tmp_path)
+    rows = sdf.collect()
+    assert len(rows) == len(set(rows)) == 2  # semi-join: s3 exactly once
+    assert {(r.s_suppkey, r.s_name) for r in rows} == expect
+
+
+def test_tpch_q8_market_share_zero_and_exact_fraction(spark, tmp_path):
+    """Q8 differential FORCING a year with ZERO target-nation volume
+    (share must be exactly 0.0, not a missing row) next to a year with
+    a dyadic-exact share (100/400 = 0.25), plus the order-date upper
+    bound (AT 1998-01-01 dropped) and the ECONOMY part filter."""
+    from datetime import datetime
+
+    regions = [
+        dict(r_regionkey=0, r_name="AMERICA"),
+        dict(r_regionkey=1, r_name="EUROPE"),
+    ]
+    nations = [
+        dict(n_nationkey=1, n_name="NATION_3", n_regionkey=0),  # target + AMERICA
+        dict(n_nationkey=2, n_name="NATION_4", n_regionkey=0),
+        dict(n_nationkey=3, n_name="NATION_5", n_regionkey=1),  # non-AMERICA cust
+    ]
+    customers = [
+        dict(c_custkey=1, c_nationkey=1),
+        dict(c_custkey=2, c_nationkey=2),
+        dict(c_custkey=3, c_nationkey=3),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_nationkey=1),  # NATION_3 supplier (the target)
+        dict(s_suppkey=2, s_nationkey=2),
+    ]
+    parts = [
+        dict(p_partkey=1, p_type="ECONOMY"),
+        dict(p_partkey=2, p_type="PREMIUM"),  # filtered out
+    ]
+    orders = [
+        dict(o_orderkey=1, o_custkey=1, o_orderdate=datetime(1996, 3, 1)),
+        dict(o_orderkey=2, o_custkey=2, o_orderdate=datetime(1996, 9, 1)),
+        dict(o_orderkey=3, o_custkey=1, o_orderdate=datetime(1997, 3, 1)),
+        dict(o_orderkey=4, o_custkey=1, o_orderdate=datetime(1998, 1, 1)),  # AT upper
+        dict(o_orderkey=5, o_custkey=3, o_orderdate=datetime(1996, 6, 1)),  # non-AMERICA
+    ]
+    lines = [
+        # 1996: NATION_3 supplies 100, NATION_4 supplies 300 -> share 0.25
+        dict(l_orderkey=1, l_partkey=1, l_suppkey=1, l_extendedprice=100.0),
+        dict(l_orderkey=2, l_partkey=1, l_suppkey=2, l_extendedprice=300.0),
+        # 1997: only NATION_4 -> share exactly 0.0
+        dict(l_orderkey=3, l_partkey=1, l_suppkey=2, l_extendedprice=250.0),
+        # decoys: boundary date, non-ECONOMY part, non-AMERICA customer
+        dict(l_orderkey=4, l_partkey=1, l_suppkey=1, l_extendedprice=9999.0),
+        dict(l_orderkey=1, l_partkey=2, l_suppkey=1, l_extendedprice=9999.0),
+        dict(l_orderkey=5, l_partkey=1, l_suppkey=1, l_extendedprice=9999.0),
+    ]
+    for name, rows in [
+        ("region", regions), ("nation", nations), ("customer", customers),
+        ("supplier", suppliers), ("part", parts), ("orders", orders),
+        ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    expect = {1996: 100.0 / 400.0, 1997: 0.0}
+    assert expect[1996] == 0.25  # dyadic-exact share attested
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q8", tmp_path)
+    got = {r.o_year: r.mkt_share for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q9_like_case_sensitivity_and_negative_profit(spark, tmp_path):
+    """Q9 differential FORCING the LIKE '%red%' edges ('red paint' and
+    'bored steel' match; 'RED paint' and 'r e d' do not — LIKE is
+    case-sensitive in both engines) and a NEGATIVE profit group
+    (supply cost exceeds discounted revenue)."""
+    from datetime import datetime
+
+    nations = [
+        dict(n_nationkey=1, n_name="NATION_P"),
+        dict(n_nationkey=2, n_name="NATION_Q"),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_nationkey=1),
+        dict(s_suppkey=2, s_nationkey=2),
+    ]
+    parts = [
+        dict(p_partkey=1, p_name="red paint", p_retailprice=10.0),
+        dict(p_partkey=2, p_name="bored steel", p_retailprice=100.0),
+        dict(p_partkey=3, p_name="RED paint", p_retailprice=1.0),   # case: out
+        dict(p_partkey=4, p_name="r e d", p_retailprice=1.0),       # out
+    ]
+    orders = [
+        dict(o_orderkey=1, o_orderdate=datetime(1996, 5, 1)),
+        dict(o_orderkey=2, o_orderdate=datetime(1997, 5, 1)),
+    ]
+    lines = [
+        # profit 100*(1-0.25) - 10*2 = 55.0 (NATION_P, 1996)
+        dict(l_orderkey=1, l_partkey=1, l_suppkey=1, l_quantity=2.0,
+             l_extendedprice=100.0, l_discount=0.25),
+        # NEGATIVE profit: 50 - 100*3 = -250.0 (NATION_Q, 1997)
+        dict(l_orderkey=2, l_partkey=2, l_suppkey=2, l_quantity=3.0,
+             l_extendedprice=50.0),
+        # decoys on non-matching part names
+        dict(l_orderkey=1, l_partkey=3, l_suppkey=1, l_extendedprice=9999.0),
+        dict(l_orderkey=1, l_partkey=4, l_suppkey=1, l_extendedprice=9999.0),
+    ]
+    for name, rows in [
+        ("nation", nations), ("supplier", suppliers), ("part", parts),
+        ("orders", orders), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    expect = {("NATION_P", 1996): 55.0, ("NATION_Q", 1997): -250.0}
+    assert expect[("NATION_Q", 1997)] < 0  # negative-profit group attested
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q9", tmp_path)
+    got = {(r.nation, r.o_year): r.sum_profit for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q21_exists_not_exists_shipdate_tie(spark, tmp_path):
+    """Q21 differential FORCING the correlated-subquery edges: a
+    single-supplier order fails EXISTS; the non-latest supplier of a
+    two-supplier order fails NOT EXISTS; two suppliers tied at the SAME
+    latest shipdate are BOTH kept (strictly-later is required to
+    disqualify); an 'O'-status order and an out-of-nation supplier are
+    dropped; one supplier waits on TWO orders -> numwait 2."""
+    from datetime import datetime
+
+    D1, D2 = datetime(1997, 3, 1), datetime(1997, 6, 1)
+    nations = [
+        dict(n_nationkey=9, n_name="NATION_9"),
+        dict(n_nationkey=1, n_name="NATION_1"),
+    ]
+    suppliers = [
+        dict(s_suppkey=1, s_name="s1", s_nationkey=9),
+        dict(s_suppkey=2, s_name="s2", s_nationkey=9),
+        dict(s_suppkey=3, s_name="s3", s_nationkey=9),
+        dict(s_suppkey=4, s_name="s4", s_nationkey=1),  # out of nation
+    ]
+    orders = [
+        dict(o_orderkey=1, o_orderstatus="F"),
+        dict(o_orderkey=2, o_orderstatus="F"),  # single-supplier
+        dict(o_orderkey=3, o_orderstatus="F"),  # shipdate tie
+        dict(o_orderkey=4, o_orderstatus="O"),  # status out
+        dict(o_orderkey=5, o_orderstatus="F"),  # s1 waits again
+    ]
+    lines = [
+        # order 1: s1 ships early, s2 ships last -> only s2 kept
+        dict(l_orderkey=1, l_suppkey=1, l_shipdate=D1),
+        dict(l_orderkey=1, l_suppkey=2, l_shipdate=D2),
+        # order 2: s1 alone -> EXISTS fails
+        dict(l_orderkey=2, l_suppkey=1, l_shipdate=D1),
+        # order 3: s2 and s3 tied at the same instant -> BOTH kept
+        dict(l_orderkey=3, l_suppkey=2, l_shipdate=D2),
+        dict(l_orderkey=3, l_suppkey=3, l_shipdate=D2),
+        # order 4 (status O): would qualify otherwise
+        dict(l_orderkey=4, l_suppkey=1, l_shipdate=D1),
+        dict(l_orderkey=4, l_suppkey=2, l_shipdate=D2),
+        # order 5: s4 ships early (EXISTS satisfied), s1 last -> s1 kept
+        dict(l_orderkey=5, l_suppkey=4, l_shipdate=D1),
+        dict(l_orderkey=5, l_suppkey=1, l_shipdate=D2),
+    ]
+    for name, rows in [
+        ("nation", nations), ("supplier", suppliers), ("orders", orders),
+        ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    # pure-Python walk of the EXISTS / NOT EXISTS semantics
+    status = {o["o_orderkey"]: o["o_orderstatus"] for o in orders}
+    nat = {s["s_suppkey"]: s["s_nationkey"] for s in suppliers}
+    name_of = {s["s_suppkey"]: s["s_name"] for s in suppliers}
+    waits: dict[str, int] = {}
+    for l1 in lines:
+        if status[l1["l_orderkey"]] != "F" or nat[l1["l_suppkey"]] != 9:
+            continue
+        others = [
+            l2 for l2 in lines
+            if l2["l_orderkey"] == l1["l_orderkey"]
+            and l2["l_suppkey"] != l1["l_suppkey"]
+        ]
+        if not others:
+            continue
+        if any(l3["l_shipdate"] > l1["l_shipdate"] for l3 in others):
+            continue
+        nm = name_of[l1["l_suppkey"]]
+        waits[nm] = waits.get(nm, 0) + 1
+    assert waits == {"s1": 1, "s2": 2, "s3": 1}  # tie keeps BOTH s2 and s3
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q21", tmp_path)
+    got = {r.s_name: r.numwait for r in sdf.collect()}
+    assert got == waits
