@@ -6710,3 +6710,266 @@ def test_tpch_q21_exists_not_exists_shipdate_tie(spark, tmp_path):
     sdf = _spark_vs_registered_oracle(spark, "tpch_q21", tmp_path)
     got = {r.s_name: r.numwait for r in sdf.collect()}
     assert got == waits
+
+
+def test_sink_partitioned_prune_year_boundaries(spark, tmp_path):
+    """sink_partitioned_prune differential FORCING the partition-prune
+    edges: orders at 1995-12-31 23:59:59.999999 and 1998-01-01 land in
+    pruned partitions; 1996-01-01 00:00:00 and 1997-12-31 23:59:59 are
+    the first/last microseconds of the kept years. Any row loss in the
+    hive-partitioned write/read or an under/over-pruned scan breaks
+    the Python walk and the oracle hash."""
+    from datetime import datetime
+
+    orders = [
+        dict(o_orderkey=1, o_orderdate=datetime(1995, 12, 31, 23, 59, 59, 999999),
+             o_orderpriority="1-URGENT", o_totalprice=111.25),   # pruned
+        dict(o_orderkey=2, o_orderdate=datetime(1996, 1, 1),
+             o_orderpriority="1-URGENT", o_totalprice=100.25),   # first kept us
+        dict(o_orderkey=3, o_orderdate=datetime(1997, 12, 31, 23, 59, 59),
+             o_orderpriority="1-URGENT", o_totalprice=200.50),   # last kept sec
+        dict(o_orderkey=4, o_orderdate=datetime(1998, 1, 1),
+             o_orderpriority="1-URGENT", o_totalprice=999.75),   # pruned
+        dict(o_orderkey=5, o_orderdate=datetime(1996, 6, 1),
+             o_orderpriority="5-LOW", o_totalprice=50.00),       # singleton group
+        dict(o_orderkey=6, o_orderdate=datetime(1997, 6, 1),
+             o_orderpriority="1-URGENT", o_totalprice=75.25),
+    ]
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    expect: dict[tuple, tuple] = {}
+    for o in orders:
+        y = o["o_orderdate"].year
+        if y in (1996, 1997):
+            n, t = expect.get((y, o["o_orderpriority"]), (0, 0.0))
+            expect[(y, o["o_orderpriority"])] = (n + 1, t + o["o_totalprice"])
+    assert (1995, "1-URGENT") not in expect and (1998, "1-URGENT") not in expect
+    assert expect[(1996, "5-LOW")] == (1, 50.00)  # singleton group attested
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_partitioned_prune", tmp_path)
+    got = {
+        (r.order_year, r.o_orderpriority): (r.n_orders, r.total_price)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_sink_json_roundtrip_value_edges(spark, tmp_path):
+    """sink_json_roundtrip differential FORCING the text-representation
+    edges: negative, zero, shortest-roundtrip non-dyadic (0.1 needs 17
+    significant digits to survive text), and a 12-digit balance. The
+    walk mirrors the engines' double -> DECIMAL(18,2) half-up cast."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    suppliers = [
+        dict(s_suppkey=1, s_nationkey=1, s_acctbal=-0.25),
+        dict(s_suppkey=2, s_nationkey=1, s_acctbal=0.0),
+        dict(s_suppkey=3, s_nationkey=1, s_acctbal=0.1),    # non-dyadic
+        dict(s_suppkey=4, s_nationkey=2, s_acctbal=999999999.99),  # singleton
+        dict(s_suppkey=5, s_nationkey=3, s_acctbal=0.01),
+        dict(s_suppkey=6, s_nationkey=3, s_acctbal=123.45),
+    ]
+    _write_tpch(spark, tmp_path, "supplier", suppliers)
+
+    def as_dec2(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+    expect: dict[int, tuple] = {}
+    for s in suppliers:
+        n, t = expect.get(s["s_nationkey"], (0, Decimal("0")))
+        expect[s["s_nationkey"]] = (n + 1, t + as_dec2(s["s_acctbal"]))
+    expect = {k: (n, float(t)) for k, (n, t) in expect.items()}
+    assert expect[2] == (1, 999999999.99)
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_json_roundtrip", tmp_path)
+    got = {r.s_nationkey: (r.n_suppliers, r.sum_acctbal) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_sink_orc_roundtrip_string_edges(spark, tmp_path):
+    """sink_orc_roundtrip differential FORCING string edges through the
+    ORC round-trip: an EMPTY brand (distinct from null), a multibyte
+    unicode brand, and a negative price; empty and unicode brands must
+    come back as their own groups."""
+    parts = [
+        dict(p_partkey=1, p_brand="", p_retailprice=10.25),
+        dict(p_partkey=2, p_brand="", p_retailprice=-5.50),
+        dict(p_partkey=3, p_brand="Bränd#é", p_retailprice=99.75),
+        dict(p_partkey=4, p_brand="Brand#1", p_retailprice=0.0),
+    ]
+    _write_tpch(spark, tmp_path, "part", parts)
+
+    expect = {"": (2, 4.75), "Bränd#é": (1, 99.75), "Brand#1": (1, 0.0)}
+    assert expect[""][1] == 10.25 - 5.50  # negative price attested
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_orc_roundtrip", tmp_path)
+    got = {r.p_brand: (r.n_parts, r.sum_price) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_approx_distinct_multiplicity_invariance(spark, tmp_path, tmp_path_factory):
+    """approx_distinct differential FORCING the sketch's defining
+    invariant: the HLL++ estimate depends ONLY on the distinct set,
+    never on multiplicity — the same 137 orderkeys at 1 copy and at
+    60 copies each must give BIT-IDENTICAL estimates (and a constant
+    partkey column the same way); both estimates must sit inside the
+    5-sigma 10% band around the true cardinalities."""
+    import random
+
+    rng = random.Random(811)
+    keys = rng.sample(range(1, 10_000_000), 137)
+    once = [dict(l_orderkey=k, l_partkey=77) for k in keys]
+    many = [
+        dict(l_orderkey=k, l_partkey=77) for k in keys for _ in range(60)
+    ]
+    rng.shuffle(many)
+    d_once, d_many = tmp_path, tmp_path_factory.mktemp("many")
+    _write_tpch(spark, d_once, "lineitem", once)
+    _write_tpch(spark, d_many, "lineitem", many)
+
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["approx_distinct"]
+    r1 = q.build(spark, str(d_once)).first()
+    r2 = q.build(spark, str(d_many)).first()
+    assert (r1.approx_parts, r1.approx_orders) == (r2.approx_parts, r2.approx_orders)
+    assert r1.approx_parts == 1  # single distinct value: exact
+    assert abs(r1.approx_orders - 137) / 137 < 0.10
+
+
+def _write_embeddings(tmp_path, vecs):
+    """embeddings.parquet from {vec_id: 64-dim float32 list}."""
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in ids], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        str(tmp_path) + "/embeddings.parquet",
+    )
+
+
+def test_ivf_train_tie_break_and_singleton_cells(spark, tmp_path):
+    """ivf_train differential FORCING the assignment edges the real
+    corpus never lines up: a vector EXACTLY equidistant from all 16
+    centroids (argmin tie-break -> cell 0), a two-way tie between
+    cells 2 and 3, an exact duplicate of centroid 5 (distance 0), and
+    singleton cells whose mean must equal the centroid bit-exactly.
+    All values dyadic so the Python walk, the Spark fold, and the
+    DuckDB fold produce identical doubles."""
+    D = 64
+    vecs: dict[int, list[float]] = {}
+    for i in range(16):  # centroids: 4.0 at dim i
+        v = [0.0] * D
+        v[i] = 4.0
+        vecs[i] = v
+    vecs[16] = [0.0] * D            # equidistant from ALL 16 -> cell 0
+    vecs[17] = list(vecs[5])        # exact duplicate -> cell 5, d2 == 0
+    v18 = list(vecs[7])
+    v18[20] = 0.5                   # near centroid 7 -> cell 7
+    vecs[18] = v18
+    v19 = [0.0] * D
+    v19[2] = 2.0
+    v19[3] = 2.0                    # tie between cells 2 and 3 -> cell 2
+    vecs[19] = v19
+    _write_embeddings(tmp_path, vecs)
+
+    # Python walk: argmin over round(d2, 6) with cid tie-break
+    def d2(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    assign = {}
+    for vid, v in vecs.items():
+        dists = [(d2(v, vecs[c]), c) for c in range(16)]
+        assign[vid] = min(dists)[1]
+    # attest the forced ties and memberships
+    assert assign[16] == 0 and assign[19] == 2 and assign[17] == 5
+    assert assign[18] == 7 and all(assign[c] == c for c in range(16))
+    members: dict[int, list[int]] = {}
+    for vid, c in assign.items():
+        members.setdefault(c, []).append(vid)
+    assert sorted(members[5]) == [5, 17] and sorted(members[2]) == [2, 19]
+    assert len(members[1]) == 1  # singleton cell attested
+
+    expect = {}
+    for c, vids in members.items():
+        for dim in range(D):
+            s = 0.0
+            for vid in sorted(vids):  # fold in vec_id order
+                s += vecs[vid][dim]
+            # output dims are 1-based (generate_subscripts convention)
+            expect[(c, dim + 1)] = (len(vids), s / len(vids))
+
+    sdf = _spark_vs_registered_oracle(spark, "ivf_train", tmp_path)
+    got = {
+        (r.cell, r.dim): (r.n_members, r.centroid_val) for r in sdf.collect()
+    }
+    assert got == expect
+    assert got[(5, 6)] == (2, 4.0)  # duplicate member leaves the mean fixed
+    assert got[(7, 21)] == (2, 0.25)  # v18's 0.5 averages in
+
+
+def test_pq_encode_zero_distance_and_code_ties(spark, tmp_path):
+    """pq_encode differential FORCING (a) a zero-distance encode (a
+    vector whose segment equals a codeword: d2u == 0), (b) mass code
+    ties — for segments where ALL 8 codewords are identical (zero
+    subvectors) every code is equidistant and code 0 must win, and
+    (c) a two-way tie inside segment 0. Walk mirrors the kernel's
+    floor(d2*1e6 + 0.5) micro-unit rounding and smaller-code
+    tie-break."""
+    D, SEGS, SEG_DIMS, CODES = 64, 8, 8, 8
+    vecs: dict[int, list[float]] = {}
+    for i in range(8):  # codewords: 4.0 at dim i (all inside segment 0)
+        v = [0.0] * D
+        v[i] = 4.0
+        vecs[i] = v
+    # centroid-table padding (ivf params want vec_id<16 rows to exist,
+    # pq only uses vec_id<8) plus the forced probes:
+    vecs[8] = list(vecs[3])          # duplicate of codeword 3: seg0 d2u == 0
+    v9 = [0.0] * D
+    v9[1] = 2.0
+    v9[2] = 2.0                      # seg0 tie between codes 1 and 2 -> 1
+    vecs[9] = v9
+    v10 = [0.0] * D
+    v10[20] = 0.5                    # nonzero OUTSIDE seg0: seg2 err 250000
+    vecs[10] = v10
+    _write_embeddings(tmp_path, vecs)
+
+    def d2u(a, b):
+        import math
+
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return math.floor(s * 1_000_000 + 0.5)
+
+    expect = {}
+    for vid, v in vecs.items():
+        for seg in range(SEGS):
+            sv = v[seg * SEG_DIMS:(seg + 1) * SEG_DIMS]
+            cands = []
+            for code in range(CODES):
+                cv = vecs[code][seg * SEG_DIMS:(seg + 1) * SEG_DIMS]
+                cands.append((d2u(sv, cv), code))
+            err, code = min(cands)
+            expect[(vid, seg)] = (code, err)
+    # attest the forcings
+    assert expect[(8, 0)] == (3, 0)          # zero-distance encode
+    assert expect[(9, 0)][0] == 1            # two-way tie -> smaller code
+    assert expect[(10, 2)] == (0, 250_000)   # off-seg0 residual
+    assert all(
+        expect[(vid, seg)][0] == 0
+        for vid in vecs if vid != 10
+        for seg in range(1, SEGS)
+    )  # identical codewords -> code 0 wins every tie
+
+    sdf = _spark_vs_registered_oracle(spark, "pq_encode", tmp_path)
+    got = {
+        (r.vec_id, r.seg): (r.code, r.quant_err_micro) for r in sdf.collect()
+    }
+    assert got == expect
