@@ -6973,3 +6973,321 @@ def test_pq_encode_zero_distance_and_code_ties(spark, tmp_path):
         (r.vec_id, r.seg): (r.code, r.quant_err_micro) for r in sdf.collect()
     }
     assert got == expect
+
+
+def test_tpch_q3_strict_date_bounds_and_top10_tie(spark, tmp_path):
+    """Q3 differential FORCING the two STRICT date predicates (an order
+    AT 1998-03-15 is dropped; a lineitem shipping AT 1998-03-15 is
+    dropped — both strict, opposite directions) and a revenue tie
+    straddling the LIMIT 10 cut, decided by l_orderkey ASC."""
+    from datetime import datetime
+
+    CUT = datetime(1998, 3, 15)
+    customers = [
+        dict(c_custkey=1, c_mktsegment="BUILDING"),
+        dict(c_custkey=2, c_mktsegment="MACHINERY"),  # segment out
+    ]
+    orders, lines = [], []
+    # 12 BUILDING orders; revenues descending, with orders 10 and 11
+    # tied exactly at the cut and order 12 below it
+    rev = [1200.0, 1100.0, 1000.0, 900.0, 800.0, 700.0,
+           600.0, 500.0, 400.0, 300.0, 300.0, 200.0]
+    for i, r in enumerate(rev, start=1):
+        orders.append(
+            dict(o_orderkey=i, o_custkey=1, o_orderdate=datetime(1997, 6, 1),
+                 o_orderpriority="3-MEDIUM")
+        )
+        lines.append(
+            dict(l_orderkey=i, l_shipdate=datetime(1998, 6, 1),
+                 l_extendedprice=r * 2, l_discount=0.5)
+        )
+    # order AT the cutoff date: dropped despite qualifying lineitem
+    orders.append(dict(o_orderkey=13, o_custkey=1, o_orderdate=CUT))
+    lines.append(dict(l_orderkey=13, l_shipdate=datetime(1998, 6, 1),
+                      l_extendedprice=9999.0))
+    # order whose ONLY lineitem ships AT the cutoff: group absent
+    orders.append(dict(o_orderkey=14, o_custkey=1,
+                       o_orderdate=datetime(1997, 6, 1)))
+    lines.append(dict(l_orderkey=14, l_shipdate=CUT, l_extendedprice=9999.0))
+    # non-BUILDING decoy
+    orders.append(dict(o_orderkey=15, o_custkey=2,
+                       o_orderdate=datetime(1997, 6, 1)))
+    lines.append(dict(l_orderkey=15, l_shipdate=datetime(1998, 6, 1),
+                      l_extendedprice=9999.0))
+    for name, rows in [
+        ("customer", customers), ("orders", orders), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    assert rev[9] == rev[10] and rev[10] > rev[11]  # tie straddles the cut
+    expect = [
+        (i, rev[i - 1], datetime(1997, 6, 1), "3-MEDIUM")
+        for i in range(1, 11)  # ties at 300.0: orderkey 10 in, 11 out
+    ]
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q3", tmp_path)
+    got = [
+        (r.l_orderkey, r.revenue, r.o_orderdate, r.o_orderpriority)
+        for r in sdf.collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == got  # output order
+    assert got == expect
+    assert all(k != 11 for k, *_ in got)  # the higher-key tie row lost
+
+
+def test_tpch_q6_between_and_quantity_boundaries(spark, tmp_path):
+    """Q6 differential FORCING each predicate edge: discount exactly at
+    the inclusive BETWEEN ends (0.05 and 0.07 in, 0.04/0.08 out),
+    quantity exactly at the strict < 24 bound (24.0 out, 23.75 in),
+    and the ship-date half-open year (AT 1996-01-01 in, AT 1997-01-01
+    out). The walk mirrors the engines' double->DECIMAL(18,4) cast via
+    shortest-roundtrip repr + half-up quantize."""
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    LO, HI = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    mk = dict
+    lines = [
+        mk(l_quantity=10.0, l_extendedprice=100.0, l_discount=0.05, l_shipdate=LO),
+        mk(l_quantity=10.0, l_extendedprice=200.0, l_discount=0.07,
+           l_shipdate=datetime(1996, 6, 1)),
+        mk(l_quantity=23.75, l_extendedprice=300.0, l_discount=0.06,
+           l_shipdate=datetime(1996, 6, 1)),
+        # forced drops: each fails exactly ONE predicate
+        mk(l_quantity=24.0, l_extendedprice=300.0, l_discount=0.06,
+           l_shipdate=datetime(1996, 6, 1)),
+        mk(l_quantity=10.0, l_extendedprice=300.0, l_discount=0.04,
+           l_shipdate=datetime(1996, 6, 1)),
+        mk(l_quantity=10.0, l_extendedprice=300.0, l_discount=0.08,
+           l_shipdate=datetime(1996, 6, 1)),
+        mk(l_quantity=10.0, l_extendedprice=300.0, l_discount=0.06, l_shipdate=HI),
+    ]
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    def dec4(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+
+    kept = [
+        ln for ln in lines
+        if LO <= ln["l_shipdate"] < HI
+        and 0.05 <= ln["l_discount"] <= 0.07
+        and ln["l_quantity"] < 24.0
+    ]
+    assert len(kept) == 3  # exactly the three boundary-IN rows
+    revenue = float(
+        sum(dec4(ln["l_extendedprice"] * ln["l_discount"]) for ln in kept)
+    )
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q6", tmp_path)
+    row = sdf.collect()[0]
+    assert (row.revenue, row.n_rows) == (revenue, 3)
+
+
+def test_tpch_q10_top20_revenue_tie_custkey_breaks(spark, tmp_path):
+    """Q10 differential FORCING a revenue tie straddling the LIMIT 20
+    cut (c_custkey ASC decides), the 'R' returnflag filter, and the
+    half-open order-date window (AT 1996-07-01 dropped)."""
+    from datetime import datetime
+
+    customers = [dict(c_custkey=k, c_name=f"c{k}", c_nationkey=0)
+                 for k in range(1, 24)]
+    nations = [dict(n_nationkey=0, n_name="NATION_0")]
+    orders, lines = [], []
+    # customers 1..22: descending revenue, 20 and 21 tied at the cut
+    rev = [2200.0 - 100 * i for i in range(19)] + [300.0, 300.0, 100.0]
+    for k, r in enumerate(rev, start=1):
+        orders.append(dict(o_orderkey=k, o_custkey=k,
+                           o_orderdate=datetime(1996, 3, 1)))
+        lines.append(dict(l_orderkey=k, l_returnflag="R",
+                          l_extendedprice=r * 2, l_discount=0.5))
+    # customer 23: huge revenue but AT the upper date bound -> dropped
+    orders.append(dict(o_orderkey=23, o_custkey=23,
+                       o_orderdate=datetime(1996, 7, 1)))
+    lines.append(dict(l_orderkey=23, l_returnflag="R",
+                      l_extendedprice=99999.0))
+    # non-'R' decoy on customer 1
+    lines.append(dict(l_orderkey=1, l_returnflag="N",
+                      l_extendedprice=99999.0))
+    for name, rows in [
+        ("customer", customers), ("nation", nations), ("orders", orders),
+        ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    assert rev[19] == rev[20] and len(rev) == 22  # tie straddles the cut
+    expect = [(k, f"c{k}", "NATION_0", rev[k - 1]) for k in range(1, 21)]
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q10", tmp_path)
+    got = [(r.c_custkey, r.c_name, r.n_name, r.revenue) for r in sdf.collect()]
+    assert got == expect  # custkey 20 kept, tied custkey 21 out
+
+
+def test_tpch_q14_promo_prefix_edges_and_zero_share(spark, tmp_path):
+    """Q14 differential FORCING the LIKE 'PROMO%' prefix edges
+    ('PROMO BRUSHED' in, 'XPROMO' and lowercase 'promo' out) plus a
+    date-boundary drop; then re-run on a fixture with NO promo rows at
+    all (promo_pct must be exactly 0.0, not NULL)."""
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec4(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+
+    LO, HI = datetime(1997, 1, 1), datetime(1997, 4, 1)
+    parts = [
+        dict(p_partkey=1, p_type="PROMO BRUSHED"),
+        dict(p_partkey=2, p_type="XPROMO"),
+        dict(p_partkey=3, p_type="promo anodized"),  # case: not a match
+        dict(p_partkey=4, p_type="STANDARD"),
+    ]
+    lines = [
+        dict(l_partkey=1, l_extendedprice=100.0, l_discount=0.25, l_shipdate=LO),
+        dict(l_partkey=2, l_extendedprice=200.0, l_shipdate=datetime(1997, 2, 1)),
+        dict(l_partkey=3, l_extendedprice=400.0, l_shipdate=datetime(1997, 2, 1)),
+        dict(l_partkey=4, l_extendedprice=800.0, l_shipdate=datetime(1997, 2, 1)),
+        dict(l_partkey=1, l_extendedprice=9999.0, l_shipdate=HI),  # AT upper
+    ]
+    _write_tpch(spark, tmp_path, "part", parts)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    promo = float(dec4(100.0 * (1 - 0.25)))
+    total = float(sum(dec4(x) for x in (75.0, 200.0, 400.0, 800.0)))
+    expect_pct = round(100.0 * promo / total, 4)
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q14", tmp_path)
+    row = sdf.collect()[0]
+    assert (row.promo_rev, row.total_rev, row.promo_pct) == (
+        promo, total, expect_pct,
+    )
+
+    # second fixture: zero promo rows -> pct exactly 0.0
+    import pathlib
+    d2 = pathlib.Path(str(tmp_path)) / "nopromo"
+    d2.mkdir()
+    _write_tpch(spark, d2, "part", [dict(p_partkey=1, p_type="STANDARD")])
+    _write_tpch(spark, d2, "lineitem",
+                [dict(l_partkey=1, l_extendedprice=500.0,
+                      l_shipdate=datetime(1997, 2, 1))])
+    from dpu_olap_spark.registry import all_queries
+
+    row2 = all_queries()["tpch_q14"].build(spark, str(d2)).collect()[0]
+    assert (row2.promo_rev, row2.promo_pct) == (0.0, 0.0)
+
+
+def test_tpch_q18_having_threshold_and_price_tie(spark, tmp_path):
+    """Q18 differential FORCING the HAVING threshold at exact equality
+    (an order totalling EXACTLY 200.0 quantity is dropped; 200.25
+    qualifies) and an o_totalprice tie at the LIMIT cut decided by
+    o_orderkey ASC."""
+    from datetime import datetime
+
+    customers = [dict(c_custkey=1, c_name="c1")]
+    orders, lines = [], []
+    # 22 qualifying orders, prices descending; 20 and 21 tied
+    price = [5000.0 - 100 * i for i in range(19)] + [2000.0, 2000.0, 500.0]
+    for k, p in enumerate(price, start=1):
+        orders.append(dict(o_orderkey=k, o_custkey=1, o_totalprice=p))
+        lines.append(dict(l_orderkey=k, l_quantity=150.0))
+        lines.append(dict(l_orderkey=k, l_quantity=50.25))  # total 200.25
+    # order 23: quantity EXACTLY 200.0 -> dropped by strict >
+    orders.append(dict(o_orderkey=23, o_custkey=1, o_totalprice=9999.0))
+    lines.append(dict(l_orderkey=23, l_quantity=200.0))
+    for name, rows in [
+        ("customer", customers), ("orders", orders), ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    assert price[19] == price[20]  # price tie at the cut
+    ranked = sorted(
+        ((p, k) for k, p in enumerate(price, start=1)), key=lambda t: (-t[0], t[1])
+    )
+    expect = [("c1", k, p, 200.25) for p, k in ranked[:20]]
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q18", tmp_path)
+    got = [
+        (r.c_name, r.o_orderkey, r.o_totalprice, r.total_qty)
+        for r in sdf.collect()
+    ]
+    assert got == expect
+    assert all(k != 23 for _, k, _p, _q in got)  # equality row dropped
+
+
+def test_tpch_q4_exists_strict_shipdate_and_once_per_order(spark, tmp_path):
+    """Q4 differential FORCING the EXISTS edges: a lineitem shipping
+    EXACTLY AT the order date does not qualify (strict >); one
+    microsecond later does; an order with FIVE qualifying lineitems
+    still counts once (semi-join); order-date window edges."""
+    from datetime import datetime, timedelta
+
+    LO, HI = datetime(1997, 7, 1), datetime(1997, 10, 1)
+    D = datetime(1997, 8, 1)
+    orders = [
+        dict(o_orderkey=1, o_orderdate=D, o_orderpriority="1-URGENT"),   # ship == date
+        dict(o_orderkey=2, o_orderdate=D, o_orderpriority="1-URGENT"),   # ship +1us
+        dict(o_orderkey=3, o_orderdate=D, o_orderpriority="2-HIGH"),     # 5 qualifying
+        dict(o_orderkey=4, o_orderdate=LO, o_orderpriority="3-MEDIUM"),  # AT lower: in
+        dict(o_orderkey=5, o_orderdate=HI, o_orderpriority="3-MEDIUM"),  # AT upper: out
+        dict(o_orderkey=6, o_orderdate=D, o_orderpriority="4-NOT SPECIFIED"),  # no lines
+    ]
+    lines = [
+        dict(l_orderkey=1, l_shipdate=D),
+        dict(l_orderkey=2, l_shipdate=D + timedelta(microseconds=1)),
+        *[dict(l_orderkey=3, l_linenumber=i, l_shipdate=D + timedelta(days=i))
+          for i in range(1, 6)],
+        dict(l_orderkey=4, l_shipdate=LO + timedelta(days=1)),
+        dict(l_orderkey=5, l_shipdate=HI + timedelta(days=9)),
+    ]
+    _write_tpch(spark, tmp_path, "orders", orders)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    # Python walk
+    expect: dict[str, int] = {}
+    for o in orders:
+        if not (LO <= o["o_orderdate"] < HI):
+            continue
+        if any(
+            ln["l_orderkey"] == o["o_orderkey"]
+            and ln["l_shipdate"] > o["o_orderdate"]
+            for ln in lines
+        ):
+            p = o["o_orderpriority"]
+            expect[p] = expect.get(p, 0) + 1
+    # attest: order 1 (ship == orderdate) absent; order 3 counted ONCE
+    assert expect == {"1-URGENT": 1, "2-HIGH": 1, "3-MEDIUM": 1}
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q4", tmp_path)
+    got = {r.o_orderpriority: r.order_count for r in sdf.collect()}
+    assert got == expect
+
+
+def test_tpch_q15_max_revenue_tie_keeps_both(spark, tmp_path):
+    """Q15 differential FORCING a tie at the MAX supplier revenue (both
+    suppliers returned — rank(), not row_number()), a supplier pushed
+    BELOW the max by a just-outside-window lineitem, and the quarter's
+    half-open date edges."""
+    from datetime import datetime, timedelta
+
+    LO, HI = datetime(1997, 1, 1), datetime(1997, 4, 1)
+    suppliers = [
+        dict(s_suppkey=1, s_name="s1"),
+        dict(s_suppkey=2, s_name="s2"),
+        dict(s_suppkey=3, s_name="s3"),
+    ]
+    lines = [
+        # s1 and s2 tie at 500.0 in-window revenue
+        dict(l_suppkey=1, l_extendedprice=1000.0, l_discount=0.5, l_shipdate=LO),
+        dict(l_suppkey=2, l_extendedprice=250.0, l_shipdate=datetime(1997, 2, 1)),
+        dict(l_suppkey=2, l_extendedprice=250.0,
+             l_shipdate=HI - timedelta(microseconds=1)),
+        # s3: 400 in-window + 9999 AT the upper bound (excluded)
+        dict(l_suppkey=3, l_extendedprice=400.0, l_shipdate=datetime(1997, 2, 1)),
+        dict(l_suppkey=3, l_extendedprice=9999.0, l_shipdate=HI),
+    ]
+    _write_tpch(spark, tmp_path, "supplier", suppliers)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    expect = {(1, "s1", 500.0), (2, "s2", 500.0)}
+
+    sdf = _spark_vs_registered_oracle(spark, "tpch_q15", tmp_path)
+    got = {(r.s_suppkey, r.s_name, r.total_revenue) for r in sdf.collect()}
+    assert got == expect  # tie kept BOTH; s3's out-of-window row ignored
