@@ -43,12 +43,29 @@ def write_bucketed(
     w.saveAsTable(table, format="parquet")
 
 
+# NULLs are written as this sentinel so empty strings (written as "")
+# stay distinguishable — the default writes BOTH as an empty field and
+# the round-trip silently turns '' into NULL (caught by the r11 CSV
+# quoting differential). \N is the conventional text-format NULL
+# marker; a data value equal to the literal two-char string '\N' would
+# collide, which the TPC-H-shaped corpus cannot contain.
+_CSV_NULL = "\\N"
+
+
 def write_csv(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true").option(
+        "emptyValue", '""'
+    ).option("nullValue", _CSV_NULL).csv(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return spark.read.schema(schema).option("header", "true").csv(path)
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("emptyValue", "")
+        .option("nullValue", _CSV_NULL)
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:

@@ -7291,3 +7291,480 @@ def test_tpch_q15_max_revenue_tie_keeps_both(spark, tmp_path):
     sdf = _spark_vs_registered_oracle(spark, "tpch_q15", tmp_path)
     got = {(r.s_suppkey, r.s_name, r.total_revenue) for r in sdf.collect()}
     assert got == expect  # tie kept BOTH; s3's out-of-window row ignored
+
+
+def test_multi_join_agg_referential_hole_drops_rows(spark, tmp_path):
+    """multi_join_agg differential FORCING the inner-join referential
+    holes the fixed star schema never has: an order whose customer's
+    nation has NO region row, and a customer key with no customer row —
+    both silently drop through the 3-hop dimension chain; year grouping
+    splits one region's orders across a year boundary."""
+    from datetime import datetime
+
+    regions = [dict(r_regionkey=0, r_name="R0")]
+    nations = [
+        dict(n_nationkey=0, n_name="N0", n_regionkey=0),
+        dict(n_nationkey=1, n_name="N1", n_regionkey=99),  # dangling region
+    ]
+    customers = [
+        dict(c_custkey=1, c_nationkey=0),
+        dict(c_custkey=2, c_nationkey=1),   # nation without region
+        dict(c_custkey=3, c_nationkey=42),  # dangling nation
+    ]
+    orders = [
+        dict(o_orderkey=1, o_custkey=1, o_totalprice=100.25,
+             o_orderdate=datetime(1996, 12, 31, 23, 59, 59)),
+        dict(o_orderkey=2, o_custkey=1, o_totalprice=200.50,
+             o_orderdate=datetime(1997, 1, 1)),  # next year's group
+        dict(o_orderkey=3, o_custkey=1, o_totalprice=50.25,
+             o_orderdate=datetime(1997, 6, 1)),
+        dict(o_orderkey=4, o_custkey=2, o_totalprice=9999.0,
+             o_orderdate=datetime(1997, 6, 1)),  # dropped: no region
+        dict(o_orderkey=5, o_custkey=3, o_totalprice=9999.0,
+             o_orderdate=datetime(1997, 6, 1)),  # dropped: no customer->nation
+        dict(o_orderkey=6, o_custkey=99, o_totalprice=9999.0,
+             o_orderdate=datetime(1997, 6, 1)),  # dropped: no customer
+    ]
+    for name, rows in [
+        ("region", regions), ("nation", nations), ("customer", customers),
+        ("orders", orders),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    expect = {
+        ("R0", 1996): (1, 100.25),
+        ("R0", 1997): (2, 250.75),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "multi_join_agg", tmp_path)
+    got = {
+        (r.region_name, r.order_year): (r.n_orders, r.total_sales)
+        for r in sdf.collect()
+    }
+    assert got == expect  # all three referential holes dropped
+
+
+def _write_documents(tmp_path, rows):
+    """documents.parquet from (doc_id, text) pairs."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["web"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path) + "/documents.parquet",
+    )
+
+
+def test_mm_metadata_utf8_byte_length_edges(spark, tmp_path):
+    """mm_metadata differential FORCING the octet-vs-char divergence
+    (2-byte é, 3-byte CJK, 4-byte emoji payloads), the EMPTY payload
+    (0 bytes), and the modality/shard wraps at doc_id 0, 15, 16.
+    Fingerprints recomputed with hashlib."""
+    import hashlib
+
+    docs = [
+        (0, ""),                    # empty payload, modality image, shard 0
+        (1, "plain ascii"),         # audio
+        (2, "café"),           # video; é is 2 bytes in UTF-8
+        (3, "中文"),        # image; 2 chars -> 6 bytes
+        (15, "\U0001f600"),         # 1 char -> 4 bytes; shard 15
+        (16, "x" * 100),            # shard wraps back to 0
+    ]
+    _write_documents(tmp_path, docs)
+
+    mod = {0: "image", 1: "audio", 2: "video"}
+    expect = {
+        did: (
+            mod[did % 3],
+            did % 16,
+            len(t.encode("utf-8")),
+            hashlib.md5(t.encode("utf-8")).hexdigest(),
+        )
+        for did, t in docs
+    }
+    # attest the byte/char divergence and the wraps
+    assert expect[2][2] == 5 and expect[3][2] == 6 and expect[15][2] == 4
+    assert expect[0][2] == 0 and expect[16][1] == 0
+
+    sdf = _spark_vs_registered_oracle(spark, "mm_metadata", tmp_path)
+    got = {
+        r.doc_id: (r.modality, r.shard, r.n_bytes, r.payload_fp)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_mm_agg_modality_byte_accounting(spark, tmp_path):
+    """mm_agg differential on the same forced corpus: per-modality
+    byte totals must count UTF-8 octets (not chars), the empty payload
+    contributes 0 to its modality's sum, and max_bytes tracks the
+    largest single payload."""
+    docs = [
+        (0, ""),               # image, 0 bytes
+        (3, "中文"),   # image, 6 bytes
+        (6, "abc"),            # image, 3 bytes
+        (1, "café"),      # audio, 5 bytes
+        (4, "\U0001f600"),     # audio, 4 bytes
+        (2, "x" * 50),         # video, 50 bytes
+    ]
+    _write_documents(tmp_path, docs)
+
+    mod = {0: "image", 1: "audio", 2: "video"}
+    agg: dict[str, list] = {}
+    for did, t in docs:
+        m = mod[did % 3]
+        n = len(t.encode("utf-8"))
+        a = agg.setdefault(m, [0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] = max(a[2], n)
+    expect = {m: tuple(v) for m, v in agg.items()}
+    assert expect["image"] == (3, 9, 6)  # empty payload counted, 0 bytes
+
+    sdf = _spark_vs_registered_oracle(spark, "mm_agg", tmp_path)
+    got = {
+        r.modality: (r.n_assets, r.total_bytes, r.max_bytes)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_ivf_assign_and_search_tie_at_top10_cut(spark, tmp_path):
+    """ivf_assign + ivf_search differential FORCING: a vector
+    equidistant from ALL 16 centroids lands in cell 0 by cid
+    tie-break (and is an orthogonal cos=0 candidate); a cell-0 member
+    colinear with the query scores cos exactly 1.0; two members with
+    symmetric perturbations tie in cosine exactly AT the top-10 cut,
+    where vec_id ASC keeps only the smaller one."""
+    import math
+
+    D = 64
+    vecs: dict[int, list[float]] = {}
+    for i in range(16):  # centroids: 4.0 at dim i; vec 0 is the query
+        v = [0.0] * D
+        v[i] = 4.0
+        vecs[i] = v
+    ys = [0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0]
+    for j, y in enumerate(ys):  # nine cell-0 members with descending cos
+        v = [0.0] * D
+        v[0] = 2.0
+        if y:
+            v[30 + j] = y
+        vecs[16 + j] = v
+    for k, vid in enumerate((25, 26)):  # tied pair straddling the cut
+        v = [0.0] * D
+        v[0] = 2.0
+        v[40 + k] = 2.25
+        vecs[vid] = v
+    v27 = [0.0] * D
+    v27[20] = 1.0  # equidistant from all centroids AND orthogonal to q
+    vecs[27] = v27
+    _write_embeddings(tmp_path, vecs)
+
+    # --- assignment walk (same argmin as the ivf_train differential)
+    def d2(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    assign = {
+        vid: min((d2(v, vecs[c]), c) for c in range(16))[1]
+        for vid, v in vecs.items()
+    }
+    assert assign[27] == 0  # 16-way tie -> cid 0
+    assert all(assign[vid] == 0 for vid in range(16, 28))
+    assert all(assign[c] == c for c in range(16))
+
+    from dpu_olap_spark.registry import all_queries
+
+    got_assign = {
+        r.vec_id: r.cell
+        for r in all_queries()["ivf_assign"].build(spark, str(tmp_path)).collect()
+    }
+    assert got_assign == assign
+    _spark_vs_registered_oracle(spark, "ivf_assign", tmp_path)
+
+    # --- search walk: candidates = cell 0 minus the query itself
+    q = vecs[0]
+    cands = []
+    for vid, cell in assign.items():
+        if cell != 0 or vid == 0:
+            continue
+        v = vecs[vid]
+        dp = sum(a * b for a, b in zip(v, q))
+        cos = round(dp / (math.sqrt(sum(a * a for a in v))
+                          * math.sqrt(sum(b * b for b in q))), 4)
+        cands.append((cos, vid))
+    assert sum(1 for c, _ in cands if c == 1.0) == 1  # colinear member
+    assert any(c == 0.0 for c, _ in cands)            # orthogonal member
+    by_rank = sorted(cands, key=lambda t: (-t[0], t[1]))
+    assert by_rank[9][0] == by_rank[10][0] and by_rank[9][1] < by_rank[10][1]
+    expect = [(vid, cos) for cos, vid in by_rank[:10]]
+    assert (26, by_rank[10][0]) not in expect and expect[9][0] == 25
+
+    sdf = _spark_vs_registered_oracle(spark, "ivf_search", tmp_path)
+    got = [(r.vec_id, r.cos_sim) for r in sdf.collect()]
+    assert got == expect
+
+
+def test_cache_scan_quantity_boundary_and_total_consistency(spark, tmp_path):
+    """cache_scan differential FORCING the strict < 30 boundary
+    (quantity exactly 30.0 is OUT of both the cached source and the
+    global total; 29.75 is in) and the two-consumer consistency
+    invariant: the ALL row must equal the sum of the per-flag rows
+    because both branches read the SAME cached relation."""
+    import random
+
+    rng = random.Random(511)
+    lines = [
+        dict(l_returnflag="A", l_linestatus="F", l_quantity=30.0),   # out
+        dict(l_returnflag="A", l_linestatus="F", l_quantity=29.75),  # in
+        dict(l_returnflag="N", l_linestatus="O", l_quantity=0.25),
+    ]
+    for _ in range(80):
+        lines.append(
+            dict(
+                l_returnflag=rng.choice(["A", "N", "R"]),
+                l_linestatus=rng.choice(["F", "O"]),
+                l_quantity=rng.randint(1, 160) * 0.25,
+            )
+        )
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    kept = [ln for ln in lines if ln["l_quantity"] < 30.0]
+    assert any(ln["l_quantity"] == 30.0 for ln in lines)  # boundary forced
+    groups: dict[tuple, tuple] = {}
+    for ln in kept:
+        k = (ln["l_returnflag"], ln["l_linestatus"])
+        n, s = groups.get(k, (0, 0.0))
+        groups[k] = (n + 1, s + ln["l_quantity"])
+    expect = dict(groups)
+    expect[("ALL", "ALL")] = (
+        len(kept), sum(ln["l_quantity"] for ln in kept),
+    )
+
+    sdf = _spark_vs_registered_oracle(spark, "cache_scan", tmp_path)
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.sum_qty)
+        for r in sdf.collect()
+    }
+    assert got == expect
+    assert got[("ALL", "ALL")][0] == sum(
+        n for k, (n, _) in got.items() if k != ("ALL", "ALL")
+    )
+
+
+def test_udtf_analyze_empty_and_double_space_tokens(spark, tmp_path):
+    """udtf_analyze differential FORCING the token edges through the
+    polymorphic UDTF: empty text (all three columns NULL), a
+    double-space run (the empty middle token comes back NULL on BOTH
+    the UDTF and split_part+NULLIF paths), leading space, exactly one
+    / two / three words, and >3 words truncated."""
+    docs = [
+        (0, ""),                 # all NULL
+        (25, "solo"),            # w1, w2 NULL
+        (50, "two words"),
+        (75, "a  b"),            # double space: w1 NULL, w2 'b'
+        (100, " lead"),          # leading space: w0 NULL, w1 'lead'
+        (125, "one two three four"),  # truncated at k=3
+        (7, "filtered out"),     # fails doc_id % 25
+    ]
+    _write_documents(tmp_path, docs)
+
+    expect = {}
+    for did, t in docs:
+        if did % 25 != 0:
+            continue
+        toks = t.split(" ")
+        w = tuple(
+            (toks[i] if toks[i] != "" else None) if i < len(toks) else None
+            for i in range(3)
+        )
+        expect[did] = w
+    assert expect[75] == ("a", None, "b")    # double-space forcing attested
+    assert expect[100] == (None, "lead", None)
+    assert expect[0] == (None, None, None)
+
+    sdf = _spark_vs_registered_oracle(spark, "udtf_analyze", tmp_path)
+    got = {r.doc_id: (r.w0, r.w1, r.w2) for r in sdf.collect()}
+    assert got == expect
+
+
+def _write_events(tmp_path, rows):
+    """events.parquet from override dicts (microsecond timestamps)."""
+    from datetime import datetime
+
+    defaults = dict(
+        event_id=1, ts=datetime(2024, 1, 1), user_id=1,
+        event_type="view", value=1.0, props="{}",
+    )
+    cols = list(defaults)
+    data = {c: [] for c in cols}
+    for r in rows:
+        merged = {**defaults, **r}
+        for c in cols:
+            data[c].append(merged[c])
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(data["event_id"], pa.int64()),
+                "ts": pa.array(data["ts"], pa.timestamp("us")),
+                "user_id": pa.array(data["user_id"], pa.int64()),
+                "event_type": pa.array(data["event_type"], pa.string()),
+                "value": pa.array(data["value"], pa.float64()),
+                "props": pa.array(data["props"], pa.string()),
+            }
+        ),
+        str(tmp_path) + "/events.parquet",
+    )
+
+
+def test_variant_paths_zero_id_and_out_of_bounds(spark, tmp_path):
+    """variant_paths differential FORCING event_id 0 (the whole nested
+    array is [0,0,0] — zeros must round-trip the variant encoding, not
+    collapse to NULL) and a large id near the int64/double seam; the
+    out-of-bounds $.a.b[9] must be NULL for every row (try
+    semantics)."""
+    rows = [
+        dict(event_id=0),              # zeros everywhere
+        dict(event_id=11),
+        dict(event_id=110_000_001 * 11),  # large: b2 = id*3 still exact
+        dict(event_id=7),              # fails % 11 filter
+    ]
+    _write_events(tmp_path, rows)
+
+    expect = {}
+    for r in rows:
+        eid = r["event_id"]
+        if eid % 11 != 0:
+            continue
+        expect[eid] = (eid * 2, eid * 3, "x", None)
+    assert 0 in expect and expect[0] == (0, 0, "x", None)
+
+    sdf = _spark_vs_registered_oracle(spark, "variant_paths", tmp_path)
+    got = {r.event_id: (r.b1, r.b2, r.tag0, r.b_miss) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_sink_csv_roundtrip_quoting_edges(spark, tmp_path):
+    """sink_csv_roundtrip differential FORCING the CSV quoting edges:
+    nation names containing the delimiter itself, double quotes, and
+    multibyte unicode must survive the text round-trip; the per-region
+    sorted name concatenation pins order and content."""
+    nations = [
+        dict(n_nationkey=1, n_name="PLAIN", n_regionkey=0),
+        dict(n_nationkey=2, n_name="WITH,COMMA", n_regionkey=0),
+        dict(n_nationkey=3, n_name='QU"OTED', n_regionkey=0),
+        dict(n_nationkey=4, n_name="ÅLAND", n_regionkey=1),
+        dict(n_nationkey=5, n_name="", n_regionkey=1),  # empty name
+    ]
+    _write_tpch(spark, tmp_path, "nation", nations)
+
+    expect = {}
+    for rk in (0, 1):
+        names = sorted(n["n_name"] for n in nations if n["n_regionkey"] == rk)
+        expect[rk] = (len(names), ",".join(names))
+    assert "WITH,COMMA" in expect[0][1] and 'QU"OTED' in expect[0][1]
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_csv_roundtrip", tmp_path)
+    got = {r.n_regionkey: (r.n_nations, r.names_csv) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_sink_xml_roundtrip_markup_edges(spark, tmp_path):
+    """sink_xml_roundtrip differential FORCING XML-escaping edges in
+    the group key: segments containing '&', '<', '>' and a multibyte
+    char must round-trip the markup encoding; balances include a
+    negative and a 12-digit value."""
+    customers = [
+        dict(c_custkey=1, c_mktsegment="A&B", c_acctbal=10.25),
+        dict(c_custkey=2, c_mktsegment="A&B", c_acctbal=-5.50),
+        dict(c_custkey=3, c_mktsegment="<TAG>", c_acctbal=999999999.99),
+        dict(c_custkey=4, c_mktsegment="CAFÉ", c_acctbal=0.0),
+    ]
+    _write_tpch(spark, tmp_path, "customer", customers)
+
+    expect = {
+        "A&B": (2, 4.75),
+        "<TAG>": (1, 999999999.99),
+        "CAFÉ": (1, 0.0),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_xml_roundtrip", tmp_path)
+    got = {
+        r.c_mktsegment: (r.n_customers, r.sum_acctbal) for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_sink_range_cluster_month_and_year_boundaries(spark, tmp_path):
+    """sink_range_cluster differential FORCING the pruned-read year
+    edges (AT 1996-01-01 in; AT 1997-01-01 out; 1995-12-31 23:59:59
+    out) and a month-boundary pair (Jan 31 23:59:59.999999 vs
+    Feb 1 00:00:00 land in different months) through the
+    range-partitioned sorted layout."""
+    from datetime import datetime
+
+    lines = [
+        dict(l_shipdate=datetime(1995, 12, 31, 23, 59, 59), l_extendedprice=9999.0),
+        dict(l_shipdate=datetime(1996, 1, 1), l_extendedprice=100.25),
+        dict(l_shipdate=datetime(1996, 1, 31, 23, 59, 59, 999999),
+             l_extendedprice=200.50),
+        dict(l_shipdate=datetime(1996, 2, 1), l_extendedprice=300.75),
+        dict(l_shipdate=datetime(1996, 12, 31, 23, 59, 59), l_extendedprice=50.00),
+        dict(l_shipdate=datetime(1997, 1, 1), l_extendedprice=9999.0),
+    ]
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    expect = {
+        datetime(1996, 1, 1): (2, 300.75),   # Jan: boundary + last-us rows
+        datetime(1996, 2, 1): (1, 300.75),   # Feb: first-us row
+        datetime(1996, 12, 1): (1, 50.00),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_range_cluster", tmp_path)
+    got = {r.ship_month: (r.n_items, r.sum_price) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_bucketed_join_referential_holes(spark, tmp_path):
+    """bucketed_join differential FORCING the inner-join referential
+    holes through the co-bucketed layout: a customer with no orders
+    and an order with a dangling custkey both vanish; keys span all 8
+    buckets including bucket-0 keys, and one segment aggregates
+    customers from different buckets."""
+    customers = [
+        dict(c_custkey=k, c_mktsegment=("BUILDING" if k % 2 else "MACHINERY"))
+        for k in range(1, 18)
+    ]
+    customers.append(dict(c_custkey=100, c_mktsegment="FURNITURE"))  # no orders
+    orders = []
+    ok = 1
+    for k in range(1, 18):
+        for _ in range(k % 3 + 1):
+            orders.append(
+                dict(o_orderkey=ok, o_custkey=k, o_totalprice=ok * 0.25)
+            )
+            ok += 1
+    orders.append(dict(o_orderkey=999, o_custkey=424242, o_totalprice=9999.0))
+    _write_tpch(spark, tmp_path, "customer", customers)
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    seg = {c["c_custkey"]: c["c_mktsegment"] for c in customers}
+    expect: dict[str, tuple] = {}
+    for o in orders:
+        s = seg.get(o["o_custkey"])
+        if s is None:
+            continue
+        n, t = expect.get(s, (0, 0.0))
+        expect[s] = (n + 1, t + o["o_totalprice"])
+    assert "FURNITURE" not in expect  # customer with no orders vanishes
+
+    sdf = _spark_vs_registered_oracle(spark, "bucketed_join", tmp_path)
+    got = {
+        r.c_mktsegment: (r.n_orders, r.total_price) for r in sdf.collect()
+    }
+    assert got == expect
