@@ -7768,3 +7768,241 @@ def test_bucketed_join_referential_holes(spark, tmp_path):
         r.c_mktsegment: (r.n_orders, r.total_price) for r in sdf.collect()
     }
     assert got == expect
+
+
+def test_stream_static_join_dangling_users_and_value_edges(spark, tmp_path):
+    """stream_static_join differential FORCING the enrichment edges:
+    events from a user with NO customer row vanish (inner join),
+    a customer with no events never appears, negative and
+    shortest-roundtrip values survive the micro-batch aggregation."""
+    customers = [
+        dict(c_custkey=1, c_mktsegment="BUILDING"),
+        dict(c_custkey=2, c_mktsegment="BUILDING"),
+        dict(c_custkey=3, c_mktsegment="MACHINERY"),
+        dict(c_custkey=4, c_mktsegment="FURNITURE"),  # no events
+    ]
+    events = [
+        dict(event_id=1, user_id=1, value=-0.25),
+        dict(event_id=2, user_id=2, value=0.1),
+        dict(event_id=3, user_id=3, value=123.45),
+        dict(event_id=4, user_id=999, value=9999.0),  # dangling user
+    ]
+    _write_tpch(spark, tmp_path, "customer", customers)
+    _write_events(tmp_path, events)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec2(x):
+        return Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+    seg = {c["c_custkey"]: c["c_mktsegment"] for c in customers}
+    agg: dict[str, list] = {}
+    for e in events:
+        s = seg.get(e["user_id"])
+        if s is None:
+            continue
+        a = agg.setdefault(s, [0, Decimal("0")])
+        a[0] += 1
+        a[1] += dec2(e["value"])
+    expect = {s: (n, float(t)) for s, (n, t) in agg.items()}
+    assert "FURNITURE" not in expect and expect["BUILDING"] == (2, -0.15)
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_static_join", tmp_path)
+    got = {r.c_mktsegment: (r.n_events, r.sum_value) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_stream_dedup_self_union_collapses_exactly(spark, tmp_path):
+    """stream_dedup differential: the query doubles the stream via
+    self-union and dropDuplicatesWithinWatermark must collapse every
+    event back to ONE copy — forced here with negative values (a
+    surviving duplicate would double a NEGATIVE sum, catching
+    sign-blind dedup), one user spanning two event types, and distinct
+    user counts per type."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 3, 1)
+    events = [
+        dict(event_id=1, user_id=1, event_type="view", value=-10.25,
+             ts=T0),
+        dict(event_id=2, user_id=1, event_type="click", value=5.50,
+             ts=T0 + timedelta(minutes=1)),
+        dict(event_id=3, user_id=2, event_type="view", value=7.75,
+             ts=T0 + timedelta(minutes=2)),
+        dict(event_id=4, user_id=3, event_type="view", value=0.1,
+             ts=T0 + timedelta(minutes=3)),
+    ]
+    _write_events(tmp_path, events)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec2(x):
+        return Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+    agg: dict[str, list] = {}
+    for e in events:
+        a = agg.setdefault(e["event_type"], [0, set(), Decimal("0")])
+        a[0] += 1
+        a[1].add(e["user_id"])
+        a[2] += dec2(e["value"])
+    expect = {t: (n, len(u), float(s)) for t, (n, u, s) in agg.items()}
+    assert expect["view"][2] < 0  # negative sum: doubling would show
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_dedup", tmp_path)
+    got = {
+        r.event_type: (r.n_events, r.n_users, r.sum_value)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_stream_foreach_batch_exactly_once_values(spark, tmp_path):
+    """stream_foreach_batch differential: the idempotent batch_id-
+    partitioned parquet sink must deliver every row exactly once —
+    forced with negative values and a type whose sum is exactly 0.0
+    (any duplication or loss shifts it)."""
+    events = [
+        dict(event_id=1, event_type="view", value=10.25),
+        dict(event_id=2, event_type="view", value=-10.25),  # sums to 0
+        dict(event_id=3, event_type="click", value=0.1),
+        dict(event_id=4, event_type="click", value=0.2),
+        dict(event_id=5, event_type="purchase", value=999999.99),
+    ]
+    _write_events(tmp_path, events)
+
+    expect = {
+        "view": (2, 0.0),
+        "click": (2, 0.30),  # decimal cents: 0.10 + 0.20 exactly
+        "purchase": (1, 999999.99),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_foreach_batch", tmp_path)
+    got = {r.event_type: (r.n_events, r.sum_value) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_rocksdb_state_agg_cent_rounding_edges(spark, tmp_path):
+    """rocksdb_state_agg differential FORCING the integer-cents seam:
+    values landing exactly ON the half-cent (0.005 -> 1 cent via
+    floor(x*100+0.5)), just below it, negative values, and one user
+    spanning two event types (distinct state keys) — through the
+    RocksDB provider with changelog checkpointing."""
+    import math
+
+    events = [
+        dict(event_id=1, user_id=1, event_type="view", value=0.005),
+        dict(event_id=2, user_id=1, event_type="view", value=0.004),
+        dict(event_id=3, user_id=1, event_type="click", value=-0.005),
+        dict(event_id=4, user_id=2, event_type="view", value=123.455),
+        dict(event_id=5, user_id=2, event_type="view", value=-123.455),
+    ]
+    _write_events(tmp_path, events)
+
+    agg: dict[tuple, list] = {}
+    for e in events:
+        a = agg.setdefault((e["user_id"], e["event_type"]), [0, 0])
+        a[0] += 1
+        a[1] += math.floor(e["value"] * 100 + 0.5)  # same float path
+    expect = {k: (n, c / 100.0) for k, (n, c) in agg.items()}
+    # attest the half-cent forcings (exact float arithmetic)
+    assert math.floor(0.005 * 100 + 0.5) == 1
+    assert math.floor(0.004 * 100 + 0.5) == 0
+    assert expect[(1, "view")] == (2, 0.01)
+
+    sdf = _spark_vs_registered_oracle(spark, "rocksdb_state_agg", tmp_path)
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.sum_value)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def _watermark_boundary_events():
+    """Shared fixture for the stream-stream join differentials: every
+    purchase/click placed exactly ON or one second OFF the interval and
+    watermark boundaries. Watermark w = min(max pts, max cts) - 1h =
+    T0+9h (set by the two sentinel rows)."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 5, 1)
+
+    def at(**kw):
+        return T0 + timedelta(**kw)
+
+    events = [
+        # sentinels pin max(pts) = max(cts) = T0+10h  ->  w = T0+9h
+        dict(event_id=900, user_id=99, event_type="purchase", ts=at(hours=10)),
+        dict(event_id=901, user_id=98, event_type="click", ts=at(hours=10)),
+        # u1: click at the SAME instant as the purchase (upper bound, in)
+        dict(event_id=100, user_id=1, event_type="purchase", ts=at(hours=1)),
+        dict(event_id=101, user_id=1, event_type="click", ts=at(hours=1)),
+        # u2: click exactly 30 min before (lower bound, in)
+        dict(event_id=102, user_id=2, event_type="purchase", ts=at(hours=1)),
+        dict(event_id=103, user_id=2, event_type="click", ts=at(minutes=30)),
+        # u3: click 30 min + 1 s before (out of range -> both unmatched)
+        dict(event_id=104, user_id=3, event_type="purchase", ts=at(hours=2)),
+        dict(event_id=105, user_id=3, event_type="click",
+             ts=at(hours=1, minutes=29, seconds=59)),
+        # u4: unmatched purchase exactly AT the watermark (stays in state)
+        dict(event_id=106, user_id=4, event_type="purchase", ts=at(hours=9)),
+        # u5: unmatched purchase 1 s before the watermark (evicts, emits)
+        dict(event_id=107, user_id=5, event_type="purchase",
+             ts=at(hours=8, minutes=59, seconds=59)),
+        # u6: unmatched click exactly AT w - 30 min (stays in state)
+        dict(event_id=108, user_id=6, event_type="click",
+             ts=at(hours=8, minutes=30)),
+        # u7: unmatched click 1 s earlier (evicts, emits)
+        dict(event_id=109, user_id=7, event_type="click",
+             ts=at(hours=8, minutes=29, seconds=59)),
+        # u8: one purchase matching TWO clicks
+        dict(event_id=110, user_id=8, event_type="purchase", ts=at(hours=3)),
+        dict(event_id=111, user_id=8, event_type="click",
+             ts=at(hours=2, minutes=50)),
+        dict(event_id=112, user_id=8, event_type="click", ts=at(hours=3)),
+    ]
+    return events
+
+
+def test_stream_full_outer_join_watermark_boundaries(spark, tmp_path):
+    """stream_full_outer_join differential FORCING every eviction and
+    range boundary: interval ends inclusive on both sides (same-instant
+    and exactly-30-min clicks match), a purchase exactly AT the global
+    watermark and a click exactly AT watermark-30min do NOT null-emit
+    (strict <), their 1-second-earlier twins DO, and one purchase
+    matches two clicks."""
+    events = _watermark_boundary_events()
+    _write_events(tmp_path, events)
+
+    expect = {
+        (1, 100, 101), (2, 102, 103),          # boundary matches
+        (8, 110, 111), (8, 110, 112),          # two matches, one purchase
+        (3, 104, None), (5, 107, None),        # purchases past eviction
+        (3, None, 105), (7, None, 109),        # clicks past eviction
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_full_outer_join", tmp_path)
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in sdf.collect()}
+    assert got == expect
+    # attest the strict boundaries: AT-watermark rows never emitted
+    assert all(p != 106 for _, p, _c in got)
+    assert all(c != 108 for _, _p, c in got)
+
+
+def test_joinstate_read_retention_boundaries(spark, tmp_path):
+    """joinstate_read differential on the same forced fixture: the
+    symmetric-hash-join state must retain EXACTLY the rows the
+    eviction rules keep — the purchase AT the watermark and the click
+    AT watermark-30min (plus the two sentinels), while their
+    1-second-earlier twins are gone."""
+    events = _watermark_boundary_events()
+    _write_events(tmp_path, events)
+
+    expect = {
+        ("left", 4, 106), ("left", 99, 900),    # pts >= w
+        ("right", 6, 108), ("right", 98, 901),  # cts >= w - 30 min
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "joinstate_read", tmp_path)
+    got = {(r.side, r.user_id, r.ev_id) for r in sdf.collect()}
+    assert got == expect
+    assert ("left", 5, 107) not in got and ("right", 7, 109) not in got
