@@ -8006,3 +8006,60 @@ def test_joinstate_read_retention_boundaries(spark, tmp_path):
     got = {(r.side, r.user_id, r.ev_id) for r in sdf.collect()}
     assert got == expect
     assert ("left", 5, 107) not in got and ("right", 7, 109) not in got
+
+
+def test_statestore_timetravel_as_of_batch_boundary(spark, tmp_path):
+    """statestore_timetravel differential FORCING the as-of semantics:
+    state read at batchId=1 must cover ONLY slices 0-1 (event_id%3),
+    so a user whose events all land in slice 2 is ABSENT, and a user
+    present in all three slices shows its slice-0+1 count, not the
+    final one."""
+    events = [
+        # user 1: one event per slice -> as-of count 2 (not 3)
+        dict(event_id=3, user_id=1),   # slice 0
+        dict(event_id=4, user_id=1),   # slice 1
+        dict(event_id=5, user_id=1),   # slice 2 (beyond batch 1)
+        # user 2: only slice-2 events -> absent at batchId=1
+        dict(event_id=8, user_id=2),
+        dict(event_id=11, user_id=2),
+        # user 3: slice 0 only
+        dict(event_id=6, user_id=3),
+        # user 4: two slice-1 events
+        dict(event_id=7, user_id=4),
+        dict(event_id=10, user_id=4),
+    ]
+    _write_events(tmp_path, events)
+
+    expect = {}
+    for e in events:
+        if e["event_id"] % 3 <= 1:
+            expect[e["user_id"]] = expect.get(e["user_id"], 0) + 1
+    assert 2 not in expect and expect[1] == 2  # forcing attested
+
+    sdf = _spark_vs_registered_oracle(spark, "statestore_timetravel", tmp_path)
+    got = {r.user_id: r.n_events for r in sdf.collect()}
+    assert got == expect
+
+
+def test_pystream_scan_python_regeneration(spark, tmp_path):
+    """pystream_scan differential: regenerate the synthetic Python
+    streaming source's rows in pure Python (same id range, same
+    modular metric) and compare per-bucket counts and sums — any
+    duplicated, dropped, or shifted offset slice moves a bucket's
+    figures. Attests every one of the 16 buckets is present with an
+    equal share of rows."""
+    from dpu_olap_spark.sources.python_stream_source import (
+        _MOD, _MULT, _N_ROWS,
+    )
+
+    expect: dict[int, tuple[int, int]] = {}
+    for bucket in range(16):
+        ids = range(bucket, _N_ROWS, 16)
+        n = len(ids)
+        s = sum((i * _MULT) % _MOD for i in ids)
+        expect[bucket] = (n, s)
+    assert len(expect) == 16 and len({n for n, _ in expect.values()}) == 1
+
+    sdf = _spark_vs_registered_oracle(spark, "pystream_scan", tmp_path)
+    got = {r.bucket: (r.n_rows, r.sum_metric) for r in sdf.collect()}
+    assert got == expect
