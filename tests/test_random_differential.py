@@ -8063,3 +8063,383 @@ def test_pystream_scan_python_regeneration(spark, tmp_path):
     sdf = _spark_vs_registered_oracle(spark, "pystream_scan", tmp_path)
     got = {r.bucket: (r.n_rows, r.sum_metric) for r in sdf.collect()}
     assert got == expect
+
+
+def test_join_agg_quantity_boundary_and_holes(spark, tmp_path):
+    """join_agg (the flagship) differential FORCING the strict < 30
+    quantity bound (30.0 out, 29.75 in) and referential holes at every
+    hop of the lineitem->orders->customer->nation chain."""
+    nations = [dict(n_nationkey=0, n_name="N0"), dict(n_nationkey=1, n_name="N1")]
+    customers = [
+        dict(c_custkey=1, c_nationkey=0),
+        dict(c_custkey=2, c_nationkey=1),
+        dict(c_custkey=3, c_nationkey=77),  # dangling nation
+    ]
+    orders = [
+        dict(o_orderkey=1, o_custkey=1),
+        dict(o_orderkey=2, o_custkey=2),
+        dict(o_orderkey=3, o_custkey=3),
+        dict(o_orderkey=4, o_custkey=404),  # dangling customer
+    ]
+    lines = [
+        dict(l_orderkey=1, l_quantity=29.75, l_extendedprice=100.0, l_discount=0.25),
+        dict(l_orderkey=1, l_quantity=30.0, l_extendedprice=9999.0),  # bound: out
+        dict(l_orderkey=2, l_quantity=1.0, l_extendedprice=200.5),
+        dict(l_orderkey=3, l_quantity=1.0, l_extendedprice=9999.0),  # no nation
+        dict(l_orderkey=4, l_quantity=1.0, l_extendedprice=9999.0),  # no customer
+        dict(l_orderkey=5, l_quantity=1.0, l_extendedprice=9999.0),  # no order
+    ]
+    for name, rows in [
+        ("nation", nations), ("customer", customers), ("orders", orders),
+        ("lineitem", lines),
+    ]:
+        _write_tpch(spark, tmp_path, name, rows)
+
+    expect = {"N0": (75.0, 1), "N1": (200.5, 1)}
+
+    sdf = _spark_vs_registered_oracle(spark, "join_agg", tmp_path)
+    got = {r.n_name: (r.revenue, r.n_items) for r in sdf.collect()}
+    assert got == expect  # the boundary row and all three holes dropped
+
+
+def test_sink_compaction_lossless_checksums(spark, tmp_path):
+    """sink_compaction differential: the 64-fragment rewrite must be
+    lossless — forced with a type whose value-sum is exactly 0.0, two
+    rows identical except event_id (only the id checksum separates
+    loss from dedup), and a singleton type."""
+    events = [
+        dict(event_id=1, event_type="view", value=10.25),
+        dict(event_id=2, event_type="view", value=-10.25),  # sum 0
+        dict(event_id=3, event_type="click", value=7.5),
+        dict(event_id=4, event_type="click", value=7.5),    # same value, new id
+        dict(event_id=1000, event_type="purchase", value=0.1),
+    ]
+    _write_events(tmp_path, events)
+
+    agg: dict[str, list] = {}
+    for e in events:
+        a = agg.setdefault(e["event_type"], [0, 0.0, 0])
+        a[0] += 1
+        a[1] += e["value"]
+        a[2] += e["event_id"]
+    expect = {t: (n, round(s, 2), c) for t, (n, s, c) in agg.items()}
+    assert expect["view"][1] == 0.0 and expect["click"] == (2, 15.0, 7)
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_compaction", tmp_path)
+    got = {
+        r.event_type: (r.n_events, r.sum_value, r.id_checksum)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_pysource_scan_python_regeneration(spark, tmp_path):
+    """pysource_scan differential: regenerate the Python batch source's
+    deterministic rows in pure Python and compare per-bucket count,
+    sum, and max — a dropped or doubled InputPartition shifts all
+    three. Attests all 16 buckets are present."""
+    from dpu_olap_spark.sources.python_source import _MOD, _MULT, _N_ROWS
+
+    expect = {}
+    for bucket in range(16):
+        ids = list(range(bucket, _N_ROWS, 16))
+        ms = [(i * _MULT) % _MOD for i in ids]
+        expect[bucket] = (len(ids), sum(ms), max(ms))
+    assert len(expect) == 16
+
+    sdf = _spark_vs_registered_oracle(spark, "pysource_scan", tmp_path)
+    got = {r.bucket: (r.n_rows, r.sum_metric, r.max_metric) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_bloom_filter_join_no_false_positive_leakage(spark, tmp_path):
+    """bloom_filter_join differential: bloom pruning must never change
+    RESULTS — forced with a probe side dominated by keys absent from
+    the tiny build side (any bloom false positive that leaked past the
+    real join would inflate the count), duplicate probe rows per build
+    key, and a build side with exactly one qualifying priority."""
+    orders = [
+        dict(o_orderkey=1, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=2, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=3, o_orderpriority="5-LOW"),  # not in build
+    ]
+    lines = [dict(l_orderkey=1, l_extendedprice=100.25)] * 3 + [
+        dict(l_orderkey=2, l_extendedprice=50.50),
+        dict(l_orderkey=3, l_extendedprice=9999.0),  # non-urgent order
+    ]
+    # 500 probe rows with keys NOT in orders at all: bloom FPs must
+    # die in the real join
+    lines += [
+        dict(l_orderkey=10_000 + i, l_extendedprice=9999.0) for i in range(500)
+    ]
+    _write_tpch(spark, tmp_path, "orders", orders)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    expect = {"1-URGENT": (4, 3 * 100.25 + 50.50)}
+
+    sdf = _spark_vs_registered_oracle(spark, "bloom_filter_join", tmp_path)
+    got = {r.o_orderpriority: (r.n_rows, r.sum_price) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_stateful_profile_single_event_and_ts_ties(spark, tmp_path):
+    """stateful_profile differential FORCING the keyed-state edges: a
+    single-event user (first_ts == last_ts), a user whose events share
+    ONE timestamp (min == max over ties), half-cent value rounding,
+    and a user touching three distinct event types."""
+    from datetime import datetime, timedelta
+    import math
+
+    T0 = datetime(2024, 6, 1)
+    events = [
+        dict(event_id=1, user_id=1, event_type="view", value=0.005, ts=T0),
+        dict(event_id=2, user_id=2, event_type="view", value=1.0, ts=T0),
+        dict(event_id=3, user_id=2, event_type="click", value=-2.5, ts=T0),
+        dict(event_id=4, user_id=2, event_type="purchase", value=0.004, ts=T0),
+        dict(event_id=5, user_id=3, event_type="view", value=10.0,
+             ts=T0 + timedelta(hours=1)),
+        dict(event_id=6, user_id=3, event_type="view", value=20.0,
+             ts=T0 + timedelta(hours=2)),
+    ]
+    _write_events(tmp_path, events)
+
+    def us(dt):
+        from datetime import timezone
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    prof: dict[int, list] = {}
+    for e in events:
+        p = prof.setdefault(
+            e["user_id"], [0, 0, us(e["ts"]), us(e["ts"]), set()]
+        )
+        p[0] += 1
+        p[1] += math.floor(e["value"] * 100 + 0.5)
+        p[2] = min(p[2], us(e["ts"]))
+        p[3] = max(p[3], us(e["ts"]))
+        p[4].add(e["event_type"])
+    expect = {
+        u: (n, c / 100.0, f, l, len(t)) for u, (n, c, f, l, t) in prof.items()
+    }
+    assert expect[1][2] == expect[1][3]      # singleton: first == last
+    assert expect[2][2] == expect[2][3]      # ts ties: min == max
+    assert expect[2][4] == 3                 # three distinct types
+
+    sdf = _spark_vs_registered_oracle(spark, "stateful_profile", tmp_path)
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.first_ts_us, r.last_ts_us,
+                    r.n_types)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def _pq_adc_walk(vecs, query_id):
+    """Pure-Python PQ encode + ADC over a 64-dim fixture: returns
+    (codes, adc) dicts mirroring _PQ_SQL's floor(d2*1e6+0.5) and
+    smaller-code / smaller-vec_id tie-breaks."""
+    import math
+
+    SEGS, SD, CODES = 8, 8, 8
+
+    def d2u(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return math.floor(s * 1_000_000 + 0.5)
+
+    codes = {}
+    for vid, v in vecs.items():
+        for seg in range(SEGS):
+            sv = v[seg * SD:(seg + 1) * SD]
+            codes[(vid, seg)] = min(
+                (d2u(sv, vecs[c][seg * SD:(seg + 1) * SD]), c)
+                for c in range(CODES)
+            )[1]
+    q = vecs[query_id]
+    lut = {
+        (seg, c): d2u(
+            q[seg * SD:(seg + 1) * SD], vecs[c][seg * SD:(seg + 1) * SD]
+        )
+        for seg in range(8) for c in range(8)
+    }
+    adc = {
+        vid: sum(lut[(seg, codes[(vid, seg)])] for seg in range(8))
+        for vid in vecs
+    }
+    return codes, adc
+
+
+def _pq_fixture():
+    """Embeddings fixture forcing mass ADC ties: 16 axis centroids, a
+    segment-2-energy vector, a zero vector, and the query (vec 100) at
+    half the code-0 axis."""
+    D = 64
+    vecs = {}
+    for i in range(16):
+        v = [0.0] * D
+        v[i] = 4.0
+        vecs[i] = v
+    v16 = [0.0] * D
+    v16[20] = 4.0  # energy outside seg0 — invisible to ADC
+    vecs[16] = v16
+    vecs[17] = [0.0] * D
+    q = [0.0] * D
+    q[0] = 2.0
+    vecs[100] = q
+    return vecs
+
+
+def test_pq_search_mass_tie_at_cut(spark, tmp_path):
+    """pq_search differential FORCING the ADC degeneracies the real
+    corpus never aligns: 12 of 19 vectors tie at the global MINIMUM
+    ADC distance (ADC sees only query-to-codeword terms, so stored
+    energy outside probed segments is invisible), making the top-10
+    cut land INSIDE the tie where vec_id ASC decides — and the query
+    vector itself ranks below the cut."""
+    vecs = _pq_fixture()
+    _write_embeddings(tmp_path, vecs)
+
+    codes, adc = _pq_adc_walk(vecs, 100)
+    best = min(adc.values())
+    tied = sorted(vid for vid, d in adc.items() if d == best)
+    # 12 of 19 tie at the minimum: centroid 0, centroids 8..15 (zero
+    # seg0), the seg2-energy and zero vectors, and the query itself
+    assert len(tied) == 12 and 100 in tied and 16 in tied and 17 in tied
+    ranked = sorted(adc.items(), key=lambda t: (t[1], t[0]))
+    expect = ranked[:10]
+    assert all(d == best for _, d in expect)  # the cut is inside the tie
+    assert 100 not in [v for v, _ in expect]  # query loses the id tiebreak
+
+    sdf = _spark_vs_registered_oracle(spark, "pq_search", tmp_path)
+    got = [(r.vec_id, r.adc_d2_micro) for r in sdf.collect()]
+    assert got == expect
+
+
+def test_ivf_pq_search_probe_prunes_candidates(spark, tmp_path):
+    """ivf_pq_search differential on the same fixture: the 4-cell probe
+    (nearest cell 0 + three distance-tied cells broken by cid ASC)
+    must restrict ADC to cells {0,1,2,3} — vectors in cells 4..15 are
+    NEVER scored even though their ADC distance ties the winners."""
+    import math
+
+    vecs = _pq_fixture()
+    _write_embeddings(tmp_path, vecs)
+
+    def d2r(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    q = vecs[100]
+    cd = sorted((d2r(q, vecs[c]), c) for c in range(16))
+    probe = {c for _, c in cd[:4]}
+    assert probe == {0, 1, 2, 3}  # 15-way tie at 20.0 broken by cid
+    assign = {
+        vid: min((d2r(v, vecs[c]), c) for c in range(16))[1]
+        for vid, v in vecs.items()
+    }
+    cand = {vid for vid, cell in assign.items() if cell in probe}
+    assert cand == {0, 1, 2, 3, 16, 17, 100}
+
+    _, adc = _pq_adc_walk(vecs, 100)
+    ranked = sorted(
+        ((vid, adc[vid]) for vid in cand), key=lambda t: (t[1], t[0])
+    )
+    expect = ranked[:10]
+    # centroids 8..15 tie the minimum ADC but are outside the probe
+    assert all(vid not in {v for v, _ in expect} for vid in range(8, 16))
+
+    sdf = _spark_vs_registered_oracle(spark, "ivf_pq_search", tmp_path)
+    got = [(r.vec_id, r.adc_d2_micro) for r in sdf.collect()]
+    assert got == expect
+
+
+def test_hll_mergeable_union_dedups_overlap(spark, tmp_path):
+    """hll_mergeable invariant differential (rows-only query — the
+    DataSketches binary has no DuckDB twin): with OVERLAPPING customer
+    sets across priorities, the per-group estimates are exact in the
+    small-cardinality regime AND the union row must equal the distinct
+    count of the union, NOT the sum of the groups — the mergeable-
+    sketch property the op exists for."""
+    orders = []
+    ok = 1
+    for cust in range(1, 41):     # customers 1..40 in URGENT
+        orders.append(dict(o_orderkey=ok, o_custkey=cust,
+                           o_orderpriority="1-URGENT"))
+        ok += 1
+    for cust in range(21, 61):    # 21..60 in LOW: 20 overlap URGENT
+        orders.append(dict(o_orderkey=ok, o_custkey=cust,
+                           o_orderpriority="5-LOW"))
+        ok += 1
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    from dpu_olap_spark.registry import all_queries
+
+    rows = {
+        r.o_orderpriority: (r.n_orders, r.approx_customers)
+        for r in all_queries()["hll_mergeable"].build(spark, str(tmp_path)).collect()
+    }
+    assert rows["1-URGENT"] == (40, 40) and rows["5-LOW"] == (40, 40)
+    # union: 60 distinct, NOT 80 — merged sketches deduplicate overlap
+    assert rows["ALL"] == (80, 60)
+
+
+def test_approx_percentile_exact_regime_edges(spark, tmp_path):
+    """approx_percentile invariant differential (rows-only sketch):
+    with n << accuracy the sketch is EXACT — an all-identical group
+    returns that value for every percentile, a singleton group returns
+    its one value, and p50 <= p99 holds on a spread group whose
+    percentiles must be members of the value set."""
+    lines = []
+    for _ in range(20):
+        lines.append(dict(l_returnflag="A", l_extendedprice=42.25))
+    lines.append(dict(l_returnflag="N", l_extendedprice=7.75))
+    spread = [float(v) for v in range(1, 101)]
+    for v in spread:
+        lines.append(dict(l_returnflag="R", l_extendedprice=v))
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    from dpu_olap_spark.registry import all_queries
+
+    got = {
+        r.l_returnflag: (r.p50_est, r.p99_est)
+        for r in all_queries()["approx_percentile"].build(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (42.25, 42.25)   # identical values: exact
+    assert got["N"] == (7.75, 7.75)     # singleton: exact
+    p50, p99 = got["R"]
+    assert p50 in spread and p99 in spread and p50 <= p99
+    assert p50 in (50.0, 51.0) and p99 in (99.0, 100.0)
+
+
+def test_approx_topk_tokens_tie_plateau_at_rank20(spark, tmp_path):
+    """approx_topk_tokens differential FORCING a five-way count tie
+    straddling the rank-20 cut: in the exact regime the margin
+    re-rank must pick the lexicographically smallest tied tokens, so
+    exactly three of the five tied tokens survive."""
+    # 17 tokens with distinct descending counts, then 5 tied at 3
+    docs = []
+    did = 0
+    words = []
+    for i in range(17):
+        words += [f"w{i:02d}"] * (40 - i)
+    for t in ["tie_a", "tie_b", "tie_c", "tie_d", "tie_e"]:
+        words += [t] * 3
+    words += ["rare_x"]  # below the plateau
+    # pack words into documents of 10 tokens
+    for j in range(0, len(words), 10):
+        docs.append((did, " ".join(words[j:j + 10])))
+        did += 1
+    _write_documents(tmp_path, docs)
+
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    expect = [(w, c) for w, c in ranked[:20]]
+    plateau = [w for w, c in ranked if c == 3]
+    assert plateau == ["tie_a", "tie_b", "tie_c", "tie_d", "tie_e"]
+    kept = [w for w, _ in expect if w.startswith("tie")]
+    assert kept == ["tie_a", "tie_b", "tie_c"]  # cut inside the plateau
+
+    sdf = _spark_vs_registered_oracle(spark, "approx_topk_tokens", tmp_path)
+    got = [(r.item, r.est_count) for r in sdf.collect()]
+    assert got == expect
