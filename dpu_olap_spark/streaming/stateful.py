@@ -559,8 +559,12 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     marked AS (
       SELECT user_id, event_id, ts,
+        -- STRICTLY greater: Spark's session_window merges an event
+        -- arriving exactly at the previous session's end (gap ==
+        -- 30 min continues), same rule as the batch formulation —
+        -- pinned by the r11 exact-gap differential
         CASE WHEN prev_ts IS NULL
-                  OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                  OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
       FROM ordered
     ),
     sess AS (

@@ -402,8 +402,10 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     marked AS (
       SELECT user_id, event_id, ts,
+        -- STRICTLY greater: session_window merges an event arriving
+        -- exactly at the previous session's end (r11 differential)
         CASE WHEN prev_ts IS NULL
-                  OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                  OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
       FROM ordered
     ),
     sess AS (
@@ -425,7 +427,7 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, sess_start, sess_end, n_events
-    FROM g WHERE sess_end < (SELECT w FROM wm)
+    FROM g WHERE sess_end <= (SELECT w FROM wm)
     """,
 )
 def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,8 +443,11 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the batch gaps-and-islands sessionization filtered
     to sessions closed at the final watermark = ms-truncated max event
     time minus the 2 h delay (single source, so no min-across-sides
-    here), emission boundary sess_end < watermark (probed: 943 of 946
-    sessions at sf0.001, the 3 still-open withheld)."""
+    here), emission boundary sess_end <= watermark — INCLUSIVE, unlike
+    the join-state eviction's strict < (r11 forced-boundary
+    differential: a session ending exactly AT the watermark emits;
+    earlier probes at sf0.001 could not distinguish <= from < because
+    no session end ever hit the watermark exactly)."""
     stream = load_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")

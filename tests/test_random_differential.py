@@ -8443,3 +8443,381 @@ def test_approx_topk_tokens_tie_plateau_at_rank20(spark, tmp_path):
     sdf = _spark_vs_registered_oracle(spark, "approx_topk_tokens", tmp_path)
     got = [(r.item, r.est_count) for r in sdf.collect()]
     assert got == expect
+
+
+def test_group_agg_cutoff_and_singleton(spark, tmp_path):
+    """group_agg differential FORCING the inclusive <= date cutoff (a
+    row exactly AT 1998-09-02 00:00:00 is IN, +1us is OUT) and a
+    singleton group; all money dyadic."""
+    from datetime import datetime, timedelta
+
+    CUT = datetime(1998, 9, 2)
+    lines = [
+        dict(l_returnflag="A", l_linestatus="F", l_shipdate=CUT,
+             l_quantity=2.0, l_extendedprice=100.25, l_discount=0.25, l_tax=0.5),
+        dict(l_returnflag="A", l_linestatus="F",
+             l_shipdate=CUT + timedelta(microseconds=1),
+             l_quantity=7.0, l_extendedprice=9999.0),
+        dict(l_returnflag="A", l_linestatus="F", l_shipdate=datetime(1997, 1, 1),
+             l_quantity=3.5, l_extendedprice=50.5, l_discount=0.5),
+        dict(l_returnflag="R", l_linestatus="O", l_shipdate=datetime(1997, 1, 1),
+             l_quantity=1.25, l_extendedprice=10.0, l_tax=0.25),
+    ]
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    kept = [ln for ln in lines if ln["l_shipdate"] <= CUT]
+    assert len(kept) == 3
+    groups: dict[tuple, list] = {}
+    for ln in kept:
+        g = groups.setdefault((ln["l_returnflag"], ln["l_linestatus"]),
+                              [0.0, 0.0, 0.0, 0.0, 0])
+        dp = ln["l_extendedprice"] * (1 - ln.get("l_discount", 0.0))
+        g[0] += ln["l_quantity"]
+        g[1] += ln["l_extendedprice"]
+        g[2] += dp
+        g[3] += dp * (1 + ln.get("l_tax", 0.0))
+        g[4] += 1
+    expect = {k: tuple(v) for k, v in groups.items()}
+
+    sdf = _spark_vs_registered_oracle(spark, "group_agg", tmp_path)
+    got = {
+        (r.l_returnflag, r.l_linestatus): (
+            r.sum_qty, r.sum_base_price, r.sum_disc_price, r.sum_charge,
+            r.count_order,
+        )
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_fact_fact_join_multiplicities(spark, tmp_path):
+    """fact_fact_join differential FORCING join multiplicities the
+    dense testdata keys blur: an order with THREE lineitems (3 output
+    rows), an order with none, a lineitem with no order — holes vanish
+    through the shuffle-hash inner join, multiplicities multiply."""
+    orders = [
+        dict(o_orderkey=1, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=2, o_orderpriority="5-LOW"),
+        dict(o_orderkey=3, o_orderpriority="1-URGENT"),  # no lineitems
+    ]
+    lines = [
+        dict(l_orderkey=1, l_extendedprice=100.0, l_discount=0.25),
+        dict(l_orderkey=1, l_extendedprice=200.0, l_discount=0.5),
+        dict(l_orderkey=1, l_extendedprice=400.0),
+        dict(l_orderkey=2, l_extendedprice=50.5),
+        dict(l_orderkey=777, l_extendedprice=9999.0),  # dangling
+    ]
+    _write_tpch(spark, tmp_path, "orders", orders)
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    expect = {"1-URGENT": (3, 75.0 + 100.0 + 400.0), "5-LOW": (1, 50.5)}
+
+    sdf = _spark_vs_registered_oracle(spark, "fact_fact_join", tmp_path)
+    got = {r.o_orderpriority: (r.n_items, r.revenue) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_dedup_exact_whitespace_and_min_id(spark, tmp_path):
+    """dedup_exact differential FORCING the fingerprint edges: texts
+    differing ONLY by a trailing space must NOT collapse; identical
+    texts across doc_ids collapse to the SMALLEST id — including the
+    corpus augmentation's planted negative twin (-id-1 < id), which
+    must win the keep for doc_id%10==0 docs."""
+    import hashlib
+
+    docs = [
+        (3, "alpha beta"),
+        (7, "alpha beta"),      # same text -> keep 3
+        (8, "alpha beta "),     # trailing space: its OWN group
+        (10, "gamma"),          # %10==0: corpus plants (-11, 'gamma')
+        (12, "delta"),
+    ]
+    _write_documents(tmp_path, docs)
+
+    corpus = list(docs) + [(-d - 1, t) for d, t in docs if d % 10 == 0]
+    groups: dict[str, list[int]] = {}
+    for did, t in corpus:
+        groups.setdefault(t, []).append(did)
+    expect = {
+        hashlib.md5(t.encode()).hexdigest(): (min(ids), len(ids))
+        for t, ids in groups.items()
+    }
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert expect[fp("alpha beta")] == (3, 2)
+    assert expect[fp("alpha beta ")] == (8, 1)   # space kept separate
+    assert expect[fp("gamma")] == (-11, 2)       # negative twin wins
+
+    sdf = _spark_vs_registered_oracle(spark, "dedup_exact", tmp_path)
+    got = {r.fp: (r.keep_doc_id, r.n_copies) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_stream_tumbling_hour_boundary(spark, tmp_path):
+    """stream_tumbling differential FORCING the window edges: an event
+    exactly AT an hour boundary opens the NEXT window (starts
+    inclusive), one microsecond earlier closes the previous one; a
+    window with a single event and a negative sum included."""
+    from datetime import datetime, timedelta
+
+    H = datetime(2024, 7, 1, 13)
+    events = [
+        dict(event_id=1, event_type="view", value=10.25, ts=H),  # 13:00 window
+        dict(event_id=2, event_type="view", value=-0.25,
+             ts=H - timedelta(microseconds=1)),                  # 12:00 window
+        dict(event_id=3, event_type="view", value=5.0,
+             ts=H + timedelta(minutes=59, seconds=59)),          # 13:00 window
+        dict(event_id=4, event_type="click", value=1.0, ts=H + timedelta(hours=1)),
+    ]
+    _write_events(tmp_path, events)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec2(x):
+        return Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+    agg: dict[tuple, list] = {}
+    for e in events:
+        w = e["ts"].replace(minute=0, second=0, microsecond=0)
+        a = agg.setdefault((w, e["event_type"]), [0, Decimal("0")])
+        a[0] += 1
+        a[1] += dec2(e["value"])
+    expect = {k: (n, float(s)) for k, (n, s) in agg.items()}
+    assert expect[(datetime(2024, 7, 1, 12), "view")] == (1, -0.25)
+    assert expect[(datetime(2024, 7, 1, 13), "view")] == (2, 15.25)
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_tumbling", tmp_path)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def _session_gap_events():
+    """Events forcing the exact-30-minute gap. Probed r11: Spark's
+    streaming session_window MERGES an event arriving exactly at the
+    previous session's end, the SAME strictly-greater-breaks rule as
+    the batch formulation — this fixture caught both streaming
+    session oracles using >= and forced the engine fix."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 8, 1, 9)
+    return [
+        # user 1: gaps exactly 30 min, then 30 min + 1 us
+        dict(event_id=1, user_id=1, ts=T0),
+        dict(event_id=2, user_id=1, ts=T0 + timedelta(minutes=30)),
+        dict(event_id=3, user_id=1,
+             ts=T0 + timedelta(minutes=60, microseconds=1)),
+        # user 2: two events at the SAME instant (event_id orders them)
+        dict(event_id=4, user_id=2, ts=T0),
+        dict(event_id=5, user_id=2, ts=T0),
+        # user 3: singleton
+        dict(event_id=6, user_id=3, ts=T0),
+    ]
+
+
+def test_session_window_exact_gap_continues(spark, tmp_path):
+    """Batch session_window: the exact-30-minute gap CONTINUES the
+    session (strictly-greater breaks), so user 1 has sessions of 2 and
+    1 events; same-instant ties stay in one session; singleton user."""
+    from datetime import datetime
+
+    events = _session_gap_events()
+    _write_events(tmp_path, events)
+
+    T0 = datetime(2024, 8, 1, 9)
+    expect = {
+        (1, 1): (2, T0),                      # events 1,2 (gap == 30min)
+        (1, 2): (1, events[2]["ts"]),         # event 3 breaks (+1us)
+        (2, 1): (2, T0),
+        (3, 1): (1, T0),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "session_window", tmp_path)
+    got = {
+        (r.user_id, r.sess_id): (r.n_events, r.sess_start)
+        for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_statestore_session_read_exact_gap_merges(spark, tmp_path):
+    """Streaming session-window state (statestore_session_read): the
+    exact-30-minute gap MERGES (probed r11 — session_window extends a
+    session whose end equals the next event's start, so streaming
+    agrees with the batch strictly-greater rule; the oracle previously
+    said >= and this test caught it), while +1 microsecond breaks."""
+    from datetime import datetime
+
+    events = _session_gap_events()
+    _write_events(tmp_path, events)
+
+    T0 = datetime(2024, 8, 1, 9)
+    expect = {
+        (1, T0): 2,                # gap == 30 min MERGED
+        (1, events[2]["ts"]): 1,   # +1 us broke
+        (2, T0): 2,
+        (3, T0): 1,
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "statestore_session_read", tmp_path)
+    got = {
+        (r.user_id, r.sess_start): r.n_events for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_stream_left_outer_join_eviction_boundaries(spark, tmp_path):
+    """stream_left_outer_join on the shared watermark fixture: matched
+    purchases emit with their clicks (both interval ends inclusive),
+    unmatched purchases null-extend only STRICTLY below the watermark
+    (the AT-watermark purchase is withheld), and clicks never
+    null-extend in a left join."""
+    events = _watermark_boundary_events()
+    _write_events(tmp_path, events)
+
+    expect = {
+        (1, 100, 101), (2, 102, 103),
+        (8, 110, 111), (8, 110, 112),
+        (3, 104, None), (5, 107, None),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_left_outer_join", tmp_path)
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in sdf.collect()}
+    assert got == expect
+    assert all(p is not None for _, p, _c in got)  # no right-side rows
+    assert all(p != 106 for _, p, _c in got)       # AT-watermark withheld
+
+
+def test_stream_dedup_unbounded_first_occurrence(spark, tmp_path):
+    """stream_dedup_unbounded differential: repeated (user, type)
+    pairs collapse to one regardless of multiplicity — forced with one
+    user repeating a type 5x, the same user on a second type, and two
+    users sharing a type."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 9, 1)
+    events = []
+    eid = 1
+    for i in range(5):  # user 1 views 5x
+        events.append(dict(event_id=eid, user_id=1, event_type="view",
+                           ts=T0 + timedelta(minutes=i)))
+        eid += 1
+    events.append(dict(event_id=eid, user_id=1, event_type="click", ts=T0)); eid += 1
+    events.append(dict(event_id=eid, user_id=2, event_type="view", ts=T0)); eid += 1
+
+    _write_events(tmp_path, events)
+    expect = {"view": 2, "click": 1}
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_dedup_unbounded", tmp_path)
+    got = {r.event_type: r.n_users for r in sdf.collect()}
+    assert got == expect
+
+
+def test_stateful_user_stats_cent_edges(spark, tmp_path):
+    """stateful_user_stats differential FORCING the integer-cents
+    accumulation: half-cent values on both sides of the floor(+0.5)
+    cut, a user whose cents sum to exactly zero, and a singleton
+    user."""
+    import math
+
+    events = [
+        dict(event_id=1, user_id=1, value=0.005),
+        dict(event_id=2, user_id=1, value=-0.005),   # cents: 1 + 0 = 1
+        dict(event_id=3, user_id=2, value=10.25),
+        dict(event_id=4, user_id=2, value=-10.25),   # sums to exactly 0
+        dict(event_id=5, user_id=3, value=0.004),    # rounds to 0 cents
+    ]
+    _write_events(tmp_path, events)
+
+    agg: dict[int, list] = {}
+    for e in events:
+        a = agg.setdefault(e["user_id"], [0, 0])
+        a[0] += 1
+        a[1] += math.floor(e["value"] * 100 + 0.5)
+    expect = {u: (n, c / 100.0) for u, (n, c) in agg.items()}
+    assert expect[2] == (2, 0.0) and expect[3] == (1, 0.0)
+
+    sdf = _spark_vs_registered_oracle(spark, "stateful_user_stats", tmp_path)
+    got = {r.user_id: (r.n_events, r.sum_value) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_statestore_read_and_changefeed_final_counts(spark, tmp_path):
+    """statestore_read + statestore_changefeed differential on one
+    fixture: the aggregation state read back from the checkpoint (and
+    the change feed's last change per key) must equal the batch
+    per-user counts — forced with one dominant user (42 events), a
+    singleton, and interleaved arrival order."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(911)
+    T0 = datetime(2024, 10, 1)
+    events = [dict(event_id=1000, user_id=7, ts=T0)]  # singleton user
+    eid = 1
+    mix = [1] * 42 + [2] * 5 + [3] * 5
+    rng.shuffle(mix)
+    for u in mix:
+        events.append(dict(event_id=eid, user_id=u,
+                           ts=T0 + timedelta(seconds=eid)))
+        eid += 1
+    _write_events(tmp_path, events)
+
+    expect = {1: 42, 2: 5, 3: 5, 7: 1}
+
+    sdf = _spark_vs_registered_oracle(spark, "statestore_read", tmp_path)
+    got = {r.user_id: r.n_events for r in sdf.collect()}
+    assert got == expect
+
+    sdf2 = _spark_vs_registered_oracle(spark, "statestore_changefeed", tmp_path)
+    got2 = {r.user_id: r.n_events for r in sdf2.collect()}
+    assert got2 == expect
+
+
+def test_stream_session_append_emission_boundary(spark, tmp_path):
+    """stream_session_append differential FORCING the append-mode
+    emission rule: a session whose end lands exactly AT the final
+    watermark EMITS (inclusive <=, probed r11 — the oracle previously
+    said strict < and this test caught it; note the join-state
+    eviction boundary IS strict, so the two operators differ); the
+    exact-30-minute-gap merge from the shared fixture flows through
+    (one merged session row, not two); the sentinel's own open
+    session is withheld."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 8, 1, 9)
+    events = _session_gap_events()
+    eid = 100
+    # sentinel: max ts = T0+4h -> watermark = T0+2h = 11:00
+    events.append(dict(event_id=eid, user_id=9, ts=T0 + timedelta(hours=4))); eid += 1
+    # session ending exactly AT the watermark (10:30 + 30 min == 11:00)
+    events.append(dict(event_id=eid, user_id=5,
+                       ts=T0 + timedelta(hours=1, minutes=30))); eid += 1
+    # session ending one second earlier
+    events.append(dict(event_id=eid, user_id=6,
+                       ts=T0 + timedelta(hours=1, minutes=29, seconds=59)))
+    _write_events(tmp_path, events)
+
+    m30 = timedelta(minutes=30)
+    s2 = T0 + timedelta(minutes=60, microseconds=1)
+    expect = {
+        (1, T0, T0 + timedelta(hours=1), 2),      # merged exact-gap pair
+        (1, s2, s2 + m30, 1),
+        (2, T0, T0 + m30, 2),
+        (3, T0, T0 + m30, 1),
+        (6, T0 + timedelta(hours=1, minutes=29, seconds=59),
+         T0 + timedelta(hours=1, minutes=59, seconds=59), 1),
+        # end exactly AT the 11:00 watermark: emitted (inclusive)
+        (5, T0 + timedelta(hours=1, minutes=30),
+         T0 + timedelta(hours=2), 1),
+    }
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_session_append", tmp_path)
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in sdf.collect()
+    }
+    assert got == expect
+    assert any(u == 5 for u, *_ in got)       # AT-watermark session emitted
+    assert all(u != 9 for u, *_ in got)       # sentinel's open session withheld
