@@ -8821,3 +8821,222 @@ def test_stream_session_append_emission_boundary(spark, tmp_path):
     assert got == expect
     assert any(u == 5 for u, *_ in got)       # AT-watermark session emitted
     assert all(u != 9 for u, *_ in got)       # sentinel's open session withheld
+
+
+def test_stream_stream_join_inner_matches_only(spark, tmp_path):
+    """stream_stream_join (INNER) on the shared watermark fixture:
+    exactly the four boundary matches emit — both interval ends
+    inclusive, one purchase matching two clicks — and NO null-extended
+    rows for anything evicted (that is the outer variants' job)."""
+    events = _watermark_boundary_events()
+    _write_events(tmp_path, events)
+
+    expect = {(1, 100, 101), (2, 102, 103), (8, 110, 111), (8, 110, 112)}
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_stream_join", tmp_path)
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in sdf.collect()}
+    assert got == expect
+    assert all(p is not None and c is not None for _, p, c in got)
+
+
+def test_dedup_incremental_identical_text_all_bands(spark, tmp_path):
+    """dedup_incremental differential FORCING the asymmetric-LSH
+    edges: an incoming doc (planted negative twin) with text IDENTICAL
+    to TWO existing docs shares all 16 bands with both; existing docs
+    never pair with each other (that is dedup_minhash_pairs' job);
+    every reported pair has incoming_id < 0 and existing_id >= 0."""
+    shared = " ".join(f"tok{i}" for i in range(8))
+    other = " ".join(f"zz{i}" for i in range(8))
+    docs = [
+        (3, shared),
+        (10, shared),   # %10==0 -> corpus plants incoming (-11, shared)
+        (20, other),    # %10==0 -> plants (-21, other)
+        (7, "qq ww ee rr tt yy uu ii"),
+    ]
+    _write_documents(tmp_path, docs)
+
+    sdf = _spark_vs_registered_oracle(spark, "dedup_incremental", tmp_path)
+    got = {
+        (r.incoming_id, r.existing_id): r.n_shared_bands
+        for r in sdf.collect()
+    }
+    # identical text -> identical signature -> all 16 bands shared
+    assert got[(-11, 3)] == 16 and got[(-11, 10)] == 16
+    assert got[(-21, 20)] == 16
+    assert all(i < 0 <= e for i, e in got)
+    assert (-21, 7) not in got and (-11, 20) not in got
+
+
+def test_ann_lsh_sign_boundary_and_bucket_exclusion(spark, tmp_path):
+    """ann_lsh differential FORCING the sign-LSH edges: a dimension
+    EXACTLY 0.0 hashes to bit 0 (strict >), so a candidate differing
+    from the query only by a zero-vs-positive sign dim lands in a
+    DIFFERENT bucket and is excluded even though its cosine is ~1;
+    a same-bucket candidate with NEGATIVE cosine is kept and ranked
+    last."""
+    import math
+
+    D = 64
+    q = [0.0] * D
+    for i in range(8):
+        q[i] = 1.0 if i % 2 == 0 else -1.0  # bucket bits 1,0,1,0.. = 0b01010101
+    q[20] = 2.0
+    vecs = {0: q}
+    # same bucket, high cosine: copy of q with extra tail energy
+    v1 = list(q); v1[30] = 0.5
+    vecs[1] = v1
+    # dim0 EXACTLY 0.0 (bit drops) -> different bucket despite cosine
+    v2 = list(q); v2[0] = 0.0
+    vecs[2] = v2
+    # same bucket, negative cosine: same signs on dims 0..7, tail flipped
+    v3 = [0.0] * D
+    for i in range(8):
+        v3[i] = 0.25 if i % 2 == 0 else -0.25
+    v3[20] = -8.0
+    vecs[3] = v3
+    # clearly different bucket (all signs flipped)
+    vecs[4] = [-x for x in q]
+    _write_embeddings(tmp_path, vecs)
+
+    def bucket(v):
+        return sum((1 << i) for i in range(8) if v[i] > 0)
+
+    assert bucket(q) == bucket(v1) == bucket(v3) == 0b01010101
+    assert bucket(v2) != bucket(q) and bucket(vecs[4]) != bucket(q)
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        return round(dp / (math.sqrt(sum(x * x for x in a))
+                           * math.sqrt(sum(y * y for y in b))), 4)
+
+    assert cos(v2, q) > 0.9  # the excluded near-duplicate's cosine
+    assert cos(v3, q) < 0    # the kept negative-cosine candidate
+
+    sdf = _spark_vs_registered_oracle(spark, "ann_lsh", tmp_path)
+    got = [(r.vec_id, r.cos_sim) for r in sdf.collect()]
+    assert got == [(1, cos(v1, q)), (3, cos(v3, q))]
+
+
+def test_pipeline_corpus_gates_and_split(spark, tmp_path):
+    """pipeline_corpus differential FORCING every stage's boundary:
+    token counts exactly AT the 20/2000 gates (in) and one past
+    (out), two docs whose texts differ only in case/punctuation and
+    collapse AFTER cleaning (min doc_id kept), and the md5-chain
+    train/eval split recomputed with hashlib."""
+    import hashlib
+
+    from dpu_olap_spark.functions.text import EVAL_HEX, MAX_TOKENS, MIN_TOKENS
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    clean_a = words(25, "a")
+    docs = [
+        (1, clean_a),
+        (2, "A0 a1, A2! a3 " + words(21, "a")[6:]),  # cleans to... see below
+        (3, words(MIN_TOKENS, "b")),          # exactly 20: in
+        (4, words(MIN_TOKENS - 1, "c")),      # 19: out
+        (5, words(MAX_TOKENS, "d")),          # exactly 2000: in
+        (6, words(MAX_TOKENS + 1, "e")),      # 2001: out
+    ]
+    # make doc 2 clean EXACTLY to doc 1's text: uppercase + punctuation
+    docs[1] = (2, "A0 a1, A2! " + clean_a.split(" ", 3)[3])
+    _write_documents(tmp_path, docs)
+
+    def clean(t):
+        import re
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    assert clean(docs[1][1]) == clean_a  # collapse-after-clean forced
+
+    kept: dict[str, list] = {}
+    for did, t in docs:
+        ct = clean(t)
+        n = len(ct.split(" "))
+        if not (MIN_TOKENS <= n <= MAX_TOKENS):
+            continue
+        fp = hashlib.md5(ct.encode()).hexdigest()
+        g = kept.setdefault(fp, [])
+        g.append((did, n))
+    agg: dict[tuple, list] = {}
+    for fp, members in kept.items():
+        did, n = min(members)  # min doc_id survives the dedup
+        subset = (
+            "eval"
+            if hashlib.md5(fp.encode()).hexdigest()[0] in EVAL_HEX
+            else "train"
+        )
+        a = agg.setdefault(("en", subset), [0, 0])
+        a[0] += 1
+        a[1] += n
+    expect = {k: tuple(v) for k, v in agg.items()}
+    assert sum(n for n, _ in expect.values()) == 3  # docs 1(+2), 3, 5 survive
+
+    sdf = _spark_vs_registered_oracle(spark, "pipeline_corpus", tmp_path)
+    got = {
+        (r.lang, r.subset): (r.n_docs, r.total_tokens) for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_pysink_write_commit_and_cent_edges(spark, tmp_path):
+    """pysink_write differential FORCING the Python-sink commit path
+    with value edges: half-cent prices on both sides of the
+    floor(+0.5) cut, a bucket-0 orderkey, all 8 buckets populated, and
+    non-urgent rows filtered before the writer."""
+    import math
+
+    orders = [
+        dict(o_orderkey=k, o_orderpriority="1-URGENT",
+             o_totalprice=k * 0.25 + 0.005)
+        for k in range(8, 32)  # covers every %8 bucket
+    ]
+    orders.append(dict(o_orderkey=40, o_orderpriority="1-URGENT",
+                       o_totalprice=0.004))   # rounds to 0 cents
+    orders.append(dict(o_orderkey=41, o_orderpriority="5-LOW",
+                       o_totalprice=9999.0))  # filtered out
+    _write_tpch(spark, tmp_path, "orders", orders)
+
+    agg: dict[int, list] = {}
+    for o in orders:
+        if o["o_orderpriority"] != "1-URGENT":
+            continue
+        b = o["o_orderkey"] % 8
+        a = agg.setdefault(b, [0, 0])
+        a[0] += 1
+        a[1] += math.floor(o["o_totalprice"] * 100 + 0.5)
+    expect = {b: tuple(v) for b, v in agg.items()}
+    assert len(expect) == 8 and expect[0][0] == 4  # keys 8,16,24,40
+
+    sdf = _spark_vs_registered_oracle(spark, "pysink_write", tmp_path)
+    got = {r.bucket: (r.n_rows, r.sum_cents) for r in sdf.collect()}
+    assert got == expect
+
+
+def test_sink_zorder_between_edges(spark, tmp_path):
+    """sink_zorder differential FORCING the inclusive BETWEEN edges of
+    the pruned read (partkey 100 and 300 in; 99 and 301 out) through
+    the Morton-interleaved layout, with every %8 supplier bucket hit."""
+    lines = []
+    for i, pk in enumerate([99, 100, 150, 300, 301] * 8):
+        lines.append(
+            dict(l_partkey=pk, l_suppkey=i % 8,
+                 l_extendedprice=(i + 1) * 0.25)
+        )
+    _write_tpch(spark, tmp_path, "lineitem", lines)
+
+    agg: dict[int, list] = {}
+    for ln in lines:
+        if not (100 <= ln["l_partkey"] <= 300):
+            continue
+        b = ln["l_suppkey"] % 8
+        a = agg.setdefault(b, [0, 0.0])
+        a[0] += 1
+        a[1] += ln["l_extendedprice"]
+    expect = {b: (n, round(s, 2)) for b, (n, s) in agg.items()}
+    assert sum(n for n, _ in expect.values()) == 24  # 3 of 5 keys survive
+
+    sdf = _spark_vs_registered_oracle(spark, "sink_zorder", tmp_path)
+    got = {r.supp_bucket: (r.n_items, r.sum_price) for r in sdf.collect()}
+    assert got == expect
