@@ -9040,3 +9040,168 @@ def test_sink_zorder_between_edges(spark, tmp_path):
     sdf = _spark_vs_registered_oracle(spark, "sink_zorder", tmp_path)
     got = {r.supp_bucket: (r.n_items, r.sum_price) for r in sdf.collect()}
     assert got == expect
+
+
+def test_stream_left_outer_join_watermark_ms_truncation(spark, tmp_path):
+    """Watermark MILLISECOND-truncation differential: Spark tracks
+    event-time watermarks in the ms domain, so a side's max event time
+    of :00.000750 truncates to :00.000 before the 1 h delay is
+    subtracted. Forced: an unmatched purchase exactly AT the truncated
+    watermark (withheld — strict <) whose timestamp is 750 us BELOW
+    the un-truncated max-minus-delay, i.e. a wrong (un-truncated)
+    oracle would emit it; plus a 1 ms earlier twin that emits."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 11, 1)
+    at = lambda **kw: T0 + timedelta(**kw)
+    # max pts and cts carry 750 us: watermark = trunc_ms(10:00:00.000750)
+    # - 1 h = 9:00:00.000 exactly
+    events = [
+        dict(event_id=900, user_id=99, event_type="purchase",
+             ts=at(hours=10, microseconds=750)),
+        dict(event_id=901, user_id=98, event_type="click",
+             ts=at(hours=10, microseconds=750)),
+        # exactly AT the truncated watermark: withheld.  An oracle that
+        # skipped the ms-truncation would compute w = 9:00:00.000750
+        # and wrongly emit this row.
+        dict(event_id=106, user_id=4, event_type="purchase", ts=at(hours=9)),
+        # 1 ms below: emits
+        dict(event_id=107, user_id=5, event_type="purchase",
+             ts=at(hours=8, minutes=59, seconds=59, microseconds=999000)),
+        # a matched pair flows through regardless
+        dict(event_id=100, user_id=1, event_type="purchase", ts=at(hours=1)),
+        dict(event_id=101, user_id=1, event_type="click", ts=at(hours=1)),
+    ]
+    _write_events(tmp_path, events)
+
+    expect = {(1, 100, 101), (5, 107, None)}
+
+    sdf = _spark_vs_registered_oracle(spark, "stream_left_outer_join", tmp_path)
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in sdf.collect()}
+    assert got == expect
+    assert all(p != 106 for _, p, _c in got)  # AT-truncated-watermark withheld
+
+
+def test_window_sliding_slide_boundary_membership(spark, tmp_path):
+    """Sliding-window (1 h width, 30 min slide) differential FORCING
+    window membership at the slide edges: an event exactly AT a slide
+    boundary belongs to exactly the two windows STARTING at that
+    boundary and 30 minutes before (starts inclusive, ends exclusive
+    — it is NOT in the window ending at its own timestamp); an event
+    one microsecond earlier shifts down one window pair."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2024, 11, 2, 12, 0)  # on the hour == a slide boundary
+    events = [
+        dict(event_id=1, event_type="view", ts=T0),
+        dict(event_id=2, event_type="view", ts=T0 - timedelta(microseconds=1)),
+        dict(event_id=3, event_type="click", ts=T0 + timedelta(minutes=30)),
+        dict(event_id=4, event_type="click", ts=T0 + timedelta(minutes=29)),
+    ]
+    _write_events(tmp_path, events)
+
+    m30 = timedelta(minutes=30)
+    expect: dict[tuple, int] = {}
+
+    def add(w, t):
+        expect[(w, t)] = expect.get((w, t), 0) + 1
+
+    # event 1 AT 12:00: windows starting 11:30 and 12:00
+    add(T0 - m30, "view"); add(T0, "view")
+    # event 2 at 11:59:59.999999: windows starting 11:00 and 11:30
+    add(T0 - 2 * m30, "view"); add(T0 - m30, "view")
+    # event 3 AT 12:30: windows starting 12:00 and 12:30
+    add(T0, "click"); add(T0 + m30, "click")
+    # event 4 at 12:29: windows starting 11:30 and 12:00
+    add(T0 - m30, "click"); add(T0, "click")
+    assert expect[(T0 - m30, "view")] == 2  # events 1 and 2 share one window
+
+    sdf = _spark_vs_registered_oracle(spark, "window_sliding", tmp_path)
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in sdf.collect()
+    }
+    assert got == expect
+
+
+def test_simhash_unicode_tokens_cross_engine(spark, tmp_path):
+    """simhash + simhash_md5 differential on a forced UNICODE corpus:
+    the md5-derived base hash must agree across Spark (conv of
+    substring of md5) and DuckDB (CAST of concat'ed hex) on multibyte
+    tokens (accents, CJK, a 4-byte emoji), the planted exact duplicate
+    hashes identically, and the 16-bit variant equals the low 16 bits
+    of the 60-bit signature; all values recomputed with hashlib+numpy
+    like the full-gate differential, but over text the ASCII corpus
+    never exercises."""
+    import hashlib
+
+    docs = [
+        (1, "café münchen 東京 straße über"),
+        (2, "\U0001f600 grin \U0001f680 rocket mixed ascii"),
+        (10, "plain ascii words only here"),  # %10: planted dup at -11
+        (4, "ñ é ü ö å"),
+    ]
+    _write_documents(tmp_path, docs)
+
+    corpus = list(docs) + [(-d - 1, t) for d, t in docs if d % 10 == 0]
+    expect60, expect16 = {}, {}
+    for did, t in corpus:
+        hs = [
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for tok in t.split(" ")
+        ]
+        n = len(hs)
+        sig = 0
+        for k in range(60):
+            if sum((h >> k) & 1 for h in hs) * 2 > n:
+                sig |= 1 << k
+        expect60[did] = sig
+        expect16[did] = sig & 0xFFFF
+
+    sdf60 = _spark_vs_registered_oracle(spark, "simhash", tmp_path)
+    got60 = {r.doc_id: r.simhash for r in sdf60.collect()}
+    assert got60 == expect60
+    assert got60[-11] == got60[10]  # planted dup identical
+
+    sdf16 = _spark_vs_registered_oracle(spark, "simhash_md5", tmp_path)
+    got16 = {r.doc_id: r.simhash for r in sdf16.collect()}
+    assert got16 == expect16
+    assert all(got16[d] == got60[d] & 0xFFFF for d in got60)
+
+
+def test_dedup_clusters_forced_transitive_chain(spark, tmp_path):
+    """dedup_clusters differential FORCING a deterministic transitive
+    chain: doc B overlaps A on one half of its shingles and C on the
+    other, so A~B and B~C are LSH candidates while A and C share no
+    shingle — the cluster must still merge all three to min-label A
+    via propagation (length-2 path), alongside an untouched singleton.
+    Complements the randomized union-find differential in
+    test_llm_ops.py with a hand-built chain whose edge set is
+    attested."""
+    from dpu_olap_spark.registry import all_queries
+
+    # vocabulary found by replaying the exact md5/xor-lane minhash
+    # pipeline offline: with these 20+20 tokens, B (= A's tokens then
+    # C's) shares a full band with A AND with C, while A and C share
+    # none — deterministic, since every hash in the pipeline is md5
+    half1 = " ".join(f"a7_{i}" for i in range(20))
+    half2 = " ".join(f"c7_{i}" for i in range(20))
+    docs = [
+        (1, half1),                      # A
+        (2, half1 + " " + half2),        # B overlaps A and C
+        (3, half2),                      # C: no shingle shared with A
+        (4, "island only words nothing shared here"),  # singleton
+    ]
+    _write_documents(tmp_path, docs)
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["dedup_minhash_pairs"].build(spark, str(tmp_path)).collect()
+    }
+    # attest the chain: A-B and B-C are candidates, A-C is NOT
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs
+
+    sdf = _spark_vs_registered_oracle(spark, "dedup_clusters", tmp_path)
+    got = {r.doc_id: r.cluster_id for r in sdf.collect()}
+    assert got[1] == got[2] == got[3] == 1  # merged via the 2-hop path
+    assert got[4] == 4                      # singleton untouched
