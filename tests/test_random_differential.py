@@ -9205,3 +9205,75 @@ def test_dedup_clusters_forced_transitive_chain(spark, tmp_path):
     got = {r.doc_id: r.cluster_id for r in sdf.collect()}
     assert got[1] == got[2] == got[3] == 1  # merged via the 2-hop path
     assert got[4] == 4                      # singleton untouched
+
+
+def test_decimal_cast_rounding_cross_engine_invariant(spark, tmp_path):
+    """Pins the double -> DECIMAL(18,2) cast seam every money oracle in
+    this suite leans on: BOTH engines round the SHORTEST-ROUNDTRIP
+    DECIMAL STRING half-away-from-zero, not the binary value — 2.675's
+    nearest double is BELOW the half (2.67499999999999982) yet both
+    produce 2.68 because its shortest repr is '2.675'. Exact binary
+    ties (0.125) and negative mirrors round away from zero in both.
+    This is exactly Decimal(repr(x)).quantize(HALF_UP) — the walk
+    convention the differentials use — so the three-way agreement is
+    asserted value-for-value. If either engine ever switches to
+    binary-value or banker's rounding, this test names the seam."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = [
+        0.125, 0.375, -0.125,        # exact binary ties
+        1.005, 2.675, 1.115, 123.455,  # shortest-repr halves, binary below
+        -1.005, -2.675,              # negative mirrors
+        0.015, 0.005,                # binary ABOVE the half for 0.005
+        0.994999999999999995,        # repr collapses to '0.995'
+    ]
+    spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                          "i int, x double").write.parquet(
+        str(tmp_path) + "/vals.parquet"
+    )
+    sdf = (
+        spark.read.parquet(str(tmp_path) + "/vals.parquet")
+        .selectExpr("i", "x", "cast(x as decimal(18,2)) as dec2")
+    )
+    got = {r.i: (r.x, Decimal(str(r.dec2))) for r in sdf.collect()}
+
+    for i, v in enumerate(vals):
+        walk = Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        (duck,) = duckdb.sql(
+            "SELECT CAST(CAST(? AS DOUBLE) AS DECIMAL(18,2))", params=[v]
+        ).fetchone()
+        assert got[i][1] == Decimal(str(duck)) == walk, (
+            f"decimal cast seam moved for {v!r}: spark={got[i][1]} "
+            f"duckdb={duck} walk={walk}"
+        )
+    # attest the interesting structure: a binary-below-half value that
+    # still rounds UP (string-based), and the exact tie away from zero
+    assert float(2.675) < 2.675 or (2.675).hex() == "0x1.5666666666666p+1"
+    assert got[vals.index(2.675)][1] == Decimal("2.68")
+    assert got[vals.index(-0.125)][1] == Decimal("-0.13")
+
+
+def test_csv_sink_null_sentinel_collision_documented(spark, tmp_path):
+    """Attests the DOCUMENTED limitation of the CSV sink's \\N NULL
+    sentinel (sources/sinks.py): a string value equal to the literal
+    two-character sequence backslash-N cannot round-trip — it reads
+    back as NULL, colliding with true NULLs. The TPC-H-shaped corpus
+    cannot contain it (names are alphanumeric), so the trade is
+    accepted; this test pins the exact behavior so a future sentinel
+    change is a conscious decision, and confirms every OTHER
+    backslash-ish value survives."""
+    from dpu_olap_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(1, "\\N"), (2, "\\n"), (3, "N"), (4, "\\\\N"), (5, None), (6, "")],
+        "k int, s string",
+    )
+    path = str(tmp_path) + "/csv_sentinel"
+    sinks.write_csv(df, path)
+    back = {r.k: r.s for r in sinks.read_csv(spark, path, df.schema).collect()}
+    assert back[1] is None          # the documented collision
+    assert back[2] == "\\n"         # lowercase survives
+    assert back[3] == "N"
+    assert back[4] == "\\\\N"       # double backslash survives
+    assert back[5] is None          # true NULL
+    assert back[6] == ""            # empty string preserved (r11 fix)
