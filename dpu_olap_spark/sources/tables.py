@@ -62,9 +62,14 @@ def _restore_nano_ts(df: DataFrame, name: str) -> DataFrame:
             df = df.withColumn(col, F.col(col).cast("timestamp"))
         elif dtype == "bigint":
             # floor division, not `div` (which truncates toward zero):
-            # a pre-epoch nanosecond value must floor to the earlier
-            # microsecond, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
-            # cast. pmod keeps the arithmetic exact in int64 (the ns
+            # a pre-epoch nanosecond instant belongs to the EARLIER
+            # microsecond (the us interval containing it) — the
+            # time-correct semantic. NOTE (r11 differential): DuckDB
+            # 1.0's TIMESTAMP_NS -> TIMESTAMP cast truncates toward
+            # zero instead (-1 ns -> the epoch), so the two engines
+            # diverge on pre-epoch sub-microsecond values; the legacy
+            # ns testdata was all post-epoch, where floor == truncate.
+            # pmod keeps the arithmetic exact in int64 (the ns
             # epoch magnitude overflows a double's 53-bit mantissa).
             df = df.withColumn(
                 col,

@@ -9277,3 +9277,71 @@ def test_csv_sink_null_sentinel_collision_documented(spark, tmp_path):
     assert back[4] == "\\\\N"       # double backslash survives
     assert back[5] is None          # true NULL
     assert back[6] == ""            # empty string preserved (r11 fix)
+
+
+def test_nano_ts_restore_pre_epoch_floor(spark, tmp_path):
+    """Differential for the LEGACY nanosecond-long events form
+    (sources/tables.py _restore_nano_ts bigint branch, kept for old
+    testdata): the ns -> us conversion must FLOOR, not truncate toward
+    zero — a pre-epoch -1 ns instant belongs to microsecond -1
+    (1969-12-31 23:59:59.999999), the us interval containing it.
+    Probing this seam exposed that DuckDB 1.0's TIMESTAMP_NS ->
+    TIMESTAMP cast TRUNCATES toward zero instead (-1 ns -> the
+    epoch), so the engines diverge pre-epoch — pinned below, with the
+    engine's floor checked against a pure-Python walk on nanos on and
+    off the 1000-boundary in both signs."""
+    from datetime import datetime, timedelta, timezone
+
+    nanos = [-1, -999, -1000, -1001, -1_500_000_001, 0, 1, 999, 1000, 1001,
+             1_700_000_000_123_456_789]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(nanos)), pa.int64()),
+                "ts": pa.array(nanos, pa.int64()),
+                "user_id": pa.array([1] * len(nanos), pa.int64()),
+                "event_type": pa.array(["view"] * len(nanos), pa.string()),
+                "value": pa.array([1.0] * len(nanos), pa.float64()),
+                "props": pa.array(["{}"] * len(nanos), pa.string()),
+            }
+        ),
+        str(tmp_path) + "/events.parquet",
+    )
+
+    from dpu_olap_spark.sources.tables import load_table
+
+    got = {
+        r.event_id: r.ts.replace(tzinfo=timezone.utc)
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    }
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    for i, ns in enumerate(nanos):
+        us = ns // 1000  # Python floor division == the required floor
+        walk = epoch + timedelta(microseconds=us)
+        assert got[i] == walk, f"ns={ns}: spark={got[i]} walk={walk}"
+    # attest the floor-vs-truncate divergence actually bites: -1 ns
+    # floors to -1 us; truncation toward zero would give 0
+    assert got[0] == epoch - timedelta(microseconds=1)
+    assert got[3] == epoch - timedelta(microseconds=2)  # -1001 -> -2 us
+
+    # pin DuckDB 1.0's divergent pre-epoch truncation via a TIMESTAMP_NS
+    # parquet column (make_timestamp_ns does not exist in 1.0)
+    pq.write_table(
+        pa.table({"ns": pa.array(nanos, pa.timestamp("ns"))}),
+        str(tmp_path) + "/ns_probe.parquet",
+    )
+    duck = [
+        r[0].replace(tzinfo=timezone.utc)
+        for r in duckdb.sql(
+            "SELECT CAST(ns AS TIMESTAMP) FROM "
+            f"'{tmp_path}/ns_probe.parquet'"
+        ).fetchall()
+    ]
+    assert duck[0] == epoch                             # -1 ns truncated UP
+    assert duck[0] != got[0]                            # the divergence
+    assert duck[3] == epoch - timedelta(microseconds=1)  # -1001 -> -1 us
+    # post-epoch the engines agree (floor == truncate for positives)
+    for i, ns in enumerate(nanos):
+        if ns >= 0:
+            assert duck[i] == got[i]
