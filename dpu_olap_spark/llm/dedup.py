@@ -279,8 +279,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id)
     SELECT i.doc_a, i.doc_b,
-           round(CAST(i.n_inter AS DOUBLE)
-                 / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+           CAST(i.n_inter AS DOUBLE)
+             / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
     JOIN sizes zb ON zb.doc_id = i.doc_b
@@ -316,10 +316,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            # UNROUNDED: numerator and denominator are exact small
+            # ints, so the single IEEE division is bit-identical in
+            # Spark, DuckDB, and Python. round(x, 4) was the only
+            # divergence risk here — Spark rounds the shortest decimal
+            # STRING half-up while DuckDB rounds the BINARY value
+            # (round(0.00015, 4) -> 0.0002 vs 0.0001), so a corpus
+            # producing jaccard 3/20000 would hash-mismatch (r11
+            # probe). Cosine queries keep their round(4): there the
+            # rounding absorbs fold-order ULPs and the inputs are
+            # never exact decimal halves.
+            (
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )

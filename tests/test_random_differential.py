@@ -5074,10 +5074,9 @@ def test_minhash_pipeline_randomized_vs_pure_python(spark, tmp_path):
     exp_jac = {}
     for a, b in exp_pairs:
         sa, sb = set(sh_of[a]), set(sh_of[b])
-        j = len(sa & sb) / len(sa | sb)
-        exp_jac[(a, b)] = math.floor(j * 1e4 + 0.5) / 1e4
+        exp_jac[(a, b)] = len(sa & sb) / len(sa | sb)  # unrounded (r11)
     assert exp_jac[(-1, 0)] == 1.0
-    assert exp_jac[(0, 1)] == math.floor(7 / 9 * 1e4 + 0.5) / 1e4
+    assert exp_jac[(0, 1)] == 7 / 9
 
     # --- Spark vs replication vs registered DuckDB oracle -------------
     qs = all_queries()
