@@ -67,7 +67,7 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id,
            COUNT(*) AS n_grams,
            COUNT(e.g) AS n_contam,
-           CAST(ROUND(CAST(COUNT(e.g) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS contam_ratio
+           CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) AS contam_ratio
     FROM corpus c LEFT JOIN eval_grams e ON c.g = e.g
     GROUP BY c.doc_id
     HAVING COUNT(e.g) > 0
@@ -93,8 +93,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_contam") > 0)
         .withColumn(
+            # unrounded int ratio: identical doubles both engines (r11)
             "contam_ratio",
-            F.round(F.col("n_contam") / F.col("n_grams"), 6).cast("double"),
+            (F.col("n_contam") / F.col("n_grams")).cast("double"),
         )
     )
 
@@ -306,7 +307,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            len(gs) AS n_grams,
            len(list_distinct(gs)) AS n_distinct,
-           CAST(ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) AS DOUBLE)
+           1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
              AS rep_ratio
     FROM grams
     """,
@@ -327,7 +328,8 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_grams.cast("bigint").alias("n_grams"),
         n_distinct.cast("bigint").alias("n_distinct"),
-        F.round(1.0 - n_distinct.cast("double") / n_grams, 6)
+        # unrounded: 1.0 - int-ratio, identical doubles both engines
+        (1.0 - n_distinct.cast("double") / n_grams)
         .cast("double")
         .alias("rep_ratio"),
     )

@@ -219,9 +219,9 @@ def q_decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT n,
-      round(sq / n, 4) AS mean_qty,
-      round((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
-      round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS std_qty
+      sq / n AS mean_qty,
+      (sqq - sq * sq / n) / (n - 1) AS var_qty,
+      sqrt((sqq - sq * sq / n) / (n - 1)) AS std_qty
     FROM s
     """,
 )
@@ -238,11 +238,18 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sqq"),
     )
     n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    # UNROUNDED (r11): every operand (decimal-exact sums as double,
+    # counts) is bit-identical across engines and the expression tree
+    # is evaluated in the same order, so the doubles agree exactly.
+    # round() was the only divergence risk — Spark rounds the shortest
+    # decimal STRING half-up, DuckDB rounds the BINARY value, so an
+    # exact-rational mean like 3/20000 (repr '0.00015') would
+    # hash-mismatch. Same reasoning as dedup_jaccard.
     return s.select(
         "n",
-        F.round(sq / n, 4).alias("mean_qty"),
-        F.round((sqq - sq * sq / n) / (n - 1), 4).alias("var_qty"),
-        F.round(F.sqrt((sqq - sq * sq / n) / (n - 1)), 4).alias("std_qty"),
+        (sq / n).alias("mean_qty"),
+        ((sqq - sq * sq / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("std_qty"),
     )
 
 
@@ -584,7 +591,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
     )
     SELECT promo_rev, total_rev,
-           round(100.0 * promo_rev / total_rev, 4) AS promo_pct
+           100.0 * promo_rev / total_rev AS promo_pct
     FROM s
     """,
 )
@@ -614,7 +621,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "promo_rev",
         "total_rev",
-        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_pct"),
+        # unrounded: identical doubles both engines (see stats_agg)
+        (100.0 * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
     )
 
 

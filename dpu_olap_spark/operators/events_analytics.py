@@ -32,8 +32,8 @@ from dpu_olap_spark.sources.tables import load_table
     )
     SELECT (SELECT COUNT(*) FROM c) AS n_clicked,
            (SELECT COUNT(*) FROM p) AS n_converted,
-           CAST(ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-                      / (SELECT COUNT(*) FROM c), 6) AS DOUBLE) AS conversion
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS conversion
     """,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +61,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").alias("n_clicked"),
             F.col("m").alias("n_converted"),
-            F.round(F.col("m") / F.col("n"), 6).cast("double").alias("conversion"),
+            # unrounded int ratio: identical doubles both engines
+            (F.col("m") / F.col("n")).cast("double").alias("conversion"),
         )
     )
 

@@ -55,8 +55,8 @@ def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
       ntile(4) OVER w AS quartile,
-      round(percent_rank() OVER w, 6) AS pct_rank,
-      round(cume_dist() OVER w, 6) AS cume
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
     FROM orders
     WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
@@ -71,8 +71,11 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # unrounded: both engines define these as the same integer
+        # ratios ((rank-1)/(n-1), rows<=cur/n) over identical frames,
+        # so the doubles are bit-identical (r11; see stats_agg)
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

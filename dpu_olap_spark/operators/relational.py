@@ -310,7 +310,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       upper(p_brand) AS brand_u,
       length(p_name) AS name_len,
       substr(p_type, 1, 5) AS type5,
-      round(p_retailprice * 2.0, 2) AS doubled_price,
+      p_retailprice * 2.0 AS doubled_price,
       abs(p_size - 25) AS size_dev,
       p_size % 7 AS size_mod
     FROM part
@@ -325,7 +325,10 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_u"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type5"),
-        F.round(F.col("p_retailprice") * 2.0, 2).alias("doubled_price"),
+        # unrounded: *2.0 is exact in binary; round(x, 2) was the
+        # only seam (a price of 1.3375 doubles to 2.675, which the two
+        # engines round differently — r11 probe)
+        (F.col("p_retailprice") * 2.0).alias("doubled_price"),
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         (F.col("p_size") % 7).alias("size_mod"),
     )

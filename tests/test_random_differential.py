@@ -993,7 +993,7 @@ def test_decontaminate_randomized_overlap_boundaries(spark, tmp_path):
         g = grams(ws)
         hit = len(g & eval_grams)
         if hit > 0:
-            expect[i] = (len(g), hit, round(hit / len(g), 6))
+            expect[i] = (len(g), hit, hit / len(g))  # unrounded (r11)
 
     # forced-boundary attestations
     assert any(v[1] == 1 for v in expect.values()), "no exactly-one-hit doc"
@@ -1431,8 +1431,8 @@ def test_window_dist_randomized_ntile_remainder_and_tiny_n(spark, tmp_path):
                 tile = i // (base + 1) + 1 if base + 1 else 1
             else:
                 tile = extra + (i - boundary) // base + 1 if base else i + 1
-            pr = 0.0 if n == 1 else round(i / (n - 1), 6)
-            expect[k] = (tile, pr, round((i + 1) / n, 6))
+            pr = 0.0 if n == 1 else i / (n - 1)  # unrounded (r11)
+            expect[k] = (tile, pr, (i + 1) / n)
         got = {
             r.o_orderkey: (r.quartile, r.pct_rank, r.cume)
             for r in all_queries()["window_dist"].build(spark, d).collect()
@@ -2697,11 +2697,10 @@ def test_stats_agg_single_row_sample_variance_null(spark, tmp_path):
         n = len(quantities)
         sq, sqq = sum(quantities), sum(x * x for x in quantities)
         if n == 1:
-            expect = (1, round(sq / n, 4), None, None)
+            expect = (1, sq / n, None, None)  # unrounded (r11)
         else:
             var = (sqq - sq * sq / n) / (n - 1)
-            expect = (n, round(sq / n, 4), round(var, 4),
-                      round(math.sqrt(var), 4))
+            expect = (n, sq / n, var, math.sqrt(var))  # unrounded
         assert srows == [expect], tag
     # the n=1 case really exercised the 0-denominator branch
     assert srows[0][2] is not None  # (the LAST loop iteration is n=2)
@@ -4164,14 +4163,14 @@ def test_repetition_score_shingle_boundaries_vs_python(spark, tmp_path):
             continue
         gs = [" ".join(t[i:i + _NGRAM]) for i in range(len(t) - _NGRAM + 1)]
         expect[did] = (lang, len(gs), len(set(gs)),
-                       round(1.0 - len(set(gs)) / len(gs), 6))
+                       1.0 - len(set(gs)) / len(gs))  # unrounded
     got = {r.doc_id: (r.lang, r.n_grams, r.n_distinct, r.rep_ratio)
            for r in sdf.collect()}
     assert got == expect
     assert 2 not in got                       # below-NGRAM doc filtered
     assert got[1] == ("en", 1, 1, 0.0)
-    assert got[3] == ("en", 3, 1, round(2 / 3, 6))
-    assert got[4] == ("en", 7, 3, round(4 / 7, 6))
+    assert got[3] == ("en", 3, 1, 1.0 - 1 / 3)
+    assert got[4] == ("en", 7, 3, 1.0 - 3 / 7)
 
 
 def test_text_stats_empty_and_phantom_tokens_vs_python(spark, tmp_path):
@@ -7151,7 +7150,7 @@ def test_tpch_q14_promo_prefix_edges_and_zero_share(spark, tmp_path):
 
     promo = float(dec4(100.0 * (1 - 0.25)))
     total = float(sum(dec4(x) for x in (75.0, 200.0, 400.0, 800.0)))
-    expect_pct = round(100.0 * promo / total, 4)
+    expect_pct = 100.0 * promo / total  # unrounded (r11)
 
     sdf = _spark_vs_registered_oracle(spark, "tpch_q14", tmp_path)
     row = sdf.collect()[0]
