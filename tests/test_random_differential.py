@@ -9343,3 +9343,152 @@ def test_nano_ts_restore_pre_epoch_floor(spark, tmp_path):
     for i, ns in enumerate(nanos):
         if ns >= 0:
             assert duck[i] == got[i]
+
+
+def test_statestore_changefeed_multibatch_evolution_and_replay(spark, tmp_path):
+    """Change-feed EVOLUTION differential (the multi-batch case the
+    registered statestore_changefeed can't force because availableNow
+    batching is split-dependent): drive the same per-user count through
+    the deterministic 3-slice file seam statestore_timetravel uses
+    (event_id % 3, one file per batch via maxFilesPerTrigger=1), then
+    attest the FULL (batch_id, key) -> value change history against a
+    pure-Python cumulative walk:
+    - a key updated in every slice emits one change per batch with the
+      cumulative count (1, 2, 3);
+    - a key UNTOUCHED by a batch emits NO change row for it (the feed
+      records puts, not state dumps) — forced by a slice-0-only user;
+    - a key first seen in the last slice appears only there;
+    - update-mode count never deletes, so every change_type is 'update'.
+    Then the changelog-REPLAY equivalence that makes the feed a
+    recovery tool: folding changes with batch_id <= 1 (last put per
+    key) must equal the state SNAPSHOT read as of batchId=1 — replaying
+    the changelog reconstructs any historical state without re-running
+    the pipeline."""
+    import os
+    import time as _time
+
+    events = [
+        dict(event_id=3, user_id=1),    # slice 0
+        dict(event_id=4, user_id=1),    # slice 1
+        dict(event_id=5, user_id=1),    # slice 2
+        dict(event_id=6, user_id=3),    # slice 0 only -> silent after b0
+        dict(event_id=7, user_id=4),    # slice 1
+        dict(event_id=10, user_id=4),   # slice 1 (two in one batch)
+        dict(event_id=8, user_id=2),    # slice 2 only
+        dict(event_id=11, user_id=2),   # slice 2
+    ]
+    _write_events(tmp_path, events)
+
+    # pure-Python walk: change row (b, u) iff user u has events in
+    # slice b, value = cumulative count through slice b
+    cum: dict[int, int] = {}
+    expect_changes: dict[tuple[int, int], int] = {}
+    for b in range(3):
+        for e in events:
+            if e["event_id"] % 3 == b:
+                cum[e["user_id"]] = cum.get(e["user_id"], 0) + 1
+                expect_changes[(b, e["user_id"])] = cum[e["user_id"]]
+    # forcing attested: user 1 evolves 1->2->3; user 3 silent after b0;
+    # user 2 only in b2; user 4 jumps straight to 2 in b1
+    assert [expect_changes[(b, 1)] for b in range(3)] == [1, 2, 3]
+    assert (1, 3) not in expect_changes and (2, 3) not in expect_changes
+    assert [b for (b, u) in expect_changes if u == 2] == [2]
+    assert expect_changes[(1, 4)] == 2 and (0, 4) not in expect_changes
+
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK, load_table
+
+    ev = load_table(spark, str(tmp_path), "events")
+    src = str(tmp_path / "cf_src")
+    os.makedirs(src)
+    now = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"slice{k}")
+        ev.where(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now - 300 + k * 60, now - 300 + k * 60))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = str(tmp_path / "cf_ckpt")
+    with _STATE_CONF_LOCK:
+        to_set = {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        }
+        prev_vals = {k: spark.conf.get(k, None) for k in to_set}
+        for k, v in to_set.items():
+            spark.conf.set(k, v)
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            for k, v in prev_vals.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finished = q.awaitTermination(180)
+    q.stop()
+    assert finished, "changefeed evolution stream did not finish in 180s"
+
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+        .select(
+            F.col("batch_id").cast("int").alias("b"),
+            F.col("change_type").alias("ct"),
+            F.col("key.user_id").alias("u"),
+            F.col("value.count").cast("bigint").alias("v"),
+        )
+        .collect()
+    )
+    assert {r.ct for r in feed} == {"update"}  # count never deletes
+    got_changes = {(r.b, r.u): r.v for r in feed}
+    assert len(feed) == len(got_changes)  # one put per (batch, key)
+    assert got_changes == expect_changes
+
+    # changelog REPLAY == snapshot as-of batch 1
+    replay = {}
+    for r in sorted((r for r in feed if r.b <= 1), key=lambda r: r.b):
+        replay[r.u] = r.v  # last put per key wins
+    snap = {
+        r.u: r.v
+        for r in spark.read.format("statestore")
+        .option("batchId", "1")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("u"),
+            F.col("value.count").cast("bigint").alias("v"),
+        )
+        .collect()
+    }
+    walk_b1 = {}
+    for b in range(2):
+        for e in events:
+            if e["event_id"] % 3 == b:
+                walk_b1[e["user_id"]] = walk_b1.get(e["user_id"], 0) + 1
+    assert replay == snap == walk_b1
+    assert 2 not in snap  # slice-2-only user absent as of batch 1
