@@ -445,3 +445,84 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("o_totalprice"), key % 3).alias("div0"),
         F.try_mod(key, (key % 5) - 2).alias("mod0"),
     )
+
+
+@query(
+    "collated_join_agg",
+    oracle="""
+    WITH fact AS (
+        SELECT lower(p_brand) AS b,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM part WHERE p_partkey % 2 = 0
+    ),
+    dim AS (
+        SELECT lower(p_brand) AS b, COUNT(*) AS n_odd,
+               CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS odd_cents
+        FROM part WHERE p_partkey % 2 = 1
+        GROUP BY 1
+    )
+    SELECT f.b AS brand_ci, COUNT(*) AS n_even,
+           CAST(SUM(f.cents) AS BIGINT) AS even_cents,
+           d.n_odd, d.odd_cents
+    FROM fact f JOIN dim d ON f.b = d.b
+    WHERE f.b LIKE 'brand#1%'
+    GROUP BY f.b, d.n_odd, d.odd_cents
+    """,
+)
+def q_collated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware processing (Spark 4.0 COLLATE): the engine-level
+    generalization of the reference's per-type comparison kernels
+    (SURVEY.md section 2.7; host/function dispatches eq/lt per column
+    type) — here string equality, grouping, and prefix matching all
+    resolve under UTF8_LCASE, so differently-cased spellings of a key
+    hash-join, group, and prefix-filter as ONE value without any
+    lower() rewrite of the data. The two sides deliberately disagree
+    on case (facts UPPERCASE even-key brands, the dim lowercases odd-
+    key ones) and the startswith needle is mixed-case; all three match
+    only because the collation says so. The output key is CAST back to
+    a default-collation string (deterministic lower-case form) so the
+    result schema carries no collation and any dominant-case
+    representative ambiguity dies at the boundary. Plan shape for a
+    100 TB run: the dim is a 25-row grouped aggregate pinned to the
+    BROADCAST side with a hint (without it, local stats at test SF
+    pick BuildLeft and would ship the FACT side; the join hashes
+    through collationkey(), so the broadcast lookup is collation-
+    aware), and the fact side is one scan + map-side projection with
+    the final aggregation as its only exchange. Two honest collation
+    costs, visible in the plan and inherent to Spark 4.1: collated
+    predicates do NOT reach parquet PushedFilters (row-group stats
+    are binary-order; keep a binary-collation partition column for
+    pruning at scale), and collated grouping keys plan SortAggregate
+    instead of hash aggregation — still partial/final and fully
+    distributed, just sort-based within partitions. Oracle: DuckDB
+    has no per-column collation, so the case-insensitive semantics are
+    encoded as lower() on both sides — exactly the rewrite collation
+    makes unnecessary engine-side."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "collated_join_src"
+    )
+    return spark.sql(
+        """
+        WITH fact AS (
+            SELECT upper(p_brand) COLLATE UTF8_LCASE AS b,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM collated_join_src WHERE p_partkey % 2 = 0
+        ),
+        dim AS (
+            SELECT lower(p_brand) COLLATE UTF8_LCASE AS b,
+                   COUNT(*) AS n_odd,
+                   CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS odd_cents
+            FROM collated_join_src WHERE p_partkey % 2 = 1
+            GROUP BY 1
+        )
+        SELECT /*+ BROADCAST(d) */
+               CAST(lower(f.b) AS STRING) AS brand_ci, COUNT(*) AS n_even,
+               CAST(SUM(f.cents) AS BIGINT) AS even_cents,
+               d.n_odd, d.odd_cents
+        FROM fact f JOIN dim d ON f.b = d.b
+        WHERE startswith(f.b, 'bRaNd#1')
+        GROUP BY f.b, d.n_odd, d.odd_cents
+        """
+    )

@@ -533,3 +533,19 @@ def test_try_arith_is_map_side_codegen(spark):
     assert re.search(r"Project \[codegen id : \d+\]", plan), (
         "try_arith projection fell out of codegen"
     )
+
+
+def test_collated_join_agg_broadcasts_dim_with_collation_keys(spark):
+    """The collated dim must be the BUILD side (hinted — local stats
+    would otherwise ship the fact side, which is the unbounded one at
+    scale), the join keys must hash through collationkey() (collation-
+    aware equality, not binary), and no cartesian fallback. Collated
+    grouping keys legitimately plan SortAggregate (no hash-agg support
+    for collated keys in Spark 4.1) — pinned so a future Spark that
+    lifts this shows up as a conscious gate change, not silence."""
+    plan = _formatted_plan(spark, "collated_join_agg")
+    assert "BroadcastHashJoin" in plan, "dim not broadcast"
+    assert "BuildRight" in plan, "broadcast must build the dim (right) side"
+    assert "collationkey" in plan, "join keys not collation-aware"
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" in plan  # the documented collation trade

@@ -9492,3 +9492,63 @@ def test_statestore_changefeed_multibatch_evolution_and_replay(spark, tmp_path):
                 walk_b1[e["user_id"]] = walk_b1.get(e["user_id"], 0) + 1
     assert replay == snap == walk_b1
     assert 2 not in snap  # slice-2-only user absent as of batch 1
+
+
+def test_collated_join_agg_case_merge_prefix_and_unicode(spark, tmp_path):
+    """collated_join_agg differential FORCING every collation seam:
+    raw-case spellings of one brand ('Brand#1' / 'bRAND#1' even-side,
+    'brand#1' / 'BRAND#1' odd-side) must merge into ONE group on BOTH
+    sides of the collated join; the mixed-case prefix needle stops
+    exactly at the 'brand#1'/'brand#2' boundary; a prefix-matching
+    brand with no odd-side parts is dropped by the inner join (and a
+    dim-only brand never appears); and a non-ASCII bicameral pair
+    ('BRAND#1É' even / 'brand#1é' odd) must match under UTF8_LCASE's
+    Unicode case folding — attested against Python's str.lower() walk
+    as well as the DuckDB oracle (probed: all three engines map
+    É <-> é identically)."""
+    parts = [
+        # even keys -> fact side (query uppercases)
+        dict(p_partkey=2, p_brand="Brand#1", p_retailprice=10.25),
+        dict(p_partkey=4, p_brand="bRAND#1", p_retailprice=20.50),
+        dict(p_partkey=6, p_brand="Brand#19", p_retailprice=30.75),
+        dict(p_partkey=8, p_brand="Brand#2", p_retailprice=40.25),   # prefix out
+        dict(p_partkey=10, p_brand="Brand#13", p_retailprice=50.0),  # no dim row
+        dict(p_partkey=12, p_brand="BRAND#1É", p_retailprice=60.25),
+        # odd keys -> dim side (query lowercases)
+        dict(p_partkey=1, p_brand="brand#1", p_retailprice=5.25),
+        dict(p_partkey=3, p_brand="BRAND#1", p_retailprice=7.50),
+        dict(p_partkey=5, p_brand="Brand#19", p_retailprice=9.0),
+        dict(p_partkey=7, p_brand="Brand#2", p_retailprice=11.0),    # fact filtered
+        dict(p_partkey=9, p_brand="Brand#12", p_retailprice=13.0),   # dim-only
+        dict(p_partkey=11, p_brand="brand#1é", p_retailprice=15.75),
+    ]
+    _write_tpch(spark, tmp_path, "part", parts)
+
+    # pure-Python walk with str.lower() as the collation model
+    import math
+
+    fact: dict[str, list[int]] = {}
+    dim: dict[str, list[int]] = {}
+    for p in parts:
+        b = p["p_brand"].lower()
+        cents = math.floor(p["p_retailprice"] * 100 + 0.5)
+        (fact if p["p_partkey"] % 2 == 0 else dim).setdefault(b, []).append(cents)
+    expect = {}
+    for b, cs in fact.items():
+        if b.startswith("brand#1") and b in dim:
+            expect[b] = (len(cs), sum(cs), len(dim[b]), sum(dim[b]))
+    # forcing attested
+    assert expect["brand#1"] == (2, 3075, 2, 1275)   # case variants merged
+    assert expect["brand#19"] == (1, 3075, 1, 900)
+    assert expect["brand#1é"] == (1, 6025, 1, 1575)  # unicode fold matched
+    assert "brand#2" not in expect                   # prefix boundary
+    assert "brand#13" not in expect                  # inner join drops fact-only
+    assert "brand#12" not in expect                  # dim-only never surfaces
+    assert len(expect) == 3
+
+    sdf = _spark_vs_registered_oracle(spark, "collated_join_agg", tmp_path)
+    got = {
+        r.brand_ci: (r.n_even, r.even_cents, r.n_odd, r.odd_cents)
+        for r in sdf.collect()
+    }
+    assert got == expect
