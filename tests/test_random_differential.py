@@ -9552,3 +9552,135 @@ def test_collated_join_agg_case_merge_prefix_and_unicode(spark, tmp_path):
         for r in sdf.collect()
     }
     assert got == expect
+
+
+def test_statestore_changelog_only_lineage_and_fail_loud_corruption(
+    spark, tmp_path
+):
+    """RocksDB changelog-checkpoint resilience differential (the
+    corruption harness NOTES_NEXT_ROUND flagged): with changelog
+    checkpointing and short batches, the probed checkpoint holds NO
+    consolidated snapshot at all — *.zip upload is lazy background
+    maintenance — so every statestore read reconstructs state purely
+    by replaying k.changelog files from version 0. Attests (a) that
+    layout fact (zero .zip under state/, one changelog per committed
+    batch per partition), (b) the reader serves the FINAL batch
+    correctly from changelogs alone (against a pure-Python walk), and
+    (c) the fail-LOUD contract: deleting one version's changelog from
+    every partition makes the read RAISE instead of serving silently
+    wrong or empty state — at 100 TB a checkpoint hole must stop the
+    pipeline, not corrupt it."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    events = [
+        dict(event_id=3, user_id=1),    # slice 0
+        dict(event_id=4, user_id=1),    # slice 1
+        dict(event_id=5, user_id=1),    # slice 2
+        dict(event_id=6, user_id=3),    # slice 0
+        dict(event_id=7, user_id=4),    # slice 1
+        dict(event_id=10, user_id=4),   # slice 1
+        dict(event_id=8, user_id=2),    # slice 2
+        dict(event_id=11, user_id=2),   # slice 2
+    ]
+    _write_events(tmp_path, events)
+    walk = {}
+    for e in events:
+        walk[e["user_id"]] = walk.get(e["user_id"], 0) + 1
+
+    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK, load_table
+
+    ev = load_table(spark, str(tmp_path), "events")
+    src = str(tmp_path / "cr_src")
+    os.makedirs(src)
+    now = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"slice{k}")
+        ev.where(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now - 300 + k * 60, now - 300 + k * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = str(tmp_path / "cr_ckpt")
+    with _STATE_CONF_LOCK:
+        to_set = {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        }
+        prev_vals = {k: spark.conf.get(k, None) for k in to_set}
+        for k, v in to_set.items():
+            spark.conf.set(k, v)
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            for k, v in prev_vals.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finished = q.awaitTermination(180)
+    q.stop()
+    assert finished, "corruption-harness stream did not finish in 180s"
+
+    state_root = os.path.join(ckpt, "state")
+    # (a) changelog-only lineage: no consolidated snapshot anywhere,
+    # and every partition carries changelogs 1..3 (one per batch)
+    assert glob.glob(os.path.join(state_root, "**", "*.zip"),
+                     recursive=True) == []
+    part_dirs = [
+        d for d in glob.glob(os.path.join(state_root, "0", "*"))
+        if os.path.basename(d) != "_metadata" and os.path.isdir(d)
+    ]
+    assert len(part_dirs) == 8
+    for d in part_dirs:
+        versions = sorted(
+            int(os.path.basename(f).split(".")[0])
+            for f in glob.glob(os.path.join(d, "*.changelog"))
+        )
+        assert versions == [1, 2, 3], (d, versions)
+
+    # (b) final state served from changelog replay alone
+    def read_final():
+        return {
+            r.u: r.v
+            for r in spark.read.format("statestore")
+            .option("batchId", "2")
+            .load(ckpt)
+            .select(
+                F.col("key.user_id").alias("u"),
+                F.col("value.count").cast("bigint").alias("v"),
+            )
+            .collect()
+        }
+
+    assert read_final() == walk
+
+    # (c) corruption fails LOUD: drop version 2's changelog everywhere
+    for d in part_dirs:
+        for f in glob.glob(os.path.join(d, "*2.changelog*")):
+            os.remove(f)
+    with pytest.raises(Exception):
+        read_final()
