@@ -1,0 +1,229 @@
+"""Cross-engine seam fuzzer: run IDENTICAL random filter/agg SQL on
+Spark and DuckDB over the same parquet and diff the results through
+the driver-faithful comparison (strict multiset + pandas string view).
+
+Purpose: HUNT for unattested semantic seams (comparison, grouping,
+aggregation, literal-typing differences) beyond the hand-written
+forced-boundary differentials. Constants are SAMPLED from the actual
+data so equality/BETWEEN/IN predicates land exactly ON data values —
+the boundary regime where engines diverge if they're going to.
+Any divergence found here gets triaged and pinned as a deterministic
+test in tests/test_random_differential.py; this tool itself is a
+campaign runner, not part of the pytest gate (seeded, so any finding
+is reproducible: rerun with --seed N).
+
+Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
+       [--sf /root/testdata/sf0.01]
+Prints one line per case; exits nonzero if any case diverges.
+
+Design notes (why the generated SQL subset looks like it does):
+- Float literals go through CAST('<repr>' AS DOUBLE) on BOTH engines:
+  bare decimal literals parse as DECIMAL in both Spark and DuckDB and
+  round doubles (pinned r11, NOTES "hard-won fixes").
+- SUM over doubles is floored to integer cents first (house style):
+  cross-engine double SUM depends on fold order, which is a known and
+  accepted non-seam.
+- String LIKE patterns are sampled alphanumeric prefixes only; no
+  escaping seam is being hunted here (the CSV sentinel tests own it).
+- events/props and embeddings are excluded: JSON strings and arrays
+  have their own typed differentials.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+TABLE_COLS = {
+    "lineitem": dict(
+        ints=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        floats=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        strs=["l_returnflag", "l_linestatus"],
+        dates=["l_shipdate"],
+        groups=["l_returnflag", "l_linestatus", "l_linenumber"],
+    ),
+    "orders": dict(
+        ints=["o_orderkey", "o_custkey"],
+        floats=["o_totalprice"],
+        strs=["o_orderstatus", "o_orderpriority"],
+        dates=["o_orderdate"],
+        groups=["o_orderstatus", "o_orderpriority"],
+    ),
+    "part": dict(
+        ints=["p_partkey", "p_size"],
+        floats=["p_retailprice"],
+        strs=["p_name", "p_brand", "p_type"],
+        dates=[],
+        groups=["p_brand", "p_type", "p_size"],
+    ),
+    "customer": dict(
+        ints=["c_custkey", "c_nationkey"],
+        floats=["c_acctbal"],
+        strs=["c_name", "c_mktsegment"],
+        dates=[],
+        groups=["c_mktsegment", "c_nationkey"],
+    ),
+    "supplier": dict(
+        ints=["s_suppkey", "s_nationkey"],
+        floats=["s_acctbal"],
+        strs=["s_name"],
+        dates=[],
+        groups=["s_nationkey"],
+    ),
+    "documents": dict(
+        ints=["doc_id", "n_chars"],
+        floats=[],
+        strs=["lang", "source"],
+        dates=[],
+        groups=["lang", "source"],
+    ),
+}
+
+_CMP = ["<", "<=", "=", ">=", ">", "<>"]
+
+
+def _lit(kind: str, v) -> str:
+    if kind == "float":
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if kind == "date":
+        return f"TIMESTAMP '{v}'"
+    if kind == "str":
+        return "'" + str(v).replace("'", "''") + "'"
+    return str(int(v))
+
+
+def _sample_values(con, table: str, col: str, rng: random.Random, k: int):
+    rows = con.execute(
+        f"SELECT DISTINCT {col} FROM {table} WHERE {col} IS NOT NULL "
+        f"USING SAMPLE 200 ROWS (reservoir, {rng.randrange(1 << 30)})"
+    ).fetchall()
+    vals = [r[0] for r in rows]
+    rng.shuffle(vals)
+    return vals[:k]
+
+
+def _gen_predicate(con, table: str, cols: dict, rng: random.Random) -> str:
+    kind = rng.choice(
+        ["int"] * 3 + (["float"] * 3 if cols["floats"] else [])
+        + ["str"] * 2 + (["date"] * 2 if cols["dates"] else [])
+    )
+    col = rng.choice(cols[{"int": "ints", "float": "floats",
+                           "str": "strs", "date": "dates"}[kind]])
+    shape = rng.choice(["cmp", "cmp", "cmp", "between", "in", "like"])
+    if shape == "like" and kind != "str":
+        shape = "cmp"
+    vals = _sample_values(con, table, col, rng, 3)
+    if not vals:
+        return "1=1"
+    if shape == "cmp":
+        return f"{col} {rng.choice(_CMP)} {_lit(kind, vals[0])}"
+    if shape == "between":
+        lo, hi = sorted(vals[:2]) if len(vals) >= 2 else (vals[0], vals[0])
+        return f"{col} BETWEEN {_lit(kind, lo)} AND {_lit(kind, hi)}"
+    if shape == "in":
+        return f"{col} IN (" + ", ".join(_lit(kind, v) for v in vals) + ")"
+    # like: alphanumeric prefix of a sampled value
+    s = str(vals[0])
+    pfx = "".join(ch for ch in s[: rng.randint(1, max(1, len(s) // 2))]
+                  if ch.isalnum() or ch in "# ")
+    return f"{col} LIKE '{pfx}%'"
+
+
+def _gen_query(con, rng: random.Random) -> str:
+    table = rng.choice(sorted(TABLE_COLS))
+    cols = TABLE_COLS[table]
+    preds = [_gen_predicate(con, table, cols, rng)
+             for _ in range(rng.randint(1, 2))]
+    where = " AND ".join(f"({p})" for p in preds)
+    aggs = ["COUNT(*) AS n_rows"]
+    if cols["floats"] and rng.random() < 0.8:
+        c = rng.choice(cols["floats"])
+        aggs.append(
+            f"CAST(SUM(CAST(floor({c} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" AS sum_cents"
+        )
+    if rng.random() < 0.6:
+        c = rng.choice(cols["ints"])
+        aggs.append(f"MIN({c}) AS min_i")
+        aggs.append(f"MAX({c}) AS max_i")
+    if cols["strs"] and rng.random() < 0.5:
+        c = rng.choice(cols["strs"])
+        aggs.append(f"MIN({c}) AS min_s")
+    if rng.random() < 0.5:
+        c = rng.choice(cols["ints"] + cols["strs"])
+        aggs.append(f"COUNT(DISTINCT {c}) AS n_dist")
+    if rng.random() < 0.7:
+        g = rng.choice(cols["groups"])
+        return (f"SELECT {g} AS grp, " + ", ".join(aggs)
+                + f" FROM {table} WHERE {where} GROUP BY {g}")
+    return "SELECT " + ", ".join(aggs) + f" FROM {table} WHERE {where}"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed-base", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="run exactly one seed")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from dpu_olap_spark.session import get_spark, tune
+    from dpu_olap_spark.sources.tables import load_table
+    from tests.oracle import (
+        _connect, _rows_to_multiset, assert_pandas_view_matches,
+    )
+
+    spark = get_spark("fuzz-seams")
+    tune(spark)
+    for t in TABLE_COLS:
+        load_table(spark, args.sf, t).createOrReplaceTempView(t)
+    con = _connect(args.sf)
+
+    seeds = ([args.seed] if args.seed is not None
+             else range(args.seed_base, args.seed_base + args.n))
+    failures = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        sql = _gen_query(con, rng)
+        try:
+            sdf = spark.sql(sql)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            sset, scs = _rows_to_multiset(srows, scols)
+            oset, ocs = _rows_to_multiset(orows, ocols)
+            ok = ([c.lower() for c in scs] == [c.lower() for c in ocs]
+                  and sset == oset)
+            if ok:
+                assert_pandas_view_matches(
+                    srows, scols, sql, args.sf, f"fuzz_{seed}")
+            print(f"seed {seed}: {'OK' if ok else 'DIVERGE'} "
+                  f"rows={len(sset)}/{len(oset)} :: {sql}")
+            if not ok:
+                failures += 1
+                for a, b in zip(sorted(sset, key=repr),
+                                sorted(oset, key=repr)):
+                    if a != b:
+                        print("  spark:", a)
+                        print("  duck: ", b)
+                        break
+        except AssertionError as e:
+            failures += 1
+            print(f"seed {seed}: PANDAS-VIEW DIVERGE :: {sql}\n  {e}")
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures += 1
+            print(f"seed {seed}: ERROR :: {sql}\n  {type(e).__name__}: {e}")
+    print(f"\n{len(list(seeds))} cases, {failures} divergences/errors")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
