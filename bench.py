@@ -68,6 +68,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "decorrelated_subquery",
+    "collated_join_agg",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

@@ -130,34 +130,145 @@ def _gen_predicate(con, table: str, cols: dict, rng: random.Random) -> str:
     return f"{col} LIKE '{pfx}%'"
 
 
-def _gen_query(con, rng: random.Random) -> str:
-    table = rng.choice(sorted(TABLE_COLS))
-    cols = TABLE_COLS[table]
-    preds = [_gen_predicate(con, table, cols, rng)
-             for _ in range(rng.randint(1, 2))]
-    where = " AND ".join(f"({p})" for p in preds)
+# PK-FK edges for join shapes: (fact, dim, fact_key, dim_key)
+_JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+]
+
+
+def _gen_aggs(cols: dict, rng: random.Random, qual: str = "") -> list[str]:
     aggs = ["COUNT(*) AS n_rows"]
     if cols["floats"] and rng.random() < 0.8:
-        c = rng.choice(cols["floats"])
+        c = qual + rng.choice(cols["floats"])
         aggs.append(
             f"CAST(SUM(CAST(floor({c} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
             f" AS sum_cents"
         )
     if rng.random() < 0.6:
-        c = rng.choice(cols["ints"])
+        c = qual + rng.choice(cols["ints"])
         aggs.append(f"MIN({c}) AS min_i")
         aggs.append(f"MAX({c}) AS max_i")
     if cols["strs"] and rng.random() < 0.5:
-        c = rng.choice(cols["strs"])
+        c = qual + rng.choice(cols["strs"])
         aggs.append(f"MIN({c}) AS min_s")
     if rng.random() < 0.5:
-        c = rng.choice(cols["ints"] + cols["strs"])
+        c = qual + rng.choice(cols["ints"] + cols["strs"])
         aggs.append(f"COUNT(DISTINCT {c}) AS n_dist")
+    return aggs
+
+
+def _gen_single_table(con, rng: random.Random) -> str:
+    table = rng.choice(sorted(TABLE_COLS))
+    cols = TABLE_COLS[table]
+    preds = [_gen_predicate(con, table, cols, rng)
+             for _ in range(rng.randint(1, 2))]
+    where = " AND ".join(f"({p})" for p in preds)
+    aggs = _gen_aggs(cols, rng)
     if rng.random() < 0.7:
         g = rng.choice(cols["groups"])
+        having = ""
+        if rng.random() < 0.3:
+            having = f" HAVING COUNT(*) >= {rng.randint(1, 5)}"
         return (f"SELECT {g} AS grp, " + ", ".join(aggs)
-                + f" FROM {table} WHERE {where} GROUP BY {g}")
+                + f" FROM {table} WHERE {where} GROUP BY {g}{having}")
     return "SELECT " + ", ".join(aggs) + f" FROM {table} WHERE {where}"
+
+
+def _gen_join(con, rng: random.Random) -> str:
+    """PK-FK join shapes, inner or LEFT. LEFT + a dim-side predicate
+    placed in the ON clause keeps null-extended rows flowing into the
+    aggregates — the NULL-handling regime (COUNT(col) vs COUNT(*),
+    MIN/MAX over null groups) where engines could diverge."""
+    fact, dim, fk, pk = rng.choice(_JOINS)
+    fc, dc = TABLE_COLS[fact], TABLE_COLS[dim]
+    join_kind = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    fact_pred = _gen_predicate(con, fact, fc, rng)
+    dim_pred = _gen_predicate(con, dim, dc, rng)
+    aggs = ["COUNT(*) AS n_rows"]
+    if dc["strs"]:
+        c = rng.choice(dc["strs"])
+        aggs.append(f"COUNT({dim}.{c}) AS n_dim")  # null-extension count
+        aggs.append(f"MIN({dim}.{c}) AS min_ds")
+    if fc["floats"]:
+        c = rng.choice(fc["floats"])
+        aggs.append(
+            f"CAST(SUM(CAST(floor({fact}.{c} * 100 + 0.5) AS BIGINT)) "
+            f"AS BIGINT) AS sum_cents"
+        )
+    if dc["ints"] and rng.random() < 0.6:
+        c = rng.choice(dc["ints"])
+        aggs.append(f"MIN({dim}.{c}) AS min_di")
+        aggs.append(f"MAX({dim}.{c}) AS max_di")
+    g = rng.choice(fc["groups"])
+    if join_kind == "LEFT JOIN":
+        on = f"{fact}.{fk} = {dim}.{pk} AND ({dim_pred})"
+        where = f"({fact_pred})"
+    else:
+        on = f"{fact}.{fk} = {dim}.{pk}"
+        where = f"({fact_pred}) AND ({dim_pred})"
+    return (f"SELECT {fact}.{g} AS grp, " + ", ".join(aggs)
+            + f" FROM {fact} {join_kind} {dim} ON {on}"
+            + f" WHERE {where} GROUP BY {fact}.{g}")
+
+
+def _gen_topk(con, rng: random.Random) -> str:
+    """ORDER BY + LIMIT with a unique-key tie-break (total order), the
+    deterministic top-k regime; stresses NULLS ordering defaults only
+    through non-null TPC-H columns, so the order is engine-stable."""
+    table = rng.choice(["orders", "part", "customer", "supplier",
+                        "documents"])
+    cols = TABLE_COLS[table]
+    key = cols["ints"][0]  # unique PK first in every ints list
+    sort_col = rng.choice(
+        cols["strs"] + cols["ints"]
+        + (cols["dates"] if cols["dates"] else [])
+    )
+    direction = rng.choice(["ASC", "DESC"])
+    pred = _gen_predicate(con, table, cols, rng)
+    k = rng.randint(1, 50)
+    out = [key, sort_col] if sort_col != key else [key]
+    return (f"SELECT " + ", ".join(out)
+            + f" FROM {table} WHERE ({pred})"
+            + f" ORDER BY {sort_col} {direction}, {key} {direction}"
+            + f" LIMIT {k}")
+
+
+def _gen_datefunc(con, rng: random.Random) -> str:
+    """Calendar extraction grouping + conditional-count aggregates.
+    year/month/quarter/day agree across engines (dayofweek does NOT —
+    Spark Sunday=1 vs DuckDB Sunday=0 — already aligned engine-side in
+    date_funcs and pinned by its differential, so it is deliberately
+    NOT fuzzed here)."""
+    table = rng.choice(["orders", "lineitem"])
+    cols = TABLE_COLS[table]
+    d = cols["dates"][0]
+    fns = rng.sample(["year", "month", "quarter", "day"], k=2)
+    pred = _gen_predicate(con, table, cols, rng)
+    flag_pred = _gen_predicate(con, table, cols, rng)
+    keys = [f"{fn}({d})" for fn in fns]
+    sel = ", ".join(f"CAST({k} AS INT) AS k{i}" for i, k in enumerate(keys))
+    return (
+        f"SELECT {sel}, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN ({flag_pred}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_flag"
+        f" FROM {table} WHERE ({pred}) GROUP BY " + ", ".join(keys)
+    )
+
+
+def _gen_query(con, rng: random.Random) -> str:
+    shape = rng.choice(
+        ["single"] * 3 + ["join"] * 3 + ["topk"] * 2 + ["datefunc"] * 2
+    )
+    if shape == "join":
+        return _gen_join(con, rng)
+    if shape == "topk":
+        return _gen_topk(con, rng)
+    if shape == "datefunc":
+        return _gen_datefunc(con, rng)
+    return _gen_single_table(con, rng)
 
 
 def main() -> int:
