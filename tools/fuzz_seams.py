@@ -165,7 +165,10 @@ def _gen_single_table(con, rng: random.Random) -> str:
     cols = TABLE_COLS[table]
     preds = [_gen_predicate(con, table, cols, rng)
              for _ in range(rng.randint(1, 2))]
-    where = " AND ".join(f"({p})" for p in preds)
+    if rng.random() < 0.25:
+        preds[0] = f"NOT ({preds[0]})"
+    conj = " OR " if (len(preds) > 1 and rng.random() < 0.3) else " AND "
+    where = conj.join(f"({p})" for p in preds)
     aggs = _gen_aggs(cols, rng)
     if rng.random() < 0.7:
         g = rng.choice(cols["groups"])
@@ -258,9 +261,48 @@ def _gen_datefunc(con, rng: random.Random) -> str:
     )
 
 
+def _gen_window(con, rng: random.Random) -> str:
+    """Window shapes with a UNIQUE order key (the PK), so every frame
+    is a total order and both engines must agree exactly. Running SUM
+    is over integer cents CAST to BIGINT on the outside (DuckDB's
+    windowed SUM(BIGINT) is HUGEINT — the r5-pinned seam). Three
+    flavors: ranked-filter (qualify-style), running sum, lag diff."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    pred = _gen_predicate(con, table, cols, rng)
+    flavor = rng.choice(["rank_filter", "running", "lag"])
+    if flavor == "rank_filter":
+        k = rng.randint(1, 5)
+        direction = rng.choice(["ASC", "DESC"])
+        return (
+            f"SELECT grp, {pk}, rn FROM ("
+            f"SELECT {g} AS grp, {pk}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {g} ORDER BY {cents} {direction}, {pk}) AS rn"
+            f" FROM {table} WHERE ({pred})) t WHERE rn <= {k}"
+        )
+    if flavor == "running":
+        return (
+            f"SELECT {g} AS grp, {pk}, CAST(SUM({cents}) OVER "
+            f"(PARTITION BY {g} ORDER BY {pk} ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents"
+            f" FROM {table} WHERE ({pred})"
+        )
+    return (
+        f"SELECT {g} AS grp, {pk}, "
+        f"{cents} - LAG({cents}, 1, 0) OVER "
+        f"(PARTITION BY {g} ORDER BY {pk}) AS delta_cents"
+        f" FROM {table} WHERE ({pred})"
+    )
+
+
 def _gen_query(con, rng: random.Random) -> str:
     shape = rng.choice(
-        ["single"] * 3 + ["join"] * 3 + ["topk"] * 2 + ["datefunc"] * 2
+        ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
+        + ["window"] * 2
     )
     if shape == "join":
         return _gen_join(con, rng)
@@ -268,6 +310,8 @@ def _gen_query(con, rng: random.Random) -> str:
         return _gen_topk(con, rng)
     if shape == "datefunc":
         return _gen_datefunc(con, rng)
+    if shape == "window":
+        return _gen_window(con, rng)
     return _gen_single_table(con, rng)
 
 
