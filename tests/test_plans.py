@@ -549,3 +549,16 @@ def test_collated_join_agg_broadcasts_dim_with_collation_keys(spark):
     assert "collationkey" in plan, "join keys not collation-aware"
     assert "CartesianProduct" not in plan
     assert "SortAggregate" in plan  # the documented collation trade
+
+
+def test_udtf_queries_plan_arrow_eval(spark):
+    """Python UDTFs must take the Arrow-batched eval path
+    (session.py pythonUDTF.arrow.enabled — found by tools/plan_scan.py:
+    the default BatchEvalPythonUDTF was the only row-at-a-time Python
+    node left in the registry). Row-at-a-time pickling on a 100 TB
+    corpus is the canonical slow path; every other Python seam here is
+    already Arrow-batched."""
+    for name in ("udtf_analyze", "udtf_word_runs"):
+        plan = _formatted_plan(spark, name)
+        assert "ArrowEvalPythonUDTF" in plan, f"{name} not Arrow-batched"
+        assert "BatchEvalPythonUDTF" not in plan, f"{name} row-at-a-time"
