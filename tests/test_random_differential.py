@@ -9684,3 +9684,78 @@ def test_statestore_changelog_only_lineage_and_fail_loud_corruption(
             os.remove(f)
     with pytest.raises(Exception):
         read_final()
+
+
+def test_double_to_int_cast_cross_engine_seam(spark):
+    """Pins a DIVERGENT seam (found by the r11 probe sweep, same class
+    as the round(double, n) divergence fixed earlier this round):
+    CAST(double AS INT/BIGINT) TRUNCATES toward zero in Spark but
+    ROUNDS (half-even) in DuckDB — 3.5 -> 3 vs 4, 2.7 -> 2 vs 3.
+    House rule this test enforces by documentation: shared SQL (any
+    oracle string or any expression replicated on both engines) must
+    never cast a non-integral double to an integer type; use
+    floor()/ceil() first (both engines agree on those) or keep the
+    arithmetic integral. The engine's one double->int cast site — the
+    bloom word index, events_analytics.py:463,495 — runs on Spark for
+    BOTH build and probe sides and never reaches an oracle, and false
+    positives die in the exact join, so it is out of the seam's reach."""
+    cases = [2.5, 3.5, -2.5, -3.5, 2.7, -2.7, 0.5, 1.5, 2.0, -2.0]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cases)], "i int, x double"
+    ).selectExpr("i", "cast(x as int) as as_int")
+    got = {r.i: r.as_int for r in sdf.collect()}
+    for i, v in enumerate(cases):
+        assert got[i] == int(v), f"Spark no longer truncates {v!r}"
+        (duck,) = duckdb.sql(
+            "SELECT CAST(CAST(? AS DOUBLE) AS INT)", params=[v]
+        ).fetchone()
+        # DuckDB: round-half-even; integral values agree, halves and
+        # 2.7-style values diverge from Spark's truncation
+        import decimal
+
+        expect_duck = int(
+            decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_EVEN)
+        )
+        assert duck == expect_duck, f"DuckDB rounding moved for {v!r}"
+        # divergent exactly where truncation and half-even disagree
+        # (2.5 coincides: trunc 2 == half-even 2; 3.5 diverges: 3 vs 4)
+        assert (got[i] != duck) == (int(v) != expect_duck), (
+            f"seam moved for {v!r}: spark={got[i]} duckdb={duck}"
+        )
+    # floor()-first agreement: the sanctioned shared-SQL spelling
+    for v in cases:
+        (s,) = (
+            spark.sql(f"SELECT CAST(floor(CAST('{v!r}' AS DOUBLE)) AS BIGINT)")
+            .collect()[0]
+        )
+        (d,) = duckdb.sql(
+            "SELECT CAST(floor(CAST(? AS DOUBLE)) AS BIGINT)", params=[v]
+        ).fetchone()
+        assert s == d, f"floor() convention broken for {v!r}"
+
+
+def test_substr_position_zero_cross_engine_seam(spark):
+    """Pins the substr() position-0 seam: Spark treats pos 0 like
+    pos 1 (substr('hello',0,3) = 'hel'); DuckDB counts the empty slot
+    before position 1 against the length (= 'he'). Positions >= 1 and
+    negative (from-end) positions agree exactly — attested over every
+    (pos, len) in a small grid — so shared SQL is safe iff positions
+    are >= 1 or negative, which is what the fuzzer and every oracle
+    use. A future engine change that widens or closes the divergence
+    trips this pin."""
+    s = "hello"
+    # the divergent point
+    (sp,) = spark.sql("SELECT substr('hello', 0, 3)").collect()[0]
+    (du,) = duckdb.sql("SELECT substr('hello', 0, 3)").fetchone()
+    assert sp == "hel" and du == "he", (sp, du)
+    # the safe regime: pos in 1..6 and -5..-1, len in 0..6 — exact
+    # match, attested in ONE batched query per engine
+    poss = list(range(1, 7)) + list(range(-5, 0))
+    exprs = [
+        f"substr('{s}', {pos}, {ln})" for pos in poss for ln in range(0, 7)
+    ] + [f"substr('{s}', {pos})" for pos in poss]
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = spark.sql(f"SELECT {sel}").collect()[0]
+    drow = duckdb.sql(f"SELECT {sel}").fetchone()
+    for i, e in enumerate(exprs):
+        assert srow[i] == drow[i], (e, srow[i], drow[i])
