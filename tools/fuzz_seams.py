@@ -13,8 +13,19 @@ campaign runner, not part of the pytest gate (seeded, so any finding
 is reproducible: rerun with --seed N).
 
 Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
-       [--sf /root/testdata/sf0.01]
+       [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
+
+Shape families (9): single-table filter+agg, PK-FK inner/LEFT join,
+total-order top-k, calendar extraction + date_trunc/interval bounds,
+window (rank-filter / running / lag), string-function grouping,
+UNION/INTERSECT/EXCEPT set ops, IN/EXISTS/scalar subqueries,
+GROUPING SETS / ROLLUP / CUBE with GROUPING() indicators, and
+NULL-injection (NULLIF/COALESCE/CASE over a NULL-free corpus).
+Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
+main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
+7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc
+(r11 continuation) — zero divergences across all campaigns.
 
 Design notes (why the generated SQL subset looks like it does):
 - Float literals go through CAST('<repr>' AS DOUBLE) on BOTH engines:
@@ -248,9 +259,30 @@ def _gen_datefunc(con, rng: random.Random) -> str:
     table = rng.choice(["orders", "lineitem"])
     cols = TABLE_COLS[table]
     d = cols["dates"][0]
-    fns = rng.sample(["year", "month", "quarter", "day"], k=2)
     pred = _gen_predicate(con, table, cols, rng)
     flag_pred = _gen_predicate(con, table, cols, rng)
+    if rng.random() < 0.4:
+        # date_trunc grouping + interval-shifted bound (probed aligned
+        # 2026-08-15 incl. week->Monday and month-end clamping; CAST to
+        # DATE because Spark's date_trunc returns TIMESTAMP, DuckDB's
+        # DATE — a type, not value, difference)
+        unit = rng.choice(["month", "quarter", "year", "week"])
+        anchor = _sample_values(con, table, d, rng, 1)
+        iv = rng.choice(
+            [f"INTERVAL {rng.randint(1, 6)} MONTH",
+             f"INTERVAL {rng.randint(1, 90)} DAY"]
+        )
+        op = rng.choice(["+", "-"])
+        shift = (f"{d} {rng.choice(['<=', '>', '>=', '<'])} "
+                 f"TIMESTAMP '{anchor[0]}' {op} {iv}") if anchor else "1=1"
+        key = f"CAST(date_trunc('{unit}', {d}) AS DATE)"
+        return (
+            f"SELECT {key} AS k0, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN ({flag_pred}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_flag"
+            f" FROM {table} WHERE ({pred}) AND ({shift}) GROUP BY {key}"
+        )
+    fns = rng.sample(["year", "month", "quarter", "day"], k=2)
     keys = [f"{fn}({d})" for fn in fns]
     sel = ", ".join(f"CAST({k} AS INT) AS k{i}" for i, k in enumerate(keys))
     return (
@@ -299,20 +331,255 @@ def _gen_window(con, rng: random.Random) -> str:
     )
 
 
-def _gen_query(con, rng: random.Random) -> str:
-    shape = rng.choice(
-        ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
-        + ["window"] * 2
+def _frag(con, table: str, col: str, rng: random.Random) -> str:
+    """A short inner substring of a sampled value — the regime where
+    contains/instr/LIKE-infix predicates actually select subsets."""
+    vals = _sample_values(con, table, col, rng, 1)
+    s = str(vals[0]) if vals else "a"
+    if len(s) == 0:
+        return "a"
+    i = rng.randrange(len(s))
+    f = s[i : i + rng.randint(1, 3)]
+    return f.replace("'", "''").replace("%", "").replace("_", "") or "a"
+
+
+def _gen_str_expr(con, table: str, cols: dict, rng: random.Random) -> str:
+    """A grouping expression from the probe-verified aligned function
+    pool (upper/lower/substr(pos>=1)/replace/concat/length-cast/
+    split_part/reverse/translate/lpad — cross-engine probe 2026-08-15).
+    substr position is ALWAYS >= 1 (position 0 is a pinned divergence,
+    test_substr_position_zero_cross_engine_seam); no CAST of doubles
+    to int anywhere (the other pinned divergence)."""
+    c = rng.choice(cols["strs"])
+    k = rng.randint(1, 8)
+    pick = rng.randrange(8)
+    if pick == 0:
+        return f"upper(substr({c}, 1, {k}))"
+    if pick == 1:
+        return f"lower(substr({c}, 1, {k}))"
+    if pick == 2:
+        return f"replace(substr({c}, 1, {k}), '{_frag(con, table, c, rng)}', '_')"
+    if pick == 3:
+        return (f"concat(substr({c}, 1, {min(k, 3)}), '#', "
+                f"CAST(length({c}) AS STRING))")
+    if pick == 4:
+        return f"split_part({c}, ' ', {rng.randint(1, 3)})"
+    if pick == 5:
+        return f"reverse(substr({c}, 1, {k}))"
+    if pick == 6:
+        return f"translate(substr({c}, 1, {k}), 'aeiou', 'AEIOU')"
+    i = rng.choice(cols["ints"])
+    return f"lpad(CAST({i} % 10 AS STRING), 3, '0')"
+
+
+def _gen_stringfunc(con, rng: random.Random) -> str:
+    """String-function grouping + string predicates over the aligned
+    pool. Hunts collation/encoding/slicing seams the fixed-column
+    groupings can't reach: grouping keys are COMPUTED strings, and
+    predicates select by length/containment/position."""
+    table = rng.choice([t for t in sorted(TABLE_COLS)
+                        if TABLE_COLS[t]["strs"]])
+    cols = TABLE_COLS[table]
+    c = rng.choice(cols["strs"])
+    pk = cols["ints"][0]
+    g = _gen_str_expr(con, table, cols, rng)
+    pred_pool = [
+        f"length({c}) >= {rng.randint(1, 12)}",
+        f"contains({c}, '{_frag(con, table, c, rng)}')",
+        f"instr({c}, '{_frag(con, table, c, rng)}') > {rng.randint(0, 2)}",
+        f"{c} LIKE '%{_frag(con, table, c, rng)}%'",
+        _gen_predicate(con, table, cols, rng),
+    ]
+    where = " AND ".join(
+        f"({p})" for p in rng.sample(pred_pool, k=rng.randint(1, 2))
     )
-    if shape == "join":
-        return _gen_join(con, rng)
-    if shape == "topk":
-        return _gen_topk(con, rng)
-    if shape == "datefunc":
-        return _gen_datefunc(con, rng)
-    if shape == "window":
-        return _gen_window(con, rng)
-    return _gen_single_table(con, rng)
+    aggs = [f"COUNT(*) AS n_rows", f"MIN({pk}) AS min_k",
+            f"MAX({pk}) AS max_k"]
+    if rng.random() < 0.5:
+        aggs.append(f"COUNT(DISTINCT {c}) AS n_dist")
+    if rng.random() < 0.4:
+        aggs.append(f"MIN({c}) AS min_s")
+    return (f"SELECT {g} AS grp, " + ", ".join(aggs)
+            + f" FROM {table} WHERE {where} GROUP BY {g}")
+
+
+def _gen_setop(con, rng: random.Random) -> str:
+    """UNION / UNION ALL / INTERSECT / EXCEPT between two filtered
+    projections of the same table — the distinct-semantics regime
+    (both engines treat INTERSECT/EXCEPT as DISTINCT variants; UNION
+    dedups). Projections include a computed string sometimes so the
+    dedup happens over expression results, not raw columns."""
+    table = rng.choice(sorted(TABLE_COLS))
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    proj_cols = [f"{pk} AS k"]
+    r = rng.random()
+    if r < 0.4 and cols["strs"]:
+        proj_cols.append(f"{rng.choice(cols['strs'])} AS s")
+    elif r < 0.7:
+        proj_cols.append(f"{rng.choice(cols['ints'])} % 7 AS m")
+    elif cols["strs"]:
+        proj_cols.append(
+            f"{_gen_str_expr(con, table, cols, rng)} AS s")
+    proj = ", ".join(proj_cols)
+    p1 = _gen_predicate(con, table, cols, rng)
+    p2 = _gen_predicate(con, table, cols, rng)
+    # EXCEPT/INTERSECT with identical predicates is degenerate-but-legal;
+    # keep whatever the rng produced — degenerate cases are boundaries too
+    return (f"SELECT {proj} FROM {table} WHERE ({p1}) "
+            f"{op} SELECT {proj} FROM {table} WHERE ({p2})")
+
+
+def _gen_subquery(con, rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS / NOT EXISTS / scalar-MIN subqueries.
+    NOT IN is safe here because every subquery column is a non-null
+    PK; the empty-subquery and empty-scalar (NULL comparison -> no
+    rows) boundaries are reachable and must agree."""
+    flavor = rng.choice(["in", "not_in", "exists", "not_exists",
+                         "scalar", "scalar"])
+    if flavor in ("scalar",):
+        table = rng.choice(sorted(TABLE_COLS))
+        cols = TABLE_COLS[table]
+        c = rng.choice(cols["ints"])
+        g = rng.choice(cols["groups"])
+        inner_pred = _gen_predicate(con, table, cols, rng)
+        outer_pred = _gen_predicate(con, table, cols, rng)
+        fn = rng.choice(["MIN", "MAX"])
+        cmp_op = rng.choice(["<", "<=", ">=", ">", "="])
+        return (
+            f"SELECT {g} AS grp, COUNT(*) AS n_rows, MIN({c}) AS min_c"
+            f" FROM {table} WHERE ({outer_pred}) AND {c} {cmp_op} "
+            f"(SELECT {fn}({c}) FROM {table} WHERE ({inner_pred}))"
+            f" GROUP BY {g}"
+        )
+    fact, dim, fk, pk = rng.choice(_JOINS)
+    fc, dc = TABLE_COLS[fact], TABLE_COLS[dim]
+    g = rng.choice(fc["groups"])
+    fact_pred = _gen_predicate(con, fact, fc, rng)
+    dim_pred = _gen_predicate(con, dim, dc, rng)
+    if flavor in ("in", "not_in"):
+        neg = "NOT " if flavor == "not_in" else ""
+        cond = (f"{fk} {neg}IN (SELECT {pk} FROM {dim} "
+                f"WHERE ({dim_pred}))")
+    else:
+        neg = "NOT " if flavor == "not_exists" else ""
+        cond = (f"{neg}EXISTS (SELECT 1 FROM {dim} "
+                f"WHERE {dim}.{pk} = {fact}.{fk} AND ({dim_pred}))")
+    return (
+        f"SELECT {g} AS grp, COUNT(*) AS n_rows, "
+        f"MIN({fk}) AS min_fk, MAX({fk}) AS max_fk"
+        f" FROM {fact} WHERE ({fact_pred}) AND {cond} GROUP BY {g}"
+    )
+
+
+def _gen_nullcase(con, rng: random.Random) -> str:
+    """NULL-injection shapes: the TPC-H-ish corpus is NULL-free, so
+    NULLIF(col, sampled-value) manufactures NULLs at data-directed
+    positions and the aggregates/grouping must then agree on every
+    NULL rule — COUNT(expr) skips, MIN/MAX skip, COALESCE fallback,
+    CASE propagation, and NULL group keys grouping together."""
+    table = rng.choice([t for t in sorted(TABLE_COLS)
+                        if TABLE_COLS[t]["strs"]])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    c = rng.choice(cols["strs"])
+    i = rng.choice(cols["ints"])
+    sv = _sample_values(con, table, c, rng, 1)
+    iv = _sample_values(con, table, i, rng, 1)
+    s_lit = _lit("str", sv[0]) if sv else "'x'"
+    i_lit = _lit("int", iv[0]) if iv else "0"
+    pred = _gen_predicate(con, table, cols, rng)
+    flavor = rng.randrange(3)
+    if flavor == 0:
+        # NULL group key: all NULLIF hits collapse into one group
+        g = f"COALESCE(NULLIF({c}, {s_lit}), concat('<hit:', {c}, '>'))"
+        return (
+            f"SELECT {g} AS grp, COUNT(*) AS n_rows, "
+            f"COUNT(NULLIF({i}, {i_lit})) AS n_nonnull, "
+            f"MIN({pk}) AS min_k"
+            f" FROM {table} WHERE ({pred}) GROUP BY {g}"
+        )
+    if flavor == 1:
+        # aggregate NULL-skip rules over injected NULLs
+        g = rng.choice(cols["groups"])
+        return (
+            f"SELECT {g} AS grp, COUNT(*) AS n_rows, "
+            f"COUNT(NULLIF({c}, {s_lit})) AS n_s, "
+            f"MIN(NULLIF({i}, {i_lit})) AS min_i, "
+            f"MAX(NULLIF({i}, {i_lit})) AS max_i, "
+            f"COUNT(DISTINCT NULLIF({c}, {s_lit})) AS n_dist"
+            f" FROM {table} WHERE ({pred}) GROUP BY {g}"
+        )
+    # CASE propagation: a NULL-yielding branch inside a SUM flag
+    g = rng.choice(cols["groups"])
+    return (
+        f"SELECT {g} AS grp, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} = {s_lit} THEN NULL "
+        f"WHEN {i} > {i_lit} THEN 2 ELSE 1 END) AS BIGINT) AS s_case, "
+        f"COUNT(CASE WHEN {c} <> {s_lit} THEN 1 END) AS n_case"
+        f" FROM {table} WHERE ({pred}) GROUP BY {g}"
+    )
+
+
+def _gen_groupsets(con, rng: random.Random) -> str:
+    """GROUPING SETS / ROLLUP / CUBE with GROUPING() indicator columns
+    (probed aligned 2026-08-15 including the data-NULL vs rollup-NULL
+    disambiguation). The indicators ride along in the output so a
+    divergence in WHICH set a row belongs to can't hide behind value
+    coincidence."""
+    table = rng.choice([t for t in sorted(TABLE_COLS)
+                        if len(TABLE_COLS[t]["groups"]) >= 2])
+    cols = TABLE_COLS[table]
+    g1, g2 = rng.sample(cols["groups"], k=2)
+    pk = cols["ints"][0]
+    variant = rng.choice([
+        f"ROLLUP({g1}, {g2})",
+        f"CUBE({g1}, {g2})",
+        f"GROUPING SETS (({g1}, {g2}), ({g1}), ())",
+        f"GROUPING SETS (({g1}), ({g2}))",
+    ])
+    pred = _gen_predicate(con, table, cols, rng)
+    aggs = [f"COUNT(*) AS n_rows", f"MIN({pk}) AS min_k"]
+    if cols["floats"] and rng.random() < 0.6:
+        c = rng.choice(cols["floats"])
+        aggs.append(
+            f"CAST(SUM(CAST(floor({c} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" AS sum_cents"
+        )
+    return (
+        f"SELECT {g1}, {g2}, CAST(GROUPING({g1}) AS INT) AS gi1, "
+        f"CAST(GROUPING({g2}) AS INT) AS gi2, " + ", ".join(aggs)
+        + f" FROM {table} WHERE ({pred}) GROUP BY {variant}"
+    )
+
+
+_SHAPES = {
+    "single": _gen_single_table,
+    "join": _gen_join,
+    "topk": _gen_topk,
+    "datefunc": _gen_datefunc,
+    "window": _gen_window,
+    "stringfunc": _gen_stringfunc,
+    "setop": _gen_setop,
+    "subquery": _gen_subquery,
+    "groupsets": _gen_groupsets,
+    "nullcase": _gen_nullcase,
+}
+
+_DEFAULT_MIX = (
+    ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
+    + ["window"] * 2 + ["stringfunc"] * 2 + ["setop"] + ["subquery"] * 2
+    + ["groupsets"] + ["nullcase"]
+)
+
+
+def _gen_query(con, rng: random.Random, shapes: list[str] | None = None) -> str:
+    if shapes is None:
+        pool = _DEFAULT_MIX
+    else:
+        pool = [s for s in _DEFAULT_MIX if s in shapes] or list(shapes)
+    return _SHAPES[rng.choice(pool)](con, rng)
 
 
 def main() -> int:
@@ -322,7 +589,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=None,
                     help="run exactly one seed")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated shape subset "
+                         f"(of {sorted(_SHAPES)})")
     args = ap.parse_args()
+    shapes = args.shapes.split(",") if args.shapes else None
+    if shapes:
+        unknown = set(shapes) - set(_SHAPES)
+        if unknown:
+            ap.error(f"unknown shapes: {sorted(unknown)}")
 
     import os
 
@@ -345,7 +620,7 @@ def main() -> int:
     failures = 0
     for seed in seeds:
         rng = random.Random(seed)
-        sql = _gen_query(con, rng)
+        sql = _gen_query(con, rng, shapes)
         try:
             sdf = spark.sql(sql)
             srows = [tuple(r) for r in sdf.collect()]
