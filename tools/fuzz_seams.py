@@ -16,7 +16,8 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (9): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (10): single-table filter+agg, PK-FK inner/LEFT join,
+three-table chain/star joins with per-hop INNER/LEFT mixing,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
 window (rank-filter / running / lag), string-function grouping,
 UNION/INTERSECT/EXCEPT set ops, IN/EXISTS/scalar subqueries,
@@ -24,8 +25,9 @@ GROUPING SETS / ROLLUP / CUBE with GROUPING() indicators, and
 NULL-injection (NULLIF/COALESCE/CASE over a NULL-free corpus).
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
-7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc
-(r11 continuation) — zero divergences across all campaigns.
+7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
+10000-10499 mixed, 11000-11119 multijoin (r11 continuation) — zero
+divergences across all campaigns.
 
 Design notes (why the generated SQL subset looks like it does):
 - Float literals go through CAST('<repr>' AS DOUBLE) on BOTH engines:
@@ -149,6 +151,19 @@ _JOINS = [
     ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
 ]
 
+# two-hop chains: fact -> mid -> far (lineitem->orders->customer) and
+# star pairs: fact -> dim1, fact -> dim2
+_CHAINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey",
+     "customer", "o_custkey", "c_custkey"),
+]
+_STARS = [
+    ("lineitem", "part", "l_partkey", "p_partkey",
+     "supplier", "l_suppkey", "s_suppkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey",
+     "part", "l_partkey", "p_partkey"),
+]
+
 
 def _gen_aggs(cols: dict, rng: random.Random, qual: str = "") -> list[str]:
     aggs = ["COUNT(*) AS n_rows"]
@@ -226,6 +241,53 @@ def _gen_join(con, rng: random.Random) -> str:
     return (f"SELECT {fact}.{g} AS grp, " + ", ".join(aggs)
             + f" FROM {fact} {join_kind} {dim} ON {on}"
             + f" WHERE {where} GROUP BY {fact}.{g}")
+
+
+def _gen_multijoin(con, rng: random.Random) -> str:
+    """Three-table shapes — a two-hop CHAIN (lineitem->orders->
+    customer) or a STAR (fact + two dims) — with each join
+    independently INNER or LEFT. Exercises join reordering and
+    multi-hop null extension: a LEFT chain's far-dim columns are NULL
+    whenever EITHER hop misses, and the COUNT(col)/MIN over those
+    columns must agree. LEFT-join dim predicates live in ON (so
+    null-extended rows survive); INNER-join predicates in WHERE."""
+    star = rng.random() < 0.5
+    if star:
+        fact, d1, fk1, pk1, d2, fk2, pk2 = rng.choice(_STARS)
+        hops = [(d1, fk1, pk1, fact), (d2, fk2, pk2, fact)]
+    else:
+        fact, d1, fk1, pk1, d2, fk2, pk2 = rng.choice(_CHAINS)
+        hops = [(d1, fk1, pk1, fact), (d2, fk2, pk2, d1)]
+    fc = TABLE_COLS[fact]
+    g = rng.choice(fc["groups"])
+    where = [f"({_gen_predicate(con, fact, fc, rng)})"]
+    joins = []
+    for dim, fk, pk, left_tbl in hops:
+        dc = TABLE_COLS[dim]
+        kind = rng.choice(["JOIN", "LEFT JOIN"])
+        pred = _gen_predicate(con, dim, dc, rng)
+        if kind == "LEFT JOIN":
+            joins.append(f"LEFT JOIN {dim} ON {left_tbl}.{fk} = "
+                         f"{dim}.{pk} AND ({pred})")
+        else:
+            joins.append(f"JOIN {dim} ON {left_tbl}.{fk} = {dim}.{pk}")
+            where.append(f"({pred})")
+    aggs = ["COUNT(*) AS n_rows"]
+    for i, (dim, _, pk, _) in enumerate(hops):
+        dc = TABLE_COLS[dim]
+        aggs.append(f"COUNT({dim}.{pk}) AS n_d{i}")
+        if dc["strs"]:
+            aggs.append(f"MIN({dim}.{rng.choice(dc['strs'])}) AS min_s{i}")
+    if fc["floats"]:
+        c = rng.choice(fc["floats"])
+        aggs.append(
+            f"CAST(SUM(CAST(floor({fact}.{c} * 100 + 0.5) AS BIGINT)) "
+            f"AS BIGINT) AS sum_cents"
+        )
+    return (f"SELECT {fact}.{g} AS grp, " + ", ".join(aggs)
+            + f" FROM {fact} " + " ".join(joins)
+            + f" WHERE " + " AND ".join(where)
+            + f" GROUP BY {fact}.{g}")
 
 
 def _gen_topk(con, rng: random.Random) -> str:
@@ -565,12 +627,13 @@ _SHAPES = {
     "subquery": _gen_subquery,
     "groupsets": _gen_groupsets,
     "nullcase": _gen_nullcase,
+    "multijoin": _gen_multijoin,
 }
 
 _DEFAULT_MIX = (
     ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
     + ["window"] * 2 + ["stringfunc"] * 2 + ["setop"] + ["subquery"] * 2
-    + ["groupsets"] + ["nullcase"]
+    + ["groupsets"] + ["nullcase"] + ["multijoin"]
 )
 
 
