@@ -708,3 +708,97 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("kept_tokens"),
         "n_members",
     )
+
+
+# paragraph dedup: the corpus has no newline structure (synthetic
+# space-separated tokens), so "paragraphs" are deterministic 3-word
+# segments — the plumbing (segment -> corpus frequency -> drop
+# boilerplate -> ordered reassembly) is exactly the newline-delimited
+# op's; only the splitter differs, and it is one expression swap.
+_PARA_K = 3
+_PARA_MAX_DOCS = 2  # a segment in more distinct docs is boilerplate
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_pos,
+             array_to_string(
+               w[((i-1)*{_PARA_K}+1):((i-1)*{_PARA_K}+{_PARA_K})], ' ') AS seg
+      FROM words, UNNEST(range(1, (len(w)+{_PARA_K}-1)//{_PARA_K} + 1)) AS t(i)
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN f.nd <= {_PARA_MAX_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           COALESCE(string_agg(
+             CASE WHEN f.nd <= {_PARA_MAX_DOCS} THEN s.seg END,
+             ' ' ORDER BY s.seg_pos), '') AS clean_text
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (boilerplate) dedup — the CCNet/RefinedWeb-style
+    pass that doc-level dedup cannot express: a segment appearing in
+    more than {_PARA_MAX_DOCS} distinct documents is boilerplate and is
+    dropped from EVERY document; each document is then reassembled from
+    its surviving segments in original order, with kept/total counts.
+
+    Scale shape (100 TB): all exchanges are on high-cardinality keys
+    and none is avoidable for these semantics —
+      1. the exact distinct-doc frequency is Spark's standard
+         two-exchange distinct aggregate: hash(seg, doc_id) dedup
+         (map-side partial collapses intra-doc repeats first), then
+         hash(seg) for the count;
+      2. the seg-keyed join of segments against frequencies — at this
+         test SF the aggregated freq side is small and AQE broadcasts
+         it; at corpus scale it is corpus-sized and AQE falls back to
+         a shuffle join that reuses the hash(seg) partitioning;
+      3. hash(doc_id) for the ordered reassembly (listagg WITHIN GROUP
+         over seg_pos — a total order within each doc, so the rebuilt
+         text is deterministic).
+    The corpus is scanned twice (segments feed both the frequency
+    aggregate and the join probe); that is the standard
+    self-aggregate-join shape, and both scans prune to
+    (doc_id, text) with the length filter pushed down.
+    Per-doc segment counts are text-length-bounded, so no window or
+    group sees a corpus-scale partition; nothing touches the driver.
+    Reference parity: this is a data-prep operator beyond the
+    reference's relational core (SURVEY.md LLM-pipeline family), next
+    to dedup_exact (host/ aggregation parity) and the minhash family."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    segs = docs.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(transform(sequence(1, (size(split(text, ' ')) "
+            f"+ {_PARA_K} - 1) div {_PARA_K}), "
+            f"i -> array_join(slice(split(text, ' '), "
+            f"(i-1)*{_PARA_K}+1, {_PARA_K}), ' ')))"
+        ).alias("p", "seg"),
+    ).select("doc_id", (F.col("p") + 1).alias("seg_pos"), "seg")
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    keep = F.col("nd") <= _PARA_MAX_DOCS
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.expr(
+                    f"listagg(CASE WHEN nd <= {_PARA_MAX_DOCS} THEN seg END,"
+                    f" ' ') WITHIN GROUP (ORDER BY seg_pos)"
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )

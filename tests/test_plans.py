@@ -562,3 +562,18 @@ def test_udtf_queries_plan_arrow_eval(spark):
         plan = _formatted_plan(spark, name)
         assert "ArrowEvalPythonUDTF" in plan, f"{name} not Arrow-batched"
         assert "BatchEvalPythonUDTF" not in plan, f"{name} row-at-a-time"
+
+
+def test_dedup_paragraph_plan_shape(spark):
+    """dedup_paragraph (llm/dedup.py): the reassembly listagg must run
+    as a partial/final ObjectHashAggregate pair keyed on doc_id, the
+    length(text) > 0 filter must reach both parquet scans, and the
+    seg-frequency join must never be a CartesianProduct. The freq-side
+    join strategy is deliberately NOT pinned: AQE broadcasts the small
+    aggregated side at test SFs and shuffle-joins at corpus scale."""
+    plan = _formatted_plan(spark, "dedup_paragraph")
+    assert "CartesianProduct" not in plan
+    assert plan.count("posexplode") >= 2  # both seg derivations survive
+    assert "partial_listagg" in plan and "listagg" in plan
+    assert "BatchEvalPython" not in plan  # pure built-ins, no Python
+    assert plan.count("length(text") >= 2  # pushed filter on both scans

@@ -9759,3 +9759,88 @@ def test_substr_position_zero_cross_engine_seam(spark):
     drow = duckdb.sql(f"SELECT {sel}").fetchone()
     for i, e in enumerate(exprs):
         assert srow[i] == drow[i], (e, srow[i], drow[i])
+
+
+def test_dedup_paragraph_boilerplate_boundaries(spark, tmp_path):
+    """Forced-boundary differential for dedup_paragraph (llm/dedup.py):
+    a 3-word segment in EXACTLY _PARA_MAX_DOCS distinct docs is kept in
+    all of them while the same segment in one more doc is dropped from
+    all; intra-doc repeats count ONE distinct doc (so a doc repeating
+    its own segment keeps every copy); a doc made entirely of
+    boilerplate reassembles to '' with n_kept 0; partial tail segments
+    (len % 3 == 1 and 2) participate as their own short segments; an
+    empty-text doc is excluded from the output entirely. Expected rows
+    from an independent pure-Python walk, and the DuckDB oracle runs
+    on the SAME fixture so all three implementations must agree."""
+    from dpu_olap_spark.llm.dedup import _PARA_K, _PARA_MAX_DOCS
+    from dpu_olap_spark.registry import all_queries
+
+    assert _PARA_K == 3 and _PARA_MAX_DOCS == 2  # fixture is built for these
+    B = "aa bb cc"        # boilerplate: docs 0, 1, 2 (3 > 2) — dropped
+    K = "dd ee ff"        # exactly 2 docs — kept in both
+    docs = {
+        0: f"{B} {K} {B}",            # intra-doc repeat of B; keeps only K
+        1: f"gg hh ii {B} jj",        # tail segment 'jj' (len % 3 == 1)
+        2: f"{B}",                    # all boilerplate -> clean_text ''
+        3: f"{K} kk ll",              # tail 'kk ll' (len % 3 == 2)
+        4: "mm nn oo pp qq rr ss",    # untouched doc, 3-1 tail
+        5: "",                        # empty text -> excluded entirely
+    }
+    rows = [(i, t, "en", "web") for i, t in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path) + "/documents.parquet")
+
+    # independent walk
+    def segments(text):
+        w = text.split(" ")
+        return [" ".join(w[i : i + _PARA_K])
+                for i in range(0, len(w), _PARA_K)]
+
+    nd = {}
+    for i, t in docs.items():
+        if not t:
+            continue
+        for s in set(segments(t)):
+            nd[s] = nd.get(s, 0) + 1
+    expect = {}
+    for i, t in docs.items():
+        if not t:
+            continue
+        segs = segments(t)
+        kept = [s for s in segs if nd[s] <= _PARA_MAX_DOCS]
+        expect[i] = (len(segs), len(kept), " ".join(kept))
+
+    # walk attests its own forcing
+    assert nd[B] == 3 and nd[K] == 2
+    assert expect[0] == (3, 1, K)            # both B copies dropped
+    assert expect[2] == (1, 0, "")           # fully-boilerplate doc
+    assert expect[1][1] == 2 and expect[1][2] == "gg hh ii jj"
+    assert expect[3] == (2, 2, f"{K} kk ll")
+    assert expect[4] == (3, 3, docs[4])
+    assert 5 not in expect
+
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in all_queries()["dedup_paragraph"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+    # DuckDB oracle on the same fixture
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    cur = con.execute(entrymod.oracle_sql()["dedup_paragraph"])
+    cols = [d[0] for d in cur.description]
+    duck = {}
+    for row in cur.fetchall():
+        r = dict(zip(cols, row))
+        duck[r["doc_id"]] = (r["n_segs"], r["n_kept"], r["clean_text"])
+    con.close()
+    assert duck == expect
