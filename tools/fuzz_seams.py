@@ -107,13 +107,19 @@ def _lit(kind: str, v) -> str:
 
 
 def _sample_values(con, table: str, col: str, rng: random.Random, k: int):
+    """Deterministic data-directed constants: md5-ranked DISTINCT
+    values. DuckDB's seeded reservoir sample is NOT reproducible under
+    multithreading, which made campaign replays generate different SQL
+    for the same seed — an early 13000-range campaign logged one
+    unreproducible failure for exactly that reason. md5 ranking makes
+    every seed's query byte-stable across runs."""
+    salt = rng.randrange(1 << 30)
     rows = con.execute(
-        f"SELECT DISTINCT {col} FROM {table} WHERE {col} IS NOT NULL "
-        f"USING SAMPLE 200 ROWS (reservoir, {rng.randrange(1 << 30)})"
+        f"SELECT v FROM (SELECT DISTINCT {col} AS v FROM {table} "
+        f"WHERE {col} IS NOT NULL) "
+        f"ORDER BY md5(concat(CAST(v AS VARCHAR), '{salt}')) LIMIT {k}"
     ).fetchall()
-    vals = [r[0] for r in rows]
-    rng.shuffle(vals)
-    return vals[:k]
+    return [r[0] for r in rows]
 
 
 def _gen_predicate(con, table: str, cols: dict, rng: random.Random) -> str:
