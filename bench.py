@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_clusters",
+    "dedup_paragraph",
     "knn_bruteforce",
     "ann_lsh",
     "text_stats",
