@@ -16,8 +16,9 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (10): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (11): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
+rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
 window (rank-filter / running / lag), string-function grouping,
 UNION/INTERSECT/EXCEPT set ops, IN/EXISTS/scalar subqueries,
@@ -28,8 +29,8 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
 10000-10499 mixed, 11000-11119 multijoin, 13000-13299 and
 15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
-sf0.1 (r11 continuation) — zero divergences across all campaigns
-(~3,800 cases). One transient non-OK in a pre-deterministic-sampler
+sf0.1, 17000-17079 joinwindow (r11 continuation) — zero divergences
+across all campaigns (~3,900 cases). One transient non-OK in a pre-deterministic-sampler
 13000 run could not be replayed (the sampler nondeterminism fixed
 below was the cause of irreproducibility); the full range is clean
 under the deterministic sampler.
@@ -627,6 +628,36 @@ def _gen_groupsets(con, rng: random.Random) -> str:
     )
 
 
+def _gen_joinwindow(con, rng: random.Random) -> str:
+    """Compose shape: rank-filter / running-sum window OVER a PK-FK
+    join — per-dim-group top-k and running totals of joined rows. The
+    orders->customer edge only (the window needs a single-column
+    unique order key; lineitem's PK is composite). Total order via
+    (cents, o_orderkey) or (o_orderkey) alone, so both engines must
+    agree row-for-row."""
+    fc, dc = TABLE_COLS["orders"], TABLE_COLS["customer"]
+    g = rng.choice(["c_mktsegment", "c_nationkey"])
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    fact_pred = _gen_predicate(con, "orders", fc, rng)
+    dim_pred = _gen_predicate(con, "customer", dc, rng)
+    base = (f"FROM orders JOIN customer ON o_custkey = c_custkey"
+            f" WHERE ({fact_pred}) AND ({dim_pred})")
+    if rng.random() < 0.5:
+        k = rng.randint(1, 5)
+        direction = rng.choice(["ASC", "DESC"])
+        return (
+            f"SELECT grp, o_orderkey, rn FROM ("
+            f"SELECT {g} AS grp, o_orderkey, ROW_NUMBER() OVER "
+            f"(PARTITION BY {g} ORDER BY {cents} {direction}, o_orderkey)"
+            f" AS rn {base}) t WHERE rn <= {k}"
+        )
+    return (
+        f"SELECT {g} AS grp, o_orderkey, CAST(SUM({cents}) OVER "
+        f"(PARTITION BY {g} ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents {base}"
+    )
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -639,12 +670,13 @@ _SHAPES = {
     "groupsets": _gen_groupsets,
     "nullcase": _gen_nullcase,
     "multijoin": _gen_multijoin,
+    "joinwindow": _gen_joinwindow,
 }
 
 _DEFAULT_MIX = (
     ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
     + ["window"] * 2 + ["stringfunc"] * 2 + ["setop"] + ["subquery"] * 2
-    + ["groupsets"] + ["nullcase"] + ["multijoin"]
+    + ["groupsets"] + ["nullcase"] + ["multijoin"] + ["joinwindow"]
 )
 
 
