@@ -587,6 +587,58 @@ def probe_corpus_mix(spark, path: str) -> tuple[dict[str, float], dict[str, int]
     return t, extra
 
 
+def gen_docs_boiler(spark, n: int, path: str) -> None:
+    """Synthetic docs for the paragraph-dedup skew probe: 30 tokens
+    per doc (10 three-token segments). HALF the docs open with the
+    SAME boilerplate segment (one segment shared by n/2 distinct
+    docs — far past the drop threshold); every other token is
+    hash-unique to its doc, so all remaining segments are singletons."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 2 == 0, F.lit("hot aa bb")).otherwise(
+                F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(" dd ee"))
+            ),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(27)),
+                    lambda i: F.concat(
+                        F.lit("u"), F.xxhash64(F.col("id"), i).cast("string")
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    base.write.mode("overwrite").parquet(path)
+
+
+def probe_paragraph(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """The REAL q_dedup_paragraph under boilerplate skew (one segment
+    in 50% of docs). Scale claims under test: (a) the hot segment
+    cannot concentrate a partition — the distinct expansion exchanges
+    on (seg, doc_id), spreading the hot segment's rows across all
+    partitions by doc_id, and the map-side partial agg has already
+    collapsed intra-doc repeats; (b) the per-seg count exchange
+    carries ~one row per (seg, doc_id) pair — linear in corpus size,
+    never quadratic in the hot segment's document count."""
+    from dpu_olap_spark.llm import dedup as dd
+
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dd.q_dedup_paragraph(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.perf_counter() - t0)
+    t = {"dedup_paragraph": round(min(walls), 3)}
+    recs = _exchange_records(dd.q_dedup_paragraph(spark, sf_dir))
+    extra = {"para_max_exchange_records": max(recs) if recs else -1,
+             "para_n_exchanges": len(recs)}
+    return t, extra
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -620,6 +672,8 @@ def main() -> None:
     mix_extra: dict[int, dict[str, int]] = {}
     cc_results: dict[int, dict[str, float]] = {}
     cc_extra: dict[int, dict[str, int]] = {}
+    para_results: dict[int, dict[str, float]] = {}
+    para_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -648,6 +702,10 @@ def main() -> None:
             sf = os.path.join(d, f"cc_sf_{docs_n}")
             gen_docs(spark, docs_n, os.path.join(sf, "documents.parquet"))
             cc_results[docs_n], cc_extra[docs_n] = probe_cc(spark, sf)
+        for docs_n in doc_sizes:
+            sf = os.path.join(d, f"para_sf_{docs_n}")
+            gen_docs_boiler(spark, docs_n, os.path.join(sf, "documents.parquet"))
+            para_results[docs_n], para_extra[docs_n] = probe_paragraph(spark, sf)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -724,6 +782,25 @@ def main() -> None:
             f"{cc_extra[docs]['cc_round_exchange_records']:,} records in the "
             "round exchange"
             for docs in cc_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Paragraph dedup under boilerplate skew "
+        "(one segment in 50% of docs, real q_dedup_paragraph)",
+        para_results,
+        unit_rows=False,
+    )
+    lines += [
+        "",
+        "Largest exchange, measured shuffleRecordsWritten (the "
+        "(seg, doc_id) distinct expansion spreads the hot segment by "
+        "doc_id — linear in corpus size, ~segments-per-corpus rows, "
+        "never hot-doc-count squared): "
+        + "; ".join(
+            f"{docs:,} docs -> {para_extra[docs]['para_max_exchange_records']:,}"
+            f" records across {para_extra[docs]['para_n_exchanges']} exchanges"
+            for docs in para_extra
         ),
     ]
     out = os.path.join(
