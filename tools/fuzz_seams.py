@@ -29,9 +29,10 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
 10000-10499 mixed, 11000-11119 multijoin, 13000-13299 and
 15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
-sf0.1, 17000-17079 joinwindow, 18000-18599 mixed over all 11
-families (r11 continuation) — zero divergences across all campaigns
-(~4,500 cases). One transient non-OK in a pre-deterministic-sampler
+sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
+over all 11 families, 20000-20299 mixed at sf0.001 (empty-group-rich
+regime) (r11 continuation) — zero divergences across all campaigns
+(~5,400 cases). One transient non-OK in a pre-deterministic-sampler
 13000 run could not be replayed (the sampler nondeterminism fixed
 below was the cause of irreproducibility); the full range is clean
 under the deterministic sampler.
