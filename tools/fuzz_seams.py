@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (11): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (12): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -30,7 +30,7 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 10000-10499 mixed, 11000-11119 multijoin, 13000-13299 and
 15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
 sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
-over all 11 families, 20000-20299 mixed at sf0.001 (empty-group-rich
+over all families, 20000-20299 mixed at sf0.001 (empty-group-rich
 regime), 21000-21999 mixed (r11 continuation) — zero divergences
 across all campaigns (~6,400 cases). One transient non-OK in a pre-deterministic-sampler
 13000 run could not be replayed (the sampler nondeterminism fixed
