@@ -31,8 +31,8 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
 sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
 over all families, 20000-20299 mixed at sf0.001 (empty-group-rich
-regime), 21000-21999 mixed (r11 continuation) — zero divergences
-across all campaigns (~6,400 cases). One transient non-OK in a pre-deterministic-sampler
+regime), 21000-21999 and 22000-23499 mixed (r11 continuation) —
+zero divergences across all campaigns (~7,900 cases). One transient non-OK in a pre-deterministic-sampler
 13000 run could not be replayed (the sampler nondeterminism fixed
 below was the cause of irreproducibility); the full range is clean
 under the deterministic sampler.
