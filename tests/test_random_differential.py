@@ -9844,3 +9844,49 @@ def test_dedup_paragraph_boilerplate_boundaries(spark, tmp_path):
         duck[r["doc_id"]] = (r["n_segs"], r["n_kept"], r["clean_text"])
     con.close()
     assert duck == expect
+
+
+def test_empty_input_grand_total_grouping_set_cross_engine_seam(spark):
+    """Pins the FIRST real catch of the cross-engine fuzzer (seed
+    25995, groupsets family): over an EMPTY input, any grouping
+    containing the grand-total set `()` — ROLLUP, CUBE, or explicit
+    GROUPING SETS — emits the grand-total row (COUNT(*)=0, other
+    aggregates NULL, GROUPING()=1) on DuckDB, per the SQL-standard
+    equivalence of the () set with global aggregation, while Spark
+    emits NO rows, even for GROUPING SETS (()) alone. Plain global
+    aggregates agree (one row) and non-empty inputs agree exactly.
+    House rule: an oracled query using ROLLUP/CUBE/GROUPING SETS must
+    have provably non-empty input (the three registered ones aggregate
+    whole TPC-H tables) or filter the () row out symmetrically with
+    HAVING COUNT(*) > 0 — the fuzzer's groupsets generator does the
+    latter. If either engine moves, this pin names the seam."""
+    empty = "(VALUES (1, 'x')) t(a, s) WHERE a < 0"
+
+    # the divergent regime: () set over empty input
+    for grp in ("ROLLUP(a, s)", "CUBE(a, s)",
+                "GROUPING SETS ((a), ())", "GROUPING SETS (())"):
+        q = f"SELECT COUNT(*) AS c FROM {empty} GROUP BY {grp}"
+        srows = spark.sql(q).collect()
+        drows = duckdb.sql(q).fetchall()
+        assert srows == [], (grp, srows)
+        assert len(drows) == 1 and drows[0][0] == 0, (grp, drows)
+
+    # the aligned regimes: global agg on empty, and () sets on
+    # non-empty input (grand-total row present on BOTH)
+    (sc,) = spark.sql(f"SELECT COUNT(*) FROM {empty}").collect()[0]
+    (dc,) = duckdb.sql(f"SELECT COUNT(*) FROM {empty}").fetchone()
+    assert sc == dc == 0
+    q = ("SELECT a, COUNT(*) AS c, CAST(GROUPING(a) AS INT) AS g "
+         "FROM (VALUES (1), (1), (2)) t(a) GROUP BY ROLLUP(a)")
+    sset = sorted((tuple(r) for r in spark.sql(q).collect()), key=repr)
+    dset = sorted((tuple(r) for r in duckdb.sql(q).fetchall()), key=repr)
+    assert sset == dset == sorted(
+        [(None, 3, 1), (1, 2, 0), (2, 1, 0)], key=repr
+    )
+
+    # HAVING COUNT(*) > 0 closes the seam symmetrically: drops the
+    # empty grand-total row on DuckDB, no-ops on Spark and on every
+    # non-empty grouping-set row (each aggregates >= 1 input row)
+    q = (f"SELECT COUNT(*) AS c FROM {empty} "
+         f"GROUP BY ROLLUP(a, s) HAVING COUNT(*) > 0")
+    assert spark.sql(q).collect() == [] and duckdb.sql(q).fetchall() == []
