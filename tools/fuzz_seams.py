@@ -31,8 +31,9 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
 sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
 over all families, 20000-20299 mixed at sf0.001 (empty-group-rich
-regime), 21000-21999 and 22000-23499 mixed, 24000-25999 mixed
-(r11 continuation) — ~9,900 cases total. FIRST REAL CATCH at seed
+regime), 21000-21999 and 22000-23499 mixed, 24000-25999 mixed,
+26000-27499 mixed post-HAVING-guard (r11 continuation) — ~11,400
+cases total. FIRST REAL CATCH at seed
 25995: ROLLUP over an empty input — DuckDB emits the grand-total ()
 row (COUNT=0, per the SQL standard), Spark emits NOTHING. Triaged,
 pinned (test_empty_input_grand_total_grouping_set_cross_engine_seam)
