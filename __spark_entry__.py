@@ -45,32 +45,12 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R7 = (
-    # CORRECTNESS_r07.json rows whose latest driver check is still r7
-    # (the 11 oldest r7 rows — statestore_session_read..sink_zorder —
-    # were re-checked r10 → _VERIFIED_R10).  These 39 lead the r11
-    # window, oldest-first — the stalest cohort.
-    "cogroup_asof", "map_in_arrow", "arrow_udf",
-    "pandas_udaf", "quality_sample", "corpus_mix", "param_sql",
-    "identifier_sql", "variant_explode_arr", "transpose_metrics",
-    "window_range_frame",
-    "interval_arith", "explode_outer_demo", "distinct_agg",
-    "approx_distinct", "topk", "window_rank", "window_running",
-    "set_ops", "rollup_agg", "cube_agg", "semi_join", "anti_join",
-    "outer_join", "scalar_funcs", "date_funcs",
-    "cohort_retention", "gap_fill",
-    "sink_partitioned_prune", "sink_json_roundtrip",
-    "sink_orc_roundtrip", "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
-)
 _VERIFIED_R8 = (
-    # CORRECTNESS_r08.json — 50 rows, 48 hash-green + 2 rows-only by
-    # design (hll_mergeable, approx_percentile — sketches): the 37
-    # r4-vintage rows + the 13 oldest r5 rows, exactly as the r7
-    # verdict ordered.
-    "tpch_q13", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "ivf_train", "pq_encode", "salted_join", "fuzzy_join",
+    # CORRECTNESS_r08.json rows whose latest driver check is still r8
+    # (the 9 oldest r8 rows — tpch_q13..pq_encode — were re-checked
+    # r11 → _VERIFIED_R11).  These 41 lead the r12 window,
+    # oldest-first — the stalest cohort.
+    "salted_join", "fuzzy_join",
     "sink_range_cluster", "unpivot_metrics", "lateral_topn",
     "bitmap_presence", "group_size_hist", "chunk_documents",
     "pack_sequences", "redact_pii", "train_test_split",
@@ -127,16 +107,40 @@ _VERIFIED_R10 = (
     "statestore_timetravel", "pystream_scan", "pysink_write",
     "sink_zorder",
 )
+_VERIFIED_R11 = (
+    # CORRECTNESS_r11.json — 50 rows: 49 hash-green + 1 rows-only by
+    # design (approx_distinct — HLL sketches are engine-specific).
+    # The window was the round's 2 NEW queries, then the 39 remaining
+    # r7-vintage rows + the 9 oldest r8 rows, exactly as the r10
+    # verdict ordered.
+    "dedup_paragraph", "collated_join_agg",
+    "cogroup_asof", "map_in_arrow", "arrow_udf",
+    "pandas_udaf", "quality_sample", "corpus_mix", "param_sql",
+    "identifier_sql", "variant_explode_arr", "transpose_metrics",
+    "window_range_frame",
+    "interval_arith", "explode_outer_demo", "distinct_agg",
+    "approx_distinct", "topk", "window_rank", "window_running",
+    "set_ops", "rollup_agg", "cube_agg", "semi_join", "anti_join",
+    "outer_join", "scalar_funcs", "date_funcs",
+    "cohort_retention", "gap_fill",
+    "sink_partitioned_prune", "sink_json_roundtrip",
+    "sink_orc_roundtrip", "tpch_q1", "tpch_q2", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "ivf_train", "pq_encode",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R7 + _VERIFIED_R8 + _VERIFIED_R9 + _VERIFIED_R10
+    _VERIFIED_R8 + _VERIFIED_R9 + _VERIFIED_R10 + _VERIFIED_R11
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  As of r9 every registered query
 # has a driver CORRECTNESS row, so the rotation is purely
-# oldest-verified-round first: the r11 window starts with the 39
-# remaining r7-vintage rows (cogroup_asof cohort onward) plus the 11
-# oldest r8 rows (tpch_q13..bitmap_presence).
+# oldest-verified-round first: the r12 window starts with the 41
+# remaining r8-vintage rows (salted_join..stream_static_join) plus the
+# 9 oldest r9 rows (pipe_sql..join — the five reference-core
+# operators included, last driver-checked r9).
 _HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
@@ -150,13 +154,13 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 39 remaining r7 rows lead
-    # (cogroup_asof..tpch_q12), then r8 (first 11 fit the r11
-    # window), r9, r10.
+    # stalest rows re-check soonest: the 41 remaining r8 rows lead
+    # (salted_join..stream_static_join), then r9 (first 9 fit the r12
+    # window), r10, r11.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R9,
-                 _VERIFIED_R10):
+    for tier in (_VERIFIED_R8, _VERIFIED_R9, _VERIFIED_R10,
+                 _VERIFIED_R11):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
