@@ -31,7 +31,12 @@ pipeline_corpus were exactly first-run compile cost: 3.6s cold vs
 1.1s steady-state). An untimed full-headline warmup pass precedes the
 measured runs (r10 verdict #5: run_totals [86.9, 59.8, 59.1] showed a
 1.45x cold pass), so run_totals holds warm passes only and their
-spread should sit well under 5%.
+spread should sit well under 5%.  When the planned passes still
+spread >10% (noisy neighbor mid-bench — BENCH_r11 inflated 40/76
+medians uniformly), extra passes run adaptively up to
+SPARK_GRAFT_BENCH_MAX_RUNS (default 5) so a quiet pass can anchor
+the medians, and per-query best-of-N goes on the diagnostics line as
+the noise-immune plan-cost bound (r11 verdict #2).
 """
 
 from __future__ import annotations
@@ -194,15 +199,21 @@ def main() -> None:
         queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # measured scheduling floor: median wall of a trivial 2-stage job
-    # (32-task scan + exchange + agg) — the fixed cost every query pays
-    floor_samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(10_000).repartition(32).agg({"id": "sum"}).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        floor_samples.append(time.perf_counter() - t0)
-    floor = sorted(floor_samples)[len(floor_samples) // 2]
+    # (32-task scan + exchange + agg) — the fixed cost every query pays.
+    # Sampled BEFORE and AFTER the measured passes (r11 verdict #2: on
+    # a noisy box one sample window can catch a noisy-neighbor burst);
+    # the MIN of the two medians is the idle floor.
+    def _floor_median() -> float:
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(10_000).repartition(32).agg(
+                {"id": "sum"}
+            ).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return sorted(samples)[len(samples) // 2]
+
+    floor_pre = _floor_median()
 
     # untimed warmup pass of the FULL headline set: the targeted
     # warmups above cover JVM/codegen/page-cache/streaming spin-up,
@@ -213,14 +224,30 @@ def main() -> None:
         run(name)
 
     n_runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    max_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     per_run: list[dict[str, float]] = []
-    for _ in range(n_runs):
+
+    def _one_pass() -> None:
         pass_t: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
             run(name)
             pass_t[name] = round(time.perf_counter() - t0, 3)
         per_run.append(pass_t)
+
+    for _ in range(n_runs):
+        _one_pass()
+    # adaptive extension (r11 verdict #2): BENCH_r11's noisy_box came
+    # from a neighbor burst inflating the medians — when the planned
+    # passes spread >10%, keep measuring (up to max_runs) so at least
+    # one quiet pass anchors each query's median instead of trusting
+    # three noisy ones at face value.
+    while (
+        len(per_run) < max_runs
+        and _spread([sum(p.values()) for p in per_run]) > 0.10
+    ):
+        _one_pass()
+    n_runs = len(per_run)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -230,6 +257,10 @@ def main() -> None:
     timings = {
         name: round(median([p[name] for p in per_run]), 3) for name in HEADLINE
     }
+    best = {name: min(p[name] for p in per_run) for name in HEADLINE}
+
+    floor_post = _floor_median()
+    floor = min(floor_pre, floor_post)
 
     # concurrent batch: same queries through a thread pool — the floor
     # amortizes across in-flight queries like on a shared cluster.
@@ -273,6 +304,17 @@ def main() -> None:
         "floor_adjusted_total": round(
             sum(max(0.0, t - floor) for t in timings.values()), 3
         ),
+        # idle-floor re-sample bracket (r11 verdict #2): a floor_post
+        # far above floor_pre localizes neighbor noise to the measured
+        # window; floor_sec on the contract line is the MIN
+        "floor_pre": round(floor_pre, 3),
+        "floor_post": round(floor_post, 3),
+        # full-precision medians + per-query best-of-N: on a noisy box
+        # the best-of is the trustworthy plan-cost bound (a median can
+        # only be inflated by noise, never deflated below the plan)
+        "queries_median": timings,
+        "queries_best": {n: round(v, 3) for n, v in best.items()},
+        "best_total": round(sum(best.values()), 3),
         # per-query [start_offset, wall] within the pool phase
         "concurrent_queries": conc_t,
     }
@@ -286,17 +328,23 @@ def main() -> None:
         # attestation that nothing else ran during the bench;
         # tools/ scripts must never be launched mid-bench.
         "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
-        "queries": timings,
+        # 2-decimal on the contract line only (r11 verdict #3: the
+        # 3-decimal map left 2 chars of headroom under the driver's
+        # ~2,000-char stdout tail); 3-decimal medians live on the
+        # diagnostics line as queries_median
+        "queries": {n: round(v, 2) for n, v in timings.items()},
         "floor_sec": round(floor, 3),
         "concurrent_wall": concurrent_wall,
         "run_totals": [
             round(sum(p.values()), 3) for p in per_run
         ],
-        # r6 verdict #6: flag runs whose WARM passes (cold
-        # pass 0 excluded — ~1.6x JIT cost is inherent) spread
-        # more than 20%, so a regression seen in a noisy run
-        # is triaged against exclusive re-runs instead of
-        # trusted at face value.
+        # r6 verdict #6 (basis changed r12 — see ADVICE r11): every
+        # measured pass is warm once the untimed headline warmup
+        # landed (r11), so warm_spread now covers ALL passes, not
+        # per_run[1:]; historical pre-r11 values (2 warm passes) are
+        # not 1:1 comparable.  Flag runs spreading >20% so a
+        # regression seen in a noisy run is triaged against exclusive
+        # re-runs instead of trusted at face value.
         "warm_spread": warm_spread,
         "noisy_box": warm_spread > 0.20,
         "value": total,
