@@ -48,11 +48,42 @@ def write_bucketed(
 # the round-trip silently turns '' into NULL (caught by the r11 CSV
 # quoting differential). \N is the conventional text-format NULL
 # marker; a data value equal to the literal two-char string '\N' would
-# collide, which the TPC-H-shaped corpus cannot contain.
+# collide — write_csv refuses such a frame (r11 ADVICE: fail loudly
+# at write time instead of corrupting a future non-TPC-H corpus).
 _CSV_NULL = "\\N"
 
 
-def write_csv(df: DataFrame, path: str) -> None:
+def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
+    """CSV sink with a lossless ''-vs-NULL round-trip contract.
+
+    ``validate_sentinel`` guards the one documented hole: a real data
+    value equal to the literal two-char string ``\\N`` would read back
+    as NULL.  The guard is a short-circuiting existence probe (LIMIT 1
+    under the filter — first hit stops the scan; a clean corpus pays
+    one extra column-pruned pass over the string columns only).  Pass
+    ``validate_sentinel=False`` when the corpus contract already rules
+    the sentinel out and the write is in a scan-bound hot path.
+    """
+    if validate_sentinel:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        str_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+        ]
+        if str_cols:
+            collision = reduce(
+                lambda a, b: a | b,
+                (F.col(c) == F.lit(_CSV_NULL) for c in str_cols),
+            )
+            if not df.select(*str_cols).where(collision).isEmpty():
+                raise ValueError(
+                    f"write_csv: a string cell equals the NULL sentinel "
+                    f"{_CSV_NULL!r} and would silently read back as NULL; "
+                    "clean the column or write parquet/JSON instead"
+                )
     df.write.mode("overwrite").option("header", "true").option(
         "emptyValue", '""'
     ).option("nullValue", _CSV_NULL).csv(path)

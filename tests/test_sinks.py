@@ -45,6 +45,35 @@ def test_csv_roundtrip(spark):
         assert _multiset(back, nation.columns) == _multiset(nation, nation.columns)
 
 
+def test_csv_sentinel_guard_fails_loudly(spark):
+    """A data value equal to the literal NULL sentinel '\\N' would read
+    back as NULL — write_csv must REFUSE it at write time (r11 ADVICE),
+    not corrupt the round-trip; validate_sentinel=False restores the
+    documented corpus-contract opt-out; a clean frame passes the guard
+    and still round-trips losslessly."""
+    poisoned = spark.createDataFrame(
+        [(1, "\\N"), (2, "ok")], "id int, s string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "poison_csv")
+        with pytest.raises(ValueError, match="NULL sentinel"):
+            sinks.write_csv(poisoned, path)
+        assert not os.path.exists(path), "guard must fire BEFORE the write"
+        # opt-out still writes (and documents the silent corruption:
+        # the sentinel cell reads back as NULL — exactly the hazard)
+        sinks.write_csv(poisoned, path, validate_sentinel=False)
+        back = sinks.read_csv(spark, path, poisoned.schema)
+        assert _multiset(back, ["id", "s"]) == [(1, None), (2, "ok")]
+        # clean frame with NULLs and empties passes the guard unchanged
+        clean = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x\\Ny")], "id int, s string"
+        )
+        path2 = os.path.join(d, "clean_csv")
+        sinks.write_csv(clean, path2)
+        back2 = sinks.read_csv(spark, path2, clean.schema)
+        assert _multiset(back2, ["id", "s"]) == [(1, None), (2, ""), (3, "x\\Ny")]
+
+
 def test_json_roundtrip(spark):
     supplier = load_table(spark, SF, "supplier")
     with tempfile.TemporaryDirectory() as d:
