@@ -75,11 +75,78 @@ def _rows_to_multiset(rows, colnames, canon=None):
     ), [colnames[i] for i in order]
 
 
+# mirror of sources/tables.py _NANO_TS_COLS: columns that may arrive in
+# the LEGACY nanosecond form and must floor to microseconds on BOTH
+# engines (Spark floors in _restore_nano_ts; the oracle view must too)
+_ORACLE_NANO_TS_COLS = {"events": ("ts",)}
+_VIEW_SELECT_CACHE: dict[str, str] = {}
+
+
+def _view_select(table: str, path: str) -> str:
+    """View body for one table, closing the nano-timestamp parity hole
+    (r11 ADVICE): Spark's _restore_nano_ts FLOORS ns -> us, while
+    DuckDB 1.0's native TIMESTAMP_NS -> TIMESTAMP conversion truncates
+    toward zero, so pre-epoch sub-microsecond values silently diverge.
+
+    - legacy raw-int64 ns column: build the floor EXPLICITLY over the
+      raw nanos with exact int64 arithmetic (pmod keeps it exact where
+      a double's 53-bit mantissa would not; `//` is safe because the
+      pmod subtraction makes the dividend an exact multiple of 1000) —
+      parity holds for ALL inputs, pre-epoch included;
+    - TIMESTAMP(NANOS) parquet column: DuckDB 1.0 truncates AT SCAN
+      (DESCRIBE shows TIMESTAMP and epoch_ns(-1 ns) = 0), so the raw
+      nanos are unrecoverable SQL-side — assert the fixture is
+      post-epoch (where floor == truncate) and fail LOUDLY otherwise
+      instead of hashing silently-wrong parity.
+    """
+    if table not in _ORACLE_NANO_TS_COLS:
+        return f"SELECT * FROM '{path}'"
+    cached = _VIEW_SELECT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    nano_cols = _ORACLE_NANO_TS_COLS[table]
+    exprs = []
+    for name in schema.names:
+        typ = schema.field(name).type
+        if name in nano_cols and pa.types.is_int64(typ):
+            exprs.append(
+                f"make_timestamp(({name} - (({name} % 1000 + 1000) % 1000))"
+                f" // 1000) AS {name}"
+            )
+        elif (
+            name in nano_cols
+            and pa.types.is_timestamp(typ)
+            and typ.unit == "ns"
+        ):
+            from datetime import datetime
+
+            col = pq.read_table(path, columns=[name])[name]
+            mn = pa.compute.min(col).as_py()
+            if mn is not None and mn < datetime(1970, 1, 1, tzinfo=mn.tzinfo):
+                raise ValueError(
+                    f"{table}.{name}: TIMESTAMP(NANOS) fixture contains "
+                    f"pre-epoch values (min {mn}); DuckDB 1.0 truncates "
+                    "ns toward zero at scan while Spark floors — oracle "
+                    "parity is unattainable for this fixture, regenerate "
+                    "it post-epoch or as raw int64 nanos"
+                )
+            exprs.append(name)
+        else:
+            exprs.append(name)
+    sel = "SELECT " + ", ".join(exprs) + f" FROM '{path}'"
+    _VIEW_SELECT_CACHE[path] = sel
+    return sel
+
+
 def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        con.execute(f"CREATE VIEW {t} AS {_view_select(t, p)}")
     return con
 
 

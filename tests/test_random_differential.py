@@ -9345,6 +9345,88 @@ def test_nano_ts_restore_pre_epoch_floor(spark, tmp_path):
             assert duck[i] == got[i]
 
 
+def test_nano_ts_oracle_view_floor_parity(spark, tmp_path):
+    """Oracle-view closure of the pre-epoch nano seam (r11 ADVICE #3):
+    tests/oracle._connect now builds the events view with an EXPLICIT
+    exact-int64 floor over legacy raw-ns columns, so driver/oracle
+    parity holds for ALL ns inputs — including the pre-epoch
+    sub-microsecond values where DuckDB's native TIMESTAMP_NS cast
+    truncates toward zero (pinned divergent in the test above).
+
+    Three regimes:
+    - legacy int64 ns fixture WITH pre-epoch values: full value parity
+      between Spark's _restore_nano_ts and the oracle view;
+    - TIMESTAMP(NANOS) fixture, post-epoch: parity (floor == truncate);
+    - TIMESTAMP(NANOS) fixture, pre-epoch: _connect RAISES (DuckDB 1.0
+      truncates at SCAN, raw nanos are unrecoverable — fail loudly,
+      never hash silently-wrong parity)."""
+    from datetime import timezone
+
+    from dpu_olap_spark.sources.tables import TABLES, load_table
+    from tests.oracle import _VIEW_SELECT_CACHE, run_oracle
+
+    def make_sf(subdir: str, ts_array) -> str:
+        d = tmp_path / subdir
+        d.mkdir()
+        for t in TABLES:
+            if t != "events":
+                os.symlink(
+                    f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet"
+                )
+        n = len(ts_array)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "ts": ts_array,
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(["view"] * n, pa.string()),
+                    "value": pa.array([1.0] * n, pa.float64()),
+                    "props": pa.array(["{}"] * n, pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    nanos = [-1, -999, -1000, -1001, -1_500_000_001, 0, 1, 999, 1000,
+             1001, 1_700_000_000_123_456_789]
+    sql = "SELECT event_id, ts FROM events"
+
+    # regime 1: legacy raw-int64 ns, pre-epoch included — exact parity
+    d1 = make_sf("legacy_ns", pa.array(nanos, pa.int64()))
+    spark_rows = {
+        r.event_id: r.ts.replace(tzinfo=timezone.utc)
+        for r in load_table(spark, d1, "events").collect()
+    }
+    oracle_rows, _ = run_oracle(sql, d1)
+    assert {
+        eid: ts.replace(tzinfo=timezone.utc) for eid, ts in oracle_rows
+    } == spark_rows
+    # attest the seam is exercised: -1 ns floors to -1 us on BOTH sides
+    # (the native DuckDB cast would have produced the epoch here)
+    assert spark_rows[0].microsecond == 999999
+
+    # regime 2: TIMESTAMP(NANOS) post-epoch — plain view, parity holds
+    post = [ns for ns in nanos if ns >= 0]
+    d2 = make_sf("ns_post", pa.array(post, pa.timestamp("ns")))
+    spark2 = {
+        r.event_id: r.ts.replace(tzinfo=timezone.utc)
+        for r in load_table(spark, d2, "events").collect()
+    }
+    oracle2, _ = run_oracle(sql, d2)
+    assert {
+        eid: ts.replace(tzinfo=timezone.utc) for eid, ts in oracle2
+    } == spark2
+
+    # regime 3: TIMESTAMP(NANOS) pre-epoch — unrecoverable, fail loudly
+    d3 = make_sf("ns_pre", pa.array(nanos, pa.timestamp("ns")))
+    with pytest.raises(ValueError, match="pre-epoch"):
+        run_oracle(sql, d3)
+    # the poisoned fixture must not poison the view cache either
+    assert not any("ns_pre" in k for k in _VIEW_SELECT_CACHE)
+
+
 def test_statestore_changefeed_multibatch_evolution_and_replay(spark, tmp_path):
     """Change-feed EVOLUTION differential (the multi-batch case the
     registered statestore_changefeed can't force because availableNow
