@@ -430,6 +430,71 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _propagate_min_labels(
+    nodes: DataFrame, edges: DataFrame, n_part: int, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Min-label propagation to the fixpoint; returns (labels, rounds).
+
+    cache + explicit unpersist keeps exactly one labels snapshot in
+    storage memory; carrying the previous checksum forward halves the
+    per-round job count; a periodic localCheckpoint (every 4th round,
+    so at most a handful of snapshots even for deep graphs — none at
+    all for typical 2-3-round convergence) stops the iterative plan
+    from deepening unboundedly.
+
+    Both sides are hash-partitioned on the join key up front (edges
+    on src once; labels on doc_id, a partitioning every subsequent
+    round's join/groupBy output inherits), so each propagation round
+    pays exactly ONE exchange — the groupBy(dst) — instead of
+    re-shuffling the cached edges and labels every round.  Explicit
+    partition count: a bare repartition(col) is an AQE coalesce
+    target, which would break the edges/labels count match the
+    exchange elision depends on.
+
+    RAISES past max_rounds rather than returning partial clusters —
+    this plain (non-doubling) propagation needs `diameter` rounds, so
+    max_rounds IS the deepest duplicate chain supported.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    labels = (
+        nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .repartition(n_part, "doc_id")
+        .cache()
+    )
+    edges = edges.repartition(n_part, "src").cache()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    converged = False
+    for i in range(max_rounds):
+        neigh = _cc_round(edges, labels)
+        new_labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        new_labels = (
+            new_labels.localCheckpoint() if (i + 1) % 4 == 0 else new_labels.cache()
+        )
+        # converged when no label decreased (checksum is monotone)
+        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within the "
+            f"iteration bound ({max_rounds}) — raise SPARK_GRAFT_CC_MAX_ROUNDS "
+            "for deeper duplicate chains rather than returning partial clusters"
+        )
+    return labels, i + 1
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -469,57 +534,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
     edges = _cc_edges(pairs)
 
-    # cache + explicit unpersist keeps exactly one labels snapshot in
-    # storage memory; carrying the previous checksum forward halves the
-    # per-round job count; a periodic localCheckpoint (every 4th round,
-    # so at most a handful of snapshots even for deep graphs — none at
-    # all for typical 2-3-round convergence) stops the iterative plan
-    # from deepening unboundedly.
-    #
-    # Both sides are hash-partitioned on the join key up front (edges
-    # on src once; labels on doc_id, a partitioning every subsequent
-    # round's join/groupBy output inherits), so each propagation round
-    # pays exactly ONE exchange — the groupBy(dst) — instead of
-    # re-shuffling the cached edges and labels every round.
-    # explicit partition count: a bare repartition(col) is an AQE
-    # coalesce target, which would break the edges/labels count match
-    # the exchange elision depends on
+    # propagation mechanics + exchange accounting: _propagate_min_labels.
+    # Diameter bound env-tunable (r11 verdict #7): dup clusters are
+    # shallow (measured 2-round convergence at every test SF), but a
+    # corpus with a longer near-dup chain can raise the bound without a
+    # code change — and still fails loudly past it.
+    import os
+
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    labels = (
-        corpus.select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .repartition(n_part, "doc_id")
-        .cache()
-    )
-    edges = edges.repartition(n_part, "src").cache()
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    converged = False
-    for i in range(16):  # diameter bound; dup clusters are shallow
-        neigh = _cc_round(edges, labels)
-        new_labels = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-            ).alias("cluster_id"),
-        )
-        new_labels = (
-            new_labels.localCheckpoint() if (i + 1) % 4 == 0 else new_labels.cache()
-        )
-        # converged when no label decreased (checksum is monotone)
-        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    edges.unpersist()
-    _LAST_ITERATIONS[sf_dir] = i + 1
-    if not converged:
-        raise RuntimeError(
-            "dedup_clusters: label propagation did not converge within the "
-            "iteration bound — raise the bound for deeper duplicate chains "
-            "rather than returning partial clusters"
-        )
+    max_rounds = int(os.environ.get("SPARK_GRAFT_CC_MAX_ROUNDS", "16"))
+    labels, rounds = _propagate_min_labels(corpus, edges, n_part, max_rounds)
+    _LAST_ITERATIONS[sf_dir] = rounds
     # bound retention across invocations: release the previous call's
     # result snapshot (the caller consumes the returned frame promptly;
     # only the latest stays materialized)

@@ -113,6 +113,70 @@ def test_dedup_clusters_randomized_vs_union_find(spark, tmp_path):
     assert Counter(expect.values()).most_common(1)[0][1] >= 3
 
 
+def test_cc_propagation_diameter_bound_boundary(spark):
+    """Bound-boundary pin for the propagation loop (r11 verdict #7):
+    a PATH graph 0-1-2-3-4 (diameter 4) needs exactly 5 rounds — 4 to
+    drive every label to 0 plus 1 to OBSERVE the checksum fixpoint —
+    so max_rounds=5 converges at the bound and max_rounds=4 must RAISE
+    (fail-loud, never partial clusters); max_rounds<1 is rejected
+    outright.  Drives _propagate_min_labels directly: forcing a
+    5-deep near-dup chain through the LSH pipeline would pin the
+    minhash vocabulary, not the loop."""
+    from dpu_olap_spark.llm import dedup as dd
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+    )
+    edges = dd._cc_edges(pairs)
+
+    labels, rounds = dd._propagate_min_labels(nodes, edges, 4, max_rounds=5)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(5)}
+    assert rounds == 5, "path-4 must take diameter+1 rounds exactly"
+
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_CC_MAX_ROUNDS"):
+        dd._propagate_min_labels(nodes, dd._cc_edges(pairs), 4, max_rounds=4)
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        dd._propagate_min_labels(nodes, dd._cc_edges(pairs), 4, max_rounds=0)
+
+
+def test_cc_max_rounds_env_tunable(spark, tmp_path, monkeypatch):
+    """The registered query reads SPARK_GRAFT_CC_MAX_ROUNDS: a bound
+    too small for even the trivial planted-dup graph (1 round to
+    propagate + 1 to observe) raises through the query path, and the
+    default bound converges on the same corpus."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (doc_id, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14))))
+        for doc_id in range(60)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        sf + "/documents.parquet"
+    )
+    # the bound-1 raise below needs at least one real label change, so
+    # the candidate graph must be non-empty — attest the forcing
+    assert _q("dedup_minhash_pairs").build(spark, sf).count() > 0
+    monkeypatch.setenv("SPARK_GRAFT_CC_MAX_ROUNDS", "1")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_CC_MAX_ROUNDS"):
+        _q("dedup_clusters").build(spark, sf).collect()
+    monkeypatch.delenv("SPARK_GRAFT_CC_MAX_ROUNDS")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in _q("dedup_clusters").build(spark, sf).collect()
+    }
+    # _corpus augments with -id-1 mirror dups, so the node set is a
+    # superset of the written doc_ids; every label is min-rooted
+    assert set(range(60)) <= set(got)
+    assert all(c <= d for d, c in got.items())
+
+
 def test_mm_decode_shapes_and_determinism(spark):
     out = _q("mm_decode").build(spark, SF)
     rows = out.collect()
