@@ -16,14 +16,19 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (12): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (15): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
 window (rank-filter / running / lag), string-function grouping,
 UNION/INTERSECT/EXCEPT set ops, IN/EXISTS/scalar subqueries,
-GROUPING SETS / ROLLUP / CUBE with GROUPING() indicators, and
-NULL-injection (NULLIF/COALESCE/CASE over a NULL-free corpus).
+GROUPING SETS / ROLLUP / CUBE with GROUPING() indicators,
+NULL-injection (NULLIF/COALESCE/CASE over a NULL-free corpus), and —
+r12, aimed where the seed-25995 catch said the under-explored regime
+is (empty and near-empty groups under composed operators) — HAVING
+over empty grouped inputs composed with set ops, outer-join +
+aggregate over fully-null-extended sides, and window frames over
+single-row/empty partitions.
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -674,6 +679,176 @@ def _gen_joinwindow(con, rng: random.Random) -> str:
     )
 
 
+def _near_empty_pred(con, table: str, cols: dict, rng: random.Random) -> str:
+    """Predicate engineered to select 0, 1, or a handful of rows — the
+    regime the r11 catch (seed 25995: grand-total grouping-set row over
+    EMPTY input) says is under-explored.  Flavors: provably-empty
+    (1=0), PK-singleton (exactly one row), and a tiny PK range."""
+    pk = cols["ints"][0]
+    r = rng.random()
+    if r < 0.3:
+        return "1=0"
+    vals = _sample_values(con, table, pk, rng, 1)
+    if not vals:
+        return "1=0"
+    if r < 0.7:
+        return f"{pk} = {vals[0]}"
+    return f"{pk} >= {vals[0]} AND {pk} <= {vals[0]} + {rng.randint(0, 3)}"
+
+
+def _gen_emptyset(con, rng: random.Random) -> str:
+    """HAVING over EMPTY / near-empty grouped inputs COMPOSED with set
+    ops (r11 verdict #4a).  Each side of the set op is a grouped (or
+    global, or ROLLUP+guard) aggregate whose input is engineered to
+    0/1/few rows; the HAVING then filters groups at the emptiness
+    boundary.  Covers: global-agg-over-empty emits exactly one row on
+    both engines and HAVING drops it symmetrically; plain GROUP BY
+    over empty emits none; ROLLUP stays sanctioned via the house-rule
+    HAVING COUNT(*) > 0 (the r11 catch's closure) and is composed here
+    so the closure itself is fuzzed under set ops."""
+    table = rng.choice([t for t in sorted(TABLE_COLS)
+                        if len(TABLE_COLS[t]["groups"]) >= 2])
+    cols = TABLE_COLS[table]
+    g = rng.choice(cols["groups"])
+    pk = cols["ints"][0]
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+
+    def side() -> str:
+        pred = (_near_empty_pred(con, table, cols, rng)
+                if rng.random() < 0.7
+                else _gen_predicate(con, table, cols, rng))
+        flavor = rng.randrange(3)
+        having = rng.choice([
+            "COUNT(*) > 0",
+            f"COUNT(*) >= {rng.randint(1, 3)}",
+            f"MIN({pk}) IS NOT NULL",
+        ])
+        if flavor == 0:
+            # global aggregate: one row even over empty input; HAVING
+            # over that single all-NULL/0 group is the boundary
+            return (f"SELECT 'all' AS grp, COUNT(*) AS n_rows, "
+                    f"MIN({pk}) AS min_k FROM {table} WHERE ({pred})"
+                    f" HAVING {having}")
+        if flavor == 1:
+            return (f"SELECT CAST({g} AS STRING) AS grp, COUNT(*) AS "
+                    f"n_rows, MIN({pk}) AS min_k FROM {table}"
+                    f" WHERE ({pred}) GROUP BY {g} HAVING {having}")
+        # ROLLUP under the sanctioned guard, composed with the set op
+        return (f"SELECT COALESCE(CAST({g} AS STRING), '<total>') AS "
+                f"grp, COUNT(*) AS n_rows, MIN({pk}) AS min_k"
+                f" FROM {table} WHERE ({pred}) GROUP BY ROLLUP({g})"
+                f" HAVING COUNT(*) > 0")
+
+    return f"{side()} {op} {side()}"
+
+
+def _gen_outeragg(con, rng: random.Random) -> str:
+    """Outer-join + aggregate where the dim side is FULLY (or nearly)
+    null-extended (r11 verdict #4b): the ON-clause dim predicate is
+    engineered toward zero matches, so every surviving row carries
+    NULL dim columns and the aggregates exercise the all-NULL rules —
+    COUNT(col)=0, MIN/MAX→NULL, SUM(CASE ...)=NULL vs 0, and grouping
+    BY the DIM column collapses everything into the NULL group."""
+    fact, dim, fk, pk = rng.choice(_JOINS)
+    fc, dc = TABLE_COLS[fact], TABLE_COLS[dim]
+    dim_pred = (_near_empty_pred(con, dim, dc, rng)
+                if rng.random() < 0.75
+                else _gen_predicate(con, dim, dc, rng))
+    fact_pred = (_near_empty_pred(con, fact, fc, rng)
+                 if rng.random() < 0.3
+                 else _gen_predicate(con, fact, fc, rng))
+    ds = rng.choice(dc["strs"]) if dc["strs"] else None
+    aggs = [
+        "COUNT(*) AS n_rows",
+        f"COUNT({dim}.{pk}) AS n_matched",
+        f"MIN({dim}.{pk}) AS min_dp",
+        f"MAX({dim}.{pk}) AS max_dp",
+        f"CAST(SUM(CASE WHEN {dim}.{pk} IS NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_nullext",
+    ]
+    if ds:
+        aggs.append(f"MIN({dim}.{ds}) AS min_ds")
+        aggs.append(f"COUNT(DISTINCT {dim}.{ds}) AS n_dist_ds")
+    on = f"{fact}.{fk} = {dim}.{pk} AND ({dim_pred})"
+    if rng.random() < 0.5 and ds:
+        # group by the DIM string: all null-extended rows form the
+        # NULL group, and both engines must agree it groups as ONE
+        return (f"SELECT {dim}.{ds} AS grp, " + ", ".join(aggs)
+                + f" FROM {fact} LEFT JOIN {dim} ON {on}"
+                + f" WHERE ({fact_pred}) GROUP BY {dim}.{ds}")
+    g = rng.choice(fc["groups"])
+    return (f"SELECT {fact}.{g} AS grp, " + ", ".join(aggs)
+            + f" FROM {fact} LEFT JOIN {dim} ON {on}"
+            + f" WHERE ({fact_pred}) GROUP BY {fact}.{g}")
+
+
+def _gen_winframe(con, rng: random.Random) -> str:
+    """Window FRAMES over single-row and empty partitions (r11 verdict
+    #4c): PARTITION BY the unique PK makes EVERY partition a
+    singleton (each row is simultaneously a frame head, tail, and
+    both edges for lead/lag defaults), and a near-empty WHERE drives
+    the whole input to 0/1 rows.  Flavors: bounded ROWS frames
+    (k PRECEDING .. CURRENT / CURRENT .. k FOLLOWING / k .. k),
+    first/last_value over those frames, lead+lag defaults at
+    partition edges, and a RANGE frame over integer cents.  Order is
+    always total (PK tiebreak) so both engines must agree
+    row-for-row; windowed SUM stays cents-BIGINT cast outside (the
+    pinned HUGEINT seam)."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    part = pk if rng.random() < 0.5 else rng.choice(cols["groups"])
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.5
+            else _gen_predicate(con, table, cols, rng))
+    lo, hi = rng.randint(0, 3), rng.randint(0, 3)
+    frame = rng.choice([
+        f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+        f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+    ])
+    over = f"(PARTITION BY {part} ORDER BY {pk} {frame})"
+    flavor = rng.randrange(3)
+    if flavor == 0:
+        return (
+            f"SELECT {pk}, CAST(SUM({cents}) OVER {over} AS BIGINT) AS "
+            f"w_sum, COUNT(*) OVER {over} AS w_n, "
+            f"MIN({pk}) OVER {over} AS w_min"
+            f" FROM {table} WHERE ({pred})"
+        )
+    if flavor == 1:
+        # frame head/tail: NULL when the frame is empty (e.g. the
+        # UNBOUNDED..1 PRECEDING frame on a partition's first row)
+        return (
+            f"SELECT {pk}, first_value({pk}) OVER {over} AS w_first, "
+            f"last_value({pk}) OVER {over} AS w_last"
+            f" FROM {table} WHERE ({pred})"
+        )
+    if rng.random() < 0.5:
+        # lead/lag with explicit defaults: every singleton-partition
+        # row takes the default on BOTH sides
+        d = rng.randint(-5, 5)
+        return (
+            f"SELECT {pk}, LAG({cents}, 1, {d}) OVER (PARTITION BY "
+            f"{part} ORDER BY {pk}) AS w_lag, LEAD({cents}, 1, {d}) "
+            f"OVER (PARTITION BY {part} ORDER BY {pk}) AS w_lead"
+            f" FROM {table} WHERE ({pred})"
+        )
+    # RANGE over integer cents: value-based frame edges; ties in the
+    # order key are impossible (cents need not be unique — RANGE
+    # includes ALL peers, which both engines must agree on)
+    r = rng.randint(0, 500)
+    return (
+        f"SELECT {pk}, CAST(SUM({cents}) OVER (PARTITION BY {part} "
+        f"ORDER BY {cents} RANGE BETWEEN {r} PRECEDING AND CURRENT ROW)"
+        f" AS BIGINT) AS w_rsum"
+        f" FROM {table} WHERE ({pred})"
+    )
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -687,12 +862,16 @@ _SHAPES = {
     "nullcase": _gen_nullcase,
     "multijoin": _gen_multijoin,
     "joinwindow": _gen_joinwindow,
+    "emptyset": _gen_emptyset,
+    "outeragg": _gen_outeragg,
+    "winframe": _gen_winframe,
 }
 
 _DEFAULT_MIX = (
     ["single"] * 3 + ["join"] * 3 + ["topk"] + ["datefunc"]
     + ["window"] * 2 + ["stringfunc"] * 2 + ["setop"] + ["subquery"] * 2
     + ["groupsets"] + ["nullcase"] + ["multijoin"] + ["joinwindow"]
+    + ["emptyset"] + ["outeragg"] + ["winframe"]
 )
 
 
