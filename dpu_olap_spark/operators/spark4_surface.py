@@ -526,3 +526,141 @@ def q_collated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY f.b, d.n_odd, d.odd_cents
         """
     )
+
+
+@query(
+    "sql_script",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             o_orderpriority
+      FROM orders
+    ),
+    stats AS (SELECT SUM(c) // COUNT(*) AS thr, COUNT(*) AS total FROM cents),
+    counts AS (
+      SELECT s.k AS k,
+             (SELECT COUNT(*) FROM cents, stats
+              WHERE c * 10 > (10 + s.k) * thr) AS n,
+             (SELECT total FROM stats) AS total
+      FROM generate_series(1, 10) AS s(k)
+    ),
+    chosen AS (
+      SELECT CAST(COALESCE(MIN(k), 10) AS INT) AS k
+      FROM counts WHERE n * 5 < total
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           (SELECT k FROM chosen) AS k_cut
+    FROM cents, stats, chosen
+    WHERE c * 10 > (10 + chosen.k) * stats.thr
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.1 BEGIN..END compound): a procedural
+    threshold search — DECLARE local variables, assign from scalar
+    subqueries, then a WHILE loop raises a tenths multiplier k until
+    fewer than 20% of orders price above (1 + k/10) x the mean, and
+    the final statement (the block's return relation) aggregates the
+    survivors.  The reference has no procedural layer at all; this is
+    the control-flow seam its host driver loop hand-codes in C++
+    (host/aggr/aggr_native.cc:67-73 re-dispatches kernels per step).
+
+    Every step is EXACT integer arithmetic (cents, DIV, counts) so the
+    loop exits after the same iteration on any engine — the DuckDB
+    oracle replays the search declaratively (generate_series + MIN(k)
+    with the same n*5 < total cut, COALESCE to the same k=10
+    exhaustion bound the loop guard enforces) and k_cut rides in the
+    output so a divergence in WHICH iteration terminated cannot hide
+    behind value coincidence.
+
+    Scale: each loop round is ONE scalar aggregate over the orders
+    scan (predicate c*10 > (10+k)*thr, no shuffle beyond the
+    partial-agg exchange); the loop is driver-side CONTROL only —
+    bounded at 10 rounds, data never leaves the cluster.  The block
+    executes EAGERLY: every statement runs as its own distributed job
+    and the block's return relation is the materialized final result
+    (LocalTableScan — plan-gated), so the contract is aggregate-first:
+    the final statement must reduce to a SMALL relation (here: 5
+    priority groups), never fact-table rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sql_script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE k INT DEFAULT 1;
+          DECLARE n BIGINT DEFAULT 0;
+          SET thr = (SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) DIV COUNT(*)
+                     FROM sql_script_orders);
+          SET total = (SELECT COUNT(*) FROM sql_script_orders);
+          SET n = (SELECT COUNT(*) FROM sql_script_orders
+                   WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         * 10 > (10 + k) * thr);
+          WHILE n * 5 >= total AND k < 10 DO
+            SET k = k + 1;
+            SET n = (SELECT COUNT(*) FROM sql_script_orders
+                     WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * 10 > (10 + k) * thr);
+          END WHILE;
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_cents,
+                 CAST(k AS INT) AS k_cut
+          FROM sql_script_orders
+          WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10
+                > (10 + k) * thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+@query(
+    "exec_immediate",
+    oracle="""
+    SELECT o_orderpriority AS grp, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement TEXT
+    lives in a STRING session variable (DECLARE OR REPLACE keeps
+    repeated runs in one session legal) and executes with positional
+    `?` binds — the grouping COLUMN arrives through IDENTIFIER(?) (a
+    bound parameter promoted to an identifier under the parser's
+    quoting rules, so a malicious name never parses as SQL) and the
+    date bounds arrive as value binds.  Completes the dynamic-SQL
+    surface next to param_sql (named args into a static text) and
+    identifier_sql (IDENTIFIER over spark.sql args): here the text
+    itself is data.  After binding, the plan is ordinary — the bound
+    date range reaches the parquet scan as PushedFilters exactly like
+    a hand-inlined predicate (plan-gated in tests/test_plans.py)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "exec_imm_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE exec_imm_stmt STRING")
+    spark.sql(
+        """
+        SET VAR exec_imm_stmt =
+          'SELECT IDENTIFIER(?) AS grp, COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+           FROM exec_imm_orders
+           WHERE o_orderdate >= ? AND o_orderdate < ?
+           GROUP BY ALL'
+        """
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE exec_imm_stmt "
+        "USING 'o_orderpriority', TIMESTAMP '1995-01-01', "
+        "TIMESTAMP '1996-01-01'"
+    )

@@ -577,3 +577,32 @@ def test_dedup_paragraph_plan_shape(spark):
     assert "partial_listagg" in plan and "listagg" in plan
     assert "BatchEvalPython" not in plan  # pure built-ins, no Python
     assert plan.count("length(text") >= 2  # pushed filter on both scans
+
+
+def test_exec_immediate_binds_push_down(spark):
+    """exec_immediate: after the dynamic text + positional binds
+    resolve, the bound date range must reach the parquet scan as
+    pushed filters — dynamic SQL must not defeat pushdown — and the
+    IDENTIFIER(?) grouping column must plan an ordinary
+    HashAggregate."""
+    plan = _formatted_plan(spark, "exec_immediate")
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters", 1
+    )[1].split("]", 1)[0], "bound date range did not push to the scan"
+    assert "HashAggregate" in plan
+
+
+def test_sql_script_returns_small_local_relation(spark):
+    """sql_script: a BEGIN..END block executes EAGERLY — each
+    statement (the scalar-subquery assignments, each WHILE-round
+    count, the final grouped aggregate) runs as its own distributed
+    job while the block evaluates, and the block's RETURN relation is
+    the already-materialized final result (a LocalTableScan, same
+    execution contract as DataFrame.transpose).  That makes the
+    operator contract aggregate-first: the final statement must
+    reduce to a small relation because it is collected.  Pin the
+    4-column local shape so a refactor whose final statement returns
+    fact-table rows changes this test before it melts a driver."""
+    plan = _formatted_plan(spark, "sql_script")
+    assert "LocalTableScan" in plan, "script result no longer local"
+    assert "Output [4]" in plan, "unexpected script result width"

@@ -9255,11 +9255,13 @@ def test_csv_sink_null_sentinel_collision_documented(spark, tmp_path):
     """Attests the DOCUMENTED limitation of the CSV sink's \\N NULL
     sentinel (sources/sinks.py): a string value equal to the literal
     two-character sequence backslash-N cannot round-trip — it reads
-    back as NULL, colliding with true NULLs. The TPC-H-shaped corpus
-    cannot contain it (names are alphanumeric), so the trade is
-    accepted; this test pins the exact behavior so a future sentinel
-    change is a conscious decision, and confirms every OTHER
-    backslash-ish value survives."""
+    back as NULL, colliding with true NULLs. Since r12 the sink
+    REFUSES such frames at write time (the r11-ADVICE guard, pinned in
+    tests/test_sinks.py); the collision itself remains reachable only
+    through the explicit validate_sentinel=False opt-out, which this
+    test uses to keep the underlying behavior pinned so a future
+    sentinel change is a conscious decision — and confirms every
+    OTHER backslash-ish value survives."""
     from dpu_olap_spark.sources import sinks
 
     df = spark.createDataFrame(
@@ -9267,7 +9269,9 @@ def test_csv_sink_null_sentinel_collision_documented(spark, tmp_path):
         "k int, s string",
     )
     path = str(tmp_path) + "/csv_sentinel"
-    sinks.write_csv(df, path)
+    with pytest.raises(ValueError, match="NULL sentinel"):
+        sinks.write_csv(df, path)  # the guard fires on the poisoned frame
+    sinks.write_csv(df, path, validate_sentinel=False)
     back = {r.k: r.s for r in sinks.read_csv(spark, path, df.schema).collect()}
     assert back[1] is None          # the documented collision
     assert back[2] == "\\n"         # lowercase survives
@@ -9972,3 +9976,128 @@ def test_empty_input_grand_total_grouping_set_cross_engine_seam(spark):
     q = (f"SELECT COUNT(*) AS c FROM {empty} "
          f"GROUP BY ROLLUP(a, s) HAVING COUNT(*) > 0")
     assert spark.sql(q).collect() == [] and duckdb.sql(q).fetchall() == []
+
+
+def _sf_with_orders(tmp_path, subdir, rows):
+    """A fixture sf_dir whose orders.parquet is custom (o_totalprice
+    double + o_orderpriority + o_orderdate) and whose other nine
+    tables are symlinks to sf0.001 — enough for run_oracle's views."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "orders":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_totalprice": pa.array([r[0] for r in rows], pa.float64()),
+                "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+                "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+def test_sql_script_loop_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the SQL-scripting WHILE loop:
+    three engineered cents distributions pin the loop's three exit
+    regimes, each attested by a pure-Python replay of the exact
+    integer search (thr = sum DIV n; continue while n_above*5 >=
+    total AND k < 10) and checked Spark-vs-DuckDB through the
+    registered oracle:
+
+    - immediate exit (k_cut=1): 19% of rows above the 1.1x cut;
+    - mid-loop exit (k_cut=4): a 155-cent tier that stays above the
+      k=3 cut by EXACTLY 16 cents-x10 units and falls below at k=4 —
+      the strict-> boundary decides the exit round;
+    - exhaustion (k_cut=10): a far tier above every cut while the
+      continue-condition holds with EQUALITY (n*5 == total) — the
+      >= boundary keeps the loop running to the guard."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    day = datetime(1995, 6, 1)
+
+    def walk(cents_list):
+        thr = sum(cents_list) // len(cents_list)
+        total = len(cents_list)
+        k = 1
+        n = sum(1 for c in cents_list if c * 10 > (10 + k) * thr)
+        while n * 5 >= total and k < 10:
+            k += 1
+            n = sum(1 for c in cents_list if c * 10 > (10 + k) * thr)
+        return k, thr
+
+    fixtures = {
+        # 81 x 100c + 19 x 1000c: thr=271, 19/100 above 1.1x -> k=1
+        "exit1": [100] * 81 + [1000] * 19,
+        # 15 x 100c + 3 x 155c + 2 x 200c: thr=118; 155s above the
+        # k=3 cut (1550 > 1534) but not the k=4 cut (1550 < 1652)
+        "exit4": [100] * 15 + [155] * 3 + [200] * 2,
+        # 16 x 100c + 4 x 1000c: thr=280; n=4, total=20 -> the
+        # continue-condition holds with EQUALITY every round
+        "exit10": [100] * 16 + [1000] * 4,
+    }
+    expect_k = {"exit1": 1, "exit4": 4, "exit10": 10}
+
+    for name, cents in fixtures.items():
+        k, thr = walk(cents)
+        assert k == expect_k[name], f"{name}: fixture drifted (walk k={k})"
+        rows = [
+            (c / 100.0, "P1" if i % 2 == 0 else "P2", day)
+            for i, c in enumerate(cents)
+        ]
+        sf = _sf_with_orders(tmp_path, name, rows)
+        got = all_queries()["sql_script"].build(spark, sf)
+        g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+        orows, ocols = run_oracle(oracle_map()["sql_script"], sf)
+        o_ms, o_cols = _rows_to_multiset(orows, ocols)
+        assert g_cols == o_cols, name
+        assert g_ms == o_ms, f"{name}: spark/oracle diverge"
+        ks = {r.k_cut for r in got.collect()}
+        assert ks <= {expect_k[name]}, f"{name}: k_cut {ks}"
+        # attest the survivors are the expected tier rows
+        thr_cut = (10 + expect_k[name]) * thr
+        n_expect = sum(1 for c in cents if c * 10 > thr_cut)
+        assert sum(r.n_orders for r in got.collect()) == n_expect
+
+
+def test_exec_immediate_bind_boundaries(spark, tmp_path):
+    """Forced-boundary differential for EXECUTE IMMEDIATE's bound date
+    range [1995-01-01, 1996-01-01): one row exactly ON each bound and
+    one just inside each — the inclusive >= keeps the ON-start row,
+    the strict < drops the ON-end row; attested row-for-row against
+    the registered oracle, and the query must be repeatable in one
+    session (DECLARE OR REPLACE of the statement variable)."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    rows = [
+        (100.0, "P1", datetime(1994, 12, 31, 23, 59, 59)),   # out (before)
+        (100.0, "P1", datetime(1995, 1, 1, 0, 0, 0)),        # IN: on start
+        (100.0, "P2", datetime(1995, 1, 1, 0, 0, 1)),        # in
+        (100.0, "P2", datetime(1995, 12, 31, 23, 59, 59)),   # in: last us-second
+        (100.0, "P3", datetime(1996, 1, 1, 0, 0, 0)),        # OUT: on end
+        (100.0, "P3", datetime(1996, 1, 1, 0, 0, 1)),        # out (after)
+    ]
+    sf = _sf_with_orders(tmp_path, "execimm", rows)
+    got = all_queries()["exec_immediate"].build(spark, sf)
+    per_grp = {r.grp: r.n_orders for r in got.collect()}
+    assert per_grp == {"P1": 1, "P2": 2}, per_grp
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["exec_immediate"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert (g_cols, g_ms) == (o_cols, o_ms)
+    # repeatability in one session: the statement variable re-declares
+    again = all_queries()["exec_immediate"].build(spark, sf)
+    a_ms, _ = _rows_to_multiset(again.collect(), again.columns)
+    assert a_ms == g_ms
