@@ -37,8 +37,12 @@ main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
 over all families, 20000-20299 mixed at sf0.001 (empty-group-rich
 regime), 21000-21999 and 22000-23499 mixed, 24000-25999 mixed,
-26000-27499 mixed post-HAVING-guard (r11 continuation) — ~11,400
-cases total. FIRST REAL CATCH at seed
+26000-27499 mixed post-HAVING-guard (r11 continuation); r12:
+28000-28059 shakedown + 28100-28639 of the three NEW empty-regime
+families at sf0.001, 29000-29499 new families at sf0.01, 30000-30499
+mixed at sf0.01, 31000-31999 mixed at sf0.01, 32000-32499 new
+families at sf0.001, 33000-33199 mixed at sf0.1 — 3,300 r12 cases,
+ZERO divergences — ~14,700 cases total. FIRST REAL CATCH at seed
 25995: ROLLUP over an empty input — DuckDB emits the grand-total ()
 row (COUNT=0, per the SQL standard), Spark emits NOTHING. Triaged,
 pinned (test_empty_input_grand_total_grouping_set_cross_engine_seam)
