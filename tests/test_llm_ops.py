@@ -793,3 +793,55 @@ def test_pq_oracle_fold_is_pinned_to_kernel_float_path():
             [af, bf],
         ).fetchone()
         assert py == np_snap == db, (af, bf, py, np_snap, db)
+
+
+def test_cc_propagation_randomized_graphs_vs_union_find(spark):
+    """Randomized property test for _propagate_min_labels driven
+    DIRECTLY with arbitrary graph shapes (the LSH end-to-end test can
+    only reach graphs minhash banding produces): seeded random sparse
+    graphs + a 14-edge path (diameter one short of the default 16
+    bound — the deep-chain regime the boundary test covers only at
+    toy size).  Labels must equal the min doc_id of each union-find
+    component; rounds must never exceed diameter+1."""
+    import random
+
+    from dpu_olap_spark.llm import dedup as dd
+
+    def union_find(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n_nodes)}
+
+    cases = []
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        n = rng.randint(20, 40)
+        m = rng.randint(5, n)
+        edges = [
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        ]
+        cases.append((n, edges))
+    cases.append((15, [(i, i + 1) for i in range(14)]))  # deep path
+
+    for n, edge_list in cases:
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+        pairs = spark.createDataFrame(
+            edge_list or [(0, 0)], "doc_a bigint, doc_b bigint"
+        )
+        labels, rounds = dd._propagate_min_labels(
+            nodes, dd._cc_edges(pairs), 4, max_rounds=n + 1
+        )
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+        labels.unpersist()
+        assert got == union_find(n, edge_list), (n, edge_list)
+        assert rounds <= n + 1

@@ -10101,3 +10101,68 @@ def test_exec_immediate_bind_boundaries(spark, tmp_path):
     again = all_queries()["exec_immediate"].build(spark, sf)
     a_ms, _ = _rows_to_multiset(again.collect(), again.columns)
     assert a_ms == g_ms
+
+
+def test_implicit_asc_nulls_ordering_cross_engine_seam(spark, tmp_path):
+    """PINNED cross-engine seam (found by the r12 null-frame probe,
+    same class as round()/dayofweek/CAST-to-INT/substr-0): implicit
+    ASC places NULLs FIRST in Spark but LAST in DuckDB, so ORDER BY a
+    nullable key without an explicit NULLS clause silently diverges
+    wherever order is load-bearing — ROW_NUMBER assigns different
+    ranks and ORDER BY + LIMIT returns DIFFERENT ROWS (wrong data,
+    not wrong formatting).  Implicit DESC happens to agree (both
+    engines default to NULLS LAST there), as do both explicit
+    spellings and any non-null key.
+
+    House rule recorded in tools/fuzz_seams.py: shared SQL that
+    orders by a NULLABLE expression must spell NULLS FIRST/LAST
+    explicitly (registry audit: every registered oracle's
+    order-by/rank key is a non-null TPC-H column or PK, so no driver
+    exposure — rankings over NULLIF-injected keys exist only in the
+    fuzzer, which emits the explicit clause)."""
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(6), pa.int64()),
+                "v": pa.array([5, None, 3, None, 7, 3], pa.int64()),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    spark.read.parquet(str(tmp_path / "t.parquet")).createOrReplaceTempView(
+        "nulls_seam_t"
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nulls_seam_t AS SELECT * FROM '{tmp_path}/t.parquet'")
+
+    def both(sql):
+        a = sorted(tuple(r) for r in spark.sql(sql).collect())
+        b = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        return a, b
+
+    # the divergence: implicit ASC rank — Spark ranks the NULLs 1-2,
+    # DuckDB ranks them 5-6
+    s, d = both(
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY v, k) rn FROM nulls_seam_t"
+    )
+    assert s != d, "implicit-ASC NULLS seam closed upstream? re-probe"
+    assert (1, 1) in s and (1, 5) in d  # first NULL row's rank per engine
+
+    # the divergence returns WRONG ROWS through LIMIT
+    s, d = both("SELECT k FROM nulls_seam_t ORDER BY v, k LIMIT 2")
+    assert s == [(1,), (3,)] and d == [(2,), (5,)]  # NULL rows vs the 3s
+
+    # aligned regimes: explicit NULLS FIRST/LAST, implicit DESC, and
+    # a non-null key — all must agree exactly
+    for sql in (
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY v ASC NULLS LAST, k) rn "
+        "FROM nulls_seam_t",
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, k) rn "
+        "FROM nulls_seam_t",
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY v DESC, k) rn FROM nulls_seam_t",
+        "SELECT k FROM nulls_seam_t ORDER BY v NULLS LAST, k LIMIT 2",
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY k) rn FROM nulls_seam_t",
+    ):
+        a, b = both(sql)
+        assert a == b, sql
+    con.close()

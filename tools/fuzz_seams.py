@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (15): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (17): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -28,7 +28,10 @@ r12, aimed where the seed-25995 catch said the under-explored regime
 is (empty and near-empty groups under composed operators) — HAVING
 over empty grouped inputs composed with set ops, outer-join +
 aggregate over fully-null-extended sides, and window frames over
-single-row/empty partitions.
+single-row/empty partitions; plus (r12 second wave, after the
+implicit-ASC-NULLS pin) NULLIF-injection inside window frames with
+explicitly-spelled NULLS ordering, and set ops composed over window
+outputs.
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -41,8 +44,16 @@ regime), 21000-21999 and 22000-23499 mixed, 24000-25999 mixed,
 28000-28059 shakedown + 28100-28639 of the three NEW empty-regime
 families at sf0.001, 29000-29499 new families at sf0.01, 30000-30499
 mixed at sf0.01, 31000-31999 mixed at sf0.01, 32000-32499 new
-families at sf0.001, 33000-33199 mixed at sf0.1 — 3,300 r12 cases,
-ZERO divergences — ~14,700 cases total. FIRST REAL CATCH at seed
+families at sf0.001, 33000-33199 mixed at sf0.1; r12 second wave
+(nullframe/winsetop live): 34000-34079 shakedown, 35000-35499
+nullframe+winsetop at sf0.01, 36000-36499 mixed over all 17 families
+at sf0.01, 37000-37299 the five r12 families at sf0.1 — 4,680 r12
+cases, ZERO divergences — ~16,100 cases total. The r12 probe that
+seeded the nullframe family found one new PINNED seam: implicit ASC
+places NULLs FIRST in Spark, LAST in DuckDB (divergent ranks and
+LIMIT rows; test_implicit_asc_nulls_ordering_cross_engine_seam) —
+the generators therefore ALWAYS spell NULLS FIRST/LAST when ordering
+by a nullable expression. FIRST REAL CATCH at seed
 25995: ROLLUP over an empty input — DuckDB emits the grand-total ()
 row (COUNT=0, per the SQL standard), Spark emits NOTHING. Triaged,
 pinned (test_empty_input_grand_total_grouping_set_cross_engine_seam)
@@ -853,6 +864,95 @@ def _gen_winframe(con, rng: random.Random) -> str:
     )
 
 
+def _gen_nullframe(con, rng: random.Random) -> str:
+    """NULLIF-injected values INSIDE window frames (r12 probe family):
+    frame aggregates must skip injected NULLs (SUM/MIN/MAX skip,
+    COUNT(expr) skips while COUNT(*) doesn't), rankings over a
+    NULLABLE key carry an EXPLICIT NULLS FIRST/LAST (implicit ASC is
+    the r12-pinned seam — Spark NULLS FIRST vs DuckDB NULLS LAST,
+    test_implicit_asc_nulls_ordering_cross_engine_seam — so shared
+    SQL always spells it), and lag/lead distinguish null-from-data
+    from the explicit default."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    fv = _sample_values(con, table, fcol, rng, 1)
+    cents_lit = int(fv[0] * 100 + 0.5) if fv else 0
+    nv = f"NULLIF({cents}, {cents_lit})"
+    pred = _gen_predicate(con, table, cols, rng)
+    flavor = rng.randrange(3)
+    if flavor == 0:
+        lo, hi = rng.randint(0, 3), rng.randint(0, 3)
+        over = (f"(PARTITION BY {g} ORDER BY {pk} ROWS BETWEEN {lo} "
+                f"PRECEDING AND {hi} FOLLOWING)")
+        return (
+            f"SELECT {pk}, CAST(SUM({nv}) OVER {over} AS BIGINT) AS w_sum, "
+            f"COUNT({nv}) OVER {over} AS w_n, "
+            f"COUNT(*) OVER {over} AS w_all, "
+            f"MIN({nv}) OVER {over} AS w_min"
+            f" FROM {table} WHERE ({pred})"
+        )
+    if flavor == 1:
+        k = rng.randint(1, 5)
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        i = rng.choice(cols["ints"][1:] or cols["ints"])
+        ivs = _sample_values(con, table, i, rng, 1)
+        ilit = ivs[0] if ivs else 0
+        return (
+            f"SELECT grp, {pk}, rn FROM ("
+            f"SELECT {g} AS grp, {pk}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {g} ORDER BY NULLIF({i}, {ilit}) {direction} "
+            f"{nulls}, {pk}) AS rn"
+            f" FROM {table} WHERE ({pred})) t WHERE rn <= {k}"
+        )
+    d = rng.randint(-5, 5)
+    return (
+        f"SELECT {pk}, LAG({nv}, 1, {d}) OVER (PARTITION BY {g} "
+        f"ORDER BY {pk}) AS w_lag, "
+        f"LEAD({nv}, 1) OVER (PARTITION BY {g} ORDER BY {pk}) AS w_lead"
+        f" FROM {table} WHERE ({pred})"
+    )
+
+
+def _gen_winsetop(con, rng: random.Random) -> str:
+    """Set ops over WINDOW outputs (r12 family): each side is a
+    total-ordered rank-filter or running-sum projection, composed
+    with UNION / UNION ALL / INTERSECT / EXCEPT — the dedup happens
+    over rows whose values came out of window evaluation, so a
+    divergence in frame or rank semantics surfaces as set-op rows,
+    not just reordered output."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+
+    def side() -> str:
+        g = rng.choice(cols["groups"])
+        pred = _gen_predicate(con, table, cols, rng)
+        if rng.random() < 0.6:
+            k = rng.randint(1, 5)
+            direction = rng.choice(["ASC", "DESC"])
+            return (
+                f"SELECT {pk} AS k, rn AS w FROM ("
+                f"SELECT {pk}, ROW_NUMBER() OVER (PARTITION BY {g} "
+                f"ORDER BY {cents} {direction}, {pk}) AS rn"
+                f" FROM {table} WHERE ({pred})) t WHERE rn <= {k}"
+            )
+        return (
+            f"SELECT {pk} AS k, CAST(SUM({cents}) OVER (PARTITION BY {g} "
+            f"ORDER BY {pk} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            f"ROW) AS BIGINT) AS w FROM {table} WHERE ({pred})"
+        )
+
+    return f"{side()} {op} {side()}"
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -869,6 +969,8 @@ _SHAPES = {
     "emptyset": _gen_emptyset,
     "outeragg": _gen_outeragg,
     "winframe": _gen_winframe,
+    "nullframe": _gen_nullframe,
+    "winsetop": _gen_winsetop,
 }
 
 _DEFAULT_MIX = (
@@ -876,6 +978,7 @@ _DEFAULT_MIX = (
     + ["window"] * 2 + ["stringfunc"] * 2 + ["setop"] + ["subquery"] * 2
     + ["groupsets"] + ["nullcase"] + ["multijoin"] + ["joinwindow"]
     + ["emptyset"] + ["outeragg"] + ["winframe"]
+    + ["nullframe"] + ["winsetop"]
 )
 
 
