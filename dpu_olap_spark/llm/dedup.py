@@ -487,6 +487,10 @@ def _propagate_min_labels(
         prev_sum = new_sum
     edges.unpersist()
     if not converged:
+        # release the final snapshot before failing — repeated
+        # hit-the-bound attempts must not accumulate pinned storage
+        # blocks (r12 review)
+        labels.unpersist()
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within the "
             f"iteration bound ({max_rounds}) — raise SPARK_GRAFT_CC_MAX_ROUNDS "

@@ -58,11 +58,15 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
 
     ``validate_sentinel`` guards the one documented hole: a real data
     value equal to the literal two-char string ``\\N`` would read back
-    as NULL.  The guard is a short-circuiting existence probe (LIMIT 1
-    under the filter — first hit stops the scan; a clean corpus pays
-    one extra column-pruned pass over the string columns only).  Pass
+    as NULL.  While validating, the frame is PERSISTED across the
+    probe and the write so both see the SAME evaluation — without
+    this, a nondeterministic upstream (sampling, rand()) could pass a
+    sentinel-free probe and then re-evaluate to a poisoned write, and
+    an expensive plan would execute twice (r12 review).  The probe
+    itself short-circuits (LIMIT 1 under the filter).  Pass
     ``validate_sentinel=False`` when the corpus contract already rules
-    the sentinel out and the write is in a scan-bound hot path.
+    the sentinel out and the extra materialization is unwanted in a
+    scan-bound hot path.
     """
     if validate_sentinel:
         from functools import reduce
@@ -74,16 +78,24 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
             f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
         ]
         if str_cols:
-            collision = reduce(
-                lambda a, b: a | b,
-                (F.col(c) == F.lit(_CSV_NULL) for c in str_cols),
-            )
-            if not df.select(*str_cols).where(collision).isEmpty():
-                raise ValueError(
-                    f"write_csv: a string cell equals the NULL sentinel "
-                    f"{_CSV_NULL!r} and would silently read back as NULL; "
-                    "clean the column or write parquet/JSON instead"
+            df = df.persist()
+            try:
+                collision = reduce(
+                    lambda a, b: a | b,
+                    (F.col(c) == F.lit(_CSV_NULL) for c in str_cols),
                 )
+                if not df.where(collision).isEmpty():
+                    raise ValueError(
+                        f"write_csv: a string cell equals the NULL sentinel "
+                        f"{_CSV_NULL!r} and would silently read back as NULL; "
+                        "clean the column or write parquet/JSON instead"
+                    )
+                df.write.mode("overwrite").option("header", "true").option(
+                    "emptyValue", '""'
+                ).option("nullValue", _CSV_NULL).csv(path)
+            finally:
+                df.unpersist()
+            return
     df.write.mode("overwrite").option("header", "true").option(
         "emptyValue", '""'
     ).option("nullValue", _CSV_NULL).csv(path)

@@ -75,11 +75,16 @@ def _rows_to_multiset(rows, colnames, canon=None):
     ), [colnames[i] for i in order]
 
 
-# mirror of sources/tables.py _NANO_TS_COLS: columns that may arrive in
-# the LEGACY nanosecond form and must floor to microseconds on BOTH
-# engines (Spark floors in _restore_nano_ts; the oracle view must too)
-_ORACLE_NANO_TS_COLS = {"events": ("ts",)}
-_VIEW_SELECT_CACHE: dict[str, str] = {}
+# single source of truth with the engine (r12 review): the SAME
+# columns Spark's _restore_nano_ts floors must get the floor view on
+# the oracle side — importing rather than mirroring means a future
+# nano-ts column cannot silently miss the rewrite
+from dpu_olap_spark.sources.tables import _NANO_TS_COLS as _ORACLE_NANO_TS_COLS
+
+# keyed by (path, mtime_ns, size) so a fixture REGENERATED in place at
+# the same path (e.g. us-typed ts rewritten as raw int64 nanos) cannot
+# be served a stale view body (r12 review)
+_VIEW_SELECT_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def _view_select(table: str, path: str) -> str:
@@ -101,7 +106,9 @@ def _view_select(table: str, path: str) -> str:
     """
     if table not in _ORACLE_NANO_TS_COLS:
         return f"SELECT * FROM '{path}'"
-    cached = _VIEW_SELECT_CACHE.get(path)
+    st = os.stat(path)
+    cache_key = (path, st.st_mtime_ns, st.st_size)
+    cached = _VIEW_SELECT_CACHE.get(cache_key)
     if cached is not None:
         return cached
     import pyarrow as pa
@@ -122,11 +129,19 @@ def _view_select(table: str, path: str) -> str:
             and pa.types.is_timestamp(typ)
             and typ.unit == "ns"
         ):
-            from datetime import datetime
+            from datetime import datetime, timezone
 
             col = pq.read_table(path, columns=[name])[name]
             mn = pa.compute.min(col).as_py()
-            if mn is not None and mn < datetime(1970, 1, 1, tzinfo=mn.tzinfo):
+            # compare INSTANTS: a tz-aware column with a positive UTC
+            # offset must not slip pre-epoch values past a same-tz
+            # wall-clock comparison (r12 review)
+            epoch = (
+                datetime(1970, 1, 1, tzinfo=timezone.utc)
+                if mn is not None and mn.tzinfo is not None
+                else datetime(1970, 1, 1)
+            )
+            if mn is not None and mn < epoch:
                 raise ValueError(
                     f"{table}.{name}: TIMESTAMP(NANOS) fixture contains "
                     f"pre-epoch values (min {mn}); DuckDB 1.0 truncates "
@@ -138,15 +153,21 @@ def _view_select(table: str, path: str) -> str:
         else:
             exprs.append(name)
     sel = "SELECT " + ", ".join(exprs) + f" FROM '{path}'"
-    _VIEW_SELECT_CACHE[path] = sel
+    _VIEW_SELECT_CACHE[cache_key] = sel
     return sel
 
 
 def _connect(sf_dir: str):
     con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        con.execute(f"CREATE VIEW {t} AS {_view_select(t, p)}")
+    try:
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS {_view_select(t, p)}")
+    except BaseException:
+        # _view_select's pre-epoch raise must not leak the native
+        # connection (r12 review)
+        con.close()
+        raise
     return con
 
 

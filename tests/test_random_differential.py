@@ -9428,7 +9428,9 @@ def test_nano_ts_oracle_view_floor_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="pre-epoch"):
         run_oracle(sql, d3)
     # the poisoned fixture must not poison the view cache either
-    assert not any("ns_pre" in k for k in _VIEW_SELECT_CACHE)
+    # (cache keys are (path, mtime_ns, size) tuples since the r12
+    # staleness fix)
+    assert not any("ns_pre" in k[0] for k in _VIEW_SELECT_CACHE)
 
 
 def test_statestore_changefeed_multibatch_evolution_and_replay(spark, tmp_path):

@@ -879,8 +879,14 @@ def _gen_nullframe(con, rng: random.Random) -> str:
     g = rng.choice(cols["groups"])
     fcol = cols["floats"][0]
     cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    import math
+
     fv = _sample_values(con, table, fcol, rng, 1)
-    cents_lit = int(fv[0] * 100 + 0.5) if fv else 0
+    # math.floor, NOT int(): int() truncates toward zero, so a
+    # negative sampled acctbal would make the literal miss the SQL
+    # side's floor() by one and the NULL injection would never fire
+    # (r12 review)
+    cents_lit = math.floor(fv[0] * 100 + 0.5) if fv else 0
     nv = f"NULLIF({cents}, {cents_lit})"
     pred = _gen_predicate(con, table, cols, rng)
     flavor = rng.randrange(3)
