@@ -10168,3 +10168,55 @@ def test_implicit_asc_nulls_ordering_cross_engine_seam(spark, tmp_path):
         a, b = both(sql)
         assert a == b, sql
     con.close()
+
+
+def test_concat_null_handling_cross_engine_seam(spark, tmp_path):
+    """PINNED cross-engine seam (r12 null-rule probe sweep): Spark's
+    concat() NULL-PROPAGATES (any NULL argument -> NULL result, the
+    SQL-standard function rule) while DuckDB's concat() SKIPS NULLs
+    (treats them as '') — so concat over a nullable argument returns a
+    row-level different value.  The `||` operator agrees on
+    propagation in BOTH engines, as does COALESCE-wrapped concat, so
+    those are the sanctioned shared spellings.
+
+    House rule recorded in tools/fuzz_seams.py design notes: shared
+    SQL uses concat() only over provably non-null arguments; a
+    null-propagating concat is spelled `||`, a null-skipping one
+    coalesces explicitly.  Engine audit: all 14 concat sites operate
+    on non-null corpus columns, md5 hex output, or literals — no
+    driver exposure.  Probe sweep also attested greatest()/least()
+    (both engines SKIP NULLs), `+` (both propagate), repeat()
+    (both propagate), and string_agg (both skip) as ALIGNED."""
+    pq.write_table(
+        pa.table({"s": pa.array(["x", None, "z"], pa.string())}),
+        str(tmp_path / "t.parquet"),
+    )
+    spark.read.parquet(str(tmp_path / "t.parquet")).createOrReplaceTempView(
+        "concat_seam_t"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW concat_seam_t AS SELECT * FROM '{tmp_path}/t.parquet'"
+    )
+
+    def both(sql):
+        a = sorted(r[0] for r in spark.sql(sql).collect() if r[0] is not None)
+        an = sum(1 for r in spark.sql(sql).collect() if r[0] is None)
+        b = sorted(r[0] for r in con.execute(sql).fetchall() if r[0] is not None)
+        bn = sum(1 for r in con.execute(sql).fetchall() if r[0] is None)
+        return (a, an), (b, bn)
+
+    # the divergence: NULL row -> NULL in Spark, 'y' in DuckDB
+    s, d = both("SELECT concat(s, 'y') FROM concat_seam_t")
+    assert s == (["xy", "zy"], 1), s
+    assert d == (["xy", "y", "zy"], 0), d
+
+    # aligned spellings must agree exactly
+    for sql in (
+        "SELECT s || 'y' FROM concat_seam_t",
+        "SELECT coalesce(s, '') || 'y' FROM concat_seam_t",
+        "SELECT concat(coalesce(s, '<null>'), 'y') FROM concat_seam_t",
+    ):
+        s, d = both(sql)
+        assert s == d, sql
+    con.close()

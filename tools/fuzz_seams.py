@@ -47,8 +47,12 @@ mixed at sf0.01, 31000-31999 mixed at sf0.01, 32000-32499 new
 families at sf0.001, 33000-33199 mixed at sf0.1; r12 second wave
 (nullframe/winsetop live): 34000-34079 shakedown, 35000-35499
 nullframe+winsetop at sf0.01, 36000-36499 mixed over all 17 families
-at sf0.01, 37000-37299 the five r12 families at sf0.1 — 4,680 r12
-cases, ZERO divergences — ~16,100 cases total. The r12 probe that
+at sf0.01, 37000-37299 the five r12 families at sf0.1, 38000-38119
+nullframe post-floor-fix, 39000-39999 mixed at sf0.01, 40000-40399
+nullframe+winsetop+emptyset at sf0.001 — 6,200 r12 cases, ZERO
+divergences — ~17,600 cases total. A second r12 probe sweep pinned
+the concat()-NULL seam (Spark propagates, DuckDB skips;
+test_concat_null_handling_cross_engine_seam, see design notes). The r12 probe that
 seeded the nullframe family found one new PINNED seam: implicit ASC
 places NULLs FIRST in Spark, LAST in DuckDB (divergent ranks and
 LIMIT rows; test_implicit_asc_nulls_ordering_cross_engine_seam) —
@@ -72,6 +76,16 @@ Design notes (why the generated SQL subset looks like it does):
   accepted non-seam.
 - String LIKE patterns are sampled alphanumeric prefixes only; no
   escaping seam is being hunted here (the CSV sentinel tests own it).
+- concat() is used only over provably NON-NULL arguments: Spark
+  concat NULL-propagates, DuckDB concat skips NULLs (r12 pinned seam,
+  test_concat_null_handling_cross_engine_seam) — null-propagating
+  concatenation is spelled `||` (aligned), null-skipping wraps
+  COALESCE. Probe-attested aligned: greatest/least (both skip),
+  `+`/repeat (both propagate), string_agg (both skip).
+- Ordering by a NULLABLE expression always spells NULLS FIRST/LAST:
+  implicit ASC is Spark-NULLS-FIRST vs DuckDB-NULLS-LAST (r12 pinned
+  seam, test_implicit_asc_nulls_ordering_cross_engine_seam);
+  implicit DESC happens to agree but is spelled anyway.
 - events/props and embeddings are excluded: JSON strings and arrays
   have their own typed differentials.
 """
