@@ -10220,3 +10220,101 @@ def test_concat_null_handling_cross_engine_seam(spark, tmp_path):
         s, d = both(sql)
         assert s == d, sql
     con.close()
+
+
+def test_arith_domain_edges_cross_engine_seam(spark):
+    """PINNED seam class (r12 arithmetic probe sweep), attested under
+    the ENGINE'S config (spark.sql.ansi.enabled=false, session.py):
+
+    - x/0 and x%0: ALIGNED under the engine config — BOTH engines
+      return NULL (ANSI-default Spark would raise DIVIDE_BY_ZERO
+      instead; probed out-of-config 2026-08-15).  try_divide/try_mod
+      agree with both.
+    - BIGINT overflow: the DANGEROUS direction — ANSI-off Spark
+      WRAPS silently (max+1 -> min) while DuckDB RAISES.  House rule
+      (already engine practice, SURVEY §1.2): never rely on raw
+      BIGINT arithmetic near the range edge — sums widen to DECIMAL
+      on the Spark side and the oracle CASTs DuckDB's HUGEINT back;
+      the fuzzer's cents sums are bounded ~2e13 at bench SF, far from
+      the 9.2e18 edge.
+    - ln(0)/ln(-1): Spark NULL, DuckDB RAISES; sqrt(-1): Spark NaN,
+      DuckDB RAISES — same in both ANSI modes.  Shared SQL keeps
+      ln/sqrt arguments in-domain (engine audit: every registered
+      ratio/log — jaccard, bm25, tfidf, perplexity — has a
+      structurally positive argument).
+    - % sign: ALIGNED (both truncate toward zero; result sign follows
+      the dividend) — attested so the fuzzer may emit % freely."""
+    import math as _math
+
+    import pytest as _pytest
+
+    con = duckdb.connect()
+
+    # /0 and %0 aligned as NULL under the engine config
+    assert spark.sql("SELECT 1/0").collect()[0][0] is None
+    assert con.execute("SELECT 1/0").fetchall() == [(None,)]
+    assert spark.sql("SELECT 7%0").collect()[0][0] is None
+    assert con.execute("SELECT 7%0").fetchall() == [(None,)]
+    assert spark.sql("SELECT try_divide(1, 0)").collect()[0][0] is None
+    assert spark.sql("SELECT try_mod(7, 0)").collect()[0][0] is None
+
+    # overflow: Spark WRAPS silently (the hazard), DuckDB raises
+    wrapped = spark.sql(
+        "SELECT 9223372036854775807 + CAST(1 AS BIGINT)"
+    ).collect()[0][0]
+    assert wrapped == -9223372036854775808, "ANSI-off wraparound moved?"
+    with _pytest.raises(Exception, match="Out of Range"):
+        con.execute("SELECT 9223372036854775807 + CAST(1 AS BIGINT)").fetchall()
+    # the sanctioned widening keeps the same sum exact on both sides
+    assert (
+        spark.sql(
+            "SELECT CAST(CAST(9223372036854775807 AS DECIMAL(38,0)) + 1 "
+            "AS DECIMAL(38,0))"
+        ).collect()[0][0]
+        == con.execute("SELECT 9223372036854775807 + CAST(1 AS HUGEINT)").fetchall()[0][0]
+    )
+
+    # ln/sqrt domains: Spark value, DuckDB raise
+    assert spark.sql("SELECT ln(0.0)").collect()[0][0] is None
+    assert spark.sql("SELECT ln(-1.0)").collect()[0][0] is None
+    assert _math.isnan(spark.sql("SELECT sqrt(-1.0)").collect()[0][0])
+    for bad in ("SELECT ln(0.0)", "SELECT ln(-1.0)", "SELECT sqrt(-1.0)"):
+        with _pytest.raises(Exception, match="Out of Range"):
+            con.execute(bad).fetchall()
+
+    # % sign alignment
+    # (spaces matter: DuckDB lexes '%-' as one unknown operator)
+    assert (
+        tuple(spark.sql("SELECT 10 % 3, -10 % 3, 10 % -3").collect()[0])
+        == con.execute("SELECT 10 % 3, -10 % 3, 10 % -3").fetchall()[0]
+    )
+    con.close()
+
+
+def test_unicode_case_fold_cross_engine_seam(spark):
+    """PINNED seam (r12 probe): full case folding differs — Spark's
+    upper('straße') = 'STRASSE' (full fold, ß -> SS, changes LENGTH)
+    while DuckDB 1.0 maps ß -> the capital sharp-s 'ẞ'; lower('İ')
+    keeps the combining dot in Spark ('i' + U+0307) but folds to bare
+    'i' in DuckDB.  Any shared upper/lower over text containing these
+    code points diverges in VALUE and possibly LENGTH.
+
+    House rule: shared-SQL case folding is sanctioned on ASCII domains
+    only (the stringfunc fuzzer family samples TPC-H ASCII data; the
+    collated_join_agg Unicode differential probes É/é which IS aligned
+    — simple one-to-one folds agree, the seam is the special-casing
+    set).  ASCII alignment attested below."""
+    con = duckdb.connect()
+    s_up = spark.sql("SELECT upper('straße')").collect()[0][0]
+    d_up = con.execute("SELECT upper('straße')").fetchall()[0][0]
+    assert s_up == "STRASSE" and d_up == "STRAẞE" and s_up != d_up
+    s_lo = spark.sql("SELECT lower('İ')").collect()[0][0]
+    d_lo = con.execute("SELECT lower('İ')").fetchall()[0][0]
+    assert s_lo == "i̇" and d_lo == "i" and s_lo != d_lo
+    # aligned regimes: ASCII and simple one-to-one accent folds
+    for lit in ("'MiXeD case 42'", "'ÉCOLE élève'"):
+        for fn in ("upper", "lower"):
+            a = spark.sql(f"SELECT {fn}({lit})").collect()[0][0]
+            b = con.execute(f"SELECT {fn}({lit})").fetchall()[0][0]
+            assert a == b, (fn, lit)
+    con.close()
