@@ -10318,3 +10318,70 @@ def test_unicode_case_fold_cross_engine_seam(spark):
             b = con.execute(f"SELECT {fn}({lit})").fetchall()[0][0]
             assert a == b, (fn, lit)
     con.close()
+
+
+def test_string_and_decimal_cast_edges_cross_engine_seam(spark):
+    """PINNED seam cluster (r12 cast probe sweep) — string-to-number
+    and decimal scale-reduction casts, attested under the engine's
+    ANSI-off config:
+
+    - INVALID string casts ('abc'/''->INT, impossible dates): Spark
+      returns NULL, DuckDB RAISES — error-vs-NULL class.
+    - CAST('1e3' AS INT): Spark NULL (no scientific notation on the
+      string->int path), DuckDB 1000 — silent VALUE divergence.
+    - CAST('3.7' AS INT): Spark TRUNCATES via the decimal string path
+      (3 / -3), DuckDB ROUNDS (4 / -4) — distinct from the pinned
+      double->INT seam (there Spark truncates too; the STRING path
+      diverges in DuckDB, which rounds).
+    - DECIMAL SCALE REDUCTION (CAST(12.5 AS DECIMAL(3,0)), source
+      already DECIMAL(3,1)): Spark rounds HALF-UP (13, 12), DuckDB
+      TRUNCATES (12, 11) — distinct from the r11-pinned
+      double->DECIMAL cast, which is half-up in BOTH engines
+      (test_decimal_cast_rounding_cross_engine_invariant).
+
+    House rules: shared SQL never casts arbitrary strings to
+    numerics/dates (only canonical integer strings, attested aligned
+    incl. surrounding whitespace), and never reduces DECIMAL scale
+    via CAST — rounding is spelled explicitly (floor(x*100+0.5)
+    cents or round()) where both engines' rules are pinned.  Engine
+    audit: registry casts strings to BIGINT only on the DuckDB-side
+    hex-md5 twin (valid hex by construction) and widens DECIMAL
+    scale, never reduces it."""
+    import pytest as _pytest
+
+    con = duckdb.connect()
+
+    for bad in ("CAST('abc' AS INT)", "CAST('' AS INT)",
+                "CAST('2026-02-30' AS DATE)"):
+        assert spark.sql(f"SELECT {bad}").collect()[0][0] is None, bad
+        with _pytest.raises(Exception, match="Conversion Error"):
+            con.execute(f"SELECT {bad}").fetchall()
+
+    assert spark.sql("SELECT CAST('1e3' AS INT)").collect()[0][0] is None
+    assert con.execute("SELECT CAST('1e3' AS INT)").fetchall() == [(1000,)]
+
+    assert spark.sql(
+        "SELECT CAST('3.7' AS INT), CAST('-3.7' AS INT)"
+    ).collect()[0][:] == (3, -3)
+    assert con.execute(
+        "SELECT CAST('3.7' AS INT), CAST('-3.7' AS INT)"
+    ).fetchall()[0] == (4, -4)
+
+    from decimal import Decimal
+
+    assert spark.sql(
+        "SELECT CAST(12.5 AS DECIMAL(3,0)), CAST(11.5 AS DECIMAL(3,0))"
+    ).collect()[0][:] == (Decimal("13"), Decimal("12"))
+    assert con.execute(
+        "SELECT CAST(12.5 AS DECIMAL(3,0)), CAST(11.5 AS DECIMAL(3,0))"
+    ).fetchall()[0] == (Decimal("12"), Decimal("11"))
+
+    # aligned regimes: canonical ints with whitespace, boolean forms,
+    # non-padded date parts
+    for ok in ("CAST(' 42 ' AS INT)", "CAST('true' AS BOOLEAN)",
+               "CAST('T' AS BOOLEAN)", "CAST('1' AS BOOLEAN)",
+               "CAST('2026-1-5' AS DATE)"):
+        a = spark.sql(f"SELECT {ok}").collect()[0][0]
+        b = con.execute(f"SELECT {ok}").fetchall()[0][0]
+        assert a == b, ok
+    con.close()

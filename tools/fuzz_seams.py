@@ -86,6 +86,15 @@ Design notes (why the generated SQL subset looks like it does):
   implicit ASC is Spark-NULLS-FIRST vs DuckDB-NULLS-LAST (r12 pinned
   seam, test_implicit_asc_nulls_ordering_cross_engine_seam);
   implicit DESC happens to agree but is spelled anyway.
+- No string->numeric/date CASTs and no DECIMAL scale-reduction CASTs
+  in shared SQL: invalid strings are NULL-vs-raise, '1e3' and '3.7'
+  parse to DIFFERENT ints, and DECIMAL(p,1)->DECIMAL(p,0) is half-up
+  in Spark vs truncate in DuckDB (all pinned r12,
+  test_string_and_decimal_cast_edges_cross_engine_seam). Division by
+  a possibly-zero divisor is never emitted (ANSI-off Spark NULLs and
+  DuckDB NULLs agree, but ANSI Spark raises — see
+  test_arith_domain_edges_cross_engine_seam, which also attests the
+  silent BIGINT wraparound hazard and the ln/sqrt domain raises).
 - events/props and embeddings are excluded: JSON strings and arrays
   have their own typed differentials.
 """
