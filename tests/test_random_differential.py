@@ -10385,3 +10385,41 @@ def test_string_and_decimal_cast_edges_cross_engine_seam(spark):
         b = con.execute(f"SELECT {ok}").fetchall()[0][0]
         assert a == b, ok
     con.close()
+
+
+def test_date_interval_result_type_cross_engine_seam(spark):
+    """PINNED type seam (r12 temporal probe): DATE + INTERVAL n DAY
+    returns DATE in Spark but TIMESTAMP in DuckDB — value-equal
+    instants that hash DIFFERENTLY through the driver's pandas view
+    (date vs datetime render distinctly).  Shared SQL that PROJECTS a
+    shifted date must CAST to DATE on both sides (the datefunc fuzzer
+    family already casts date_trunc for the same reason; its
+    interval-shifted bounds live only inside comparisons, where
+    coercion makes the seam unreachable — attested below).
+
+    Probe also recorded (syntax-availability, loud not silent):
+    week()/datediff()/months_between() don't exist in one engine or
+    the other, and EXTRACT(EPOCH) is DuckDB-only — none can appear in
+    shared SQL at all; weekofyear()/EXTRACT(WEEK)/last_day()/
+    date_add() are attested aligned."""
+    from datetime import date, datetime
+
+    con = duckdb.connect()
+    s = spark.sql("SELECT DATE '2026-01-31' + INTERVAL 1 DAY").collect()[0][0]
+    d = con.execute("SELECT DATE '2026-01-31' + INTERVAL 1 DAY").fetchall()[0][0]
+    assert s == date(2026, 2, 1) and isinstance(s, date)
+    assert d == datetime(2026, 2, 1) and isinstance(d, datetime)
+    # the sanctioned spelling is value- AND type-aligned
+    for sql in (
+        "SELECT CAST(DATE '2026-01-31' + INTERVAL 1 DAY AS DATE)",
+        # comparison context: coercion hides the seam on both sides
+        "SELECT DATE '2026-02-01' <= DATE '2026-01-31' + INTERVAL 1 DAY",
+        "SELECT weekofyear(DATE '2026-01-01')",
+        "SELECT EXTRACT(WEEK FROM DATE '2026-01-01')",
+        "SELECT last_day(DATE '2026-02-10')",
+        "SELECT date_add(DATE '2026-01-31', 1)",
+    ):
+        a = spark.sql(sql).collect()[0][0]
+        b = con.execute(sql).fetchall()[0][0]
+        assert a == b and type(a) is type(b), sql
+    con.close()
