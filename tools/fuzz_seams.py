@@ -49,10 +49,16 @@ families at sf0.001, 33000-33199 mixed at sf0.1; r12 second wave
 nullframe+winsetop at sf0.01, 36000-36499 mixed over all 17 families
 at sf0.01, 37000-37299 the five r12 families at sf0.1, 38000-38119
 nullframe post-floor-fix, 39000-39999 mixed at sf0.01, 40000-40399
-nullframe+winsetop+emptyset at sf0.001 — 6,200 r12 cases, ZERO
-divergences — ~17,600 cases total. A second r12 probe sweep pinned
-the concat()-NULL seam (Spark propagates, DuckDB skips;
-test_concat_null_handling_cross_engine_seam, see design notes). The r12 probe that
+nullframe+winsetop+emptyset at sf0.001, 41000-42499 mixed at sf0.01 —
+7,700 r12 cases, ZERO divergences — ~19,100 cases total. The r12
+probe sweeps pinned SIX new cross-engine seams (all in
+tests/test_random_differential.py, each with aligned regimes and a
+sanctioned shared spelling): implicit-ASC NULLS placement,
+concat()-over-NULL, the ANSI-off arithmetic domain edges (silent
+BIGINT wraparound vs raise; ln/sqrt NULL-vs-raise), Unicode full
+case folding (upper('ss'-sharp) / lower(dotted-I)), the string-cast
++ DECIMAL-scale-reduction cluster, and the DATE+INTERVAL result-type
+seam. The r12 probe that
 seeded the nullframe family found one new PINNED seam: implicit ASC
 places NULLs FIRST in Spark, LAST in DuckDB (divergent ranks and
 LIMIT rows; test_implicit_asc_nulls_ordering_cross_engine_seam) —
