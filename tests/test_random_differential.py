@@ -10423,3 +10423,36 @@ def test_date_interval_result_type_cross_engine_seam(spark):
         b = con.execute(sql).fetchall()[0][0]
         assert a == b and type(a) is type(b), sql
     con.close()
+
+
+def test_degenerate_stat_aggs_cross_engine_aligned(spark):
+    """ALIGNMENT pin (r12 probe): the degenerate-group rules of every
+    statistical aggregate the registry leans on (stats_agg,
+    grouped_ols, percentiles) agree cross-engine TODAY — single-row
+    var_samp/stddev_samp/corr/covar_samp -> NULL while the _pop forms
+    -> 0.0, zero-variance corr/regr_slope/regr_intercept/regr_r2 ->
+    NULL, empty-group SUM/AVG/MIN -> NULL with COUNT -> 0, two-point
+    skewness/kurtosis -> NULL.  Pinned so a future Spark or DuckDB
+    upgrade that moves ANY of these (e.g. to NaN, the other common
+    convention) fails here instead of surfacing as an unexplained
+    driver hash-red on a stats query."""
+    con = duckdb.connect()
+    probes = [
+        "WITH t(x, y) AS (VALUES (1.0, 2.0)) "
+        "SELECT var_samp(x), stddev_samp(x), var_pop(x), stddev_pop(x), "
+        "corr(x, y), covar_samp(x, y), covar_pop(x, y) FROM t",
+        "WITH t(x, y) AS (VALUES (1.0, 2.0), (1.0, 3.0)) "
+        "SELECT corr(x, y), regr_slope(y, x), regr_intercept(y, x), "
+        "regr_r2(y, x), skewness(x), kurtosis(x) FROM t",
+        "WITH t(x) AS (SELECT CAST(1.0 AS DOUBLE) WHERE 1=0) "
+        "SELECT SUM(x), AVG(x), MIN(x), COUNT(x), COUNT(*) FROM t",
+    ]
+    for sql in probes:
+        a = [tuple(r) for r in spark.sql(sql).collect()]
+        b = con.execute(sql).fetchall()
+        assert a == b, sql
+    # attest the probes hit the degenerate regimes, not trivia: the
+    # single-row samp stats ARE NULL and the pop forms ARE 0.0
+    row = spark.sql(probes[0]).collect()[0]
+    assert row[0] is None and row[2] == 0.0
+    con.close()
