@@ -50,8 +50,9 @@ nullframe+winsetop at sf0.01, 36000-36499 mixed over all 17 families
 at sf0.01, 37000-37299 the five r12 families at sf0.1, 38000-38119
 nullframe post-floor-fix, 39000-39999 mixed at sf0.01, 40000-40399
 nullframe+winsetop+emptyset at sf0.001, 41000-42499 mixed at
-sf0.01, 43000-44499 mixed at sf0.001 (empty-rich, all 17 families) —
-9,200 r12 cases, ZERO divergences — ~20,600 cases total. The r12
+sf0.01, 43000-44499 mixed at sf0.001 (empty-rich, all 17
+families), 45000-45999 mixed at sf0.1 — 10,200 r12 cases, ZERO
+divergences — ~21,600 cases total. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
