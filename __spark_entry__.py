@@ -45,32 +45,12 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R8 = (
-    # CORRECTNESS_r08.json rows whose latest driver check is still r8
-    # (the 9 oldest r8 rows — tpch_q13..pq_encode — were re-checked
-    # r11 → _VERIFIED_R11).  These 41 lead the r12 window,
-    # oldest-first — the stalest cohort.
-    "salted_join", "fuzzy_join",
-    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
-    "bitmap_presence", "group_size_hist", "chunk_documents",
-    "pack_sequences", "redact_pii", "train_test_split",
-    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
-    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
-    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
-    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
-    "case_expr", "having_filter", "approx_percentile",
-    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
-    "listagg_stats", "session_funnel", "bloom_filter_join",
-    "udtf_word_runs", "observed_clean", "reservoir_sample",
-    "approx_topk_tokens", "stateful_profile", "stream_static_join",
-)
 _VERIFIED_R9 = (
-    # CORRECTNESS_r09.json — 50 rows, all green: pipe_sql/try_arith
-    # got their FIRST driver rows, then the 37 r5-vintage rows
-    # (the 10 reference-core rows included) and the 11 oldest r6
-    # rows, exactly as the r8 verdict ordered.
-    "pipe_sql", "try_arith",
-    "pysource_scan", "sink_compaction", "filter", "sum", "take",
+    # CORRECTNESS_r09.json rows whose latest driver check is still r9
+    # (pipe_sql..take — the 7 oldest — were re-checked r12 →
+    # _VERIFIED_R12).  These 43 lead the r13 window, oldest-first —
+    # the stalest cohort, headed by the two reference-core rows
+    # (`partition`, `join`) the r12 verdict ordered to the front.
     "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
     "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
     "scalar_subquery", "decorrelated_subquery", "stats_agg",
@@ -130,17 +110,41 @@ _VERIFIED_R11 = (
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "ivf_train", "pq_encode",
 )
+_VERIFIED_R12 = (
+    # CORRECTNESS_r12.json — 50 rows: 48 hash-green + 2 rows-only by
+    # design (hll_mergeable, approx_percentile — engine-specific
+    # sketches with rank/error-bound pytests).  The window was the
+    # round's 2 NEW queries (sql_script, exec_immediate), then the 41
+    # remaining r8-vintage rows + the 7 oldest r9 rows, exactly as the
+    # r11 verdict ordered.
+    "sql_script", "exec_immediate",
+    "salted_join", "fuzzy_join",
+    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
+    "bitmap_presence", "group_size_hist", "chunk_documents",
+    "pack_sequences", "redact_pii", "train_test_split",
+    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
+    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
+    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
+    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
+    "case_expr", "having_filter", "approx_percentile",
+    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
+    "listagg_stats", "session_funnel", "bloom_filter_join",
+    "udtf_word_runs", "observed_clean", "reservoir_sample",
+    "approx_topk_tokens", "stateful_profile", "stream_static_join",
+    "pipe_sql", "try_arith",
+    "pysource_scan", "sink_compaction", "filter", "sum", "take",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R8 + _VERIFIED_R9 + _VERIFIED_R10 + _VERIFIED_R11
+    _VERIFIED_R9 + _VERIFIED_R10 + _VERIFIED_R11 + _VERIFIED_R12
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  As of r9 every registered query
 # has a driver CORRECTNESS row, so the rotation is purely
-# oldest-verified-round first: the r12 window starts with the 41
-# remaining r8-vintage rows (salted_join..stream_static_join) plus the
-# 9 oldest r9 rows (pipe_sql..join — the five reference-core
-# operators included, last driver-checked r9).
+# oldest-verified-round first: the r13 window starts with the 43
+# remaining r9-vintage rows (partition, join — the two reference-core
+# rows pushed out of the r12 window — through bucketed_join) plus the
+# 7 oldest r10 rows (stream_foreach_batch..session_window).
 _HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 
@@ -154,13 +158,13 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 41 remaining r8 rows lead
-    # (salted_join..stream_static_join), then r9 (first 9 fit the r12
-    # window), r10, r11.
+    # stalest rows re-check soonest: the 43 remaining r9 rows lead
+    # (partition, join, join_agg, ..), then r10 (first 7 fit the r13
+    # window), r11, r12.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R8, _VERIFIED_R9, _VERIFIED_R10,
-                 _VERIFIED_R11):
+    for tier in (_VERIFIED_R9, _VERIFIED_R10, _VERIFIED_R11,
+                 _VERIFIED_R12):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
