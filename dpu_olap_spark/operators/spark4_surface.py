@@ -528,6 +528,71 @@ def q_collated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_script_text(orders: str, hist: str, thr: str) -> str:
+    """The BEGIN..END block for q_sql_script over view/variable names
+    `orders`/`hist`/`thr`.  Exposed as a function so tests can gate
+    the scan structure: `orders` must appear in EXACTLY two statements
+    (the thr assignment and the histogram CACHE TABLE build) and never
+    inside the WHILE body — the loop reads only the cached ≤(5
+    priorities × 11 buckets)-row histogram.
+
+    `thr` must be a SESSION variable (declared by the caller): a
+    script-LOCAL variable baked into the cached view's plan makes the
+    view unresolvable after the block ends, so UNCACHE/isCached would
+    raise and the cache entry could never be released (probed on
+    Spark 4.1)."""
+    return f"""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE k INT DEFAULT 1;
+          DECLARE n BIGINT DEFAULT 0;
+          SET {thr} = (SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) DIV COUNT(*)
+                       FROM {orders});
+          -- ONE more scan of orders: bucket every order by the
+          -- LARGEST k in [0,10] it survives (c*10 > (10+k)*thr, i.e.
+          -- d > k*thr for d = c*10 - 10*thr; largest such k is
+          -- (d-1) DIV thr for d,thr >= 1 — exact integers), rolled up
+          -- per (priority, kmax).  Eagerly cached in ONE partition
+          -- (<=55 rows at any scale; without COALESCE the cache keeps
+          -- the agg's shuffle partitioning and every loop round
+          -- schedules spark.sql.shuffle.partitions tasks to read it —
+          -- measured 2.9s vs 1.7s at sf0.1/local[32]).  Every WHILE
+          -- round and the final statement read this tiny relation,
+          -- never the fact table again.
+          CACHE TABLE {hist} AS
+            SELECT /*+ COALESCE(1) */ o_orderpriority,
+                   CASE WHEN c * 10 - 10 * {thr} <= 0 THEN 0
+                        WHEN {thr} <= 0 THEN 10
+                        ELSE CAST(LEAST(CAST(10 AS BIGINT),
+                                        (c * 10 - 10 * {thr} - 1)
+                                        DIV {thr}) AS INT)
+                   END AS kmax,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents
+            FROM (SELECT o_orderpriority,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS c
+                  FROM {orders})
+            GROUP BY ALL;
+          SET total = (SELECT SUM(cnt) FROM {hist});
+          SET n = (SELECT COALESCE(SUM(cnt), 0) FROM {hist}
+                   WHERE kmax >= k);
+          WHILE n * 5 >= total AND k < 10 DO
+            SET k = k + 1;
+            SET n = (SELECT COALESCE(SUM(cnt), 0) FROM {hist}
+                     WHERE kmax >= k);
+          END WHILE;
+          SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_orders,
+                 CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+                 CAST(k AS INT) AS k_cut
+          FROM {hist}
+          WHERE kmax >= k
+          GROUP BY o_orderpriority;
+        END
+        """
+
+
 @query(
     "sql_script",
     oracle="""
@@ -574,49 +639,45 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     output so a divergence in WHICH iteration terminated cannot hide
     behind value coincidence.
 
-    Scale: each loop round is ONE scalar aggregate over the orders
-    scan (predicate c*10 > (10+k)*thr, no shuffle beyond the
-    partial-agg exchange); the loop is driver-side CONTROL only —
-    bounded at 10 rounds, data never leaves the cluster.  The block
-    executes EAGERLY: every statement runs as its own distributed job
-    and the block's return relation is the materialized final result
-    (LocalTableScan — plan-gated), so the contract is aggregate-first:
-    the final statement must reduce to a SMALL relation (here: 5
-    priority groups), never fact-table rows."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "sql_script_orders"
-    )
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE thr BIGINT DEFAULT 0;
-          DECLARE total BIGINT DEFAULT 0;
-          DECLARE k INT DEFAULT 1;
-          DECLARE n BIGINT DEFAULT 0;
-          SET thr = (SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5)
-                                     AS BIGINT)) DIV COUNT(*)
-                     FROM sql_script_orders);
-          SET total = (SELECT COUNT(*) FROM sql_script_orders);
-          SET n = (SELECT COUNT(*) FROM sql_script_orders
-                   WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                         * 10 > (10 + k) * thr);
-          WHILE n * 5 >= total AND k < 10 DO
-            SET k = k + 1;
-            SET n = (SELECT COUNT(*) FROM sql_script_orders
-                     WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                           * 10 > (10 + k) * thr);
-          END WHILE;
-          SELECT o_orderpriority, COUNT(*) AS n_orders,
-                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS BIGINT) AS sum_cents,
-                 CAST(k AS INT) AS k_cut
-          FROM sql_script_orders
-          WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10
-                > (10 + k) * thr
-          GROUP BY o_orderpriority;
-        END
-        """
-    )
+    Scale: orders is scanned exactly TWICE — once for the mean
+    (thr), once to build an eagerly-CACHEd per-(priority, kmax)
+    histogram (≤ 5×11 rows) where kmax is the largest k an order
+    survives.  Every WHILE round and the final statement then read
+    the cached histogram (n(k) = Σ cnt over kmax ≥ k is exactly the
+    original per-round count), so the 10-round worst case costs 10
+    in-memory scans of ≤55 rows instead of 10 fact-table scans — the
+    r12 SCALE.md mitigation, now implemented and structurally gated
+    (tests/test_plans.py asserts the loop body never references the
+    orders view).  The loop is driver-side CONTROL only; data never
+    leaves the cluster.  The block executes EAGERLY: every statement
+    runs as its own distributed job and the block's return relation is
+    the materialized final result (LocalTableScan — plan-gated), so
+    the contract is aggregate-first: the final statement must reduce
+    to a SMALL relation (here: 5 priority groups), never fact-table
+    rows.  View/variable names are run-suffixed (concurrent runs in
+    one session stay isolated) and the cache is released in a finally
+    block (UNCACHE fully empties the CacheManager — dropTempView
+    alone does NOT)."""
+    global _SQL_SCRIPT_RUN
+    _SQL_SCRIPT_RUN += 1
+    orders = f"sql_script_orders_{_SQL_SCRIPT_RUN}"
+    hist = f"sql_script_hist_{_SQL_SCRIPT_RUN}"
+    thr = f"sql_script_thr_{_SQL_SCRIPT_RUN}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(orders)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {thr} BIGINT DEFAULT 0")
+    try:
+        return spark.sql(_sql_script_text(orders, hist, thr))
+    finally:
+        # the returned relation is already materialized (LocalTableScan),
+        # so the scaffolding can go: release the histogram cache (must
+        # happen while the view still resolves), then the views/variable.
+        spark.sql(f"UNCACHE TABLE IF EXISTS {hist}")
+        spark.catalog.dropTempView(hist)
+        spark.catalog.dropTempView(orders)
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {thr}")
+
+
+_SQL_SCRIPT_RUN = 0
 
 
 @query(
