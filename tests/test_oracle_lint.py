@@ -1,0 +1,142 @@
+"""The seam house rules as an automated registry lint (r12 verdict
+item #3).
+
+Round 12 pinned the cross-engine seams in tests/test_cross_engine_
+seams.py and recorded three HOUSE RULES for registered SQL (implicit-
+ASC NULLS placement, bare concat over NULL, DATE+INTERVAL result
+type), each previously enforced by a one-off manual registry audit.
+tools/oracle_lint.py automates those audits; this module (a) runs the
+lint over the FULL registry — every oracle and every builder-side SQL
+string constant — inside the pytest gate, and (b) proves each rule
+actually FIRES via seeded negative fixtures, so "0 offenders" can
+never mean "the lint matches nothing".
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+
+from oracle_lint import (  # noqa: E402
+    iter_builder_sql,
+    lint_concat_null,
+    lint_date_interval,
+    lint_order_by_nulls,
+    lint_registry,
+    lint_sql,
+)
+
+
+def test_registry_and_builders_zero_offenders():
+    """Every registered oracle and builder SQL string follows the
+    three house rules — the automated form of the manual audits the
+    r12 seam pins ended with."""
+    offenders = lint_registry()
+    assert offenders == [], "\n".join(offenders)
+
+
+def test_lint_surface_actually_collects_builder_sql():
+    """The ast walk must keep finding the builder-side spark.sql()
+    texts — an import-path regression that silently collects nothing
+    would make rule-pass vacuous."""
+    found = list(iter_builder_sql())
+    assert len(found) > 150, f"only {len(found)} SQL strings collected"
+    files = {os.path.basename(p) for p, _, _ in found}
+    # spot-check: the heaviest SQL-bearing modules are represented
+    assert {"tpch_full.py", "spark4_surface.py", "relational.py"} <= files
+
+
+def test_base_columns_are_null_free():
+    """The lint's nullability model rests on this: no base column in
+    the driver fixtures carries a NULL, so NULL can only enter through
+    the constructs the lint matches (NULLIF / TRY_* / LEAD / LAG /
+    CASE-without-ELSE / bare NULL literals)."""
+    for f in sorted(glob.glob("/root/testdata/sf0.001/*.parquet")):
+        t = pq.read_table(f)
+        nully = [c for c in t.column_names if t.column(c).null_count > 0]
+        assert not nully, f"{os.path.basename(f)}: NULLs in {nully}"
+
+
+def test_rule_implicit_asc_nulls_fires():
+    """Seeded negatives: nullable sort keys WITHOUT explicit NULLS
+    placement must flag (Spark puts NULLs first under implicit ASC,
+    DuckDB last — wrong ROWS through LIMIT, the r12 seam)."""
+    bad = [
+        "SELECT a FROM t ORDER BY NULLIF(a, 0)",
+        "SELECT a FROM t ORDER BY try_divide(a, b) DESC, c",
+        "SELECT rank() OVER (ORDER BY lead(a) OVER (ORDER BY b)) FROM t",
+        "SELECT a FROM t ORDER BY CASE WHEN a > 0 THEN 1 END",
+        "SELECT a FROM t ORDER BY IF(a > 0, a, NULL)",
+    ]
+    for sql in bad:
+        assert lint_order_by_nulls(sql), f"rule 1 silent on: {sql}"
+    good = [
+        # the sanctioned spellings
+        "SELECT a FROM t ORDER BY NULLIF(a, 0) NULLS LAST",
+        "SELECT a FROM t ORDER BY COALESCE(NULLIF(a, 0), -1)",
+        "SELECT a FROM t ORDER BY a, b DESC",  # null-free base columns
+        "SELECT a FROM t ORDER BY CASE WHEN a > 0 THEN 1 ELSE 2 END",
+        "SELECT sum(a) FROM t GROUP BY b ORDER BY sum(a) DESC, b",
+    ]
+    for sql in good:
+        assert not lint_order_by_nulls(sql), f"rule 1 misfire on: {sql}"
+
+
+def test_rule_concat_null_fires():
+    """Seeded negatives: concat() over a null-producing argument must
+    flag (Spark NULL-propagates, DuckDB skips NULL args)."""
+    bad = [
+        "SELECT concat(a, NULLIF(b, ''), c) FROM t",
+        "SELECT concat(a, CASE WHEN x > 0 THEN b END) FROM t",
+        "SELECT concat(lead(a) OVER (ORDER BY b), '-') FROM t",
+    ]
+    for sql in bad:
+        assert lint_concat_null(sql), f"rule 2 silent on: {sql}"
+    good = [
+        "SELECT concat(a, COALESCE(NULLIF(b, ''), ''), c) FROM t",
+        "SELECT concat(a, '-', b) FROM t",  # null-free base columns
+        "SELECT concat_ws('-', a, b) FROM t",  # different fn, not the seam
+    ]
+    for sql in good:
+        assert not lint_concat_null(sql), f"rule 2 misfire on: {sql}"
+
+
+def test_rule_date_interval_fires():
+    """Seeded negatives: projecting DATE +/- INTERVAL without CAST
+    must flag (Spark returns DATE, DuckDB TIMESTAMP — equal instants,
+    different pandas-view hashes)."""
+    bad = [
+        "SELECT DATE '1995-01-01' + INTERVAL 1 DAY AS d FROM t",
+        "SELECT CAST(x AS DATE) + INTERVAL '1' DAY AS d FROM t",
+        "SELECT to_date(s) - INTERVAL 3 MONTH AS d FROM t",
+    ]
+    for sql in bad:
+        assert lint_date_interval(sql), f"rule 3 silent on: {sql}"
+    good = [
+        # the sanctioned spelling: CAST the RESULT
+        "SELECT CAST(DATE '1995-01-01' + INTERVAL 1 DAY AS DATE) AS d "
+        "FROM t",
+        "SELECT CAST(to_date(s) - INTERVAL 3 MONTH AS TIMESTAMP) FROM t",
+        # timestamp arithmetic is aligned on both engines — not flagged
+        "SELECT ts + INTERVAL 1 DAY AS d FROM t",
+        "SELECT o_orderdate - INTERVAL 90 DAY AS d FROM t",
+    ]
+    for sql in good:
+        assert not lint_date_interval(sql), f"rule 3 misfire on: {sql}"
+
+
+def test_lint_sql_aggregates_all_rules():
+    sql = (
+        "SELECT concat(a, NULLIF(b, '')) , "
+        "DATE '1995-01-01' + INTERVAL 1 DAY AS d "
+        "FROM t ORDER BY NULLIF(a, 0)"
+    )
+    hits = lint_sql(sql)
+    assert len(hits) == 3, hits

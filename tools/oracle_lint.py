@@ -1,0 +1,316 @@
+"""Registry lint for the pinned cross-engine seam HOUSE RULES.
+
+Round 12 pinned six Spark-vs-DuckDB seams (tests/test_cross_engine_
+seams.py documents each divergence); three of them come with a house
+rule every registered oracle AND builder-side SQL string must follow,
+previously enforced by hand-audits.  This lint automates the audits
+(r12 verdict item #3):
+
+1. **implicit-ASC NULLS** — Spark places NULLs FIRST under implicit
+   ASC, DuckDB LAST, so rank/ORDER BY+LIMIT over a NULLABLE key can
+   return DIFFERENT ROWS.  House rule: a sort key whose expression can
+   produce NULL (NULLIF / TRY_* / 2-arg LEAD/LAG / CASE without ELSE /
+   a bare NULL literal) must spell NULLS FIRST or NULLS LAST, or wrap
+   the nullable construct in COALESCE/IFNULL.  Base-table columns are
+   null-free in every driver fixture (attested by
+   tests/test_oracle_lint.py from parquet null counts), so construct
+   nullability is the whole exposure.
+2. **bare concat over nullable args** — Spark concat() propagates
+   NULL, DuckDB concat() SKIPS NULL args.  House rule: concat() whose
+   argument list contains a null-producing construct must COALESCE it
+   (or use || which NULL-propagates on both engines).
+3. **DATE + INTERVAL projected without CAST** — Spark returns DATE,
+   DuckDB TIMESTAMP; equal instants hash DIFFERENTLY through the
+   driver's pandas view.  House rule: a SELECT item whose value is
+   DATE-typed interval arithmetic (operand spelled DATE '..',
+   CAST(.. AS DATE), TO_DATE(..) or DATE(..)) must CAST the result.
+   No driver table carries a DATE column (all timestamps), so explicit
+   DATE spellings are the whole exposure; TIMESTAMP +/- INTERVAL is
+   aligned (both engines return TIMESTAMP) and is not flagged.
+
+Linted surfaces: every registered oracle (registry.oracle_map()) and
+every SQL-looking string constant in dpu_olap_spark/**/*.py (ast walk,
+so builder-side spark.sql() texts are covered without executing them).
+Each rule's firing is proven by seeded negative fixtures in
+tests/test_oracle_lint.py, which also runs this lint over the full
+registry inside the pytest gate (0 offenders required).
+
+Usage: python tools/oracle_lint.py    (exits nonzero on offenders)
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A construct that can introduce NULL into an otherwise null-free
+# expression (base columns are null-free in all driver fixtures).
+# 3-arg lead/lag with a literal default is handled by the COALESCE
+# carve-out below only when spelled coalesce(lead(..)) — the lint is
+# deliberately conservative: spelling NULLS FIRST/LAST is always legal.
+_NULLY = re.compile(
+    r"\b(nullif|try_[a-z_]+)\s*\(|\b(lead|lag)\s*\(", re.IGNORECASE
+)
+_BARE_NULL = re.compile(r"(?<![a-z_])null(?![a-z_])", re.IGNORECASE)
+_NULLS_SPEC = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
+_CASE_NO_ELSE = re.compile(r"\bcase\b", re.IGNORECASE)
+_DATE_SPELLING = re.compile(
+    r"\bdate\s*'|\bas\s+date\b|\bto_date\s*\(|(?<![a-z_])date\s*\(",
+    re.IGNORECASE,
+)
+_INTERVAL_ARITH = re.compile(r"[+-]\s*interval\b", re.IGNORECASE)
+
+
+def _strip_comments(sql: str) -> str:
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0, respecting single quotes."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
+_ORDER_BY = re.compile(r"\border\s+by\b", re.IGNORECASE)
+# clause terminators that end an ORDER BY list at depth 0
+_OB_END = re.compile(
+    r"\b(limit|rows|range|offset|union|intersect|except|window|having)\b"
+    r"|;",
+    re.IGNORECASE,
+)
+
+
+def _order_by_lists(sql: str) -> list[str]:
+    """Every ORDER BY item list (window-spec and statement-level),
+    text from after ORDER BY to the clause end at its own depth."""
+    sql = _strip_comments(sql)
+    lists = []
+    for m in _ORDER_BY.finditer(sql):
+        start = m.end()
+        depth, in_str, i = 0, False, start
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                tail = _OB_END.match(sql, i)
+                if tail:
+                    break
+            i += 1
+        lists.append(sql[start:i])
+    return lists
+
+
+def _is_nullable_expr(item: str) -> bool:
+    """Can this sort-key/argument expression produce NULL, given
+    null-free base columns?  COALESCE/IFNULL at any enclosing level is
+    accepted as the fix (conservative: a partial COALESCE that doesn't
+    actually cover the nullable construct still passes — spelling
+    NULLS FIRST/LAST is the airtight form)."""
+    low = item.lower()
+    if "coalesce" in low or "ifnull" in low:
+        return False
+    if _NULLY.search(item):
+        return True
+    # CASE without ELSE yields NULL on no-match
+    for m in _CASE_NO_ELSE.finditer(low):
+        seg = low[m.end():]
+        end = seg.find(" end")
+        seg = seg if end < 0 else seg[:end]
+        if "else" not in seg:
+            return True
+    # a bare NULL literal inside the expression (not IS NULL / NULLS)
+    cleaned = re.sub(r"\bis\s+(not\s+)?null\b", " ", low)
+    cleaned = _NULLS_SPEC.sub(" ", cleaned)
+    return bool(_BARE_NULL.search(cleaned))
+
+
+def lint_order_by_nulls(sql: str) -> list[str]:
+    """Rule 1: nullable sort keys must spell NULLS FIRST/LAST."""
+    hits = []
+    for lst in _order_by_lists(sql):
+        for item in _split_top_level(lst):
+            item = item.strip()
+            if not item or _NULLS_SPEC.search(item):
+                continue
+            if _is_nullable_expr(item):
+                hits.append(
+                    f"nullable sort key without NULLS FIRST/LAST: "
+                    f"{item[:80]!r}"
+                )
+    return hits
+
+
+_CONCAT = re.compile(r"(?<![a-z_])concat\s*\(", re.IGNORECASE)
+
+
+def _call_args(sql: str, open_paren: int) -> str:
+    depth, in_str, i = 1, False, open_paren + 1
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return sql[open_paren + 1 : i - 1]
+
+
+def lint_concat_null(sql: str) -> list[str]:
+    """Rule 2: concat() must not take a null-producing argument."""
+    sql = _strip_comments(sql)
+    hits = []
+    for m in _CONCAT.finditer(sql):
+        args = _call_args(sql, m.end() - 1)
+        for a in _split_top_level(args):
+            if _is_nullable_expr(a):
+                hits.append(
+                    f"bare concat over nullable arg: {a.strip()[:80]!r}"
+                )
+    return hits
+
+
+def lint_date_interval(sql: str) -> list[str]:
+    """Rule 3: a projected DATE +/- INTERVAL must be CAST.  Flags any
+    interval arithmetic whose same-depth-adjacent text spells a DATE
+    type and that is not inside a CAST(...) / comparison context."""
+    sql = _strip_comments(sql)
+    hits = []
+    for m in _INTERVAL_ARITH.finditer(sql):
+        # the smallest enclosing paren group or statement fragment
+        start = m.start()
+        depth, j = 0, start - 1
+        grp_start = 0
+        while j >= 0:
+            ch = sql[j]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    grp_start = j
+                    break
+                depth -= 1
+            j -= 1
+        frag = sql[grp_start:m.end() + 40]
+        if not _DATE_SPELLING.search(frag):
+            continue  # timestamp arithmetic — aligned on both engines
+        # accepted: the arithmetic sits inside CAST( .. ) — check every
+        # enclosing open-paren for a preceding CAST
+        k, depth = start - 1, 0
+        wrapped = False
+        while k >= 0:
+            ch = sql[k]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    head = sql[max(0, k - 12):k].lower()
+                    if re.search(r"\bcast\s*$", head):
+                        wrapped = True
+                        break
+                else:
+                    depth -= 1
+            k -= 1
+        if not wrapped:
+            hits.append(
+                f"DATE +/- INTERVAL not wrapped in CAST: "
+                f"{sql[m.start():m.end() + 30]!r}"
+            )
+    return hits
+
+
+def lint_sql(sql: str) -> list[str]:
+    return (
+        lint_order_by_nulls(sql)
+        + lint_concat_null(sql)
+        + lint_date_interval(sql)
+    )
+
+
+_SQLISH = re.compile(r"\b(select|order\s+by|concat|interval)\b", re.IGNORECASE)
+
+
+def iter_builder_sql(pkg_dir: str | None = None):
+    """Yield (path, lineno, text) for every SQL-looking string constant
+    in the engine package — covers builder-side spark.sql() texts and
+    expr() fragments without executing any query."""
+    root = Path(pkg_dir or Path(__file__).resolve().parent.parent
+                / "dpu_olap_spark")
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and len(node.value) > 15
+                and _SQLISH.search(node.value)
+            ):
+                yield str(py), node.lineno, node.value
+
+
+def lint_registry() -> list[str]:
+    """All offenders across registered oracles + builder SQL strings."""
+    from dpu_olap_spark.registry import oracle_map
+
+    offenders = []
+    for name, sql in sorted(oracle_map().items()):
+        for hit in lint_sql(sql):
+            offenders.append(f"oracle:{name}: {hit}")
+    for path, lineno, text in iter_builder_sql():
+        for hit in lint_sql(text):
+            offenders.append(f"{os.path.relpath(path)}:{lineno}: {hit}")
+    return offenders
+
+
+def main() -> int:
+    offenders = lint_registry()
+    for o in offenders:
+        print(o)
+    n_oracle = len([o for o in offenders if o.startswith("oracle:")])
+    print(
+        f"\nlinted registry oracles + builder SQL strings: "
+        f"{len(offenders)} offenders ({n_oracle} oracle-side)"
+    )
+    return 1 if offenders else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
