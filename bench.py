@@ -237,16 +237,20 @@ def main() -> None:
             pass_t[name] = round(time.perf_counter() - t0, 3)
         per_run.append(pass_t)
 
+    planned = n_runs
     for _ in range(n_runs):
         _one_pass()
     # adaptive extension (r11 verdict #2): BENCH_r11's noisy_box came
-    # from a neighbor burst inflating the medians — when the planned
-    # passes spread >10%, keep measuring (up to max_runs) so at least
-    # one quiet pass anchors each query's median instead of trusting
-    # three noisy ones at face value.
+    # from a neighbor burst inflating the medians — when the passes
+    # spread >10%, keep measuring (up to max_runs) so at least one
+    # quiet pass anchors each query's median.  The stop condition is
+    # the spread of the BEST `planned` pass totals, which a new quiet
+    # pass can improve; spreading over ALL passes kept the outlier in
+    # the window forever, so the per-iteration re-check was dead logic
+    # and every noisy run went straight to max_runs (r12 ADVICE).
     while (
         len(per_run) < max_runs
-        and _spread([sum(p.values()) for p in per_run]) > 0.10
+        and _spread(sorted(sum(p.values()) for p in per_run)[:planned]) > 0.10
     ):
         _one_pass()
     n_runs = len(per_run)
@@ -332,8 +336,12 @@ def main() -> None:
         "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
         # 2-decimal on the contract line only (r11 verdict #3: the
         # 3-decimal map left 2 chars of headroom under the driver's
-        # ~2,000-char stdout tail); 3-decimal medians live on the
-        # diagnostics line as queries_median
+        # ~2,000-char stdout tail); "value" stays the AUTHORITATIVE
+        # total, summed from the 3-decimal medians — sum(queries) can
+        # drift from it by up to ~0.005s/query of display rounding;
+        # full-precision per-query medians live on the diagnostics
+        # line as queries_median (r12 ADVICE: documented, not
+        # recomputed, so the total keeps measurement precision)
         "queries": {n: round(v, 2) for n, v in timings.items()},
         "floor_sec": round(floor, 3),
         "concurrent_wall": concurrent_wall,

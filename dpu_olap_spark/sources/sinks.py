@@ -58,14 +58,18 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
 
     ``validate_sentinel`` guards the one documented hole: a real data
     value equal to the literal two-char string ``\\N`` would read back
-    as NULL.  While validating, the frame is PERSISTED across the
-    probe and the write so both see the SAME evaluation — without
-    this, a nondeterministic upstream (sampling, rand()) could pass a
-    sentinel-free probe and then re-evaluate to a poisoned write, and
-    an expensive plan would execute twice (r12 review).  The probe
-    itself short-circuits (LIMIT 1 under the filter).  Pass
+    as NULL.  The probe short-circuits (LIMIT 1 under the filter).
+    When the plan is DETERMINISTIC (Catalyst's plan-level attribute —
+    no rand()/sample/nondeterministic UDF anywhere), probe and write
+    are two evaluations of the same rows, so the probe runs directly
+    against the lazy plan with no extra materialization.  Only a
+    nondeterministic plan is PERSISTED across probe+write so both see
+    the SAME evaluation — without that, a sampling upstream could pass
+    a sentinel-free probe and then re-evaluate to a poisoned write
+    (r12 review); the persist's spill cost for frames beyond storage
+    memory is confined to that case (r12 ADVICE).  Pass
     ``validate_sentinel=False`` when the corpus contract already rules
-    the sentinel out and the extra materialization is unwanted in a
+    the sentinel out and even the probe's extra scan is unwanted in a
     scan-bound hot path.
     """
     if validate_sentinel:
@@ -78,12 +82,19 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
             f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
         ]
         if str_cols:
-            df = df.persist()
             try:
-                collision = reduce(
-                    lambda a, b: a | b,
-                    (F.col(c) == F.lit(_CSV_NULL) for c in str_cols),
+                deterministic = bool(
+                    df._jdf.queryExecution().analyzed().deterministic()
                 )
+            except Exception:
+                deterministic = False  # unknown -> the safe (persist) path
+            collision = reduce(
+                lambda a, b: a | b,
+                (F.col(c) == F.lit(_CSV_NULL) for c in str_cols),
+            )
+            if not deterministic:
+                df = df.persist()
+            try:
                 if not df.where(collision).isEmpty():
                     raise ValueError(
                         f"write_csv: a string cell equals the NULL sentinel "
@@ -94,7 +105,8 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
                     "emptyValue", '""'
                 ).option("nullValue", _CSV_NULL).csv(path)
             finally:
-                df.unpersist()
+                if not deterministic:
+                    df.unpersist()
             return
     df.write.mode("overwrite").option("header", "true").option(
         "emptyValue", '""'

@@ -129,25 +129,21 @@ def _view_select(table: str, path: str) -> str:
             and pa.types.is_timestamp(typ)
             and typ.unit == "ns"
         ):
-            from datetime import datetime, timezone
-
             col = pq.read_table(path, columns=[name])[name]
-            mn = pa.compute.min(col).as_py()
-            # compare INSTANTS: a tz-aware column with a positive UTC
-            # offset must not slip pre-epoch values past a same-tz
-            # wall-clock comparison (r12 review)
-            epoch = (
-                datetime(1970, 1, 1, tzinfo=timezone.utc)
-                if mn is not None and mn.tzinfo is not None
-                else datetime(1970, 1, 1)
-            )
-            if mn is not None and mn < epoch:
+            # compare in INTEGER epoch-ns: exact at any precision and
+            # tz-correct by construction — the Python-scalar form
+            # (pa.compute.min(col).as_py() < epoch) relied on pandas'
+            # ns-preserving Timestamp; with pyarrow's plain-datetime
+            # fallback a min in (-999..-1] ns quantizes to the epoch
+            # and slips the guard (r12 ADVICE)
+            mn_ns = pa.compute.min(col.cast(pa.int64())).as_py()
+            if mn_ns is not None and mn_ns < 0:
                 raise ValueError(
                     f"{table}.{name}: TIMESTAMP(NANOS) fixture contains "
-                    f"pre-epoch values (min {mn}); DuckDB 1.0 truncates "
-                    "ns toward zero at scan while Spark floors — oracle "
-                    "parity is unattainable for this fixture, regenerate "
-                    "it post-epoch or as raw int64 nanos"
+                    f"pre-epoch values (min {mn_ns} ns); DuckDB 1.0 "
+                    "truncates ns toward zero at scan while Spark floors "
+                    "— oracle parity is unattainable for this fixture, "
+                    "regenerate it post-epoch or as raw int64 nanos"
                 )
             exprs.append(name)
         else:

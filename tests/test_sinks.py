@@ -74,6 +74,37 @@ def test_csv_sentinel_guard_fails_loudly(spark):
         assert _multiset(back2, ["id", "s"]) == [(1, None), (2, ""), (3, "x\\Ny")]
 
 
+def test_csv_sentinel_probe_persists_only_nondeterministic(spark, monkeypatch):
+    """The sentinel probe materializes (persist) ONLY when the plan is
+    nondeterministic — for a deterministic plan, probe and write see
+    the same rows by definition, so the r12-review persist would add a
+    silent spill cost on frames beyond storage memory (r12 ADVICE).  A
+    rand()-derived frame must still take the persist path: a sampling
+    upstream could otherwise pass a sentinel-free probe and
+    re-evaluate to a poisoned write."""
+    det = spark.range(10).selectExpr("CAST(id AS STRING) AS s")
+    # patch the CONCRETE class (pyspark.sql.classic...): persist is
+    # overridden there, so patching the pyspark.sql.DataFrame base
+    # would never intercept
+    cls = type(det)
+    calls = []
+    orig = cls.persist
+
+    def counting_persist(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", counting_persist)
+    nondet = spark.range(10).selectExpr(
+        "CAST(CASE WHEN rand(7) < 2 THEN id END AS STRING) AS s"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_csv(det, os.path.join(d, "det_csv"))
+        assert not calls, "deterministic plan must not persist"
+        sinks.write_csv(nondet, os.path.join(d, "nondet_csv"))
+        assert calls, "nondeterministic plan must persist across probe+write"
+
+
 def test_json_roundtrip(spark):
     supplier = load_table(spark, SF, "supplier")
     with tempfile.TemporaryDirectory() as d:
