@@ -816,3 +816,85 @@ def q_group_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("group_size").alias("n_rows"),
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size_v
+      FROM part
+    ),
+    sweep AS (
+      SELECT p_partkey, price_cents, size_v,
+             MAX(size_v) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m_strict,
+             MAX(size_v) OVER (PARTITION BY price_cents) AS m_tie
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, size_v
+    FROM sweep
+    WHERE (m_strict IS NULL OR size_v > m_strict) AND size_v = m_tie
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts not DOMINATED on
+    (minimize price, maximize size) — a dominates b iff a.price <=
+    b.price, a.size >= b.size and at least one is strict; equal points
+    are mutually non-dominated and all kept.  A preference-query
+    operator class the reference engine has no analog for (its join/
+    filter kernels are equality-only; SURVEY.md section 2.9).
+
+    Exact sweep formulation (no quadratic dominance join): sort by
+    price; a point survives iff its size exceeds the max size over all
+    STRICTLY cheaper points (RANGE .. 1 PRECEDING on integer cents
+    handles price ties exactly) AND it carries the max size within its
+    own price (a same-price larger size dominates).  Prices go through
+    the house cents cast so both engines sweep identical integers.
+
+    Scale: the classic two-phase distributed skyline — phase 1 runs
+    the sweep WITHIN each of 32 hash buckets (partitioned window, no
+    global order), eliminating locally-dominated points; dominance is
+    transitive, so any point dominated by ANYTHING is dominated by a
+    member of its bucket's local skyline and global-skyline membership
+    is decidable among survivors.  Phase 2 re-sweeps the survivors —
+    bounded by buckets x distinct sizes (32 x 50 here), NOT by fact
+    rows — in a single-partition global window (same justification as
+    tpch_q15's dim-bounded rank; allowlisted in tools/plan_scan.py).
+    The survivor count is what a 1000-executor run ships to one task,
+    which is why phase 1 must partition-prune the fact table first."""
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size_v"),
+    )
+
+    def sweep(df: DataFrame, bucketed: bool) -> DataFrame:
+        part_cols = ["bucket"] if bucketed else []
+        w_strict = (
+            Window.partitionBy(*part_cols)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_tie = Window.partitionBy(*(part_cols + ["price_cents"]))
+        return (
+            df.withColumn("m_strict", F.max("size_v").over(w_strict))
+            .withColumn("m_tie", F.max("size_v").over(w_tie))
+            .where(
+                (F.col("m_strict").isNull()
+                 | (F.col("size_v") > F.col("m_strict")))
+                & (F.col("size_v") == F.col("m_tie"))
+            )
+            .drop("m_strict", "m_tie")
+        )
+
+    local = sweep(
+        pts.withColumn("bucket", F.pmod(F.hash("p_partkey"), F.lit(32))),
+        bucketed=True,
+    ).drop("bucket")
+    return sweep(local, bucketed=False)

@@ -573,3 +573,83 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             (epoch_us(lead(CAST(ts AS TIMESTAMP))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id))
+              - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+           CAST(SUM(cents * dur_s) // SUM(dur_s) AS BIGINT) AS twa_cents
+    FROM spans
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULARLY-sampled series: each
+    event's value holds until the user's next event, so the per-user
+    mean weights every reading by how long it was current — the
+    standard aggregation for sensor/metric streams, which a plain AVG
+    silently mis-states whenever sampling is bursty.  The reference
+    has no time-series operator at all (its aggregate kernel is plain
+    SUM, host/aggr/aggr_native.cc:67-73).
+
+    Exactness: values go through the house cents cast, durations are
+    floor-of-microseconds seconds, and the final ratio is integer
+    floor division over NON-NEGATIVE operands — the regime where
+    DuckDB's truncating // and Spark's DIV agree (the pinned negative-
+    dividend divergence never arises: lead() is later-or-equal by the
+    window order and values are cents >= 0; zero total durations are
+    HAVING'd out on both sides, sidestepping the //0-raise vs
+    DIV-0-NULL edge).  Each user's LAST event carries no duration
+    (lead is NULL) and drops from the weighting on both engines.
+
+    Scale: one shuffle on user_id for the lead() window, then the
+    aggregation reuses that partitioning (no second exchange); state
+    is two BIGINTs per user.  Never a self-join — the naive
+    event-to-next-event pairing is the range_join pattern, 10x the
+    shuffle width for the same answer."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    spans = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts", 1).over(w))
+            - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).select(
+        "user_id",
+        "cents",
+        F.expr("dur_us DIV 1000000").alias("dur_s"),
+    )
+    return (
+        spans.where(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+            F.sum(F.col("cents") * F.col("dur_s"))
+            .cast("bigint")
+            .alias("weighted_cents_s"),
+            F.expr(
+                "CAST(SUM(cents * dur_s) DIV SUM(dur_s) AS BIGINT)"
+            ).alias("twa_cents"),
+        )
+        .where(F.col("total_dur_s") > 0)
+    )

@@ -608,6 +608,40 @@ def test_sql_script_returns_small_local_relation(spark):
     assert "Output [4]" in plan, "unexpected script result width"
 
 
+def test_skyline_two_phase_prunes_before_global_sweep(spark):
+    """skyline_pareto's 100 TB contract: phase 1's windows are
+    PARTITIONED by the hash bucket (fact-scale work is parallel) and
+    only the pruned survivors reach phase 2's single-partition merge
+    sweep.  Pin both phases in the plan: a bucketed windowspec
+    (pmod(hash(...)) partition key) below, exactly one global (empty
+    partition-by) windowspec above, and the survivor filter BETWEEN
+    them — losing the phase-1 filter would ship the whole fact table
+    to one task."""
+    plan = _formatted_plan(spark, "skyline_pareto")
+    assert "pmod(hash(p_partkey" in plan, "phase-1 bucket key gone"
+    assert plan.count("Window") >= 2, "two window phases expected"
+    # both sweep predicates survive optimization (applied twice:
+    # once per phase)
+    assert plan.count("m_strict") >= 2 and plan.count("m_tie") >= 2
+    assert "CartesianProduct" not in plan  # never a dominance join
+    assert "BatchEvalPython" not in plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """time_weighted_avg: the lead() window shuffles on user_id ONCE
+    and the per-user aggregation reuses that partitioning — a second
+    user_id exchange between window and aggregate means the plan
+    stopped co-locating and would double the shuffle at 100 TB."""
+    plan = _formatted_plan(spark, "time_weighted_avg")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
+    assert "hashpartitioning(user_id" in plan, "exchange not on user_id"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
     """sql_script's 100 TB contract (r12 verdict item #2): the orders
     fact table is scanned exactly TWICE — the thr assignment and the

@@ -10456,3 +10456,195 @@ def test_degenerate_stat_aggs_cross_engine_aligned(spark):
     row = spark.sql(probes[0]).collect()[0]
     assert row[0] is None and row[2] == 0.0
     con.close()
+
+
+def _sf_with_part(tmp_path, subdir, rows):
+    """A fixture sf_dir whose part.parquet is custom (p_partkey,
+    p_retailprice double, p_size int32 + filler name/brand/type) and
+    whose other nine tables are symlinks to sf0.001."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "part":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": pa.array([f"part {r[0]}" for r in rows], pa.string()),
+                "p_brand": pa.array(["Brand#1"] * len(rows), pa.string()),
+                "p_type": pa.array(["STANDARD"] * len(rows), pa.string()),
+                "p_size": pa.array([r[2] for r in rows], pa.int32()),
+                "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+def test_skyline_pareto_dominance_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the 2-D skyline's dominance
+    edges, attested by a pure-Python quadratic dominance replay (the
+    definition) against the engine's sweep formulation (the
+    implementation) and checked Spark-vs-DuckDB through the registered
+    oracle:
+
+    - EXACT DUPLICATES (same price, same size) are mutually
+      non-dominated — BOTH stay on the frontier;
+    - same price, smaller size is dominated (strict size);
+    - higher price, equal size is dominated (strict price);
+    - the cheapest point always survives, however small;
+    - domination only by a non-frontier point must still eliminate
+      (transitivity: the eliminator's eliminator is on the frontier)."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    # (p_partkey, price, size) — cents = price*100 exactly (x.00 vals)
+    rows = [
+        (1, 0.90, 5),    # frontier: cheapest
+        (2, 1.00, 10),   # frontier
+        (3, 1.00, 10),   # exact duplicate of 2: BOTH kept
+        (4, 1.00, 9),    # dominated by 2 (same price, strict size)
+        (5, 1.50, 10),   # dominated by 2 (strict price, equal size)
+        (6, 1.50, 12),   # frontier
+        (7, 2.00, 12),   # dominated by 6 (strict price, equal size)
+        (8, 2.00, 15),   # frontier
+        (9, 2.50, 11),   # dominated by 7, whose OWN dominator is 6 —
+                         # transitivity must still eliminate it
+    ]
+    expected = {1, 2, 3, 6, 8}
+
+    # pure-Python replay of the DEFINITION (quadratic dominance)
+    def dominates(p, q):
+        return (
+            p[1] <= q[1] and p[2] >= q[2]
+            and (p[1] < q[1] or p[2] > q[2])
+        )
+
+    sky = {
+        p[0]
+        for p in rows
+        if not any(dominates(q, p) for q in rows if q[0] != p[0])
+    }
+    assert sky == expected, f"fixture drifted: python skyline {sky}"
+
+    sf = _sf_with_part(tmp_path, "skyline", rows)
+    got = all_queries()["skyline_pareto"].build(spark, sf)
+    keys = sorted(r.p_partkey for r in got.collect())
+    assert keys == sorted(expected), keys
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["skyline_pareto"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def _sf_with_events(tmp_path, subdir, rows):
+    """A fixture sf_dir whose events.parquet is custom ((event_id,
+    ts_us, user_id, value) tuples; microsecond timestamps) and whose
+    other nine tables are symlinks to sf0.001."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_time_weighted_avg_duration_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the time-weighted average's
+    edges, attested by a pure-Python replay of the exact integer walk
+    (cents x floor-seconds, floor-divided) and Spark-vs-DuckDB through
+    the registered oracle:
+
+    - sub-second spans FLOOR to 0 and contribute no weight;
+    - a user whose every span floors to 0 is HAVING'd out entirely
+      (the //0-raise vs DIV-0-NULL engine edge never evaluates);
+    - a single-event user has no span at all and is absent;
+    - each user's LAST event drops from the weighting (lead is NULL);
+    - same-microsecond events order by event_id — swapping them
+      changes which value carries the following span."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    T = 1_000_000_000_000  # base epoch-us, far post-epoch
+    rows = [
+        # user 1: mixed spans (1.5s -> 1, 2.5s -> 2); last drops
+        (10, T, 1, 2.00),
+        (11, T + 1_500_000, 1, 3.00),
+        (12, T + 4_000_000, 1, 99.0),
+        # user 2: same-microsecond pair (dur 0) then nothing -> all
+        # spans zero -> HAVING'd out
+        (20, T, 2, 5.00),
+        (21, T, 2, 6.00),
+        # user 3: single event -> no spans -> absent
+        (30, T, 3, 7.00),
+        # user 4: all sub-second spans -> floors to 0 -> HAVING'd out
+        (40, T, 4, 1.00),
+        (41, T + 400_000, 4, 2.00),
+        (42, T + 900_000, 4, 3.00),
+        # user 5: same-microsecond TIE at the head (event_id breaks
+        # it), then a 2s span from the LATER-id event's value
+        (50, T, 5, 1.00),
+        (51, T, 5, 4.00),
+        (52, T + 2_000_000, 5, 9.00),
+    ]
+
+    # pure-Python replay of the exact integer walk
+    def walk():
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for eid, ts, uid, v in rows:
+            by_user[uid].append((ts, eid, round(v * 100)))
+        out = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            spans = [
+                (evs[i][2], (evs[i + 1][0] - evs[i][0]) // 1_000_000)
+                for i in range(len(evs) - 1)
+            ]
+            if not spans:
+                continue
+            dur = sum(d for _, d in spans)
+            if dur <= 0:
+                continue
+            weighted = sum(c * d for c, d in spans)
+            out[uid] = (len(spans), dur, weighted, weighted // dur)
+        return out
+
+    expect = walk()
+    assert set(expect) == {1, 5}, f"fixture drifted: {expect}"
+    assert expect[1] == (2, 3, 200 * 1 + 300 * 2, 800 // 3)
+    # user 5: span 1 = (value of event 50) x 0s, span 2 = (value of
+    # event 51 — the LATER event_id at the tied microsecond) x 2s
+    assert expect[5] == (2, 2, 400 * 2, 400)
+
+    sf = _sf_with_events(tmp_path, "twa", rows)
+    got = all_queries()["time_weighted_avg"].build(spark, sf)
+    per_user = {
+        r.user_id: (r.n_spans, r.total_dur_s, r.weighted_cents_s, r.twa_cents)
+        for r in got.collect()
+    }
+    assert per_user == expect, per_user
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["time_weighted_avg"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms

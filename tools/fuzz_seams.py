@@ -920,7 +920,7 @@ def _gen_nullframe(con, rng: random.Random) -> str:
     cents_lit = math.floor(fv[0] * 100 + 0.5) if fv else 0
     nv = f"NULLIF({cents}, {cents_lit})"
     pred = _gen_predicate(con, table, cols, rng)
-    flavor = rng.randrange(3)
+    flavor = rng.randrange(4)
     if flavor == 0:
         lo, hi = rng.randint(0, 3), rng.randint(0, 3)
         over = (f"(PARTITION BY {g} ORDER BY {pk} ROWS BETWEEN {lo} "
@@ -937,14 +937,43 @@ def _gen_nullframe(con, rng: random.Random) -> str:
         direction = rng.choice(["ASC", "DESC"])
         nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
         i = rng.choice(cols["ints"][1:] or cols["ints"])
-        ivs = _sample_values(con, table, i, rng, 1)
+        ivs = _sample_values(con, table, i, rng, 2)
         ilit = ivs[0] if ivs else 0
+        key = f"NULLIF({i}, {ilit})"
+        if len(ivs) > 1 and rng.random() < 0.5:
+            # multi-level: the outer NULLIF nulls a SECOND sampled
+            # value, so the nullable rank key has two injection sites
+            key = f"NULLIF({key}, {ivs[1]})"
         return (
             f"SELECT grp, {pk}, rn FROM ("
             f"SELECT {g} AS grp, {pk}, ROW_NUMBER() OVER "
-            f"(PARTITION BY {g} ORDER BY NULLIF({i}, {ilit}) {direction} "
+            f"(PARTITION BY {g} ORDER BY {key} {direction} "
             f"{nulls}, {pk}) AS rn"
             f" FROM {table} WHERE ({pred})) t WHERE rn <= {k}"
+        )
+    if flavor == 2:
+        # multi-level NULLIF inside the frame (r12 verdict #4): the
+        # injection NESTS (two sampled cents values null out) and ALSO
+        # hits the PARTITION key — NULL must form its own partition on
+        # both engines; frame aggregates skip the doubly-injected
+        # NULLs identically while COUNT(*) keeps counting them.
+        fv2 = _sample_values(con, table, fcol, rng, 2)
+        lit_a = math.floor(fv2[0] * 100 + 0.5) if fv2 else 0
+        lit_b = math.floor(fv2[-1] * 100 + 0.5) if len(fv2) > 1 else 1
+        nv2 = f"NULLIF(NULLIF({cents}, {lit_a}), {lit_b})"
+        gkind = "str" if g in cols["strs"] else "int"
+        gv = _sample_values(con, table, g, rng, 1)
+        gpart = f"NULLIF({g}, {_lit(gkind, gv[0])})" if gv else g
+        lo, hi = rng.randint(0, 3), rng.randint(0, 3)
+        over2 = (f"(PARTITION BY {gpart} ORDER BY {pk} ROWS BETWEEN "
+                 f"{lo} PRECEDING AND {hi} FOLLOWING)")
+        return (
+            f"SELECT {pk}, "
+            f"CAST(SUM({nv2}) OVER {over2} AS BIGINT) AS w_sum, "
+            f"COUNT({nv2}) OVER {over2} AS w_n, "
+            f"COUNT(*) OVER {over2} AS w_all, "
+            f"MAX({nv2}) OVER {over2} AS w_max"
+            f" FROM {table} WHERE ({pred})"
         )
     d = rng.randint(-5, 5)
     return (

@@ -41,6 +41,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     "gap_fill",        # last() over per-hour aggregates (time-bounded)
     "vocab_coverage",  # row_number over the vocabulary (token-bounded)
     "window_dist",     # documented: 100 TB path is `percentiles` two-pass
+    "skyline_pareto",  # phase-2 merge sweep over per-bucket survivors
+                       # (bounded by buckets x distinct sizes, never
+                       # fact rows; phase-1 windows are bucketed)
 }
 
 
