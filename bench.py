@@ -76,9 +76,12 @@ HEADLINE = [
     "collated_join_agg",
     "sql_script",
     "exec_immediate",
-    # round 13: two-phase Pareto frontier + irregular-series TWA
+    # round 13: two-phase Pareto frontier, irregular-series TWA,
+    # NTILE histogram, exact-integer MAD outliers
     "skyline_pareto",
     "time_weighted_avg",
+    "ntile_deciles",
+    "mad_outliers",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

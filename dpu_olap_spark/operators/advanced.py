@@ -898,3 +898,137 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed=True,
     ).drop("bucket")
     return sweep(local, bucketed=False)
+
+
+@query(
+    "ntile_deciles",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+               ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+                        c_custkey) AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, decile,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM b
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: per-segment account-balance deciles with
+    per-bucket count/sum/bounds — the equi-depth histogram an
+    optimizer or a quality report builds per group.  NTILE's bucket
+    rule (equal sizes, remainder distributed to the LEADING buckets)
+    is deterministic only under a TOTAL order, so the window orders by
+    (cents, c_custkey) — the house tiebreak — and both engines must
+    place every row in the same decile or the per-bucket sums diverge.
+
+    Scale: the window partitions by segment (parallel across groups;
+    within-group sort is the cost, same as any ranking), and the
+    decile aggregation reuses the segment shuffle's locality.  Skewed
+    group sizes degrade to per-group sort cost, not a global one."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(c * 2, 0.5) AS BIGINT) AS med2
+      FROM cents GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT cents.o_orderpriority, c, med2,
+             abs(2 * c - med2) AS dev2
+      FROM cents JOIN med ON cents.o_orderpriority = med.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT dev.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MIN(med2) AS med2,
+           MIN(mad4) AS mad4
+    FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority
+    GROUP BY dev.o_orderpriority
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-group median absolute deviation,
+    flagging orders with |price - median| > 3 x MAD — the
+    outlier-resistant alternative to z-scores (one whale moves a mean
+    and stddev arbitrarily; it moves a median by one rank), the
+    standard quality gate for skewed pipeline data.
+
+    EXACT across engines by multiplying through the two interpolation
+    halvings: the median of EVEN integers (cents x 2) interpolates to
+    an INTEGER midpoint (med2 = 2 x median), deviations 2|c - med| are
+    integers, and the same trick yields mad4 = 4 x MAD; the flag
+    compares 2 x dev2 > 3 x mad4 in pure BIGINTs — no float ever
+    carries a non-representable value (Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)p rule, `percentiles` precedent).
+
+    Scale: two grouped exact medians (per-group sort cost — the 100 TB
+    path swaps in approx_percentile's sketch, same shape) plus two
+    BROADCAST joins of one-row-per-group scalars back onto the fact;
+    the fact table shuffles on the group key once per median pass."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        F.expr("CAST(percentile(c * 2, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("CAST(percentile(dev2 * 2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.min("med2").alias("med2"),
+            F.min("mad4").alias("mad4"),
+        )
+    )

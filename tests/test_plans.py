@@ -642,6 +642,31 @@ def test_time_weighted_avg_single_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ntile_deciles_single_exchange(spark):
+    """ntile_deciles: the NTILE window shuffles on c_mktsegment once
+    and the per-(segment, decile) aggregation reuses that partitioning
+    (hashpartitioning on a PREFIX of the grouping keys satisfies the
+    clustered distribution) — a second exchange would double the
+    shuffle for a plan whose whole point is histogramming in place."""
+    plan = _formatted_plan(spark, "ntile_deciles")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
+    assert "hashpartitioning(c_mktsegment" in plan
+    assert "ntile(10)" in plan and "c_custkey" in plan  # total order kept
+
+
+def test_mad_outliers_broadcasts_group_scalars(spark):
+    """mad_outliers: both join-backs (per-group med2, per-group mad4)
+    carry one row per group and MUST broadcast — a shuffle join there
+    re-exchanges the whole fact table twice for a 5-row dimension."""
+    plan = _formatted_plan(spark, "mad_outliers")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
     """sql_script's 100 TB contract (r12 verdict item #2): the orders
     fact table is scanned exactly TWICE — the thr assignment and the

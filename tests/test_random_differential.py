@@ -10648,3 +10648,172 @@ def test_time_weighted_avg_duration_boundaries(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["time_weighted_avg"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def _sf_with_customer(tmp_path, subdir, rows):
+    """A fixture sf_dir whose customer.parquet is custom ((c_custkey,
+    c_mktsegment, c_acctbal) tuples) and whose other nine tables are
+    symlinks to sf0.001."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "customer":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{r[0]}" for r in rows], pa.string()
+                ),
+                "c_nationkey": pa.array([0] * len(rows), pa.int32()),
+                "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+                "c_mktsegment": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+def test_ntile_deciles_bucket_boundaries(spark, tmp_path):
+    """Forced-boundary differential for NTILE's bucket rule, attested
+    by a pure-Python replay (floor-based bucket formula with the
+    remainder on the LEADING buckets) and Spark-vs-DuckDB through the
+    registered oracle:
+
+    - 23 rows over 10 buckets -> sizes [3,3,3,2,2,2,2,2,2,2]: the
+      remainder lands on the FIRST three buckets on both engines;
+    - a run of EQUAL cents straddling a bucket edge: the c_custkey
+      tiebreak decides the split deterministically (without it NTILE
+      is nondeterministic and the per-bucket sums would flap);
+    - a group SMALLER than the bucket count (4 rows): NTILE still
+      numbers buckets 1..4 one row each, deciles 5-10 simply absent."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    # segment A: 23 rows; cents = 100*i except a 5-way TIE at 700
+    # spanning the bucket-2/3 edge (positions 5..9 in sort order)
+    a_cents = sorted([100 * i for i in range(1, 19)] + [700] * 5)
+    rows = [(i + 1, "A", c / 100.0) for i, c in enumerate(sorted(a_cents))]
+    # segment B: 4 rows, fewer than the 10 buckets
+    rows += [(100 + i, "B", 1.00 * i) for i in range(1, 5)]
+
+    def replay():
+        from collections import defaultdict
+
+        by_seg = defaultdict(list)
+        for k, seg, bal in rows:
+            by_seg[seg].append((round(bal * 100), k))
+        out = {}
+        for seg, vals in by_seg.items():
+            vals.sort()
+            n = len(vals)
+            buckets = defaultdict(list)
+            for i, (c, k) in enumerate(vals):
+                q, r = divmod(n, 10)
+                # leading r buckets take q+1 rows (the SQL NTILE rule)
+                edge = r * (q + 1)
+                b = (i // (q + 1) + 1) if i < edge else (
+                    (i - edge) // q + r + 1 if q else i + 1
+                )
+                buckets[b].append(c)
+            for b, cs in buckets.items():
+                out[(seg, b)] = (len(cs), sum(cs), min(cs), max(cs))
+        return out
+
+    expect = replay()
+    assert expect[("A", 1)][0] == 3 and expect[("A", 4)][0] == 2
+    assert len([k for k in expect if k[0] == "B"]) == 4
+    # the tie at 700 cents really does straddle buckets
+    tied_buckets = {
+        b for (seg, b), (_, _, lo, hi) in expect.items()
+        if seg == "A" and lo <= 700 <= hi
+    }
+    assert len(tied_buckets) >= 2, f"fixture drifted: tie within {tied_buckets}"
+
+    sf = _sf_with_customer(tmp_path, "ntile", rows)
+    got = all_queries()["ntile_deciles"].build(spark, sf)
+    per_bucket = {
+        (r.c_mktsegment, r.decile): (r.n_rows, r.sum_cents, r.lo_cents,
+                                     r.hi_cents)
+        for r in got.collect()
+    }
+    assert per_bucket == expect, per_bucket
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["ntile_deciles"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_mad_outliers_interpolation_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the exact-integer MAD walk,
+    attested by a pure-Python replay of the multiply-through algebra
+    (med2 = 2 x median of cents, mad4 = 4 x MAD; flag iff
+    2*dev2 > 3*mad4) and Spark-vs-DuckDB through the registered
+    oracle:
+
+    - a value landing EXACTLY at 3 x MAD is NOT an outlier (strict >)
+      while strictly-beyond values ARE;
+    - an even-count group interpolates a HALF median (med2 odd) and
+      the halving never leaves integers;
+    - a majority-constant group has MAD = 0: every deviating value is
+      an outlier, every exact-median value is not."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+    from datetime import datetime
+
+    day = datetime(1995, 6, 1)
+    # P1 (odd count 9): median 130, MAD 10 -> the two 100s deviate by
+    #   EXACTLY 3 x MAD (2*dev2 60 == 3*mad4 40 boundary, not flagged)
+    #   while 220/221 deviate beyond it (flagged)
+    p1 = [100, 100, 120, 120, 130, 140, 140, 220, 221]
+    # P2 (even count 4): 100, 101, 103, 107 -> median 102 (x.5 never
+    #   arises: (101+103)/2) ... choose 100,101,105,107 -> median 103.0
+    #   from (101+105)/2; then 100,102,105,107 -> (102+105)/2 = 103.5
+    #   -> med2 = 207 ODD (the half-median regime)
+    p2 = [100, 102, 105, 107]
+    # P3: majority-constant (MAD=0): 200 x4, 201, 250
+    p3 = [200, 200, 200, 200, 201, 250]
+
+    def replay(cents_list):
+        def q2(xs):  # 2 x interpolated median of ints, exact
+            s = sorted(x * 2 for x in xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) // 2
+
+        med2 = q2(cents_list)
+        dev2 = [abs(2 * c - med2) for c in cents_list]
+        mad4 = q2(dev2)
+        n_out = sum(1 for d in dev2 if 2 * d > 3 * mad4)
+        return len(cents_list), n_out, med2, mad4
+
+    exp = {"P1": replay(p1), "P2": replay(p2), "P3": replay(p3)}
+    # attest the engineered regimes
+    assert exp["P1"][2] == 260  # integer median (130 cents)
+    assert exp["P2"][2] == 207, exp["P2"]  # HALF median: med2 odd
+    assert exp["P3"][3] == 0  # zero MAD
+    assert exp["P3"][1] == 2  # 201 and 250 both deviate from 200
+    # P1: med2 260, mad4 40; the two 100s sit EXACTLY on the 3xMAD
+    # boundary (2*dev2 = 120 == 3*mad4) and must NOT flag (strict >);
+    # 220 and 221 are strictly beyond it and MUST flag
+    assert exp["P1"] == (9, 2, 260, 40), exp["P1"]
+
+    rows = [
+        (c / 100.0, grp, day)
+        for grp, cs in (("P1", p1), ("P2", p2), ("P3", p3))
+        for c in cs
+    ]
+    sf = _sf_with_orders(tmp_path, "mad", rows)
+    got = all_queries()["mad_outliers"].build(spark, sf)
+    per_grp = {
+        r.o_orderpriority: (r.n_orders, r.n_outliers, r.med2, r.mad4)
+        for r in got.collect()
+    }
+    assert per_grp == exp, per_grp
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["mad_outliers"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
