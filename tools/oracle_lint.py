@@ -276,10 +276,27 @@ def iter_builder_sql(pkg_dir: str | None = None):
                 / "dpu_olap_spark")
     for py in sorted(root.rglob("*.py")):
         tree = ast.parse(py.read_text(), filename=str(py))
+        fstring_parts: set[int] = set()
         for node in ast.walk(tree):
-            if (
+            # f-strings (spark.sql(f"... {view} ...")) lint as their
+            # constant fragments joined with a placeholder identifier,
+            # so the rules still see ORDER BY / concat / INTERVAL
+            # shapes around the interpolation holes
+            if isinstance(node, ast.JoinedStr):
+                text = "".join(
+                    v.value if isinstance(v, ast.Constant)
+                    and isinstance(v.value, str) else " __hole__ "
+                    for v in node.values
+                )
+                for v in ast.walk(node):
+                    if isinstance(v, ast.Constant):
+                        fstring_parts.add(id(v))
+                if len(text) > 15 and _SQLISH.search(text):
+                    yield str(py), node.lineno, text
+            elif (
                 isinstance(node, ast.Constant)
                 and isinstance(node.value, str)
+                and id(node) not in fstring_parts
                 and len(node.value) > 15
                 and _SQLISH.search(node.value)
             ):
