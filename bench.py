@@ -374,11 +374,18 @@ def main() -> None:
     # run_totals first, then concurrent_wall — queries/value/warm flags
     # are the contract and are never dropped.
     contract = json.dumps(contract_fields, separators=(",", ":"))
-    # last-resort demotable is the per-query map itself (the r12
-    # verdict's sanctioned lever): "value" stays authoritative on the
-    # contract line and the map survives as diagnostics.queries_median;
-    # a marker replaces it so a consumer knows where it went.
-    for demotable in ("run_totals", "concurrent_wall", "queries"):
+    # Demotion order: bulky arrays first, then small scalars that
+    # also live in (or derive from) diagnostics, and ONLY as the last
+    # resort the per-query map itself (the r12 verdict's sanctioned
+    # lever) — at 84 entries the map alone clears the budget once the
+    # scalars move, so dropping it wholesale for a 29-char overflow
+    # would have thrown away the artifact's most-read field.  "value"
+    # stays authoritative on the contract line; a marker replaces a
+    # demoted map so a consumer knows where it went.  warm_spread and
+    # noisy_box are never demoted: they are how a reader decides
+    # whether to trust the rest of the line.
+    for demotable in ("run_totals", "concurrent_wall", "exclusive",
+                      "n_runs", "floor_sec", "queries"):
         if len(contract) <= 1900:
             break
         diagnostics[demotable] = contract_fields.pop(demotable)

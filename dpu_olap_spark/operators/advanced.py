@@ -1002,9 +1002,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the (n-1)p rule, `percentiles` precedent).
 
     Scale: two grouped exact medians (per-group sort cost — the 100 TB
-    path swaps in approx_percentile's sketch, same shape) plus two
+    path swaps in approx_percentile's sketch, same shape) plus
     BROADCAST joins of one-row-per-group scalars back onto the fact;
-    the fact table shuffles on the group key once per median pass."""
+    the fact table shuffles on the group key once per median pass.
+    The dev projection is deliberately NOT materialized, so Catalyst
+    re-derives it under the mad branch (one extra fact scan + a reused
+    broadcast — cheaper than persisting the fact at scan-bound scale;
+    checkpoint dev instead if the cents projection is compute-bound)."""
     cents = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),

@@ -12,6 +12,8 @@ and binary-encoded semi-structured traversal.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -528,6 +530,9 @@ def q_collated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SCRIPT_RUN = itertools.count(1)  # thread-safe run suffix
+
+
 def _sql_script_text(orders: str, hist: str, thr: str) -> str:
     """The BEGIN..END block for q_sql_script over view/variable names
     `orders`/`hist`/`thr`.  Exposed as a function so tests can gate
@@ -658,11 +663,10 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     one session stay isolated) and the cache is released in a finally
     block (UNCACHE fully empties the CacheManager — dropTempView
     alone does NOT)."""
-    global _SQL_SCRIPT_RUN
-    _SQL_SCRIPT_RUN += 1
-    orders = f"sql_script_orders_{_SQL_SCRIPT_RUN}"
-    hist = f"sql_script_hist_{_SQL_SCRIPT_RUN}"
-    thr = f"sql_script_thr_{_SQL_SCRIPT_RUN}"
+    run_id = next(_SQL_SCRIPT_RUN)  # itertools.count: thread-safe
+    orders = f"sql_script_orders_{run_id}"
+    hist = f"sql_script_hist_{run_id}"
+    thr = f"sql_script_thr_{run_id}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(orders)
     spark.sql(f"DECLARE OR REPLACE VARIABLE {thr} BIGINT DEFAULT 0")
     try:
@@ -675,9 +679,6 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(hist)
         spark.catalog.dropTempView(orders)
         spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {thr}")
-
-
-_SQL_SCRIPT_RUN = 0
 
 
 @query(

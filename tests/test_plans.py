@@ -660,9 +660,14 @@ def test_ntile_deciles_single_exchange(spark):
 def test_mad_outliers_broadcasts_group_scalars(spark):
     """mad_outliers: both join-backs (per-group med2, per-group mad4)
     carry one row per group and MUST broadcast — a shuffle join there
-    re-exchanges the whole fact table twice for a 5-row dimension."""
+    re-exchanges the whole fact table for a 5-row dimension.  The
+    unmaterialized dev subtree is legitimately RE-DERIVED under the
+    mad branch (Catalyst doesn't share non-exchange subtrees), so the
+    broadcast-join count is >= 2 rather than exactly 2; what must
+    never appear is a shuffled join strategy on those scalar edges."""
     plan = _formatted_plan(spark, "mad_outliers")
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 

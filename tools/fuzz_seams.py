@@ -31,7 +31,10 @@ aggregate over fully-null-extended sides, and window frames over
 single-row/empty partitions; plus (r12 second wave, after the
 implicit-ASC-NULLS pin) NULLIF-injection inside window frames with
 explicitly-spelled NULLS ordering, and set ops composed over window
-outputs.
+outputs; r13 extended nullframe with MULTI-LEVEL NULLIF (nested
+injection nulling two sampled values, injection on the PARTITION BY
+key — NULL forms its own partition — and two-site nullable rank
+keys, always with explicit NULLS FIRST/LAST).
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -52,7 +55,12 @@ nullframe post-floor-fix, 39000-39999 mixed at sf0.01, 40000-40399
 nullframe+winsetop+emptyset at sf0.001, 41000-42499 mixed at
 sf0.01, 43000-44499 mixed at sf0.001 (empty-rich, all 17
 families), 45000-45999 mixed at sf0.1 — 10,200 r12 cases, ZERO
-divergences — ~21,600 cases total. The r12
+divergences — ~21,600 cases through r12; r13 (multi-level-NULLIF
+flavors live): 47000-47119 nullframe shakedown at sf0.01,
+48000-48499 nullframe at sf0.01, 49000-49499 the five empty/window
+families at sf0.1, 50000-50499 mixed at sf0.1, 51000-51499 mixed at
+sf0.01, 52000-52999 mixed at sf0.01, 53000-53299 nullframe+winsetop
+at sf0.001 — 3,420 r13 cases, ZERO divergences — ~25,000 total. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
