@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (17): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (20): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -34,7 +34,12 @@ explicitly-spelled NULLS ordering, and set ops composed over window
 outputs; r13 extended nullframe with MULTI-LEVEL NULLIF (nested
 injection nulling two sampled values, injection on the PARTITION BY
 key — NULL forms its own partition — and two-site nullable rank
-keys, always with explicit NULLS FIRST/LAST).
+keys, always with explicit NULLS FIRST/LAST) and added THREE new
+families: grouping sets/ROLLUP/CUBE over window outputs
+(winsetgroup, HAVING-guarded), multi-level NULLIF on JOIN keys
+(nullkeyjoin — `=` drops NULL pairs, LEFT re-extends them), and
+NTILE bucket shapes under the house total order (ntilefuzz,
+buckets >> rows half the time).
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -1027,6 +1032,109 @@ def _gen_winsetop(con, rng: random.Random) -> str:
     return f"{side()} {op} {side()}"
 
 
+def _gen_winsetgroup(con, rng: random.Random) -> str:
+    """GROUPING SETS / ROLLUP over WINDOW outputs (r13 family): the
+    grouped input's values came out of rank/running-sum evaluation, so
+    a frame or rank divergence surfaces as different grouping-set
+    rows, and the r12-pinned empty-grand-total seam gets exercised
+    where the grouped input is itself a window-filtered derivation
+    (sanctioned HAVING COUNT(*) > 0 guard on both engines)."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.4
+            else _gen_predicate(con, table, cols, rng))
+    k = rng.randint(1, 4)
+    inner = (
+        f"SELECT {g} AS grp, {pk} AS pk, rn, "
+        f"CAST(run_sum AS BIGINT) AS run_sum FROM ("
+        f"SELECT {g}, {pk}, ROW_NUMBER() OVER (PARTITION BY {g} "
+        f"ORDER BY {cents} DESC, {pk}) AS rn, "
+        f"SUM({cents}) OVER (PARTITION BY {g} ORDER BY {pk} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum"
+        f" FROM {table} WHERE ({pred})) t WHERE rn <= {k}"
+    )
+    sets = rng.choice([
+        "ROLLUP(grp, rn)", "CUBE(grp, rn)",
+        "GROUPING SETS ((grp), (rn), ())",
+    ])
+    return (
+        f"SELECT grp, rn, COUNT(*) AS n_rows, "
+        f"CAST(SUM(run_sum) AS BIGINT) AS sum_rs, "
+        f"CAST(GROUPING(grp) AS INT) AS g_grp, "
+        f"CAST(GROUPING(rn) AS INT) AS g_rn "
+        f"FROM ({inner}) w GROUP BY {sets} HAVING COUNT(*) > 0"
+    )
+
+
+def _gen_nullkeyjoin(con, rng: random.Random) -> str:
+    """Multi-level NULLIF on JOIN KEYS (r13 family): `=` must drop
+    NULL key pairs identically on both engines (probed aligned), so a
+    NULLIF-injected key removes the sampled values' matches from an
+    inner join and NULL-EXTENDS them under a LEFT join — aggregates
+    over the null-extended side then exercise the outer-agg seam with
+    the nullability coming from the JOIN KEY, not the payload."""
+    dim, fact, dk, fk = rng.choice([
+        ("customer", "orders", "c_custkey", "o_custkey"),
+        ("part", "lineitem", "p_partkey", "l_partkey"),
+        ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+    ])
+    fc = TABLE_COLS[fact]
+    cents = f"CAST(floor({fc['floats'][0]} * 100 + 0.5) AS BIGINT)"
+    vals = _sample_values(con, fact, fk, rng, 2)
+    if not vals:
+        return _gen_join(con, rng)
+    k1 = vals[0]
+    key = f"NULLIF({fact}.{fk}, {k1})"
+    if len(vals) > 1 and rng.random() < 0.5:
+        key = f"NULLIF({key}, {vals[1]})"  # multi-level injection
+    side = "JOIN" if rng.random() < 0.5 else "LEFT JOIN"
+    pred = _gen_predicate(con, fact, fc, rng)
+    g = rng.choice(fc["groups"])
+    return (
+        f"SELECT {fact}.{g} AS grp, COUNT(*) AS n_rows, "
+        f"COUNT({dim}.{dk}) AS n_matched, "
+        f"CAST(SUM(CASE WHEN {dim}.{dk} IS NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_dangling, "
+        f"CAST(SUM({cents}) AS BIGINT) AS sum_cents "
+        f"FROM {fact} {side} {dim} ON {key} = {dim}.{dk} "
+        f"WHERE ({pred}) GROUP BY {fact}.{g}"
+    )
+
+
+def _gen_ntilefuzz(con, rng: random.Random) -> str:
+    """NTILE shapes (r13 family, seeded by the ntile_deciles
+    registration): sampled bucket counts over sampled group columns
+    under the house TOTAL order, aggregated per bucket — the
+    remainder-to-leading-buckets rule and tie placement must agree
+    row-for-row or the per-bucket sums diverge.  Half the time the
+    input is near-empty (buckets >> rows)."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    n = rng.choice([2, 3, 7, 10, 100])
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.5
+            else _gen_predicate(con, table, cols, rng))
+    direction = rng.choice(["ASC", "DESC"])
+    return (
+        f"SELECT grp, b, COUNT(*) AS n_rows, "
+        f"CAST(SUM(c) AS BIGINT) AS sum_c, MIN(c) AS lo, MAX(c) AS hi "
+        f"FROM (SELECT {g} AS grp, {cents} AS c, "
+        f"NTILE({n}) OVER (PARTITION BY {g} ORDER BY {cents} "
+        f"{direction}, {pk}) AS b"
+        f" FROM {table} WHERE ({pred})) t GROUP BY grp, b"
+    )
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -1045,6 +1153,9 @@ _SHAPES = {
     "winframe": _gen_winframe,
     "nullframe": _gen_nullframe,
     "winsetop": _gen_winsetop,
+    "winsetgroup": _gen_winsetgroup,
+    "nullkeyjoin": _gen_nullkeyjoin,
+    "ntilefuzz": _gen_ntilefuzz,
 }
 
 _DEFAULT_MIX = (
@@ -1053,6 +1164,7 @@ _DEFAULT_MIX = (
     + ["groupsets"] + ["nullcase"] + ["multijoin"] + ["joinwindow"]
     + ["emptyset"] + ["outeragg"] + ["winframe"]
     + ["nullframe"] + ["winsetop"]
+    + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
 )
 
 
