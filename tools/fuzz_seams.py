@@ -65,7 +65,11 @@ flavors live): 47000-47119 nullframe shakedown at sf0.01,
 48000-48499 nullframe at sf0.01, 49000-49499 the five empty/window
 families at sf0.1, 50000-50499 mixed at sf0.1, 51000-51499 mixed at
 sf0.01, 52000-52999 mixed at sf0.01, 53000-53299 nullframe+winsetop
-at sf0.001 — 3,420 r13 cases, ZERO divergences — ~25,000 total. The r12
+at sf0.001; after the three r13 families landed: 54000-54119
+shakedown, 55000-55599 new families at sf0.01, 56000-56299 new
+families at sf0.001, 57000-57299 new families at sf0.1,
+58000-58999 mixed over all 20 at sf0.01, 59000-59299 mixed at
+sf0.1 — 6,040 r13 cases, ZERO divergences — ~27,600 total. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
