@@ -1,8 +1,9 @@
 """The seam house rules as an automated registry lint (r12 verdict
 item #3).
 
-Round 12 pinned the cross-engine seams in tests/test_cross_engine_
-seams.py and recorded three HOUSE RULES for registered SQL (implicit-
+Round 12 pinned the cross-engine seams (the *_cross_engine_seam tests
+in tests/test_random_differential.py) and recorded HOUSE RULES for
+registered SQL (implicit-
 ASC NULLS placement, bare concat over NULL, DATE+INTERVAL result
 type), each previously enforced by a one-off manual registry audit.
 tools/oracle_lint.py automates those audits; this module (a) runs the
@@ -140,3 +141,34 @@ def test_lint_sql_aggregates_all_rules():
     )
     hits = lint_sql(sql)
     assert len(hits) == 3, hits
+
+
+def test_lint_sql_includes_date_trunc_rule():
+    assert lint_sql("SELECT date_trunc('week', ts) FROM t"), (
+        "rule 4 not aggregated into lint_sql"
+    )
+
+
+def test_rule_date_trunc_fires():
+    """Seeded negatives: projecting date_trunc at DAY-or-coarser
+    granularity without CAST must flag (DuckDB returns DATE, Spark
+    TIMESTAMP — the r13 probe find); sub-day parts return TIMESTAMP
+    on both engines and are not flagged."""
+    from oracle_lint import lint_date_trunc
+
+    bad = [
+        "SELECT date_trunc('week', ts) AS wk FROM t",
+        "SELECT date_trunc('month', o_orderdate) AS m FROM orders",
+        "SELECT date_trunc('YEAR', ts) FROM t",
+    ]
+    for sql in bad:
+        assert lint_date_trunc(sql), f"rule 4 silent on: {sql}"
+    good = [
+        "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM t",
+        "SELECT CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) FROM t",
+        # sub-day parts are aligned on both engines
+        "SELECT date_trunc('hour', ts) AS h FROM t",
+        "SELECT date_trunc('milliseconds', ts) FROM t",
+    ]
+    for sql in good:
+        assert not lint_date_trunc(sql), f"rule 4 misfire on: {sql}"

@@ -10817,3 +10817,44 @@ def test_mad_outliers_interpolation_boundaries(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["mad_outliers"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_date_trunc_result_type_cross_engine_seam(spark):
+    """r13 probe find, pinned: date_trunc at DAY-or-coarser
+    granularity returns DATE in DuckDB but TIMESTAMP in Spark —
+    equal instants, diverging result TYPES (the DATE+INTERVAL seam's
+    sibling).  Sub-day parts return TIMESTAMP on both engines.
+    House rule: CAST coarse date_trunc results in shared SQL (every
+    pre-r13 oracle already did by hand — cohort_retention,
+    date_funcs, date_arith, sink_range_cluster; the audit is now
+    AUTOMATED as tools/oracle_lint.py rule 4, gate-run with seeded
+    negatives in tests/test_oracle_lint.py)."""
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    ts = "TIMESTAMP '2024-01-08 12:34:56'"
+    # divergent regime: coarse parts — instants equal, types differ
+    for part in ("day", "week", "month", "quarter", "year"):
+        sql = f"SELECT date_trunc('{part}', {ts})"
+        s = spark.sql(sql).collect()[0][0]
+        d = con.execute(sql).fetchone()[0]
+        assert isinstance(s, datetime.datetime), (part, s)
+        assert type(d) is datetime.date, (part, d)  # noqa: E721
+        assert s.date() == d and s.time() == datetime.time(0), (part, s, d)
+    # aligned regime 1: sub-day parts are TIMESTAMP on both
+    for part in ("hour", "minute"):
+        sql = f"SELECT date_trunc('{part}', {ts})"
+        s = spark.sql(sql).collect()[0][0]
+        d = con.execute(sql).fetchone()[0]
+        assert isinstance(s, datetime.datetime) and isinstance(
+            d, datetime.datetime
+        )
+        assert s == d, (part, s, d)
+    # aligned regime 2: the sanctioned spelling — CAST the result
+    sql = f"SELECT CAST(date_trunc('week', {ts}) AS TIMESTAMP)"
+    s = spark.sql(sql).collect()[0][0]
+    d = con.execute(sql).fetchone()[0]
+    assert s == d == datetime.datetime(2024, 1, 8), (s, d)
+    con.close()

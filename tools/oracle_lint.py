@@ -1,7 +1,8 @@
 """Registry lint for the pinned cross-engine seam HOUSE RULES.
 
-Round 12 pinned six Spark-vs-DuckDB seams (tests/test_cross_engine_
-seams.py documents each divergence); three of them come with a house
+Round 12 pinned six Spark-vs-DuckDB seams (the *_cross_engine_seam
+tests in tests/test_random_differential.py document each
+divergence); three of them come with a house
 rule every registered oracle AND builder-side SQL string must follow,
 previously enforced by hand-audits.  This lint automates the audits
 (r12 verdict item #3):
@@ -257,11 +258,51 @@ def lint_date_interval(sql: str) -> list[str]:
     return hits
 
 
+_COARSE_TRUNC = re.compile(
+    r"\bdate_trunc\s*\(\s*'(day|week|month|quarter|year|decade|"
+    r"century|millennium)'",
+    re.IGNORECASE,
+)
+
+
+def lint_date_trunc(sql: str) -> list[str]:
+    """Rule 4 (r13 probe find): date_trunc at DAY-or-coarser
+    granularity returns DATE in DuckDB but TIMESTAMP in Spark (sub-day
+    parts return TIMESTAMP on both) — equal instants, diverging
+    result types.  House rule: CAST the result in shared SQL (every
+    pre-r13 oracle already did, by hand; this automates the audit).
+    Pinned in test_date_trunc_result_type_cross_engine_seam."""
+    sql = _strip_comments(sql)
+    hits = []
+    for m in _COARSE_TRUNC.finditer(sql):
+        k, depth, wrapped = m.start() - 1, 0, False
+        while k >= 0:
+            ch = sql[k]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    head = sql[max(0, k - 12):k].lower()
+                    if re.search(r"\bcast\s*$", head):
+                        wrapped = True
+                        break
+                else:
+                    depth -= 1
+            k -= 1
+        if not wrapped:
+            hits.append(
+                f"coarse date_trunc not wrapped in CAST: "
+                f"{sql[m.start():m.end() + 25]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
         + lint_concat_null(sql)
         + lint_date_interval(sql)
+        + lint_date_trunc(sql)
     )
 
 
