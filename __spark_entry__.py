@@ -140,12 +140,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r13 window = the round's 4
+# verified rows rotate oldest-first.  The r13 window = the round's 6
 # NEW queries (skyline_pareto, time_weighted_avg, ntile_deciles,
-# mad_outliers), then the 43 remaining r9-vintage rows (partition,
-# join — the two reference-core rows pushed out of the r12 window —
-# through bucketed_join) plus the 3 oldest r10 rows
-# (stream_foreach_batch, dedup_incremental, repetition_score).
+# mad_outliers, null_safe_join, topk_cumshare), then the 43 remaining
+# r9-vintage rows (partition, join — the two reference-core rows
+# pushed out of the r12 window — through bucketed_join) plus the
+# oldest r10 row (stream_foreach_batch).
 _HIGH_PRIORITY: tuple[str, ...] = ()
 _LOW_PRIORITY: tuple[str, ...] = ()
 

@@ -77,11 +77,14 @@ HEADLINE = [
     "sql_script",
     "exec_immediate",
     # round 13: two-phase Pareto frontier, irregular-series TWA,
-    # NTILE histogram, exact-integer MAD outliers
+    # NTILE histogram, exact-integer MAD outliers, null-safe join,
+    # cumulative-share head selection
     "skyline_pareto",
     "time_weighted_avg",
     "ntile_deciles",
     "mad_outliers",
+    "null_safe_join",
+    "topk_cumshare",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

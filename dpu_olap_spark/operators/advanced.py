@@ -1036,3 +1036,154 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mad4").alias("mad4"),
         )
     )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  ELSE c_custkey % 100 END AS k,
+             COUNT(*) AS n_cust
+      FROM customer
+      GROUP BY 1
+    )
+    SELECT l.k AS k, COUNT(*) AS n_orders,
+           CAST(SUM(l.cents) AS BIGINT) AS sum_cents,
+           MIN(r.n_cust) AS n_cust
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (Spark `<=>` / standard IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of dropping — the
+    semantics a pipeline needs when NULL is a legitimate key value
+    (unknown-source bucket, catch-all partition) rather than absence.
+    Plain `=` silently drops every NULL pair (fuzzed as nullkeyjoin);
+    this registers the complementary operator.  Both sides derive a
+    deterministically-NULL key (every 11th order, every 13th
+    customer), and the dim side is PRE-AGGREGATED to one row per key
+    so the NULL-key match stays 1:N, never a NULL x NULL blowup —
+    the same pre-aggregate-then-join discipline as funnel.
+
+    Scale: EqualNullSafe is a hash-join key in Spark (the plan gate
+    pins a real hash join, broadcast or shuffled — never
+    BroadcastNestedLoopJoin, which is what you get if the null-safe
+    condition degrades to a residual filter); one shuffle on the
+    derived key at most."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 13 == 0, None)
+            .otherwise(F.col("c_custkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        orders.join(
+            F.broadcast(cust), orders["k"].eqNullSafe(cust["k"]), "inner"
+        )
+        .select(orders["k"].alias("k"), "cents", "n_cust")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("n_cust").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "topk_cumshare",
+    oracle="""
+    WITH ranked AS (
+      -- window SUM(BIGINT) is HUGEINT in DuckDB (float64 through the
+      -- pandas view) — CAST both, per the pinned house rule
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY c_mktsegment
+                     ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                              DESC, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_sum,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_cents,
+           MIN(total) AS total_cents
+    FROM ranked
+    WHERE (run_sum - cents) * 5 < total * 4
+    GROUP BY c_mktsegment
+    """,
+)
+def q_topk_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-share head selection (the Pareto 80/20 cut): per
+    segment, the SMALLEST prefix of customers — richest first under
+    the house total order — whose balance sum reaches 80% of the
+    segment total; i.e. keep a row iff the coverage BEFORE it is
+    still under 80%.  The training-data twin is "the smallest set of
+    documents covering 80% of corpus tokens"; unlike a fixed top-k,
+    the cut adapts to each group's concentration.
+
+    Exact: the 80% test multiplies through ((run - c) * 5 < total * 4
+    in BIGINT cents) so no engine ever divides; the running sum is
+    frame-exact under the (cents DESC, custkey) total order.  Negative
+    balances make the prefix sum non-monotone in places — the rule
+    stays deterministic and identical on both engines because it
+    tests the PREFIX-BEFORE sum, not a monotone threshold crossing.
+
+    Scale: one exchange on the segment key serves the running-sum
+    window, the per-group total (window aggregate over the same
+    partitioning), and the final aggregation — plan-gated ==1
+    Exchange like ntile_deciles."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w_run = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("cents").desc(), F.col("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "cents",
+        F.sum("cents").over(w_run).alias("run_sum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return (
+        ranked.where(
+            (F.col("run_sum") - F.col("cents")) * 5 < F.col("total") * 4
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").cast("bigint").alias("kept_cents"),
+            F.min("total").alias("total_cents"),
+        )
+    )

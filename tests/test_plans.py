@@ -672,6 +672,31 @@ def test_mad_outliers_broadcasts_group_scalars(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_null_safe_join_plans_hash_join(spark):
+    """null_safe_join: EqualNullSafe must become a HASH-JOIN KEY
+    (Spark normalizes it into the key expression — 'Join condition:
+    None'), never degrade to BroadcastNestedLoopJoin with the
+    null-safe test as a residual — that's the quadratic failure mode
+    at fact scale."""
+    plan = _formatted_plan(spark, "null_safe_join")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_cumshare_single_exchange(spark):
+    """topk_cumshare: the running-sum window, the per-group total
+    window, and the final aggregation all reuse ONE segment exchange
+    — the plan that histograms in place (ntile_deciles discipline)."""
+    plan = _formatted_plan(spark, "topk_cumshare")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
+    assert "hashpartitioning(c_mktsegment" in plan
+    assert plan.count("Window") >= 2  # running sum + group total
+
+
 def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
     """sql_script's 100 TB contract (r12 verdict item #2): the orders
     fact table is scanned exactly TWICE — the thr assignment and the

@@ -10858,3 +10858,142 @@ def test_date_trunc_result_type_cross_engine_seam(spark):
     d = con.execute(sql).fetchone()[0]
     assert s == d == datetime.datetime(2024, 1, 8), (s, d)
     con.close()
+
+
+def test_null_safe_join_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the null-safe join: a fixture
+    where the NULL-key populations on BOTH sides are nonempty pins
+    that NULL matches NULL exactly once (the dim side is
+    pre-aggregated to one NULL row) while plain `=` would have
+    dropped those rows entirely; attested by a pure-Python replay of
+    the key derivation and Spark-vs-DuckDB through the registered
+    oracle."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+    from datetime import datetime
+
+    day = datetime(1995, 6, 1)
+    # orders: o_orderkey = custkey index; custkeys chosen so keys
+    # 11, 22 -> NULL (div by 11), others -> custkey % 100
+    custkeys = [11, 22, 5, 5, 105, 13, 26, 7]
+    rows = [(100.0 + i, "P1", day) for i, _ in enumerate(custkeys)]
+    # reuse the orders fixture writer but with custom custkeys: write
+    # directly (the _sf_with_orders helper has no custkey knob)
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / "nsj"
+    d.mkdir()
+    for t in TABLES:
+        if t != "orders":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_custkey": pa.array(custkeys, pa.int64()),
+                "o_totalprice": pa.array([r[0] for r in rows], pa.float64()),
+                "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+                "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    sf = str(d)
+
+    def okey(ck):
+        return None if ck % 11 == 0 else ck % 100
+
+    # expected: NULL-key orders (custkeys 11, 22) join the ONE
+    # pre-aggregated NULL dim row; 5/105 share key 5; 13/26 -> NULL on
+    # the DIM side derivation is irrelevant (customer table is the
+    # sf0.001 symlink) — replay only the left keys + presence rule
+    import duckdb as _dd
+
+    dim_keys = {
+        (None if ck % 13 == 0 else ck % 100)
+        for (ck,) in _dd.sql(
+            "SELECT c_custkey FROM '/root/testdata/sf0.001/customer.parquet'"
+        ).fetchall()
+    }
+    from collections import Counter
+
+    matched = Counter(okey(ck) for ck in custkeys if okey(ck) in dim_keys)
+    assert matched[None] == 2, "fixture drifted: NULL-key orders must match"
+
+    got = all_queries()["null_safe_join"].build(spark, sf)
+    per_key = {r.k: r.n_orders for r in got.collect()}
+    assert per_key.get(None) == 2, per_key
+    assert per_key == dict(matched), per_key
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["null_safe_join"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_topk_cumshare_threshold_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the 80% cumulative-share cut,
+    attested by a pure-Python replay of the exact prefix walk
+    (keep iff 5*(run-c) < 4*total) and Spark-vs-DuckDB through the
+    registered oracle:
+
+    - a prefix landing EXACTLY on 80% stops the selection (the next
+      row's before-coverage satisfies 5*prefix == 4*total, strict <
+      fails);
+    - ties at the cut boundary resolve by the custkey tiebreak;
+    - a NEGATIVE balance in the tail never enters the head;
+    - a group where one whale alone exceeds 80% keeps only the whale."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    # segment A: cents 400, 400, 100, 100 (total 1000; prefix after
+    # two rows = 800 = EXACTLY 80% -> rows 3+ dropped, n_kept = 2)
+    seg_a = [400, 400, 100, 100]
+    # segment B: whale 900, then 50, 50 (total 1000) -> whale alone
+    seg_b = [900, 50, 50]
+    # segment C: 300, 200, -100 (total 400; 80% = 320: keep 300 (0
+    # before), keep 200 (300*5=1500 < 320*4=1280? NO -> replay decides)
+    seg_c = [300, 200, -100]
+    rows = []
+    key = 0
+    for seg, cs in (("A", seg_a), ("B", seg_b), ("C", seg_c)):
+        for c in cs:
+            rows.append((key, seg, c / 100.0))
+            key += 1
+
+    def replay():
+        from collections import defaultdict
+
+        by_seg = defaultdict(list)
+        for k, seg, bal in rows:
+            by_seg[seg].append((round(bal * 100), k))
+        out = {}
+        for seg, vals in by_seg.items():
+            vals.sort(key=lambda t: (-t[0], t[1]))
+            total = sum(c for c, _ in vals)
+            run, kept, kept_sum = 0, 0, 0
+            for c, _ in vals:
+                if 5 * run < 4 * total:
+                    kept += 1
+                    kept_sum += c
+                run += c
+            out[seg] = (kept, kept_sum, total)
+        return out
+
+    exp = replay()
+    assert exp["A"] == (2, 800, 1000), exp  # exact-80% stop
+    assert exp["B"] == (1, 900, 1000), exp  # whale alone
+    # C attested from the replay (the negative tail never kept: the
+    # walk reaches it only after coverage >= 80%)
+    assert exp["C"][0] < 3 and exp["C"][1] > 0, exp
+
+    sf = _sf_with_customer(tmp_path, "cumshare", rows)
+    got = all_queries()["topk_cumshare"].build(spark, sf)
+    per_seg = {
+        r.c_mktsegment: (r.n_kept, r.kept_cents, r.total_cents)
+        for r in got.collect()
+    }
+    assert per_seg == exp, per_seg
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["topk_cumshare"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
