@@ -387,21 +387,27 @@ def main() -> None:
     # demoted map so a consumer knows where it went.  warm_spread and
     # noisy_box are never demoted: they are how a reader decides
     # whether to trust the rest of the line.
+    # scalars demote at the conservative 1,900 budget; the queries map
+    # itself only at the 1,950 cliff (the driver keeps a ~2,000-char
+    # stdout tail and the contract line is LAST, so a 1,9xx-char line
+    # still lands whole — dropping the artifact's most-read field to
+    # hold a 50-char safety margin is the wrong trade)
     for demotable in ("run_totals", "concurrent_wall", "exclusive",
                       "n_runs", "floor_sec", "queries"):
-        if len(contract) <= 1900:
-            break
+        limit = 1950 if demotable == "queries" else 1900
+        if len(contract) <= limit:
+            continue
         diagnostics[demotable] = contract_fields.pop(demotable)
         if demotable == "queries":
             contract_fields["queries_on_diagnostics_line"] = True
         contract = json.dumps(contract_fields, separators=(",", ":"))
         print(
-            f"WARNING: contract line neared the 1,900-char budget under the "
-            f"driver tail capture — moved {demotable} to the diagnostics line "
-            f"(now {len(contract)} chars)",
+            f"WARNING: contract line neared the {limit}-char budget under "
+            f"the driver tail capture — moved {demotable} to the "
+            f"diagnostics line (now {len(contract)} chars)",
             file=sys.stderr,
         )
-    if len(contract) > 1900:
+    if len(contract) > 1950:
         print(
             f"WARNING: contract line {len(contract)} chars STILL nears "
             "the 2000-char driver tail capture after demotions — shard "
