@@ -172,3 +172,50 @@ def test_rule_date_trunc_fires():
     ]
     for sql in good:
         assert not lint_date_trunc(sql), f"rule 4 misfire on: {sql}"
+
+
+def test_rule_regex_portability_fires():
+    """Seeded negatives: lookaround, backslash sequences, and $N
+    replacement refs in shared regexp_* calls must flag (Java regex
+    vs RE2 + string-literal escaping — the r13 probe finds; all three
+    diverge SILENTLY)."""
+    from oracle_lint import lint_regex_portability
+
+    bad = [
+        r"SELECT regexp_extract(s, 'a(?=b)', 0) FROM t",
+        r"SELECT regexp_extract(s, '\\d+', 0) FROM t",
+        r"SELECT regexp_replace(s, '([a-z]+)', '$1!') FROM t",
+        r"SELECT regexp_like(s, 'x(?!y)') FROM t",
+    ]
+    for sql in bad:
+        assert lint_regex_portability(sql), f"rule 5 silent on: {sql}"
+    good = [
+        # the house style: bracket classes, plain anchors, no refs
+        "SELECT regexp_extract(s, '([a-z]+)', 1) FROM t",
+        "SELECT regexp_extract(s, '^[0-9]+$', 0) FROM t",
+        "SELECT regexp_replace(s, '[0-9]+', '#') FROM t",
+    ]
+    for sql in good:
+        assert not lint_regex_portability(sql), f"rule 5 misfire on: {sql}"
+
+
+def test_rule_like_escape_fires():
+    """Seeded negatives: a backslash inside a LIKE pattern without an
+    explicit ESCAPE clause must flag (Spark default-escapes with
+    backslash, DuckDB has no default escape — silent row divergence,
+    the r13 probe find)."""
+    from oracle_lint import lint_like_escape
+
+    bad = [
+        r"SELECT * FROM t WHERE s LIKE 'a\_b'",
+        r"SELECT * FROM t WHERE s LIKE '%10\%%'",
+    ]
+    for sql in bad:
+        assert lint_like_escape(sql), f"rule 6 silent on: {sql}"
+    good = [
+        r"SELECT * FROM t WHERE s LIKE 'a\_b' ESCAPE '\'",
+        "SELECT * FROM t WHERE s LIKE 'a_b'",
+        "SELECT * FROM t WHERE s LIKE 'Brand#1%'",
+    ]
+    for sql in good:
+        assert not lint_like_escape(sql), f"rule 6 misfire on: {sql}"

@@ -10997,3 +10997,58 @@ def test_topk_cumshare_threshold_boundaries(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["topk_cumshare"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_regex_engine_cross_engine_seam(spark):
+    """r13 probe finds, pinned: Spark regexes are java.util.regex,
+    DuckDB's are RE2, and THREE constructs diverge SILENTLY (no error
+    on either side):
+
+    - lookaround: 'a(?=b)' matches 'a' in Java, EMPTY in RE2;
+    - backslash classes: the same SQL text '\\\\d+' reaches Spark as
+      the regex \\d+ (its string literal processes the escape) and
+      DuckDB as literal backslash-d (its literal does not) — the
+      engines receive DIFFERENT patterns, so digits match only in
+      Spark;
+    - LIKE default escape: Spark treats backslash as the implicit
+      LIKE escape, DuckDB has none without an ESCAPE clause.
+
+    Aligned regimes (the house style, machine-enforced as
+    tools/oracle_lint.py rules 5-6): bracket classes, plain ^$
+    anchors, lazy quantifiers, (?i) flags, and LIKE with explicit
+    ESCAPE."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(sql):
+        return (
+            [tuple(r) for r in spark.sql(sql).collect()],
+            con.execute(sql).fetchall(),
+        )
+
+    # divergent regime 1: lookaround — Java matches, RE2 empty
+    s, d = both("SELECT regexp_extract('abc', 'a(?=b)', 0)")
+    assert s == [("a",)] and d == [("",)], (s, d)
+    # divergent regime 2: backslash class through the string literal
+    s, d = both("SELECT regexp_extract('x3y', '\\\\d+', 0)")
+    assert s == [("3",)] and d == [("",)], (s, d)
+    # divergent regime 3: LIKE backslash without ESCAPE
+    s, d = both("SELECT 'a_b' LIKE 'a\\_b'")
+    assert s == [(True,)] and d == [(False,)], (s, d)
+
+    # aligned regimes: the sanctioned house spellings
+    for sql in (
+        "SELECT regexp_extract('x3y', '[0-9]+', 0)",
+        "SELECT regexp_extract('k=v', '([a-z]+)=([a-z]+)', 2)",
+        "SELECT regexp_extract('aXbXc', 'a.*?X', 0)",
+        "SELECT regexp_extract('ABC', '(?i)abc', 0)",
+        "SELECT regexp_replace('ab12', '[0-9]+', '#')",
+        # portable ESCAPE uses a NON-backslash char: Spark's string
+        # literal eats a bare '\' (ESCAPE '\' doesn't even parse)
+        "SELECT 'a_b' LIKE 'a!_b' ESCAPE '!'",
+        "SELECT 'axb' LIKE 'a!_b' ESCAPE '!'",
+    ):
+        s, d = both(sql)
+        assert s == d, (sql, s, d)
+    con.close()

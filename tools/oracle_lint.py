@@ -297,12 +297,76 @@ def lint_date_trunc(sql: str) -> list[str]:
     return hits
 
 
+_REGEXP_CALL = re.compile(r"\bregexp_\w+\s*\(", re.IGNORECASE)
+_REPL_REF = re.compile(r"'[^']*\$\d")
+
+
+def lint_regex_portability(sql: str) -> list[str]:
+    """Rule 5 (r13 probe finds): Spark compiles regexes with java.util
+    .regex, DuckDB with RE2, and the two SILENTLY diverge on exactly
+    the constructs the house style already avoided:
+    - lookaround `(?=..)` / `(?!..)` / `(?<..)`: Java matches, RE2
+      matches EMPTY without erroring;
+    - backslash classes/anchors (\\d, \\w, \\b): Spark's SQL string
+      literal processes the backslash escape while DuckDB's does not,
+      so the ENGINES RECEIVE DIFFERENT PATTERN STRINGS — '\\\\d+'
+      matches digits in Spark and a literal backslash-d in DuckDB;
+    - replacement group refs: Java spells `$1`, RE2 `\\1` — the same
+      replacement text cannot work on both.
+    House rule: shared regexes use bracket classes ([0-9], [a-z]),
+    explicit anchors (^ $), and group-free replacements."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _REGEXP_CALL.finditer(sql_nc):
+        args = _call_args(sql_nc, m.end() - 1)
+        if "\\" in args:
+            hits.append(
+                f"backslash in shared regex (engines receive different "
+                f"patterns): {args.strip()[:60]!r}"
+            )
+        if "(?=" in args or "(?!" in args or "(?<" in args:
+            hits.append(
+                f"lookaround in shared regex (RE2 silently matches "
+                f"empty): {args.strip()[:60]!r}"
+            )
+        if _REPL_REF.search(args):
+            hits.append(
+                f"$N replacement ref in shared regex (RE2 spells \\N): "
+                f"{args.strip()[:60]!r}"
+            )
+    return hits
+
+
+_LIKE_PAT = re.compile(r"\bLIKE\s+'([^']*)'(\s+ESCAPE)?", re.IGNORECASE)
+
+
+def lint_like_escape(sql: str) -> list[str]:
+    """Rule 6 (r13 probe find): Spark's LIKE treats backslash as the
+    DEFAULT escape character ('a\\_b' matches the literal a_b), DuckDB
+    has NO default escape ('a\\_b' is a literal backslash + any-char +
+    b) — same pattern, silently different rows.  House rule: a LIKE
+    pattern containing a backslash must carry an explicit ESCAPE
+    clause (portable) or restate without the escape."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _LIKE_PAT.finditer(sql_nc):
+        if "\\" in m.group(1) and not m.group(2):
+            hits.append(
+                f"backslash in LIKE pattern without ESCAPE clause "
+                f"(Spark default-escapes, DuckDB doesn't): "
+                f"{m.group(1)[:40]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
         + lint_concat_null(sql)
         + lint_date_interval(sql)
         + lint_date_trunc(sql)
+        + lint_regex_portability(sql)
+        + lint_like_escape(sql)
     )
 
 
