@@ -639,6 +639,74 @@ def probe_paragraph(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int
     return t, extra
 
 
+def gen_part(spark, n: int, path: str) -> None:
+    """Synthetic part-like table matching the real distribution
+    (sizes 1..50, prices 900-1000 -> cents 90000-99990): the regime
+    where the Pareto frontier is bounded by distinct sizes, so the
+    skyline's phase-2 merge input must stay ~constant as n grows."""
+    df = spark.range(n).select(
+        F.col("id").alias("p_partkey"),
+        (F.pmod(F.xxhash64("id"), F.lit(50)) + 1).cast("int").alias("p_size"),
+        (
+            900.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10000)) / 100.0
+        ).alias("p_retailprice"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def probe_skyline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Two-phase skyline on the REAL q_skyline_pareto: wall best-of-3
+    plus the survivor flow into the single-partition phase-2 sweep
+    (the smallest exchange's shuffleRecordsWritten) — the number that
+    must NOT grow with the fact table for the plan to hold at 100 TB."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["skyline_pareto"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    frame = q.build(spark, sf_dir)
+    recs = _exchange_records(frame)
+    return (
+        {"skyline_pareto": round(best, 3)},
+        {
+            "skyline_phase2_rows": min(recs),
+            "skyline_n_exchanges": len(recs),
+            "skyline_frontier_rows": frame.count(),
+        },
+    )
+
+
+def probe_twa(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """time_weighted_avg on the REAL implementation: wall best-of-3
+    plus the exchange count (must stay 1 — the lead() window and the
+    per-user aggregate share one user_id shuffle) and its record
+    volume (= input rows, shuffled exactly once)."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["time_weighted_avg"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    recs = _exchange_records(q.build(spark, sf_dir))
+    return (
+        {"time_weighted_avg": round(best, 3)},
+        {"twa_n_exchanges": len(recs), "twa_exchange_records": max(recs)},
+    )
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -674,6 +742,10 @@ def main() -> None:
     cc_extra: dict[int, dict[str, int]] = {}
     para_results: dict[int, dict[str, float]] = {}
     para_extra: dict[int, dict[str, int]] = {}
+    sky_results: dict[int, dict[str, float]] = {}
+    sky_extra: dict[int, dict[str, int]] = {}
+    twa_results: dict[int, dict[str, float]] = {}
+    twa_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -706,6 +778,14 @@ def main() -> None:
             sf = os.path.join(d, f"para_sf_{docs_n}")
             gen_docs_boiler(spark, docs_n, os.path.join(sf, "documents.parquet"))
             para_results[docs_n], para_extra[docs_n] = probe_paragraph(spark, sf)
+        for rows in sizes:
+            sf = os.path.join(d, f"sky_sf_{rows}")
+            gen_part(spark, rows, os.path.join(sf, "part.parquet"))
+            sky_results[rows], sky_extra[rows] = probe_skyline(spark, sf)
+        for ev_n in event_sizes:
+            sf = os.path.join(d, f"twa_sf_{ev_n}")
+            gen_events(spark, ev_n, os.path.join(sf, "events.parquet"))
+            twa_results[ev_n], twa_extra[ev_n] = probe_twa(spark, sf)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -801,6 +881,42 @@ def main() -> None:
             f"{docs:,} docs -> {para_extra[docs]['para_max_exchange_records']:,}"
             f" records across {para_extra[docs]['para_n_exchanges']} exchanges"
             for docs in para_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Two-phase Pareto skyline (real q_skyline_pareto, r13)",
+        sky_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "Phase-2 survivor flow, measured shuffleRecordsWritten on the "
+        "smallest exchange (per-bucket local sweeps prune before the "
+        "single-partition merge; bounded by buckets x distinct sizes, "
+        "NOT fact rows): "
+        + "; ".join(
+            f"{rows:,} rows -> {sky_extra[rows]['skyline_phase2_rows']} "
+            f"survivors into phase 2, "
+            f"{sky_extra[rows]['skyline_frontier_rows']} on the frontier"
+            for rows in sky_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Time-weighted average (real q_time_weighted_avg, r13)",
+        twa_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "Exchange audit (the lead() window and the per-user aggregate "
+        "must share ONE user_id shuffle): "
+        + "; ".join(
+            f"{rows:,} rows -> {twa_extra[rows]['twa_n_exchanges']} "
+            f"exchange(s), {twa_extra[rows]['twa_exchange_records']:,} "
+            "records"
+            for rows in twa_extra
         ),
     ]
     out = os.path.join(
