@@ -554,6 +554,15 @@ def _sql_script_text(orders: str, hist: str, thr: str) -> str:
           SET {thr} = (SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5)
                                        AS BIGINT)) DIV COUNT(*)
                        FROM {orders});
+          -- FAIL LOUDLY on a negative mean: for thr < 0 an order's
+          -- survival set over k is an UPPER range (d > k*thr flips
+          -- when dividing by negative thr), so the kmax prefix
+          -- bucketing below would silently return wrong counts.
+          -- Individual NEGATIVE cents are fine as long as thr >= 0
+          -- (d <= 0 rows land in bucket 0 exactly as the original
+          -- per-round predicate decides) — boundary-pinned.
+          SELECT assert_true({thr} >= 0,
+                             'sql_script: negative mean cents');
           -- ONE more scan of orders: bucket every order by the
           -- LARGEST k in [0,10] it survives (c*10 > (10+k)*thr, i.e.
           -- d > k*thr for d = c*10 - 10*thr; largest such k is
@@ -568,7 +577,7 @@ def _sql_script_text(orders: str, hist: str, thr: str) -> str:
           CACHE TABLE {hist} AS
             SELECT /*+ COALESCE(1) */ o_orderpriority,
                    CASE WHEN c * 10 - 10 * {thr} <= 0 THEN 0
-                        WHEN {thr} <= 0 THEN 10
+                        WHEN {thr} = 0 THEN 10
                         ELSE CAST(LEAST(CAST(10 AS BIGINT),
                                         (c * 10 - 10 * {thr} - 1)
                                         DIV {thr}) AS INT)

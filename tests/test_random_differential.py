@@ -11052,3 +11052,58 @@ def test_regex_engine_cross_engine_seam(spark):
         s, d = both(sql)
         assert s == d, (sql, s, d)
     con.close()
+
+
+def test_sql_script_negative_cents_regimes(spark, tmp_path):
+    """The r13 kmax-histogram rework's domain edges, found by the
+    round's self-review: survival over k is a PREFIX range only while
+    thr >= 0 (for thr < 0 it flips to an upper range and the
+    histogram bucketing would silently miscount).
+
+    - mixed NEGATIVE cents with a POSITIVE mean stay EXACT: d <= 0
+      rows land in bucket 0 exactly as the original per-round
+      predicate decides (attested against the registered oracle and a
+      pure-Python replay of the original walk);
+    - a NEGATIVE mean raises assert_true IN the script (fail-loud)
+      instead of returning wrong counts."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+    from datetime import datetime
+
+    day = datetime(1995, 6, 1)
+
+    def walk(cents_list):
+        thr = sum(cents_list) // len(cents_list)
+        total = len(cents_list)
+        k = 1
+        n = sum(1 for c in cents_list if c * 10 > (10 + k) * thr)
+        while n * 5 >= total and k < 10:
+            k += 1
+            n = sum(1 for c in cents_list if c * 10 > (10 + k) * thr)
+        return k, thr
+
+    # positive mean, negative members: thr = (sum 400) // 8 = 50
+    mixed = [-300, -100, 0, 100, 100, 150, 200, 250]
+    k, thr = walk(mixed)
+    assert thr > 0 and any(c < 0 for c in mixed), "fixture drifted"
+    rows = [
+        (c / 100.0, "P1" if i % 2 == 0 else "P2", day)
+        for i, c in enumerate(mixed)
+    ]
+    sf = _sf_with_orders(tmp_path, "negmix", rows)
+    got = all_queries()["sql_script"].build(spark, sf)
+    ks = {r.k_cut for r in got.collect()}
+    assert ks <= {k}, (ks, k)
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["sql_script"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+    # negative mean: the script must RAISE, not miscount
+    neg = [-300, -200, -100, 100]
+    _, thr_neg = walk(neg)
+    assert thr_neg < 0, "fixture drifted: mean must be negative"
+    rows = [(c / 100.0, "P1", day) for c in neg]
+    sf2 = _sf_with_orders(tmp_path, "negmean", rows)
+    with pytest.raises(Exception, match="negative mean cents"):
+        all_queries()["sql_script"].build(spark, sf2)
