@@ -69,8 +69,9 @@ at sf0.001; after the three r13 families landed: 54000-54119
 shakedown, 55000-55599 new families at sf0.01, 56000-56299 new
 families at sf0.001, 57000-57299 new families at sf0.1,
 58000-58999 mixed over all 20 at sf0.01, 59000-59299 mixed at
-sf0.1, 60000-61199 mixed at sf0.01, 62000-62299 mixed at sf0.1 —
-7,540 r13 cases, ZERO divergences — ~29,100 total. The r12
+sf0.1, 60000-61199 mixed at sf0.01, 62000-62299 mixed at sf0.1,
+63000-63599 mixed at sf0.01 — 8,140 r13 cases, ZERO
+divergences — ~29,700 total. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
