@@ -219,3 +219,47 @@ def test_rule_like_escape_fires():
     ]
     for sql in good:
         assert not lint_like_escape(sql), f"rule 6 misfire on: {sql}"
+
+
+def test_rule_left_right_negative_fires():
+    """Seeded negatives: left/right with a non-literal length must
+    flag (negative lengths return '' in Spark, drop-from-the-other-end
+    in DuckDB — the r13 probe find)."""
+    from oracle_lint import lint_left_right_negative
+
+    bad = [
+        "SELECT left(s, n) FROM t",
+        "SELECT right(s, length(s) - 8) FROM t",
+        "SELECT left(s, -2) FROM t",
+    ]
+    for sql in bad:
+        assert lint_left_right_negative(sql), f"rule 7 silent on: {sql}"
+    good = [
+        "SELECT left(s, 3), right(s, 10) FROM t",
+        "SELECT a FROM t LEFT JOIN u ON t.k = u.k",  # keyword, not call
+        "SELECT substr(s, 2) FROM t",  # different fn
+    ]
+    for sql in good:
+        assert not lint_left_right_negative(sql), f"rule 7 misfire: {sql}"
+
+
+def test_rule_array_agg_null_fires():
+    """Seeded negatives: array_agg/list over a null-producing
+    expression must flag (Spark SKIPS NULL elements, DuckDB KEEPS
+    them — different element counts, the r13 probe find)."""
+    from oracle_lint import lint_array_agg_null
+
+    bad = [
+        "SELECT array_agg(NULLIF(x, 0)) FROM t",
+        "SELECT list(CASE WHEN x > 0 THEN x END ORDER BY x) FROM t",
+        "SELECT array_agg(lead(x) OVER (ORDER BY x)) FROM t",
+    ]
+    for sql in bad:
+        assert lint_array_agg_null(sql), f"rule 8 silent on: {sql}"
+    good = [
+        "SELECT array_agg(x) FROM t",  # null-free base column
+        "SELECT list(o_orderkey ORDER BY o_orderkey) FROM orders",
+        "SELECT array_agg(COALESCE(NULLIF(x, 0), -1)) FROM t",
+    ]
+    for sql in good:
+        assert not lint_array_agg_null(sql), f"rule 8 misfire: {sql}"

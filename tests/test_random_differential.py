@@ -11107,3 +11107,50 @@ def test_sql_script_negative_cents_regimes(spark, tmp_path):
     sf2 = _sf_with_orders(tmp_path, "negmean", rows)
     with pytest.raises(Exception, match="negative mean cents"):
         all_queries()["sql_script"].build(spark, sf2)
+
+
+def test_left_right_and_array_agg_null_cross_engine_seam(spark):
+    """r13 probe finds, pinned: two more SILENT collection/string
+    seams (no error on either side):
+
+    - left/right with a NEGATIVE length: Spark returns '', DuckDB
+      drops that many characters from the OTHER end
+      (left('hello', -2) = '' vs 'hel');
+    - array_agg over NULLs: Spark SKIPS NULL elements, DuckDB KEEPS
+      them — different element counts from identical input.
+
+    Aligned regimes (the house rules, machine-enforced as
+    tools/oracle_lint.py rules 7-8): non-negative literal lengths,
+    and aggregating only null-free expressions."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(sql):
+        return (
+            [tuple(r) for r in spark.sql(sql).collect()],
+            con.execute(sql).fetchall(),
+        )
+
+    # divergent regime 1: negative length
+    s, d = both("SELECT left('hello', -2), right('hello', -2)")
+    assert s == [("", "")], s
+    assert d == [("hel", "llo")], d
+    # divergent regime 2: array_agg keeps-vs-skips NULL
+    sql = ("SELECT array_agg(CASE WHEN x > 0 THEN x END) "
+           "FROM (VALUES (1), (-1), (2)) t(x)")
+    s, d = both(sql)
+    assert s == [([1, 2],)], s
+    assert d == [([1, None, 2],)], d
+
+    # aligned regimes: the sanctioned house spellings
+    for sql in (
+        "SELECT left('hello', 3), right('hello', 2)",
+        "SELECT left('hi', 10)",  # length > string: full string, both
+        "SELECT array_agg(x) FROM (VALUES (1), (2)) t(x)",
+        "SELECT array_agg(COALESCE(CASE WHEN x > 0 THEN x END, -1)) "
+        "FROM (VALUES (1), (-1)) t(x)",
+    ):
+        s, d = both(sql)
+        assert s == d, (sql, s, d)
+    con.close()

@@ -359,6 +359,60 @@ def lint_like_escape(sql: str) -> list[str]:
     return hits
 
 
+_LEFT_RIGHT = re.compile(r"(?<![a-z_])(left|right)\s*\(", re.IGNORECASE)
+
+
+def lint_left_right_negative(sql: str) -> list[str]:
+    """Rule 7 (r13 probe find): left/right with a NEGATIVE length
+    return '' in Spark but drop-from-the-other-end in DuckDB
+    (left('hello', -2) = '' vs 'hel') — silent row divergence.  House
+    rule: the length argument in shared SQL must be a non-negative
+    integer LITERAL (an expression could go negative at runtime)."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _LEFT_RIGHT.finditer(sql_nc):
+        # skip JOIN keywords (LEFT JOIN / RIGHT JOIN never look like
+        # calls — the regex requires the open paren directly)
+        args = _call_args(sql_nc, m.end() - 1)
+        parts = _split_top_level(args)
+        if len(parts) != 2:
+            continue
+        if not re.fullmatch(r"\s*\d+\s*", parts[1]):
+            hits.append(
+                f"{m.group(1)}() with non-literal length (negative "
+                f"lengths diverge: '' in Spark, drop-from-end in "
+                f"DuckDB): {args.strip()[:60]!r}"
+            )
+    return hits
+
+
+_ARRAY_AGG = re.compile(
+    r"\b(array_agg|list)\s*\(", re.IGNORECASE
+)
+
+
+def lint_array_agg_null(sql: str) -> list[str]:
+    """Rule 8 (r13 probe find): array_agg/list over a NULL-producing
+    expression SKIPS NULLs in Spark but KEEPS them in DuckDB —
+    different element counts, silent hash divergence.  House rule:
+    aggregate only null-free expressions (base columns are null-free;
+    COALESCE nullable constructs first)."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _ARRAY_AGG.finditer(sql_nc):
+        args = _call_args(sql_nc, m.end() - 1)
+        # the aggregated expression is the first top-level arg,
+        # before any ORDER BY inside the call
+        expr = _split_top_level(args)[0]
+        expr = re.split(r"\border\s+by\b", expr, flags=re.IGNORECASE)[0]
+        if _is_nullable_expr(expr):
+            hits.append(
+                f"array_agg over nullable expr (Spark skips NULLs, "
+                f"DuckDB keeps them): {expr.strip()[:60]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -367,6 +421,8 @@ def lint_sql(sql: str) -> list[str]:
         + lint_date_trunc(sql)
         + lint_regex_portability(sql)
         + lint_like_escape(sql)
+        + lint_left_right_negative(sql)
+        + lint_array_agg_null(sql)
     )
 
 
