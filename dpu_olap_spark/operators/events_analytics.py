@@ -608,13 +608,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM, host/aggr/aggr_native.cc:67-73).
 
     Exactness: values go through the house cents cast, durations are
-    floor-of-microseconds seconds, and the final ratio is integer
-    floor division over NON-NEGATIVE operands — the regime where
-    DuckDB's truncating // and Spark's DIV agree (the pinned negative-
-    dividend divergence never arises: lead() is later-or-equal by the
-    window order and values are cents >= 0; zero total durations are
-    HAVING'd out on both sides, sidestepping the //0-raise vs
-    DIV-0-NULL edge).  Each user's LAST event carries no duration
+    floor-of-microseconds seconds (non-negative by the window order),
+    and the final ratio is Spark DIV vs DuckDB // — BOTH truncate
+    toward zero, so the engines agree for negative weighted sums too
+    (probed -7 DIV 2 = -3 in both; pinned cross-engine by
+    test_time_weighted_avg_negative_values_regime, which also attests
+    min(events.value) >= 0 in every driver fixture via parquet
+    statistics — r13 ADVICE).  Zero total durations are HAVING'd out
+    on both sides, sidestepping the //0-raise vs DIV-0-NULL edge.  Each user's LAST event carries no duration
     (lead is NULL) and drops from the weighting on both engines.
 
     Scale: one shuffle on user_id for the lead() window, then the

@@ -67,7 +67,13 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
     the SAME evaluation — without that, a sampling upstream could pass
     a sentinel-free probe and then re-evaluate to a poisoned write
     (r12 review); the persist's spill cost for frames beyond storage
-    memory is confined to that case (r12 ADVICE).  Pass
+    memory is confined to that case (r12 ADVICE).  Catalyst's flag
+    only checks EXPRESSION determinism, so plans that are row-SET
+    nondeterministic without any nondeterministic expression — LIMIT
+    (even sorted: ties on a non-unique sort key are free to differ
+    between evaluations) and SAMPLE/TAIL nodes — also take the persist
+    path (r13 ADVICE closed the reopened r12 hole); those frames are
+    limit/sample-bounded, so the persist is cheap by construction.  Pass
     ``validate_sentinel=False`` when the corpus contract already rules
     the sentinel out and even the probe's extra scan is unwanted in a
     scan-bound hot path.
@@ -83,9 +89,25 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
         ]
         if str_cols:
             try:
-                deterministic = bool(
-                    df._jdf.queryExecution().analyzed().deterministic()
-                )
+                analyzed = df._jdf.queryExecution().analyzed()
+                deterministic = bool(analyzed.deterministic())
+                if deterministic:
+                    # row-set nondeterminism Catalyst's expression-level
+                    # flag cannot see: LIMIT/SAMPLE/TAIL may pick
+                    # different rows per evaluation even when every
+                    # expression is deterministic.  Match node names at
+                    # tree positions only (a column literally named
+                    # "sample_..." appears inside [...] attribute lists,
+                    # never at a node head) — a false positive merely
+                    # persists a bounded frame.
+                    import re
+
+                    tree = analyzed.treeString()
+                    if re.search(
+                        r"(?m)^[\s:+\-*()0-9]*(GlobalLimit|LocalLimit|Sample|Tail)\b",
+                        tree,
+                    ):
+                        deterministic = False
             except Exception:
                 deterministic = False  # unknown -> the safe (persist) path
             collision = reduce(

@@ -723,16 +723,36 @@ def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
     assert "ORDERS_V" not in tail, "final statement re-scans the fact table"
     assert "CACHE TABLE HIST_V" in text, "histogram no longer cached"
 
+    import itertools
+
     import dpu_olap_spark.operators.spark4_surface as s4
 
     jcm = spark._jsparkSession.sharedState().cacheManager()
     was_empty = jcm.isEmpty()
     before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
-    df = all_queries()["sql_script"].build(spark, SF)
+    # Pin the run suffix BEFORE the build so the leak probe below can
+    # name the ACTUAL session variable this run declares.  (r13 ADVICE:
+    # interpolating the itertools.count object produced the literal
+    # name sql_script_thr_count(N), which is UNRESOLVED whether or not
+    # the real variable leaked — the gate was vacuous.)
+    run_id = next(s4._SQL_SCRIPT_RUN)
+    s4._SQL_SCRIPT_RUN = itertools.count(run_id)  # build re-draws run_id
+    try:
+        df = all_queries()["sql_script"].build(spark, SF)
+    finally:
+        s4._SQL_SCRIPT_RUN = itertools.count(run_id + 1)
     assert df.count() > 0
     after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
     assert after == before, f"temp-view residue: {after - before}"
     if was_empty:
         assert jcm.isEmpty(), "sql_script leaked a cache entry"
+    # Positive control: the probe SQL shape distinguishes a live
+    # session variable from an absent one (DECLARE + probe resolves),
+    # so the UNRESOLVED expectation below is meaningful.
+    spark.sql(f"DECLARE OR REPLACE sql_script_probe_{run_id} INT DEFAULT 1")
+    try:
+        spark.sql(f"SELECT sql_script_probe_{run_id}").collect()
+    finally:
+        spark.sql(f"DROP TEMPORARY VARIABLE sql_script_probe_{run_id}")
     with pytest.raises(Exception, match="UNRESOLVED"):
-        spark.sql(f"SELECT sql_script_thr_{s4._SQL_SCRIPT_RUN}").collect()
+        spark.sql(f"SELECT sql_script_thr_{run_id}").collect()

@@ -10650,6 +10650,73 @@ def test_time_weighted_avg_duration_boundaries(spark, tmp_path):
     assert g_cols == o_cols and g_ms == o_ms
 
 
+def test_time_weighted_avg_negative_values_regime(spark, tmp_path):
+    """r13 ADVICE: twa_cents' docstring claimed exactness rests on
+    events.value >= 0, but only prose asserted it.  Two-part closure:
+
+    1. fixture attestation (mirrors the parquet null-count check) —
+       every driver events fixture has min(value) >= 0, so the shipped
+       corpus never leaves the documented regime;
+    2. the assumption is NOT load-bearing anyway: Spark's DIV and
+       DuckDB's // BOTH truncate toward zero (probed -7 DIV 2 = -3 in
+       both), so a negative weighted sum floor-divides identically —
+       forced here with negative cents driving SUM(cents*dur_s) < 0,
+       replayed in pure Python with int(a/b)-style truncation and
+       hash-compared through the registered oracle."""
+    import glob as _glob
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    # (1) fixture attestation via parquet column statistics
+    for d in sorted(_glob.glob("/root/testdata/sf0.*")):
+        f = os.path.join(d, "events.parquet")
+        if not os.path.exists(f):
+            continue
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.names.index("value")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            assert st is not None and st.min >= 0, (
+                f"{f} rg{rg}: events.value min {st and st.min} < 0 — "
+                "the TWA docstring's non-negativity attestation drifted"
+            )
+
+    # (2) negative regime forced: user 1's weighted sum is negative
+    T = 1_000_000_000_000
+    rows = [
+        (10, T, 1, -2.00),  # -200 cents held 3s
+        (11, T + 3_000_000, 1, -3.00),  # -300 cents held 2s
+        (12, T + 5_000_000, 1, 0.0),
+        # user 2: mixed signs, positive total
+        (20, T, 2, -1.00),  # -100 x 1s
+        (21, T + 1_000_000, 2, 5.00),  # 500 x 2s
+        (22, T + 3_000_000, 2, 0.0),
+    ]
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    # user 1: (-200*3 + -300*2) = -1200 over 5s -> trunc(-240) = -240
+    # user 2: (-100*1 + 500*2) = 900 over 3s -> 300
+    assert trunc_div(-1200, 5) == -240 and trunc_div(-7, 2) == -3
+    expect = {1: (2, 5, -1200, -240), 2: (2, 3, 900, 300)}
+
+    sf = _sf_with_events(tmp_path, "twa_neg", rows)
+    got = all_queries()["time_weighted_avg"].build(spark, sf)
+    per_user = {
+        r.user_id: (r.n_spans, r.total_dur_s, r.weighted_cents_s, r.twa_cents)
+        for r in got.collect()
+    }
+    assert per_user == expect, per_user
+    assert per_user[1][2] < 0, "fixture drifted: negative regime not forced"
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["time_weighted_avg"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
 def _sf_with_customer(tmp_path, subdir, rows):
     """A fixture sf_dir whose customer.parquet is custom ((c_custkey,
     c_mktsegment, c_acctbal) tuples) and whose other nine tables are

@@ -103,6 +103,25 @@ def test_csv_sentinel_probe_persists_only_nondeterministic(spark, monkeypatch):
         assert not calls, "deterministic plan must not persist"
         sinks.write_csv(nondet, os.path.join(d, "nondet_csv"))
         assert calls, "nondeterministic plan must persist across probe+write"
+        # row-SET nondeterminism without any nondeterministic
+        # expression (r13 ADVICE): Catalyst's plan-level flag reports
+        # LIMIT and SAMPLE plans deterministic, yet both may evaluate
+        # to different rows between probe and write — they must take
+        # the persist path too.
+        calls.clear()
+        sinks.write_csv(det.limit(3), os.path.join(d, "limit_csv"))
+        assert calls, "LIMIT plan must persist across probe+write"
+        calls.clear()
+        sinks.write_csv(
+            det.sample(fraction=0.5, seed=7), os.path.join(d, "sample_csv")
+        )
+        assert calls, "SAMPLE plan must persist across probe+write"
+        # ...and a sorted limit still persists: ties on a non-unique
+        # sort key leave the picked rows unpinned.
+        calls.clear()
+        tied = spark.range(10).selectExpr("CAST(id % 2 AS STRING) AS s")
+        sinks.write_csv(tied.orderBy("s").limit(3), os.path.join(d, "slim_csv"))
+        assert calls, "sorted-LIMIT plan must persist across probe+write"
 
 
 def test_json_roundtrip(spark):
