@@ -45,32 +45,16 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R9 = (
-    # CORRECTNESS_r09.json rows whose latest driver check is still r9
-    # (pipe_sql..take — the 7 oldest — were re-checked r12 →
-    # _VERIFIED_R12).  These 43 lead the r13 window, oldest-first —
-    # the stalest cohort, headed by the two reference-core rows
-    # (`partition`, `join`) the r12 verdict ordered to the front.
-    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
-    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
-    "scalar_subquery", "decorrelated_subquery", "stats_agg",
-    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
-    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
-    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
-    "merge_upsert",
-    "statestore_read", "stream_dedup_unbounded", "cache_scan",
-    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
-    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
-    "bucketed_join",
-)
 _VERIFIED_R10 = (
-    # CORRECTNESS_r10.json — 50 rows: 46 hash-green + 4 rows-only by
-    # design (simhash, mm_decode, mm_frame_sample, mm_resize — no
+    # CORRECTNESS_r10.json rows whose latest driver check is still r10
+    # (stream_foreach_batch was re-checked r13 → _VERIFIED_R13; the
+    # original tier was 50 rows: 46 hash-green + 4 rows-only by
+    # design — simhash, mm_decode, mm_frame_sample, mm_resize — no
     # DuckDB oracle possible; each carries byte-exact pure-Python
-    # local differentials).  The window was the 39 r6-vintage rows +
-    # the 11 oldest r7 rows, exactly as the r9 verdict ordered.
-    "stream_foreach_batch", "dedup_incremental",
+    # local differentials).  These 49 are now the stalest cohort and
+    # fill the r14 window behind the round's new query, exactly as
+    # the r13 verdict ordered.
+    "dedup_incremental",
     "repetition_score", "stateful_user_stats", "stream_tumbling",
     "window_sliding", "session_window", "stream_stream_join",
     "rolling_fingerprint", "tfidf_top_terms", "text_clean",
@@ -134,20 +118,46 @@ _VERIFIED_R12 = (
     "pipe_sql", "try_arith",
     "pysource_scan", "sink_compaction", "filter", "sum", "take",
 )
+_VERIFIED_R13 = (
+    # CORRECTNESS_r13.json — 50 rows, ALL hash-green (the first
+    # all-hash window since the sketch queries entered rotation).
+    # The window was the round's 6 NEW queries, then the 43 remaining
+    # r9-vintage rows (led by the two reference-core rows `partition`
+    # and `join`) plus the oldest r10 row (stream_foreach_batch),
+    # exactly as the r12 verdict ordered; _VERIFIED_R9 dissolved.
+    "skyline_pareto", "ntile_deciles", "mad_outliers", "null_safe_join",
+    "topk_cumshare", "time_weighted_avg",
+    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
+    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
+    "scalar_subquery", "decorrelated_subquery", "stats_agg",
+    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
+    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
+    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
+    "merge_upsert",
+    "statestore_read", "stream_dedup_unbounded", "cache_scan",
+    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
+    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
+    "bucketed_join", "stream_foreach_batch",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R9 + _VERIFIED_R10 + _VERIFIED_R11 + _VERIFIED_R12
+    _VERIFIED_R10 + _VERIFIED_R11 + _VERIFIED_R12 + _VERIFIED_R13
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r13 window = the round's 6
-# NEW queries (skyline_pareto, time_weighted_avg, ntile_deciles,
-# mad_outliers, null_safe_join, topk_cumshare), then the 43 remaining
-# r9-vintage rows (partition, join — the two reference-core rows
-# pushed out of the r12 window — through bucketed_join) plus the
-# oldest r10 row (stream_foreach_batch).
-_HIGH_PRIORITY: tuple[str, ...] = ()
-_LOW_PRIORITY: tuple[str, ...] = ()
+# verified rows rotate oldest-first.  The r14 window (50 rows) = the
+# round's lead NEW query (histogram_median), then the 49 remaining
+# r10-vintage rows (dedup_incremental — the streaming/LLM cohort —
+# through sink_zorder), per the r13 verdict.  The round's SECOND new
+# query (weighted_sample) is deliberately deferred behind the
+# verified tail: with 49 r10 rows to retire inside a 50-row window
+# there is exactly ONE new-query slot this round, and spending two
+# would leave an r10 row stale past the <=4-round horizon; it leads
+# the r15 window instead (it is fully oracled, plan-gated, and
+# differential-tested locally either way).
+_HIGH_PRIORITY: tuple[str, ...] = ("histogram_median",)
+_LOW_PRIORITY: tuple[str, ...] = ("weighted_sample",)
 
 
 def _ordered_names() -> list[str]:
@@ -159,13 +169,12 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 43 remaining r9 rows lead
-    # (partition, join, join_agg, ..), then r10 (first 7 fit the r13
-    # window), r11, r12.
+    # stalest rows re-check soonest: the 49 remaining r10 rows lead
+    # (dedup_incremental .. sink_zorder), then r11, r12, r13.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R9, _VERIFIED_R10, _VERIFIED_R11,
-                 _VERIFIED_R12):
+    for tier in (_VERIFIED_R10, _VERIFIED_R11, _VERIFIED_R12,
+                 _VERIFIED_R13):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

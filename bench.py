@@ -85,6 +85,10 @@ HEADLINE = [
     "mad_outliers",
     "null_safe_join",
     "topk_cumshare",
+    # round 14: bounded-shuffle grouped median (mad_outliers' 100 TB
+    # path made real) and integer-weight importance sampling
+    "histogram_median",
+    "weighted_sample",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

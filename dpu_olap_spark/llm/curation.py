@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dpu_olap_spark.functions.text import shingles, tokens
+from dpu_olap_spark.functions.text import base_hash60, shingles, tokens
 from dpu_olap_spark.registry import query
 from dpu_olap_spark.sources.tables import load_table
 
@@ -562,4 +562,102 @@ def budget_mix(docs: DataFrame, budget: int) -> DataFrame:
     return taken.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars_taken"),
+    )
+
+
+# Language importance weights for weighted_sample: acceptance
+# probability is weight / _WS_WMAX, so the dominant language (en) is
+# thinned to 20% while the rarest (zh) keeps 100% — the data-mixing
+# move that rebalances a crawl before training. Weights are EXACT
+# INTEGERS; 0 is forbidden (a zero weight has no inverse and means
+# "drop the stratum", which is a filter, not a sample).
+_WS_WEIGHTS = {"en": 2, "de": 7, "es": 8, "fr": 9, "zh": 10}
+_WS_DEFAULT_W = 5
+_WS_WMAX = 10
+_WS_SCALE = 1_000_000  # ppm resolution of the uniform draw
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH drawn AS (
+      SELECT lang,
+             CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 7 WHEN 'es' THEN 8
+                       WHEN 'fr' THEN 9 WHEN 'zh' THEN 10 ELSE 5 END AS w,
+             CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 1000000 AS u
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MIN(w) AS BIGINT) AS weight,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN u * 10 < w * 1000000 THEN 1 END), 0)
+                AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN u * 10 < w * 1000000
+                                  THEN (1000000 * 10) // w END), 0)
+                AS BIGINT) AS ht_n_ppm
+    FROM drawn
+    GROUP BY lang
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with EXACT INTEGER weights — the corpus_mix
+    sibling a data-mixing run actually executes: each document is kept
+    with probability weight/w_max, where the weight is a per-language
+    integer (upsample rare languages, thin the dominant one), and every
+    kept row carries its inverse-probability correction so downstream
+    estimates stay unbiased (Horvitz-Thompson).
+
+    Determinism: the uniform draw is u = base_hash60('ws:' || doc_id)
+    mod 1e6 — a pure function of the doc key (reproducible across
+    engines, runs, and cluster sizes; a new doc never flips an old
+    doc's draw, same property as train_test_split).  The acceptance
+    test u * w_max < w * 1e6 and the correction (1e6 * w_max) DIV w
+    are all BIGINT operations over non-negative operands, so Spark and
+    DuckDB agree bit-for-bit; w = w_max degenerates to keep-everything
+    (u < 1e6 always) and is pinned in the differential.  The output
+    audits the estimator against the truth it can see in one pass:
+    SUM(inverse weights) over the sample (ht_n_ppm, in ppm of a
+    document) estimates n_docs * 1e6.
+
+    Scale: one scan, map-side draw + acceptance (no RNG state, no
+    per-partition seeding hazards), ONE exchange for the per-language
+    aggregation whose partials combine map-side — plan-gated ==1
+    Exchange, no Python in the hot path.  At 100 TB the shuffle
+    carries one row per language."""
+    d = load_table(spark, sf_dir, "documents")
+    expr = None
+    for lang, wt in _WS_WEIGHTS.items():
+        expr = (
+            F.when(F.col("lang") == lang, wt)
+            if expr is None
+            else expr.when(F.col("lang") == lang, wt)
+        )
+    w = expr.otherwise(_WS_DEFAULT_W)
+    u = base_hash60(
+        F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+    ) % _WS_SCALE
+    drawn = d.select("lang", w.alias("w"), u.alias("u"))
+    return drawn.groupBy("lang").agg(
+        F.min("w").alias("weight"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("u") * _WS_WMAX < F.col("w") * _WS_SCALE, 1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("u") * _WS_WMAX < F.col("w") * _WS_SCALE,
+                    F.expr(f"CAST(({_WS_SCALE} * {_WS_WMAX}) DIV w AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("ht_n_ppm"),
     )

@@ -1002,13 +1002,27 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the (n-1)p rule, `percentiles` precedent).
 
     Scale: two grouped exact medians (per-group sort cost — the 100 TB
-    path swaps in approx_percentile's sketch, same shape) plus
+    path swaps in a bounded-shuffle median, realized as the oracled
+    histogram_median operator below, or approx_percentile's sketch;
+    same join-back shape either way) plus
     BROADCAST joins of one-row-per-group scalars back onto the fact;
     the fact table shuffles on the group key once per median pass.
     The dev projection is deliberately NOT materialized, so Catalyst
     re-derives it under the mad branch (one extra fact scan + a reused
     broadcast — cheaper than persisting the fact at scan-bound scale;
     checkpoint dev instead if the cents projection is compute-bound)."""
+    return mad_outliers_df(spark, sf_dir)
+
+
+def mad_outliers_df(
+    spark: SparkSession, sf_dir: str, materialize_dev: bool = False
+) -> DataFrame:
+    """q_mad_outliers' body with the re-derivation knob exposed for
+    tools/scale_probe.py: the shipped path (False) lets Catalyst
+    re-derive the unmaterialized dev subtree under the mad branch (one
+    extra fact scan, reused broadcast); True localCheckpoints dev so
+    both branches read the materialized rows — the crossover the
+    docstring reasons about, now measured instead of argued."""
     cents = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
@@ -1019,6 +1033,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = cents.join(F.broadcast(med), "o_orderpriority").withColumn(
         "dev2", F.abs(2 * F.col("c") - F.col("med2"))
     )
+    if materialize_dev:
+        dev = dev.localCheckpoint()
     mad = dev.groupBy("o_orderpriority").agg(
         F.expr("CAST(percentile(dev2 * 2, 0.5) AS BIGINT)").alias("mad4")
     )
@@ -1186,4 +1202,100 @@ def q_topk_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("kept_cents"),
             F.min("total").alias("total_cents"),
         )
+    )
+
+
+_HIST_BUCKET_CENTS = 200_000  # $2,000-wide buckets over o_totalprice
+
+
+@query(
+    "histogram_median",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 200000 AS b,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, b, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY b ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS tot
+      FROM h
+    )
+    SELECT o_orderpriority,
+           MIN(tot) AS n_orders,
+           MIN(CASE WHEN 2 * run >= tot THEN b END) AS med_bucket,
+           MIN(CASE WHEN 2 * run >= tot THEN b END) * 200000 AS med_lo_cents,
+           (MIN(CASE WHEN 2 * run >= tot THEN b END) + 1) * 200000 - 1
+             AS med_hi_cents
+    FROM cum
+    GROUP BY o_orderpriority
+    """,
+)
+def q_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate median via FIXED-BUCKET histogram — the
+    100 TB path mad_outliers' docstring promises, now a real oracled
+    operator: where the exact per-group median pays a full fact
+    shuffle + per-group sort, this collapses the fact into a bounded
+    (group, bucket) histogram FIRST, so the only fact-scale work is a
+    map-side-combinable count.
+
+    Semantics (deterministic, engine-exact): bucket = cents DIV
+    200000 ($2,000 buckets); the median bucket is the smallest b whose
+    cumulative count reaches half the group (2*run >= tot in BIGINTs —
+    the bucket CONTAINING the lower-median element, so the exact
+    median lies inside [med_lo_cents, med_hi_cents] by construction;
+    asserted against a pure-Python exact median in the differential).
+    DIV and DuckDB's // both truncate toward zero, so the engines
+    agree even on a negative-cents domain (forced in the
+    differential); the driver fixtures are all-positive (attested),
+    where truncation IS floor.
+
+    Scale: exchange 1 is the (group, bucket) count — partial
+    aggregation combines map-side, so the shuffle carries at most
+    groups x buckets rows no matter the fact size (~250 buckets/group
+    here).  Exchange 2 re-keys that bounded histogram by group for the
+    cumulative window, and the final per-group aggregation reuses the
+    window's partitioning (plan-gated ==2 Exchanges).  At 100 TB the
+    second exchange moves kilobytes; the exact-median alternative
+    moves the fact table."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    h = cents.groupBy(
+        "o_orderpriority",
+        F.expr(f"c DIV {_HIST_BUCKET_CENTS}").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "b",
+        F.sum("cnt").over(w_run).alias("run"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    med = cum.groupBy("o_orderpriority").agg(
+        F.min("tot").alias("n_orders"),
+        F.min(F.when(2 * F.col("run") >= F.col("tot"), F.col("b"))).alias(
+            "med_bucket"
+        ),
+    )
+    return med.select(
+        "o_orderpriority",
+        "n_orders",
+        "med_bucket",
+        (F.col("med_bucket") * _HIST_BUCKET_CENTS).alias("med_lo_cents"),
+        ((F.col("med_bucket") + 1) * _HIST_BUCKET_CENTS - 1).alias(
+            "med_hi_cents"
+        ),
     )

@@ -697,6 +697,53 @@ def test_topk_cumshare_single_exchange(spark):
     assert plan.count("Window") >= 2  # running sum + group total
 
 
+def test_histogram_median_bounded_shuffles(spark):
+    """histogram_median's 100 TB contract: the ONLY fact-scale work is
+    the map-side-combinable (group, bucket) count — partial_count must
+    sit BEFORE the first exchange, so the shuffle carries at most
+    groups x buckets rows regardless of fact size.  Exactly two
+    exchanges: the bucketed count, then the bounded histogram re-keyed
+    on the group for the cumulative window; the final per-group
+    aggregation and both windows reuse that second partitioning."""
+    plan = _formatted_plan(spark, "histogram_median")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected exactly two exchanges:\n{plan}"
+    # map-side combine before the fact-scale exchange: partial_count
+    # must appear earlier in the plan text than the first Exchange node
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    # first exchange keys on (group, bucket), second on the group alone
+    assert "_groupingexpression" in plan, "bucket key gone from exchange 1"
+    assert "hashpartitioning(o_orderpriority" in plan
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 2, f"run + tot should share one sort:\n{plan}"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_single_exchange_pruned_scan(spark):
+    """weighted_sample: the draw + acceptance + inverse-weight fold
+    into the map-side partial aggregation (one row per language
+    reaches the shuffle), the scan reads ONLY (doc_id, lang) — text
+    never leaves parquet — and no Python runs in the hot path."""
+    plan = _formatted_plan(spark, "weighted_sample")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
+    assert "hashpartitioning(lang" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, (
+        "column pruning lost: the scan reads more than (doc_id, lang)"
+    )
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
     """sql_script's 100 TB contract (r12 verdict item #2): the orders
     fact table is scanned exactly TWICE — the thr assignment and the

@@ -11221,3 +11221,240 @@ def test_left_right_and_array_agg_null_cross_engine_seam(spark):
         s, d = both(sql)
         assert s == d, (sql, s, d)
     con.close()
+
+
+def test_histogram_median_bucket_edges(spark, tmp_path):
+    """Forced-boundary differential for the fixed-bucket grouped
+    median, attested by a pure-Python replay of the exact integer rule
+    (bucket = cents trunc-div 200000; med_bucket = smallest b with
+    2*run >= tot) and Spark-vs-DuckDB through the registered oracle:
+
+    - group A pins the EXACT-EQUALITY boundary (2*run == tot at the
+      lower bucket -> lower-median convention picks it) AND the bucket
+      edge itself (cents exactly k*W land in bucket k, one cent less
+      in k-1);
+    - group B: odd count — the middle element's bucket wins;
+    - group C: a single-bucket group;
+    - group D: NEGATIVE cents — DIV and // both truncate toward zero,
+      so bucket -1 covers (-400000, -200000] and bucket 0 straddles
+      zero; the engines agree bit-for-bit (the driver fixtures are
+      all-positive, attested elsewhere — this pins the semantics for
+      arbitrary domains).
+
+    Containment: for every group the lower-median ELEMENT trunc-divides
+    into med_bucket; for non-negative groups that also means
+    med_lo_cents <= element <= med_hi_cents (trunc == floor there)."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    day = datetime(1995, 6, 1)
+    W = 200_000
+
+    prices = {
+        # (price_dollars, group): cents = floor(p*100 + 0.5)
+        "A": [3999.99, 2000.00, 4000.00, 5000.00],  # b: 1,1,2,2
+        "B": [1000.00, 6000.00, 6500.00],  # b: 0,3,3
+        "C": [100.00, 150.00, 300.00, 900.00, 1999.99],  # all b0
+        "D": [-2500.00, -500.00, 300.00, 4100.00],  # b: -1,0,0,2
+    }
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    import math
+
+    def replay():
+        out = {}
+        for g, ps in prices.items():
+            cents = sorted(math.floor(p * 100 + 0.5) for p in ps)
+            buckets = {}
+            for c in cents:
+                b = trunc_div(c, W)
+                buckets[b] = buckets.get(b, 0) + 1
+            tot = len(cents)
+            run = 0
+            for b in sorted(buckets):
+                run += buckets[b]
+                if 2 * run >= tot:
+                    med_b = b
+                    break
+            out[g] = (tot, med_b, med_b * W, (med_b + 1) * W - 1)
+            # containment: the lower-median ELEMENT is in med_bucket
+            low_med = cents[(tot - 1) // 2] if tot % 2 else cents[tot // 2 - 1]
+            assert trunc_div(low_med, W) == med_b, (g, low_med, med_b)
+            if all(c >= 0 for c in cents):
+                assert med_b * W <= low_med <= (med_b + 1) * W - 1
+        return out
+
+    expect = replay()
+    # fixture drift guards: A hits 2*run == tot exactly at bucket 1;
+    # D is a genuinely negative domain with a straddling bucket 0
+    assert expect["A"][1] == 1 and expect["A"][0] == 4
+    assert expect["B"][1] == 3
+    assert expect["C"][1] == 0
+    assert expect["D"][1] == 0 and min(
+        math.floor(p * 100 + 0.5) for p in prices["D"]
+    ) < 0
+
+    rows = [(p, g, day) for g, ps in prices.items() for p in ps]
+    sf = _sf_with_orders(tmp_path, "histmed", rows)
+    got = all_queries()["histogram_median"].build(spark, sf)
+    per_group = {
+        r.o_orderpriority: (
+            r.n_orders,
+            r.med_bucket,
+            r.med_lo_cents,
+            r.med_hi_cents,
+        )
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["histogram_median"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_histogram_median_brackets_exact_median_on_fixture(spark):
+    """Sketch-quality gate on the real driver fixture: for every
+    priority group the EXACT lower-median element (pure-Python over
+    the parquet bytes) must lie inside the reported
+    [med_lo_cents, med_hi_cents] bucket — the error bound the operator
+    exists to provide (<= one bucket width, by construction)."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        os.path.join(sf, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    groups = {}
+    for g, p in zip(
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        groups.setdefault(g, []).append(math.floor(p * 100 + 0.5))
+    got = {
+        r.o_orderpriority: r
+        for r in all_queries()["histogram_median"].build(spark, sf).collect()
+    }
+    assert set(got) == set(groups)
+    for g, cents in groups.items():
+        cents.sort()
+        tot = len(cents)
+        low_med = cents[(tot - 1) // 2] if tot % 2 else cents[tot // 2 - 1]
+        r = got[g]
+        assert r.n_orders == tot
+        assert r.med_lo_cents <= low_med <= r.med_hi_cents, (
+            g,
+            low_med,
+            r.med_lo_cents,
+            r.med_hi_cents,
+        )
+
+
+def _sf_with_documents(tmp_path, subdir, rows):
+    """A fixture sf_dir whose documents.parquet is custom ((doc_id,
+    text, lang, source) tuples; n_chars derived) and whose other nine
+    tables are symlinks to sf0.001."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_weighted_sample_acceptance_and_ht_estimator(spark, tmp_path):
+    """Forced-edge differential for importance sampling, attested by a
+    pure-Python md5 replay of the exact draw (u = int(md5('ws:'||id)
+    hex[:15], 16) % 1e6; keep iff u*10 < w*1e6) and Spark-vs-DuckDB
+    through the registered oracle:
+
+    - w == w_max (zh, w=10) degenerates to KEEP EVERYTHING (u < 1e6
+      always) and its Horvitz-Thompson term is exactly 1e6 per doc, so
+      ht_n_ppm == n_docs * 1e6 with zero estimator error;
+    - the dominant language (en, w=2) must come out genuinely thinned
+      (0 < kept < all — fixture-drift guarded);
+    - an UNKNOWN language falls to the default weight (5);
+    - inverse weights are truncated integers ((1e7 DIV w); w=9 ->
+      1111111), pinned by the replay's // arithmetic."""
+    import hashlib
+
+    from dpu_olap_spark.llm.curation import (
+        _WS_DEFAULT_W,
+        _WS_SCALE,
+        _WS_WEIGHTS,
+        _WS_WMAX,
+    )
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    rows = []
+    did = 0
+    for lang, n in (("en", 40), ("zh", 6), ("fr", 9), ("xx", 8)):
+        for _ in range(n):
+            rows.append((did, f"doc {did} text", lang, f"src{did % 3}"))
+            did += 1
+
+    def replay():
+        agg = {}
+        for doc_id, _, lang, _src in rows:
+            w = _WS_WEIGHTS.get(lang, _WS_DEFAULT_W)
+            u = (
+                int(
+                    hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:15], 16
+                )
+                % _WS_SCALE
+            )
+            keep = u * _WS_WMAX < w * _WS_SCALE
+            n_docs, n_s, ht = agg.get(lang, (0, 0, 0))
+            agg[lang] = (
+                n_docs + 1,
+                n_s + (1 if keep else 0),
+                ht + ((_WS_SCALE * _WS_WMAX) // w if keep else 0),
+            )
+        return {
+            lang: (_WS_WEIGHTS.get(lang, _WS_DEFAULT_W),) + v
+            for lang, v in agg.items()
+        }
+
+    expect = replay()
+    # fixture drift guards
+    assert expect["zh"][2] == expect["zh"][1] == 6  # w_max keeps all
+    assert expect["zh"][3] == 6 * _WS_SCALE  # exact HT for p=1
+    assert 0 < expect["en"][2] < expect["en"][1]  # en genuinely thinned
+    assert expect["xx"][0] == _WS_DEFAULT_W  # unknown lang -> default
+
+    sf = _sf_with_documents(tmp_path, "wsample", rows)
+    got = all_queries()["weighted_sample"].build(spark, sf)
+    per_lang = {
+        r.lang: (r.weight, r.n_docs, r.n_sampled, r.ht_n_ppm)
+        for r in got.collect()
+    }
+    assert per_lang == expect, per_lang
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["weighted_sample"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms

@@ -707,6 +707,139 @@ def probe_twa(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     )
 
 
+def gen_orders(spark, n: int, path: str) -> None:
+    """Synthetic orders-like table (5 priority groups, prices
+    $1,000-$41,000 -> ~4M distinct cents, custkeys over 100k values):
+    the regime where mad_outliers' exact-median buffers are widest and
+    histogram_median's (group, bucket) collapse matters."""
+    df = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("o_custkey"),
+        F.concat(
+            F.lit("P"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5))
+        ).alias("o_orderpriority"),
+        (
+            1000.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4_000_000)) / 100.0
+        ).alias("o_totalprice"),
+        F.lit("1995-06-01").cast("timestamp").alias("o_orderdate"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def gen_customer(spark, n: int, path: str) -> None:
+    df = spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def probe_mad(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """mad_outliers on the REAL implementation, both re-derivation
+    regimes (r13 verdict #4): the shipped plan re-derives the
+    unmaterialized dev subtree under the mad branch (one extra fact
+    scan, reused broadcast); the alternative localCheckpoints dev.
+    Walls for BOTH decide the documented checkpoint-vs-rescan
+    crossover empirically; the exchange audit shows the exact-median
+    shuffles stay partial-aggregated (percentile buffers map-side —
+    records ~ groups x map partitions, never raw fact rows)."""
+    from dpu_olap_spark.operators.advanced import mad_outliers_df
+
+    walls = {}
+    for label, mat in (("mad_outliers", False), ("mad_outliers_ckpt", True)):
+        walls[label] = round(
+            min(
+                _timed(
+                    lambda: mad_outliers_df(spark, sf_dir, materialize_dev=mat)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for _ in range(3)
+            ),
+            3,
+        )
+    recs = _exchange_records(mad_outliers_df(spark, sf_dir))
+    return walls, {
+        "mad_n_exchanges": len(recs),
+        "mad_max_exchange_records": max(recs),
+    }
+
+
+def probe_histmed(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """histogram_median on the SAME orders table as probe_mad — the
+    direct exact-vs-sketch contrast the operator exists for.  The
+    audit records both exchanges: the fact-scale one must carry only
+    partial-combined (group, bucket) counts (bounded by groups x
+    buckets x map partitions, NOT fact rows), the second only the
+    bounded histogram."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["histogram_median"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    recs = _exchange_records(q.build(spark, sf_dir))
+    return (
+        {"histogram_median": round(best, 3)},
+        {
+            "histmed_n_exchanges": len(recs),
+            "histmed_max_exchange_records": max(recs),
+        },
+    )
+
+
+def probe_nullsafe(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """null_safe_join on growing fact AND raw-dim sizes: the dim side
+    is pre-aggregated to <=101 rows before the join, so it must STAY
+    broadcast however large the raw customer table grows — the audit
+    records whether the executed (post-AQE) join is still a
+    BroadcastHashJoin and the largest shuffle's row count."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["null_safe_join"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    frame = q.build(spark, sf_dir)
+    recs = _exchange_records(frame)
+
+    broadcast_join = 0
+
+    def walk(node):
+        nonlocal broadcast_join
+        if "BroadcastHashJoin" in node.nodeName():
+            broadcast_join = 1
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if node.nodeName() == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif "QueryStage" in node.nodeName():
+            walk(node.plan())
+
+    walk(frame._jdf.queryExecution().executedPlan())
+    return (
+        {"null_safe_join": round(best, 3)},
+        {
+            "nullsafe_broadcast_join": broadcast_join,
+            "nullsafe_n_exchanges": len(recs),
+            "nullsafe_max_exchange_records": max(recs) if recs else 0,
+        },
+    )
+
+
 def _table(title: str, results: dict[int, dict[str, float]], unit_rows: bool) -> list[str]:
     lines = [
         title,
@@ -746,6 +879,10 @@ def main() -> None:
     sky_extra: dict[int, dict[str, int]] = {}
     twa_results: dict[int, dict[str, float]] = {}
     twa_extra: dict[int, dict[str, int]] = {}
+    mad_results: dict[int, dict[str, float]] = {}
+    mad_extra: dict[int, dict[str, int]] = {}
+    ns_results: dict[int, dict[str, float]] = {}
+    ns_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
     event_sizes = sorted({1_000_000, n})
@@ -786,6 +923,15 @@ def main() -> None:
             sf = os.path.join(d, f"twa_sf_{ev_n}")
             gen_events(spark, ev_n, os.path.join(sf, "events.parquet"))
             twa_results[ev_n], twa_extra[ev_n] = probe_twa(spark, sf)
+        for rows in sizes:
+            sf = os.path.join(d, f"mad_sf_{rows}")
+            gen_orders(spark, rows, os.path.join(sf, "orders.parquet"))
+            gen_customer(spark, rows // 4, os.path.join(sf, "customer.parquet"))
+            mad_results[rows], mad_extra[rows] = probe_mad(spark, sf)
+            hm_w, hm_x = probe_histmed(spark, sf)
+            mad_results[rows].update(hm_w)
+            mad_extra[rows].update(hm_x)
+            ns_results[rows], ns_extra[rows] = probe_nullsafe(spark, sf)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -917,6 +1063,50 @@ def main() -> None:
             f"exchange(s), {twa_extra[rows]['twa_exchange_records']:,} "
             "records"
             for rows in twa_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Exact MAD vs histogram median on one orders table "
+        "(real q_mad_outliers / q_histogram_median, r14)",
+        mad_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "mad_outliers_ckpt localCheckpoints the dev subtree instead of "
+        "letting Catalyst re-derive it (the docstring's documented "
+        "trade) — the wall gap above is the measured "
+        "checkpoint-vs-rescan crossover.  Exchange audit (percentile "
+        "partials buffer map-side, histogram counts partial-combine; "
+        "neither ships raw fact rows): "
+        + "; ".join(
+            f"{rows:,} rows -> mad {mad_extra[rows]['mad_n_exchanges']} "
+            f"exchanges / max {mad_extra[rows]['mad_max_exchange_records']:,}"
+            f" records, histmed {mad_extra[rows]['histmed_n_exchanges']} "
+            "exchanges / max "
+            f"{mad_extra[rows]['histmed_max_exchange_records']:,} records"
+            for rows in mad_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Null-safe join, raw dim growing with the fact "
+        "(real q_null_safe_join, r14)",
+        ns_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "The dim side pre-aggregates to <=101 rows before the join, so "
+        "the executed (post-AQE) join must stay a BroadcastHashJoin as "
+        "the raw customer table grows (rows/4 here): "
+        + "; ".join(
+            f"{rows:,} rows -> broadcast="
+            f"{bool(ns_extra[rows]['nullsafe_broadcast_join'])}, "
+            f"{ns_extra[rows]['nullsafe_n_exchanges']} exchanges, max "
+            f"{ns_extra[rows]['nullsafe_max_exchange_records']:,} records"
+            for rows in ns_extra
         ),
     ]
     out = os.path.join(
