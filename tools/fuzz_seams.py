@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (20): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (23): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -39,7 +39,15 @@ families: grouping sets/ROLLUP/CUBE over window outputs
 (winsetgroup, HAVING-guarded), multi-level NULLIF on JOIN keys
 (nullkeyjoin — `=` drops NULL pairs, LEFT re-extends them), and
 NTILE bucket shapes under the house total order (ntilefuzz,
-buckets >> rows half the time).
+buckets >> rows half the time); r14 added THREE more: RANGE frames
+over NULLIF'd order keys as a full family (rangenull — NULL peer
+groups under every bound/direction combination, previously
+micro-probed only), null-safe join keys via the engine-shared
+IS NOT DISTINCT FROM spelling over multi-level-NULLIF'd and
+modulo-bucketed keys with a pre-aggregated dim (nsafejoin), and
+MAD/median algebra (medianalg — grouped median(c*2) / binary-exact
+percentile_cont WITHIN GROUP over c*4 / the self-joined mad4 shape,
+with NULLIF'd inputs and HAVING over the median).
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -1141,6 +1149,162 @@ def _gen_ntilefuzz(con, rng: random.Random) -> str:
     )
 
 
+def _gen_rangenull(con, rng: random.Random) -> str:
+    """RANGE frames over NULLIF'd ORDER BY keys as a FULL family (r13
+    verdict #5 / NOTES: probed aligned on micro-cases only until now).
+    The order key is a nullable cents expression (single or
+    multi-level NULLIF), always with EXPLICIT NULLS FIRST/LAST (the
+    pinned implicit-ASC seam, machine-enforced by oracle_lint for
+    registry SQL — the fuzzer spells it the same way); NULL rows form
+    their own PEER GROUP, so every value-offset frame over them must
+    resolve to exactly the NULL peers on both engines, in every
+    direction/bound combination.  Windowed SUM casts BIGINT outside
+    (the HUGEINT seam)."""
+    import math
+
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    pk = cols["ints"][0]
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    fv = _sample_values(con, table, fcol, rng, 2)
+    lit_a = math.floor(fv[0] * 100 + 0.5) if fv else 0
+    key = f"NULLIF({cents}, {lit_a})"
+    if len(fv) > 1 and rng.random() < 0.5:
+        lit_b = math.floor(fv[1] * 100 + 0.5)
+        key = f"NULLIF({key}, {lit_b})"  # two injection sites
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    part = rng.choice(cols["groups"]) if rng.random() < 0.7 else None
+    partby = f"PARTITION BY {part} " if part else ""
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.3
+            else _gen_predicate(con, table, cols, rng))
+    r_lo, r_hi = rng.randint(0, 500), rng.randint(0, 500)
+    frame = rng.choice([
+        f"RANGE BETWEEN {r_lo} PRECEDING AND CURRENT ROW",
+        f"RANGE BETWEEN CURRENT ROW AND {r_hi} FOLLOWING",
+        f"RANGE BETWEEN {r_lo} PRECEDING AND {r_hi} FOLLOWING",
+        # no offsets: pure peer-group frames (the NULL group is ALL
+        # NULL rows at once on both engines)
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    over = f"({partby}ORDER BY {key} {direction} {nulls} {frame})"
+    return (
+        f"SELECT {pk}, "
+        f"CAST(SUM({cents}) OVER {over} AS BIGINT) AS w_sum, "
+        f"COUNT(*) OVER {over} AS w_all, "
+        f"COUNT({key}) OVER {over} AS w_key, "
+        f"MIN({pk}) OVER {over} AS w_min"
+        f" FROM {table} WHERE ({pred})"
+    )
+
+
+def _gen_nsafejoin(con, rng: random.Random) -> str:
+    """Null-safe equality JOIN keys (r13 verdict #5 / NOTES: `<=>`
+    vs DuckDB — the shared spelling both engines parse is IS NOT
+    DISTINCT FROM, probed identical this round): multi-level NULLIF'd
+    fact keys MATCH the dim's NULL row instead of dropping (the
+    complement of the nullkeyjoin family, which pins `=` semantics).
+    The dim side is PRE-AGGREGATED to one row per key — q_null_safe_
+    join's discipline — so NULL matches stay 1:N and the row count is
+    engine-comparable, never a NULL x NULL product."""
+    fact, dim, fk, dk = rng.choice(_JOINS)
+    fc, dc = TABLE_COLS[fact], TABLE_COLS[dim]
+    fcol = fc["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    vals = _sample_values(con, fact, fk, rng, 2)
+    m = rng.choice([0, 0, 7, 13, 50])  # 0: raw key; else modulo bucket
+    lkey = f"({fk} % {m})" if m else fk
+    rkey = f"({dk} % {m})" if m else dk
+    if vals:
+        lit = int(vals[0]) % m if m else int(vals[0])
+        lkey = f"NULLIF({lkey}, {lit})"
+        rkey = f"NULLIF({rkey}, {lit})"
+        if len(vals) > 1 and rng.random() < 0.5:
+            lit2 = int(vals[1]) % m if m else int(vals[1])
+            lkey = f"NULLIF({lkey}, {lit2})"  # asymmetric second site:
+            # left-only injection leaves right non-null values the
+            # left key can no longer reach (and vice versa for NULL)
+    side = "JOIN" if rng.random() < 0.5 else "LEFT JOIN"
+    pred = _gen_predicate(con, fact, fc, rng)
+    g = rng.choice(fc["groups"])
+    return (
+        f"SELECT f.{g} AS grp, COUNT(*) AS n_rows, "
+        f"COUNT(d.n_dim) AS n_matched, "
+        f"CAST(SUM(f.c) AS BIGINT) AS sum_cents, "
+        f"MIN(d.n_dim) AS min_dim_n "
+        f"FROM (SELECT {g}, {cents} AS c, {lkey} AS lk FROM {fact} "
+        f"WHERE ({pred})) f "
+        f"{side} (SELECT {rkey} AS rk, COUNT(*) AS n_dim FROM {dim} "
+        f"GROUP BY {rkey}) d "
+        f"ON f.lk IS NOT DISTINCT FROM d.rk "
+        f"GROUP BY f.{g}"
+    )
+
+
+def _gen_medianalg(con, rng: random.Random) -> str:
+    """MAD/median algebra shapes (r13 NOTES: under-explored regime):
+    grouped median / percentile_cont over integer cents with the
+    multiply-through disciplines the registry relies on — median(c*2)
+    of even BIGINTs is an integer on both engines (shared (n-1)p
+    interpolation), percentile_cont at BINARY-EXACT fractions (0.25 /
+    0.5 / 0.75) over c*4 interpolates to exact doubles, and NULLIF'd
+    inputs must be skipped identically.  Shapes include a HAVING over
+    the median itself (empty/near-empty groups drop the same way) —
+    the fuzz twin of mad_outliers/histogram_median's algebra."""
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.3
+            else _gen_predicate(con, table, cols, rng))
+    src = cents
+    if rng.random() < 0.4:
+        import math
+
+        fv = _sample_values(con, table, fcol, rng, 1)
+        lit = math.floor(fv[0] * 100 + 0.5) if fv else 0
+        src = f"NULLIF({cents}, {lit})"  # median must skip NULLs
+    flavor = rng.randrange(3)
+    if flavor == 0:
+        q = (
+            f"SELECT {g} AS grp, COUNT(*) AS n, "
+            f"CAST(median({src} * 2) AS BIGINT) AS med2, "
+            f"CAST(SUM({src}) AS BIGINT) AS sum_c "
+            f"FROM {table} WHERE ({pred}) GROUP BY {g}"
+        )
+        if rng.random() < 0.5:
+            q += " HAVING CAST(median(" + src + " * 2) AS BIGINT) > 0"
+        return q
+    if flavor == 1:
+        p = rng.choice(["0.25", "0.5", "0.75"])  # binary-exact only
+        return (
+            f"SELECT {g} AS grp, COUNT({src}) AS n_vals, "
+            f"CAST(percentile_cont({p}) WITHIN GROUP "
+            f"(ORDER BY {src} * 4) AS BIGINT) AS p4 "
+            f"FROM {table} WHERE ({pred}) GROUP BY {g}"
+        )
+    # MAD shape: per-group deviation from the group median via a
+    # self-joined scalar (the mad_outliers algebra, fuzz-sized).
+    # Deviations 2c - med2 are integers of ANY parity, so their bare
+    # median could interpolate to x.5 — where double->BIGINT CAST
+    # truncates in Spark but rounds in DuckDB; multiply through (x2)
+    # keeps the inner median over EVEN ints -> always integral (the
+    # registry's mad4 discipline).
+    return (
+        f"SELECT t.{g} AS grp, COUNT(*) AS n, "
+        f"CAST(median(ABS(2 * t.c - m.med2) * 2) AS BIGINT) AS mad4 "
+        f"FROM (SELECT {g}, {cents} AS c FROM {table} WHERE ({pred})) t "
+        f"JOIN (SELECT {g}, CAST(median({cents} * 2) AS BIGINT) AS med2 "
+        f"FROM {table} WHERE ({pred}) GROUP BY {g}) m "
+        f"ON t.{g} = m.{g} "
+        f"GROUP BY t.{g}"
+    )
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -1162,6 +1326,9 @@ _SHAPES = {
     "winsetgroup": _gen_winsetgroup,
     "nullkeyjoin": _gen_nullkeyjoin,
     "ntilefuzz": _gen_ntilefuzz,
+    "rangenull": _gen_rangenull,
+    "nsafejoin": _gen_nsafejoin,
+    "medianalg": _gen_medianalg,
 }
 
 _DEFAULT_MIX = (
@@ -1171,6 +1338,7 @@ _DEFAULT_MIX = (
     + ["emptyset"] + ["outeragg"] + ["winframe"]
     + ["nullframe"] + ["winsetop"]
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
+    + ["rangenull"] + ["nsafejoin"] + ["medianalg"]
 )
 
 
