@@ -263,3 +263,44 @@ def test_rule_array_agg_null_fires():
     ]
     for sql in good:
         assert not lint_array_agg_null(sql), f"rule 8 misfire: {sql}"
+
+
+def test_rule_fractional_cast_fires():
+    """Seeded negatives: CAST of an interpolating aggregate to an
+    integer type without the clearing multiply-through must flag —
+    double->int CAST TRUNCATES in Spark but ROUNDS half-to-even in
+    DuckDB (3.5 -> 3 vs 4, 2.9 -> 2 vs 3; the r14 probe find,
+    test_double_to_bigint_cast_cross_engine_seam)."""
+    from oracle_lint import lint_fractional_cast
+
+    bad = [
+        "SELECT CAST(avg(x) AS BIGINT) FROM t",  # /n never clears
+        "SELECT CAST(median(x) AS BIGINT) FROM t",  # no factor
+        "SELECT CAST(median(x * 3) AS BIGINT) FROM t",  # odd factor
+        # p=0.25 needs a multiple-of-4 factor, *2 leaves half-steps
+        "SELECT CAST(percentile(x * 2, 0.25) AS BIGINT) FROM t",
+        # non-binary-exact fraction can't be cleared at all
+        "SELECT CAST(percentile_cont(0.1) WITHIN GROUP (ORDER BY x * 4)"
+        " AS BIGINT) FROM t",
+        "SELECT CAST(quantile_cont(x, 0.5) AS INTEGER) FROM t",
+    ]
+    for sql in bad:
+        assert lint_fractional_cast(sql), f"rule 9 silent on: {sql}"
+    good = [
+        # the registry's sanctioned multiply-through spellings
+        "SELECT CAST(median(x * 2) AS BIGINT) FROM t",
+        "SELECT CAST(percentile(c * 2, 0.5) AS BIGINT) FROM t",
+        "SELECT CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) FROM t",
+        "SELECT CAST(percentile_cont(0.75) WITHIN GROUP "
+        "(ORDER BY c * 4) AS BIGINT) FROM t",
+        # rank-picking / extreme-p forms are integral over ints
+        "SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) "
+        "AS BIGINT) FROM t",
+        "SELECT CAST(percentile(c, 1) AS BIGINT) FROM t",
+        # not a fractional aggregate / not an integer target
+        "SELECT CAST(sum(x) AS BIGINT) FROM t",
+        "SELECT CAST(median(x) AS DOUBLE) FROM t",
+        "SELECT CAST(floor(x * 100 + 0.5) AS BIGINT) FROM t",
+    ]
+    for sql in good:
+        assert not lint_fractional_cast(sql), f"rule 9 misfire: {sql}"

@@ -11458,3 +11458,58 @@ def test_weighted_sample_acceptance_and_ht_estimator(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["weighted_sample"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_double_to_bigint_cast_cross_engine_seam(spark):
+    """r14 probe find (surfaced while building the medianalg fuzz
+    family): double -> integer CAST semantics SILENTLY DIVERGE —
+    Spark TRUNCATES toward zero, DuckDB ROUNDS half-to-even — so any
+    shared CAST(double AS BIGINT) over a non-integral value returns
+    different numbers with no error on either side.  House rule
+    (oracle_lint RULE 9): interpolating aggregates reach an integer
+    CAST only through the multiply-through disciplines (median -> *2,
+    binary-exact percentile fractions -> *4), which make the double
+    integral by construction; avg() can never be cast (the /n
+    denominator doesn't clear — cross-multiply instead).  Aligned
+    regimes attested below; the already-pinned double -> DECIMAL cast
+    (half-up in BOTH engines) is a DIFFERENT rule and stays aligned."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(sql):
+        return (
+            [tuple(r) for r in spark.sql(sql).collect()],
+            con.execute(sql).fetchall(),
+        )
+
+    # divergent regime 1: half-integers (truncate vs round-half-even)
+    s, d = both("SELECT CAST(3.5E0 AS BIGINT), CAST(-3.5E0 AS BIGINT)")
+    assert s == [(3, -3)], s
+    assert d == [(4, -4)], d
+    # divergent regime 2: ANY fractional part >= .5, not just halves
+    s, d = both("SELECT CAST(2.9E0 AS BIGINT), CAST(-2.9E0 AS BIGINT)")
+    assert s == [(2, -2)], s
+    assert d == [(3, -3)], d
+    # divergent regime 3: the aggregate path — median of (3, 4) is
+    # 3.5; a bare CAST silently differs exactly like the literal
+    sql = "SELECT CAST(median(x) AS BIGINT) FROM (VALUES (3), (4)) t(x)"
+    s, d = both(sql)
+    assert s == [(3,)] and d == [(4,)], (s, d)
+
+    # aligned regimes: the sanctioned spellings
+    for sql in (
+        # multiply-through: median of EVEN ints is an integer
+        "SELECT CAST(median(x * 2) AS BIGINT) FROM (VALUES (3), (4)) t(x)",
+        # binary-exact fraction cleared by *4
+        "SELECT CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY x * 4)"
+        " AS BIGINT) FROM (VALUES (1), (2), (3), (10)) t(x)",
+        # integral doubles cast identically
+        "SELECT CAST(4.0E0 AS BIGINT), CAST(-7.0E0 AS BIGINT)",
+        # 2.5 agrees BY ACCIDENT (truncate 2 == round-half-EVEN 2) —
+        # pinned so nobody 'proves' alignment from this one value
+        "SELECT CAST(2.5E0 AS BIGINT)",
+    ):
+        s, d = both(sql)
+        assert s == d, (sql, s, d)
+    con.close()

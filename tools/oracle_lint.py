@@ -413,6 +413,89 @@ def lint_array_agg_null(sql: str) -> list[str]:
     return hits
 
 
+_CAST_OPEN = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+_FRAC_AGG_HEAD = re.compile(
+    r"^\s*(median|percentile_cont|percentile_disc|percentile|"
+    r"quantile_cont|avg|mean)\s*\(",
+    re.IGNORECASE,
+)
+_INT_TARGET = re.compile(
+    r"^\s*(bigint|integer|int|smallint|tinyint|long)\s*$", re.IGNORECASE
+)
+_EVEN_FACTOR = re.compile(r"\*\s*\d*[02468]\b|\b\d*[02468]\s*\*")
+_QUAD_FACTOR = re.compile(r"\*\s*(\d+)\b|\b(\d+)\s*\*")
+_FRACTION_LIT = re.compile(r"^\s*(0?\.\d+|0|1|1\.0)\s*$")
+
+
+def lint_fractional_cast(sql: str) -> list[str]:
+    """Rule 9 (r14 probe find): double -> integer CAST semantics
+    DIVERGE — Spark TRUNCATES toward zero (3.5 -> 3, 2.9 -> 2),
+    DuckDB ROUNDS half-to-even (3.5 -> 4, 2.9 -> 3) — so
+    CAST(<interpolating aggregate> AS BIGINT) silently differs
+    whenever the double is non-integral.  House rule (the registry's
+    existing multiply-through discipline, now machine-enforced):
+    - CAST(avg/mean(..) AS int) is NEVER allowed (no multiplier can
+      clear the /n denominator — cross-multiply or use SUM DIV COUNT);
+    - CAST(median/percentile-family(..) AS int) needs a visible EVEN
+      multiply-through for p = 0.5 (median of even ints is an
+      integer), a multiple-of-4 factor for p in {0.25, 0.75}, and any
+      other fractional p is flagged outright (only binary-exact
+      fractions with a clearing factor are integral by construction);
+    - percentile_disc/p in {0, 1} pick actual elements and pass.
+    Integral-by-construction spellings (floor/round/DIV before the
+    CAST) are untouched — the rule keys on the aggregate head."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _CAST_OPEN.finditer(sql_nc):
+        args = _call_args(sql_nc, m.end() - 1)
+        split = re.match(r"(?is)^(.*)\s+as\s+(\w+)\s*$", args)
+        if not split or not _INT_TARGET.match(split.group(2)):
+            continue
+        inner = split.group(1)
+        head = _FRAC_AGG_HEAD.match(inner)
+        if not head:
+            continue
+        fn = head.group(1).lower()
+        if fn in ("avg", "mean"):
+            hits.append(
+                f"CAST({fn}(..) AS {split.group(2).upper()}) — Spark "
+                f"truncates, DuckDB rounds; no multiply-through can "
+                f"clear /n: {inner.strip()[:60]!r}"
+            )
+            continue
+        if fn == "percentile_disc":
+            continue  # picks an actual element — integral over ints
+        fn_args = _split_top_level(_call_args(inner, head.end() - 1))
+        fracs = [
+            a.strip() for a in fn_args if _FRACTION_LIT.match(a)
+        ]
+        p = fracs[-1] if fracs else ("0.5" if fn == "median" else None)
+        if p in ("0", "1", "1.0"):
+            continue
+        factors = [
+            int(g)
+            for mm in _QUAD_FACTOR.finditer(inner)
+            for g in mm.groups()
+            if g
+        ]
+        if p == "0.5":
+            if any(f % 2 == 0 for f in factors):
+                continue
+            need = "an even multiply-through (median of even ints)"
+        elif p in ("0.25", "0.75", ".25", ".75"):
+            if any(f % 4 == 0 for f in factors):
+                continue
+            need = "a multiple-of-4 multiply-through"
+        else:
+            need = "a binary-exact fraction (0.25/0.5/0.75) plus factor"
+        hits.append(
+            f"CAST({fn}(..) AS {split.group(2).upper()}) without "
+            f"{need} — Spark truncates, DuckDB rounds half-to-even: "
+            f"{inner.strip()[:60]!r}"
+        )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -423,6 +506,7 @@ def lint_sql(sql: str) -> list[str]:
         + lint_like_escape(sql)
         + lint_left_right_negative(sql)
         + lint_array_agg_null(sql)
+        + lint_fractional_cast(sql)
     )
 
 
