@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-the contract JSON line {"metric": ..., "queries": {...}, "sf": ...,
-"value": N, "unit": "sec"} as the LAST line of stdout (a diagnostics
-JSON line with the per-query concurrent timings precedes it — the
-driver keeps only the stdout tail, so the contract line goes last
-and stays compact; r8 verdict #1).
+the contract JSON line {"metric": ..., "queries": {reference-core
+subset}, "sf": ..., "value": N, "unit": "sec", ...noise metadata} as
+the LAST line of stdout.  The FULL per-query map (3-decimal medians,
+best-of-N, concurrent timings) lives on the diagnostics JSON line
+printed FIRST: the driver keeps only a ~2,000-char stdout tail, and
+at 86 headline entries the full map on the contract line pushed the
+noise metadata (noisy_box / run_totals / warm_spread) out of the
+captured artifact (r13 verdict #1) — the total plus trust signals
+must survive capture; per-query detail is recoverable from the
+diagnostics line when the tail is long enough and from this repo's
+logs otherwise.
 
 Each query is forced through full materialization with the noop sink
 (no driver-side collect — same discipline as production). A warmup

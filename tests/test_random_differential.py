@@ -11513,3 +11513,71 @@ def test_double_to_bigint_cast_cross_engine_seam(spark):
         s, d = both(sql)
         assert s == d, (sql, s, d)
     con.close()
+
+
+def test_substr_zero_trim_order_dow_cross_engine_seam(spark):
+    """PINNED seam cluster (r14 probe sweep, sweep #2 of the round):
+
+    - substr(s, 0, n): Spark yields n chars from the head ('he' for
+      n=2), DuckDB consumes one count unit BEFORE position 1 and
+      yields n-1 ('h') — silent value divergence.  House rule
+      (oracle_lint RULE 10): shared SQL uses 1-based or negative
+      starts only; start 0 is flagged.  substr(s, 0) with NO length
+      aligns (both return the whole string) but is flagged anyway —
+      adding a length later must not create a silent edge.
+    - two-arg ltrim/rtrim: the SAME text parses with SWAPPED argument
+      roles — Spark reads ltrim(trimStr, src), DuckDB ltrim(src,
+      chars) — so ltrim('xxaxx', 'x') is '' vs 'axx'.  House rule
+      (RULE 10): shared SQL spells character-set trims with the ANSI
+      form trim(LEADING/TRAILING/BOTH 'x' FROM s), identical on both
+      engines; 1-arg whitespace ltrim/rtrim stay legal.
+    - extract(dow)/dayofweek(): Spark numbers Sunday=1 (1-7), DuckDB
+      Sunday=0 (0-6) — silent off-by-one.  Not linted: the pair is
+      never shared verbatim; the registry's one use deliberately
+      compensates (date_funcs builder computes F.dayofweek(d) - 1
+      against the DuckDB oracle's dayofweek, functions_ext.py:178) —
+      that compensation contract is attested here."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(sql):
+        return (
+            [tuple(r) for r in spark.sql(sql).collect()],
+            con.execute(sql).fetchall(),
+        )
+
+    # divergent regime 1: substr start 0 with a length
+    s, d = both("SELECT substr('hello', 0, 3), substr('hello', 0, 2)")
+    assert s == [("hel", "he")], s
+    assert d == [("he", "h")], d
+    # divergent regime 2: two-arg ltrim/rtrim argument order
+    s, d = both("SELECT ltrim('xxaxx', 'x'), rtrim('xxaxx', 'x')")
+    assert s == [("", "")], s  # Spark: trim chars 'xxaxx' FROM 'x'
+    assert d == [("axx", "xxa")], d
+    # divergent regime 3: dow indexing (1995-06-04 is a Sunday)
+    s, d = both("SELECT dayofweek(TIMESTAMP '1995-06-04 00:00:00')")
+    assert s == [(1,)] and d == [(0,)], (s, d)
+    s, d = both(
+        "SELECT extract(dow FROM TIMESTAMP '1995-06-04 00:00:00')"
+    )
+    assert s == [(1,)] and d == [(0,)], (s, d)
+    # ...and the registry's compensation contract: Spark dayofweek - 1
+    # equals DuckDB dayofweek for every day of one week
+    for day in range(4, 11):  # 1995-06-04 .. 06-10
+        ts = f"TIMESTAMP '1995-06-{day:02d} 00:00:00'"
+        a = spark.sql(f"SELECT dayofweek({ts}) - 1").collect()[0][0]
+        b = con.execute(f"SELECT dayofweek({ts})").fetchall()[0][0]
+        assert a == b, (day, a, b)
+
+    # aligned regimes: the sanctioned spellings
+    for sql in (
+        "SELECT trim(LEADING 'x' FROM 'xxaxx'), "
+        "trim(TRAILING 'x' FROM 'xxaxx'), trim(BOTH 'x' FROM 'xxaxx')",
+        "SELECT ltrim('  a  '), rtrim('  a  ')",  # 1-arg whitespace
+        "SELECT substr('hello', 1, 3), substr('hello', -2), "
+        "substr('hello', -10, 3), substr('hello', 2)",
+    ):
+        s, d = both(sql)
+        assert s == d, (sql, s, d)
+    con.close()
