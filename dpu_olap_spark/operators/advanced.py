@@ -1211,11 +1211,21 @@ _HIST_BUCKET_CENTS = 200_000  # $2,000-wide buckets over o_totalprice
 @query(
     "histogram_median",
     oracle="""
-    WITH h AS (
+    WITH c0 AS (
       SELECT o_orderpriority,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 200000 AS b,
-             COUNT(*) AS cnt
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
       FROM orders
+    ),
+    h AS (
+      -- FLOOR-division bucketing (r14 ADVICE): subtract the
+      -- positive-mod remainder first so the numerator is an exact
+      -- multiple of the width — truncating division (// here, DIV in
+      -- Spark) then equals floor on ANY sign, and the
+      -- [b*W, (b+1)*W - 1] bracket contract holds on negative domains
+      SELECT o_orderpriority,
+             (c - (((c % 200000) + 200000) % 200000)) // 200000 AS b,
+             COUNT(*) AS cnt
+      FROM c0
       GROUP BY 1, 2
     ),
     cum AS (
@@ -1245,16 +1255,20 @@ def q_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, bucket) histogram FIRST, so the only fact-scale work is a
     map-side-combinable count.
 
-    Semantics (deterministic, engine-exact): bucket = cents DIV
-    200000 ($2,000 buckets); the median bucket is the smallest b whose
-    cumulative count reaches half the group (2*run >= tot in BIGINTs —
-    the bucket CONTAINING the lower-median element, so the exact
-    median lies inside [med_lo_cents, med_hi_cents] by construction;
-    asserted against a pure-Python exact median in the differential).
-    DIV and DuckDB's // both truncate toward zero, so the engines
-    agree even on a negative-cents domain (forced in the
-    differential); the driver fixtures are all-positive (attested),
-    where truncation IS floor.
+    Semantics (deterministic, engine-exact): bucket = FLOOR(cents /
+    200000) ($2,000 buckets), spelled as exact-integer arithmetic —
+    subtract the positive-mod remainder, then truncating division
+    (Spark DIV, DuckDB //) of the now-exact multiple equals floor on
+    ANY sign (r14 ADVICE: plain trunc-div buckets made the reported
+    [med_lo_cents, med_hi_cents] bracket miss a negative bucket's
+    elements; with floor buckets the bracket contract holds on every
+    domain, forced in the differential).  The median bucket is the
+    smallest b whose cumulative count reaches half the group
+    (2*run >= tot in BIGINTs — the bucket CONTAINING the lower-median
+    element, so the exact median lies inside the bracket by
+    construction; asserted against a pure-Python exact median in the
+    differential).  The driver fixtures are all-positive (attested),
+    where floor and the previous trunc bucketing coincide.
 
     Scale: exchange 1 is the (group, bucket) count — partial
     aggregation combines map-side, so the shuffle carries at most
@@ -1268,9 +1282,10 @@ def q_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
     )
+    W = _HIST_BUCKET_CENTS
     h = cents.groupBy(
         "o_orderpriority",
-        F.expr(f"c DIV {_HIST_BUCKET_CENTS}").alias("b"),
+        F.expr(f"(c - (((c % {W}) + {W}) % {W})) DIV {W}").alias("b"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w_run = (
         Window.partitionBy("o_orderpriority")

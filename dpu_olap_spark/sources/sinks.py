@@ -71,9 +71,11 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
     only checks EXPRESSION determinism, so plans that are row-SET
     nondeterministic without any nondeterministic expression — LIMIT
     (even sorted: ties on a non-unique sort key are free to differ
-    between evaluations) and SAMPLE/TAIL nodes — also take the persist
-    path (r13 ADVICE closed the reopened r12 hole); those frames are
-    limit/sample-bounded, so the persist is cheap by construction.  Pass
+    between evaluations), SAMPLE/TAIL, and Deduplicate/Offset nodes
+    (dropDuplicates may keep a DIFFERENT representative per evaluation;
+    r13+r14 ADVICE closed the reopened r12 hole) — also take the
+    persist path; those frames are limit/sample/key-bounded, so the
+    persist is cheap by construction.  Pass
     ``validate_sentinel=False`` when the corpus contract already rules
     the sentinel out and even the probe's extra scan is unwanted in a
     scan-bound hot path.
@@ -95,16 +97,23 @@ def write_csv(df: DataFrame, path: str, validate_sentinel: bool = True) -> None:
                     # row-set nondeterminism Catalyst's expression-level
                     # flag cannot see: LIMIT/SAMPLE/TAIL may pick
                     # different rows per evaluation even when every
-                    # expression is deterministic.  Match node names at
-                    # tree positions only (a column literally named
-                    # "sample_..." appears inside [...] attribute lists,
-                    # never at a node head) — a false positive merely
-                    # persists a bounded frame.
+                    # expression is deterministic, and Deduplicate
+                    # (dropDuplicates) / Offset are free to keep a
+                    # different representative / skip different rows
+                    # between the probe and the write (r14 ADVICE —
+                    # same probe-then-poisoned-write hole class; both
+                    # are bounded or key-bounded, so the persist stays
+                    # cheap).  Match node names at tree positions only
+                    # (a column literally named "sample_..." appears
+                    # inside [...] attribute lists, never at a node
+                    # head) — a false positive merely persists a
+                    # bounded frame.
                     import re
 
                     tree = analyzed.treeString()
                     if re.search(
-                        r"(?m)^[\s:+\-*()0-9]*(GlobalLimit|LocalLimit|Sample|Tail)\b",
+                        r"(?m)^[\s:+\-*()0-9]*(GlobalLimit|LocalLimit"
+                        r"|Sample|Tail|Deduplicate|Offset)\b",
                         tree,
                     ):
                         deterministic = False

@@ -304,3 +304,76 @@ def test_rule_fractional_cast_fires():
     ]
     for sql in good:
         assert not lint_fractional_cast(sql), f"rule 9 misfire: {sql}"
+
+
+def test_rule_substr_trim_fires():
+    """Seeded negatives for RULE 10 (the r14 probe-sweep cluster,
+    pinned in test_substr_zero_trim_order_dow_cross_engine_seam):
+    substr start 0 diverges silently (Spark yields n chars, DuckDB
+    n-1) and two-arg ltrim/rtrim parse with SWAPPED argument roles
+    (Spark ltrim(trimStr, src) vs DuckDB ltrim(src, chars))."""
+    from oracle_lint import lint_substr_trim
+
+    bad = [
+        "SELECT substr(s, 0, 3) FROM t",
+        "SELECT substring(s, 0) FROM t",  # aligned today, flagged anyway
+        "SELECT substring(s FROM 0 FOR 2) FROM t",  # ANSI spelling
+        "SELECT ltrim(s, 'x') FROM t",
+        "SELECT rtrim(concat(a, b), 'x') FROM t",
+    ]
+    for sql in bad:
+        assert lint_substr_trim(sql), f"rule 10 silent on: {sql}"
+    good = [
+        # the sanctioned spellings from the seam test's aligned regimes
+        "SELECT substr(s, 1, 3), substr(s, -2), substr(s, 2) FROM t",
+        "SELECT substr(md5(s), 1, 15) FROM t",
+        "SELECT substring(s FROM 2 FOR 3) FROM t",
+        "SELECT trim(LEADING 'x' FROM s), trim(TRAILING 'x' FROM s) "
+        "FROM t",
+        "SELECT ltrim(s), rtrim(s) FROM t",  # 1-arg whitespace trims
+        # a comma inside a quoted trim-set must not read as two args
+        "SELECT ltrim(s) FROM t WHERE s LIKE 'a,b%'",
+    ]
+    for sql in good:
+        assert not lint_substr_trim(sql), f"rule 10 misfire: {sql}"
+
+
+def test_lint_sql_includes_substr_trim_rule():
+    assert lint_sql("SELECT ltrim(s, 'x') FROM t"), (
+        "rule 10 not aggregated into lint_sql"
+    )
+
+
+def test_rule_fractional_cast_factor_scoping():
+    """The r14 ADVICE false-negative window: rule 9 accepted ANY
+    matching integer factor anywhere inside the CAST body, so
+    CAST(median(x + 2*y) AS BIGINT) passed although the *2 clears no
+    half-step interpolation.  The factor search is now SCOPED to
+    top-level products of the aggregate's value/order argument or of
+    the whole aggregate result."""
+    from oracle_lint import lint_fractional_cast
+
+    bad = [
+        # the ADVICE example: *2 buried under a top-level +
+        "SELECT CAST(median(x + 2*y) AS BIGINT) FROM t",
+        # factor inside a nested call scales only one branch
+        "SELECT CAST(median(coalesce(x, 2*y)) AS BIGINT) FROM t",
+        # top-level additive tail breaks the whole-expr scale
+        "SELECT CAST(median(2*x + 1) AS BIGINT) FROM t",
+        # WITHIN GROUP order expr with the factor under an additive
+        "SELECT CAST(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY x + 2*y) AS BIGINT) FROM t",
+    ]
+    for sql in bad:
+        assert lint_fractional_cast(sql), f"scoped rule 9 silent: {sql}"
+    good = [
+        # whole-result multiply from outside the aggregate
+        "SELECT CAST(median(x) * 2 AS BIGINT) FROM t",
+        # pure top-level product inside the argument (parenthesized sum)
+        "SELECT CAST(median((x + y) * 2) AS BIGINT) FROM t",
+        # WITHIN GROUP order expr as a pure product, with a sort spec
+        "SELECT CAST(percentile_cont(0.75) WITHIN GROUP "
+        "(ORDER BY c * 4 ASC) AS BIGINT) FROM t",
+    ]
+    for sql in good:
+        assert not lint_fractional_cast(sql), f"scoped rule 9 misfire: {sql}"

@@ -11226,7 +11226,8 @@ def test_left_right_and_array_agg_null_cross_engine_seam(spark):
 def test_histogram_median_bucket_edges(spark, tmp_path):
     """Forced-boundary differential for the fixed-bucket grouped
     median, attested by a pure-Python replay of the exact integer rule
-    (bucket = cents trunc-div 200000; med_bucket = smallest b with
+    (bucket = FLOOR(cents / 200000), spelled positive-mod-then-
+    trunc-div on both engines; med_bucket = smallest b with
     2*run >= tot) and Spark-vs-DuckDB through the registered oracle:
 
     - group A pins the EXACT-EQUALITY boundary (2*run == tot at the
@@ -11235,15 +11236,15 @@ def test_histogram_median_bucket_edges(spark, tmp_path):
       in k-1);
     - group B: odd count — the middle element's bucket wins;
     - group C: a single-bucket group;
-    - group D: NEGATIVE cents — DIV and // both truncate toward zero,
-      so bucket -1 covers (-400000, -200000] and bucket 0 straddles
-      zero; the engines agree bit-for-bit (the driver fixtures are
-      all-positive, attested elsewhere — this pins the semantics for
-      arbitrary domains).
+    - group D: NEGATIVE cents — floor bucketing (r14 ADVICE fix):
+      bucket -1 covers [-200000, -1], bucket -2 covers
+      [-400000, -200001]; -50000 cents lands in bucket -1 where
+      plain trunc-div would have put it in a zero-straddling bucket 0
+      and the reported bracket would NOT have contained it.
 
-    Containment: for every group the lower-median ELEMENT trunc-divides
-    into med_bucket; for non-negative groups that also means
-    med_lo_cents <= element <= med_hi_cents (trunc == floor there)."""
+    Containment (the r14 ADVICE contract, now sign-independent): for
+    EVERY group med_lo_cents <= lower-median element <= med_hi_cents
+    — floor buckets make [b*W, (b+1)*W - 1] exact on any domain."""
     from datetime import datetime
 
     from dpu_olap_spark.registry import all_queries, oracle_map
@@ -11257,12 +11258,13 @@ def test_histogram_median_bucket_edges(spark, tmp_path):
         "A": [3999.99, 2000.00, 4000.00, 5000.00],  # b: 1,1,2,2
         "B": [1000.00, 6000.00, 6500.00],  # b: 0,3,3
         "C": [100.00, 150.00, 300.00, 900.00, 1999.99],  # all b0
-        "D": [-2500.00, -500.00, 300.00, 4100.00],  # b: -1,0,0,2
+        # floor buckets: -2500.00 -> -2, -500.00 -> -1, 300.00 -> 0,
+        # 4100.00 -> 2; median element is -50000 cents (bucket -1)
+        "D": [-2500.00, -500.00, 300.00, 4100.00],
+        # E: negative bucket EDGES — exactly -W lands in bucket -1
+        # (floor(-200000/W) = -1), one cent below in bucket -2
+        "E": [-2000.00, -2000.01, -6000.00],
     }
-
-    def trunc_div(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
 
     import math
 
@@ -11272,7 +11274,7 @@ def test_histogram_median_bucket_edges(spark, tmp_path):
             cents = sorted(math.floor(p * 100 + 0.5) for p in ps)
             buckets = {}
             for c in cents:
-                b = trunc_div(c, W)
+                b = c // W  # Python // IS floor division
                 buckets[b] = buckets.get(b, 0) + 1
             tot = len(cents)
             run = 0
@@ -11282,22 +11284,26 @@ def test_histogram_median_bucket_edges(spark, tmp_path):
                     med_b = b
                     break
             out[g] = (tot, med_b, med_b * W, (med_b + 1) * W - 1)
-            # containment: the lower-median ELEMENT is in med_bucket
+            # containment: sign-independent under floor buckets
             low_med = cents[(tot - 1) // 2] if tot % 2 else cents[tot // 2 - 1]
-            assert trunc_div(low_med, W) == med_b, (g, low_med, med_b)
-            if all(c >= 0 for c in cents):
-                assert med_b * W <= low_med <= (med_b + 1) * W - 1
+            assert low_med // W == med_b, (g, low_med, med_b)
+            assert med_b * W <= low_med <= (med_b + 1) * W - 1, (g, low_med)
         return out
 
     expect = replay()
     # fixture drift guards: A hits 2*run == tot exactly at bucket 1;
-    # D is a genuinely negative domain with a straddling bucket 0
+    # D's median element is NEGATIVE and in a negative bucket (the
+    # regime the trunc-div bracket silently broke); E pins the exact
+    # -W edge (bucket -1) next to -W-1 (bucket -2)
     assert expect["A"][1] == 1 and expect["A"][0] == 4
     assert expect["B"][1] == 3
     assert expect["C"][1] == 0
-    assert expect["D"][1] == 0 and min(
+    assert expect["D"][1] == -1 and min(
         math.floor(p * 100 + 0.5) for p in prices["D"]
     ) < 0
+    assert expect["E"][1] == -2
+    assert math.floor(-2000.00 * 100 + 0.5) // W == -1  # exact edge
+    assert math.floor(-2000.01 * 100 + 0.5) // W == -2  # one cent below
 
     rows = [(p, g, day) for g, ps in prices.items() for p in ps]
     sf = _sf_with_orders(tmp_path, "histmed", rows)

@@ -122,6 +122,21 @@ def test_csv_sentinel_probe_persists_only_nondeterministic(spark, monkeypatch):
         tied = spark.range(10).selectExpr("CAST(id % 2 AS STRING) AS s")
         sinks.write_csv(tied.orderBy("s").limit(3), os.path.join(d, "slim_csv"))
         assert calls, "sorted-LIMIT plan must persist across probe+write"
+        # Deduplicate (dropDuplicates) and Offset are the same hole
+        # class (r14 ADVICE): every expression is deterministic, but
+        # the kept representative / skipped rows may differ between
+        # the probe and the write — persist path required.
+        calls.clear()
+        two_col = spark.range(10).selectExpr(
+            "CAST(id % 2 AS STRING) AS s", "CAST(id AS STRING) AS v"
+        )
+        sinks.write_csv(
+            two_col.dropDuplicates(["s"]), os.path.join(d, "dedup_csv")
+        )
+        assert calls, "Deduplicate plan must persist across probe+write"
+        calls.clear()
+        sinks.write_csv(det.offset(2), os.path.join(d, "offset_csv"))
+        assert calls, "Offset plan must persist across probe+write"
 
 
 def test_json_roundtrip(spark):

@@ -422,9 +422,85 @@ _FRAC_AGG_HEAD = re.compile(
 _INT_TARGET = re.compile(
     r"^\s*(bigint|integer|int|smallint|tinyint|long)\s*$", re.IGNORECASE
 )
-_EVEN_FACTOR = re.compile(r"\*\s*\d*[02468]\b|\b\d*[02468]\s*\*")
-_QUAD_FACTOR = re.compile(r"\*\s*(\d+)\b|\b(\d+)\s*\*")
 _FRACTION_LIT = re.compile(r"^\s*(0?\.\d+|0|1|1\.0)\s*$")
+
+
+def _call_end(sql: str, open_paren: int) -> int:
+    """Index one past the close paren matching ``sql[open_paren]``."""
+    depth, in_str, i = 1, False, open_paren + 1
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def _top_level_factors(expr: str) -> list[int]:
+    """Integer literals that multiply the WHOLE expression: the
+    expression must be a pure top-level product (a depth-0 binary + or
+    - means no factor scales everything — ``x + 2*y`` has none), and
+    the factors are its pure-integer-literal product parts."""
+    s = re.sub(r"^\s*[+-]\s*", "", expr.strip())
+    depth, in_str, prev = 0, False, ""
+    for ch in s:
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch in "+-" and depth == 0 and prev and prev not in "*/%(,+-":
+            return []  # top-level additive term — not a whole-expr scale
+        if not ch.isspace():
+            prev = ch
+    parts = [p.strip() for p in _split_top_level(s, "*")]
+    if len(parts) < 2:
+        return []
+    return [int(p) for p in parts if re.fullmatch(r"\d+", p)]
+
+
+def _scoped_factors(inner: str, head: "re.Match[str]") -> list[int]:
+    """Clearing factors for rule 9, SCOPED (r14 ADVICE): a factor
+    counts only when it multiplies the aggregate's value/order argument
+    or the whole aggregate result at top level — a ``*2`` buried inside
+    ``median(x + 2*y)`` clears nothing and no longer passes."""
+    factors: list[int] = []
+    # (a) each top-level argument of the aggregate call
+    for a in _split_top_level(_call_args(inner, head.end() - 1)):
+        factors += _top_level_factors(a)
+    # (b) the WITHIN GROUP (ORDER BY <expr>) order expression(s)
+    call_end = _call_end(inner, head.end() - 1)
+    wg = re.match(r"(?is)\s*within\s+group\s*\(", inner[call_end:])
+    atom_end = call_end
+    if wg:
+        wg_open = call_end + wg.end() - 1
+        wg_args = _call_args(inner, wg_open)
+        order = re.sub(r"(?is)^\s*order\s+by\b", "", wg_args)
+        for item in _split_top_level(order):
+            # strip trailing ASC/DESC/NULLS specs off each order item
+            item = re.sub(
+                r"(?is)\b(asc|desc|nulls\s+(first|last))\b", " ", item
+            )
+            factors += _top_level_factors(item)
+        atom_end = _call_end(inner, wg_open)
+    # (c) the whole aggregate result multiplied from outside:
+    # replace the call (plus WITHIN GROUP clause) with an atom
+    factors += _top_level_factors(
+        inner[: head.start()] + " aggx " + inner[atom_end:]
+    )
+    return factors
 
 
 def lint_fractional_cast(sql: str) -> list[str]:
@@ -472,12 +548,7 @@ def lint_fractional_cast(sql: str) -> list[str]:
         p = fracs[-1] if fracs else ("0.5" if fn == "median" else None)
         if p in ("0", "1", "1.0"):
             continue
-        factors = [
-            int(g)
-            for mm in _QUAD_FACTOR.finditer(inner)
-            for g in mm.groups()
-            if g
-        ]
+        factors = _scoped_factors(inner, head)
         if p == "0.5":
             if any(f % 2 == 0 for f in factors):
                 continue
@@ -496,6 +567,53 @@ def lint_fractional_cast(sql: str) -> list[str]:
     return hits
 
 
+_SUBSTR = re.compile(r"\b(substr|substring)\s*\(", re.IGNORECASE)
+_LR_TRIM = re.compile(r"\b(ltrim|rtrim)\s*\(", re.IGNORECASE)
+
+
+def lint_substr_trim(sql: str) -> list[str]:
+    """Rule 10 (r14 probe find, pinned in
+    test_substr_zero_trim_order_dow_cross_engine_seam):
+    - substr(s, 0, n): Spark treats start 0 like start 1 and yields n
+      chars; DuckDB consumes one count unit on the empty slot before
+      position 1 and yields n-1 — silent value divergence.  House
+      rule: shared SQL uses 1-based or negative LITERAL starts only;
+      a literal start 0 flags even without a length (the two-arg form
+      aligns today, but adding a length later must not create a
+      silent edge).  Non-literal starts can't be linted statically.
+    - two-arg ltrim/rtrim: the SAME text parses with SWAPPED argument
+      roles — Spark reads ltrim(trimStr, src), DuckDB ltrim(src,
+      chars), so ltrim('xxaxx', 'x') is '' vs 'axx'.  House rule:
+      character-set trims spell the ANSI form
+      trim(LEADING/TRAILING/BOTH 'x' FROM s), identical on both
+      engines; 1-arg whitespace ltrim/rtrim stay legal."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _SUBSTR.finditer(sql_nc):
+        args = _call_args(sql_nc, m.end() - 1)
+        parts = _split_top_level(args)
+        start = parts[1].strip() if len(parts) >= 2 else None
+        if start is None:
+            # ANSI spelling: substring(s FROM p [FOR n])
+            fm = re.search(r"(?is)\bfrom\s+(\S+)", parts[0])
+            start = fm.group(1).strip() if fm else None
+        if start is not None and re.fullmatch(r"\+?0", start):
+            hits.append(
+                f"substr/substring start 0 (Spark yields n chars, "
+                f"DuckDB n-1): {args.strip()[:60]!r}"
+            )
+    for m in _LR_TRIM.finditer(sql_nc):
+        args = _call_args(sql_nc, m.end() - 1)
+        if len(_split_top_level(args)) == 2:
+            hits.append(
+                f"two-arg {m.group(1).lower()}() (argument roles are "
+                f"SWAPPED between engines) — spell "
+                f"trim(LEADING/TRAILING 'x' FROM s): "
+                f"{args.strip()[:60]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -507,6 +625,7 @@ def lint_sql(sql: str) -> list[str]:
         + lint_left_right_negative(sql)
         + lint_array_agg_null(sql)
         + lint_fractional_cast(sql)
+        + lint_substr_trim(sql)
     )
 
 
