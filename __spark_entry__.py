@@ -45,15 +45,15 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # are emitted first and already-green ones rotate to the back, ordered
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
-_VERIFIED_R10 = (
-    # CORRECTNESS_r10.json rows whose latest driver check is still r10
-    # (stream_foreach_batch was re-checked r13 → _VERIFIED_R13; the
-    # original tier was 50 rows: 46 hash-green + 4 rows-only by
-    # design — simhash, mm_decode, mm_frame_sample, mm_resize — no
-    # DuckDB oracle possible; each carries byte-exact pure-Python
-    # local differentials).  These 49 are now the stalest cohort and
-    # fill the r14 window behind the round's new query, exactly as
-    # the r13 verdict ordered.
+_VERIFIED_R14 = (
+    # CORRECTNESS_r14.json — 50 rows: 47 hash-green + 3 rows-only by
+    # design (mm_decode, mm_frame_sample, mm_resize — the codec trio
+    # with no DuckDB oracle; each carries byte-exact pure-Python local
+    # differentials).  The window was the round's lead NEW query
+    # (histogram_median), then the 49 remaining r10-vintage rows (the
+    # streaming/LLM cohort), exactly as the r13 verdict ordered;
+    # _VERIFIED_R10 dissolved.
+    "histogram_median",
     "dedup_incremental",
     "repetition_score", "stateful_user_stats", "stream_tumbling",
     "window_sliding", "session_window", "stream_stream_join",
@@ -141,23 +141,20 @@ _VERIFIED_R13 = (
     "bucketed_join", "stream_foreach_batch",
 )
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R10 + _VERIFIED_R11 + _VERIFIED_R12 + _VERIFIED_R13
+    _VERIFIED_R11 + _VERIFIED_R12 + _VERIFIED_R13 + _VERIFIED_R14
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r14 window (50 rows) = the
-# round's lead NEW query (histogram_median), then the 49 remaining
-# r10-vintage rows (dedup_incremental — the streaming/LLM cohort —
-# through sink_zorder), per the r13 verdict.  The round's SECOND new
-# query (weighted_sample) is deliberately deferred behind the
-# verified tail: with 49 r10 rows to retire inside a 50-row window
-# there is exactly ONE new-query slot this round, and spending two
-# would leave an r10 row stale past the <=4-round horizon; it leads
-# the r15 window instead (it is fully oracled, plan-gated, and
-# differential-tested locally either way).
-_HIGH_PRIORITY: tuple[str, ...] = ("histogram_median",)
-_LOW_PRIORITY: tuple[str, ...] = ("weighted_sample",)
+# verified rows rotate oldest-first.  The r15 window (50 rows) = the
+# r14 verdict's ordered lead `weighted_sample` (the one
+# never-driver-checked query, deliberately deferred from the full r14
+# window), then this round's NEW query (histogram_percentile), then
+# the 48 oldest r11-vintage rows (dedup_paragraph ..); the r11 tail's
+# last two rows (ivf_train, pq_encode) re-check at the head of the
+# r16 window, keeping every row's latest check <=4 rounds old.
+_HIGH_PRIORITY: tuple[str, ...] = ("weighted_sample", "histogram_percentile")
+_LOW_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -169,12 +166,12 @@ def _ordered_names() -> list[str]:
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
     low = [n for n in unverified if n in _LOW_PRIORITY]
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 49 remaining r10 rows lead
-    # (dedup_incremental .. sink_zorder), then r11, r12, r13.
+    # stalest rows re-check soonest: the 50 r11 rows lead
+    # (dedup_paragraph .. pq_encode), then r12, r13, r14.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R10, _VERIFIED_R11, _VERIFIED_R12,
-                 _VERIFIED_R13):
+    for tier in (_VERIFIED_R11, _VERIFIED_R12, _VERIFIED_R13,
+                 _VERIFIED_R14):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -1314,3 +1314,116 @@ def q_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_hi_cents"
         ),
     )
+
+
+_PCTL_BUCKET_CENTS = 100_000  # $1,000-wide buckets over l_extendedprice
+
+
+@query(
+    "histogram_percentile",
+    oracle="""
+    WITH c0 AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    h AS (
+      -- FLOOR-division buckets (the histogram_median spelling): the
+      -- positive-mod subtraction makes the numerator an exact
+      -- multiple, so truncating // equals floor on any sign
+      SELECT l_returnflag,
+             (c - (((c % 100000) + 100000) % 100000)) // 100000 AS b,
+             COUNT(*) AS cnt
+      FROM c0
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, b, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                  AS BIGINT) AS tot
+      FROM h
+    )
+    SELECT l_returnflag,
+           MIN(tot) AS n_items,
+           MIN(CASE WHEN 4 * run >= tot THEN b END) AS p25_bucket,
+           MIN(CASE WHEN 2 * run >= tot THEN b END) AS p50_bucket,
+           MIN(CASE WHEN 4 * run >= 3 * tot THEN b END) AS p75_bucket,
+           MIN(CASE WHEN 4 * run >= tot THEN b END) * 100000
+             AS p25_lo_cents,
+           (MIN(CASE WHEN 4 * run >= 3 * tot THEN b END) + 1) * 100000 - 1
+             AS p75_hi_cents
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def q_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped p25/p50/p75 via the SAME bounded (group, bucket)
+    histogram as histogram_median — the full quartile/IQR sketch at a
+    single fact-scale map-side-combinable count (the r14 verdict's
+    suggested generalization; one histogram serves all three
+    percentiles, where three exact percentile_disc calls would each
+    pay a per-group sort of the fact).
+
+    Semantics (deterministic, engine-exact, all BIGINT): bucket =
+    FLOOR(cents / 100000), spelled positive-mod-then-truncating-DIV on
+    both engines (exact on any sign — the histogram_median r14-ADVICE
+    discipline); the pX bucket is the smallest b whose cumulative
+    count reaches fraction X of the group, tested as an integer
+    cross-multiplication (4*run >= tot, 2*run >= tot, 4*run >= 3*tot —
+    only binary-exact fractions, per the rule-9 discipline, and no
+    engine ever divides or interpolates).  The pX bucket CONTAINS the
+    percentile_disc(X) element (rank ceil(X*n)) by construction, so
+    [p25_lo_cents, p75_hi_cents] brackets the true interquartile range
+    to one bucket width per side — asserted against a pure-Python
+    exact replay in the differential, including negative domains.
+
+    Scale: identical shape to histogram_median — exchange 1 carries
+    the map-side-combined (group, bucket) counts (bounded by groups x
+    buckets regardless of fact size), exchange 2 re-keys the bounded
+    histogram by group for the cumulative window, and the final
+    aggregation reuses that partitioning (plan-gated ==2 Exchanges).
+    Reference parity: the reference's aggregate kernel computes only
+    SUM (host/aggr/aggr_native.cc:67-73); this is the
+    partial->final pattern applied to a distribution sketch."""
+    W = _PCTL_BUCKET_CENTS
+    cents = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("c"),
+    )
+    h = cents.groupBy(
+        "l_returnflag",
+        F.expr(f"(c - (((c % {W}) + {W}) % {W})) DIV {W}").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = h.select(
+        "l_returnflag",
+        "b",
+        F.sum("cnt").over(w_run).alias("run"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    run, tot, b = F.col("run"), F.col("tot"), F.col("b")
+    pct = cum.groupBy("l_returnflag").agg(
+        F.min(tot).alias("n_items"),
+        F.min(F.when(4 * run >= tot, b)).alias("p25_bucket"),
+        F.min(F.when(2 * run >= tot, b)).alias("p50_bucket"),
+        F.min(F.when(4 * run >= 3 * tot, b)).alias("p75_bucket"),
+    )
+    return pct.select(
+        "l_returnflag",
+        "n_items",
+        "p25_bucket",
+        "p50_bucket",
+        "p75_bucket",
+        (F.col("p25_bucket") * W).alias("p25_lo_cents"),
+        ((F.col("p75_bucket") + 1) * W - 1).alias("p75_hi_cents"),
+    )

@@ -725,6 +725,34 @@ def test_histogram_median_bounded_shuffles(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_histogram_percentile_bounded_shuffles(spark):
+    """histogram_percentile inherits histogram_median's 100 TB
+    contract — one bounded histogram serves ALL THREE percentiles:
+    partial_count before the fact-scale exchange (the shuffle carries
+    at most groups x buckets rows), exactly two exchanges, both
+    windows and the final per-group aggregation sharing the second
+    partitioning, and the scan pruned to (l_returnflag,
+    l_extendedprice)."""
+    plan = _formatted_plan(spark, "histogram_percentile")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected exactly two exchanges:\n{plan}"
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert "_groupingexpression" in plan, "bucket key gone from exchange 1"
+    assert "hashpartitioning(l_returnflag" in plan
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 2, f"run + tot should share one sort:\n{plan}"
+    assert "ReadSchema: struct<l_returnflag:string,l_extendedprice:double>" in plan or (
+        "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+    ), "column pruning lost: the scan reads more than 2 columns"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_single_exchange_pruned_scan(spark):
     """weighted_sample: the draw + acceptance + inverse-weight fold
     into the map-side partial aggregation (one row per language

@@ -11364,6 +11364,167 @@ def test_histogram_median_brackets_exact_median_on_fixture(spark):
         )
 
 
+def _sf_with_lineitem(tmp_path, subdir, rows):
+    """A fixture sf_dir whose lineitem.parquet is custom
+    ((l_extendedprice, l_returnflag) tuples) and whose other nine
+    tables are symlinks to sf0.001 — enough for run_oracle's views."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "lineitem":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "l_extendedprice": pa.array([r[0] for r in rows], pa.float64()),
+                "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def test_histogram_percentile_quartile_edges(spark, tmp_path):
+    """Forced-boundary differential for the fixed-bucket grouped
+    quartile sketch, attested by a pure-Python replay of the exact
+    integer rule (bucket = floor(cents / 100000); pX bucket = smallest
+    b whose cumulative count satisfies the cross-multiplied fraction
+    test) and Spark-vs-DuckDB through the registered oracle:
+
+    - group A: one element per bucket 0..3, so EVERY threshold lands
+      with EXACT EQUALITY (4*run == tot at p25, 2*run == tot at p50,
+      4*run == 3*tot at p75) — the >= boundary decides all three;
+    - group B: odd count, skewed mass — p25 and p50 share the heavy
+      bucket while p75's 4*run >= 3*tot needs the strict next rank
+      (4*3 < 15 at run 3, 4*4 >= 15 at rank 4);
+    - group C: a single-bucket group (all three quartiles collapse);
+    - group D: NEGATIVE cents across four negative/zero buckets —
+      floor bucketing keeps the bracket contract sign-independent;
+    - group E: n=1 (every rank is 1 — the ceil edge).
+
+    Containment (the operator's error bound): for every group and
+    every X in {25, 50, 75}, the EXACT percentile_disc element (rank
+    ceil(X*n/100), 1-based) floor-divides into the reported pX bucket,
+    and p25_lo_cents <= that element for X=25 /
+    element <= p75_hi_cents for X=75."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    W = 100_000
+
+    prices = {
+        # (price_dollars, group): cents = floor(p*100 + 0.5)
+        "A": [500.00, 1500.00, 2500.00, 3500.00],  # b: 0,1,2,3
+        "B": [100.00, 200.00, 300.00, 2500.00, 7500.00],  # b: 0,0,0,2,7
+        "C": [400.00, 450.00, 999.99],  # all b0
+        "D": [-2500.00, -1500.00, -500.00, 500.00],  # b: -3,-2,-1,0
+        "E": [1234.56],
+    }
+
+    def replay():
+        out = {}
+        for g, ps in prices.items():
+            cents = sorted(math.floor(p * 100 + 0.5) for p in ps)
+            buckets = {}
+            for c in cents:
+                buckets[c // W] = buckets.get(c // W, 0) + 1
+            tot = len(cents)
+            pb = {}
+            for x, (k, mlt) in {25: (4, 1), 50: (2, 1), 75: (4, 3)}.items():
+                run = 0
+                for b in sorted(buckets):
+                    run += buckets[b]
+                    if k * run >= mlt * tot:
+                        pb[x] = b
+                        break
+                # containment vs the exact percentile_disc element
+                elem = cents[math.ceil(x * tot / 100) - 1]
+                assert elem // W == pb[x], (g, x, elem, pb[x])
+            assert pb[25] * W <= cents[math.ceil(25 * tot / 100) - 1]
+            assert cents[math.ceil(75 * tot / 100) - 1] <= (pb[75] + 1) * W - 1
+            out[g] = (tot, pb[25], pb[50], pb[75], pb[25] * W,
+                      (pb[75] + 1) * W - 1)
+        return out
+
+    expect = replay()
+    # fixture drift guards: A hits exact equality at every threshold
+    # (one element per bucket, tot=4); B's p75 needs the strict next
+    # rank; D's quartiles are all in negative buckets
+    assert expect["A"][1:4] == (0, 1, 2)
+    assert expect["B"][1:4] == (0, 0, 2)
+    assert expect["C"][1:4] == (0, 0, 0)
+    assert expect["D"][1:4] == (-3, -2, -1) and expect["D"][4] == -300000
+    assert expect["E"][0] == 1
+
+    rows = [(p, g) for g, ps in prices.items() for p in ps]
+    sf = _sf_with_lineitem(tmp_path, "histpctl", rows)
+    got = all_queries()["histogram_percentile"].build(spark, sf)
+    per_group = {
+        r.l_returnflag: (
+            r.n_items,
+            r.p25_bucket,
+            r.p50_bucket,
+            r.p75_bucket,
+            r.p25_lo_cents,
+            r.p75_hi_cents,
+        )
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["histogram_percentile"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_histogram_percentile_brackets_exact_on_fixture(spark):
+    """Sketch-quality gate on the real driver fixture: for every
+    returnflag group each EXACT percentile_disc element (pure-Python
+    over the parquet bytes, rank ceil(X*n/100)) must floor-divide into
+    the reported pX bucket — the one-bucket-width error bound the
+    operator exists to provide."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    W = 100_000
+    t = pq.read_table(
+        os.path.join(sf, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    groups = {}
+    for g, p in zip(
+        t.column("l_returnflag").to_pylist(),
+        t.column("l_extendedprice").to_pylist(),
+    ):
+        groups.setdefault(g, []).append(math.floor(p * 100 + 0.5))
+    got = {
+        r.l_returnflag: r
+        for r in all_queries()["histogram_percentile"]
+        .build(spark, sf)
+        .collect()
+    }
+    assert set(got) == set(groups)
+    for g, cents in groups.items():
+        cents.sort()
+        tot = len(cents)
+        r = got[g]
+        assert r.n_items == tot
+        for x, rb in ((25, r.p25_bucket), (50, r.p50_bucket),
+                      (75, r.p75_bucket)):
+            elem = cents[math.ceil(x * tot / 100) - 1]
+            assert elem // W == rb, (g, x, elem, rb)
+        assert r.p25_lo_cents <= cents[math.ceil(25 * tot / 100) - 1]
+        assert cents[math.ceil(75 * tot / 100) - 1] <= r.p75_hi_cents
+
+
 def _sf_with_documents(tmp_path, subdir, rows):
     """A fixture sf_dir whose documents.parquet is custom ((doc_id,
     text, lang, source) tuples; n_chars derived) and whose other nine
