@@ -152,9 +152,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # window), then this round's NEW query (histogram_percentile), then
 # the 48 oldest r11-vintage rows (dedup_paragraph ..); the r11 tail's
 # last two rows (ivf_train, pq_encode) re-check at the head of the
-# r16 window, keeping every row's latest check <=4 rounds old.
+# r16 window, keeping every row's latest check <=4 rounds old.  The
+# round's SECOND new query (weighted_median) is deliberately deferred
+# behind the verified tail — exactly the r14 weighted_sample move:
+# spending a third new-query slot would push a third r11 row past the
+# horizon; it leads the r16 window instead (fully oracled at all
+# three SFs, plan-gated, and boundary-differentialed locally).
 _HIGH_PRIORITY: tuple[str, ...] = ("weighted_sample", "histogram_percentile")
-_LOW_PRIORITY: tuple[str, ...] = ()
+_LOW_PRIORITY: tuple[str, ...] = ("weighted_median",)
 
 
 def _ordered_names() -> list[str]:

@@ -95,6 +95,10 @@ HEADLINE = [
     # path made real) and integer-weight importance sampling
     "histogram_median",
     "weighted_sample",
+    # round 15: one bounded histogram serving all three quartiles,
+    # and its weighted-quantile sibling
+    "histogram_percentile",
+    "weighted_median",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

@@ -1427,3 +1427,120 @@ def q_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p25_bucket") * W).alias("p25_lo_cents"),
         ((F.col("p75_bucket") + 1) * W - 1).alias("p75_hi_cents"),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH c0 AS (
+      SELECT l_linestatus,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    h AS (
+      -- FLOOR-division buckets (the histogram_median spelling), but
+      -- the histogram accumulates WEIGHT, not count
+      SELECT l_linestatus,
+             (c - (((c % 100000) + 100000) % 100000)) // 100000 AS b,
+             CAST(SUM(w) AS BIGINT) AS wsum,
+             COUNT(*) AS n
+      FROM c0
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_linestatus, b,
+             CAST(SUM(wsum) OVER (PARTITION BY l_linestatus ORDER BY b ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS runw,
+             CAST(SUM(wsum) OVER (PARTITION BY l_linestatus)
+                  AS BIGINT) AS totw,
+             CAST(SUM(n) OVER (PARTITION BY l_linestatus)
+                  AS BIGINT) AS n_items
+      FROM h
+    )
+    SELECT l_linestatus,
+           MIN(n_items) AS n_items,
+           MIN(totw) AS total_units,
+           MIN(CASE WHEN 2 * runw >= totw THEN b END) AS wmed_bucket,
+           MIN(CASE WHEN 2 * runw >= totw THEN b END) * 100000
+             AS wmed_lo_cents,
+           (MIN(CASE WHEN 2 * runw >= totw THEN b END) + 1) * 100000 - 1
+             AS wmed_hi_cents
+    FROM cum
+    GROUP BY l_linestatus
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped WEIGHTED median — per line status, the price at which
+    half the shipped UNITS (not half the line items) are cheaper: the
+    weighted-quantile class (the training-data twin is the
+    token-weighted median document length, where long documents count
+    by their token mass).  Same bounded (group, bucket) histogram as
+    histogram_median/histogram_percentile, but the histogram
+    accumulates integer WEIGHT (l_quantity units) instead of row
+    counts.
+
+    Semantics (deterministic, engine-exact, all BIGINT): bucket =
+    FLOOR(cents / 100000) via the positive-mod-then-truncating-DIV
+    spelling (sign-exact); the weighted-median bucket is the smallest
+    b whose cumulative unit weight reaches half the group's total
+    (2*runw >= totw in BIGINTs — the bucket CONTAINING the smallest
+    value v with 2*cumweight(v) >= totw, i.e. the weighted
+    lower-median element, so it lies inside [wmed_lo_cents,
+    wmed_hi_cents] by construction; asserted against a pure-Python
+    exact weighted median in the differential).  Weights are exact
+    integers (l_quantity is integral; floor(q + 0.5) pins the double
+    representation).
+
+    Scale: identical to the unweighted histogram — exchange 1 carries
+    map-side partial-combined (group, bucket) weight sums (bounded by
+    groups x buckets regardless of fact size), exchange 2 re-keys the
+    bounded histogram for the cumulative window (plan-gated ==2
+    Exchanges).  A per-group exact weighted median would instead sort
+    the full fact per group — there is no built-in weighted
+    percentile in either engine, so the histogram is not just the
+    cheap path but the only bounded-shuffle one."""
+    W = _PCTL_BUCKET_CENTS
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("c"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("w"),
+    )
+    h = rows.groupBy(
+        "l_linestatus",
+        F.expr(f"(c - (((c % {W}) + {W}) % {W})) DIV {W}").alias("b"),
+    ).agg(
+        F.sum("w").cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_run = (
+        Window.partitionBy("l_linestatus")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_linestatus")
+    cum = h.select(
+        "l_linestatus",
+        "b",
+        F.sum("wsum").over(w_run).alias("runw"),
+        F.sum("wsum").over(w_all).alias("totw"),
+        F.sum("n").over(w_all).alias("n_items"),
+    )
+    med = cum.groupBy("l_linestatus").agg(
+        F.min("n_items").alias("n_items"),
+        F.min("totw").alias("total_units"),
+        F.min(
+            F.when(2 * F.col("runw") >= F.col("totw"), F.col("b"))
+        ).alias("wmed_bucket"),
+    )
+    return med.select(
+        "l_linestatus",
+        "n_items",
+        "total_units",
+        "wmed_bucket",
+        (F.col("wmed_bucket") * W).alias("wmed_lo_cents"),
+        ((F.col("wmed_bucket") + 1) * W - 1).alias("wmed_hi_cents"),
+    )

@@ -753,6 +753,31 @@ def test_histogram_percentile_bounded_shuffles(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_weighted_median_bounded_shuffles(spark):
+    """weighted_median: the weighted variant of the bounded-histogram
+    contract — the fact-scale exchange carries only partial-combined
+    (group, bucket) WEIGHT sums (partial_sum + partial_count before
+    the first hashpartitioning), exactly two exchanges, and the scan
+    pruned to the three needed columns."""
+    plan = _formatted_plan(spark, "weighted_median")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected exactly two exchanges:\n{plan}"
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.index("partial_sum") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert "hashpartitioning(l_linestatus" in plan
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 2, f"runw + totw should share one sort:\n{plan}"
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].split("\n")[0], (
+        "column pruning lost"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_single_exchange_pruned_scan(spark):
     """weighted_sample: the draw + acceptance + inverse-weight fold
     into the map-side partial aggregation (one row per language

@@ -11366,8 +11366,10 @@ def test_histogram_median_brackets_exact_median_on_fixture(spark):
 
 def _sf_with_lineitem(tmp_path, subdir, rows):
     """A fixture sf_dir whose lineitem.parquet is custom
-    ((l_extendedprice, l_returnflag) tuples) and whose other nine
-    tables are symlinks to sf0.001 — enough for run_oracle's views."""
+    ((l_extendedprice, l_returnflag[, l_quantity, l_linestatus])
+    tuples — 2-tuples default quantity 1 / status 'O') and whose
+    other nine tables are symlinks to sf0.001 — enough for
+    run_oracle's views."""
     from dpu_olap_spark.sources.tables import TABLES
 
     d = tmp_path / subdir
@@ -11381,6 +11383,13 @@ def _sf_with_lineitem(tmp_path, subdir, rows):
                 "l_orderkey": pa.array(range(len(rows)), pa.int64()),
                 "l_extendedprice": pa.array([r[0] for r in rows], pa.float64()),
                 "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+                "l_quantity": pa.array(
+                    [float(r[2]) if len(r) > 2 else 1.0 for r in rows],
+                    pa.float64(),
+                ),
+                "l_linestatus": pa.array(
+                    [r[3] if len(r) > 3 else "O" for r in rows], pa.string()
+                ),
             }
         ),
         str(d / "lineitem.parquet"),
@@ -11479,6 +11488,112 @@ def test_histogram_percentile_quartile_edges(spark, tmp_path):
     assert per_group == expect, per_group
     g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
     orows, ocols = run_oracle(oracle_map()["histogram_percentile"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_weighted_median_boundary_regimes(spark, tmp_path):
+    """Forced-boundary differential for the grouped WEIGHTED median
+    (histogram accumulates integer unit weight, not row count),
+    attested by a pure-Python replay of the exact integer rule
+    (bucket = floor(cents / 100000); wmed bucket = smallest b with
+    2*cum_weight >= total_weight) and Spark-vs-DuckDB through the
+    registered oracle:
+
+    - group A: weight MOVES the median — a qty-10 expensive line
+      outweighs two qty-1 cheap lines, so the weighted median bucket
+      (2) differs from the unweighted median bucket (1); the drift
+      guard asserts the divergence, so the operator is distinguishable
+      from histogram_median on this fixture;
+    - group B: EXACT EQUALITY 2*runw == totw at the lower bucket —
+      the >= boundary picks it (lower weighted median convention);
+    - group C: negative cents under weights — floor buckets keep the
+      bracket contract sign-independent;
+    - group D: a single qty-50 line (n=1, weight 50);
+    - group E: a ZERO-weight row — its bucket accumulates nothing, so
+      the median lands in the weighted bucket beyond it.
+
+    Containment: the exact weighted lower-median ELEMENT (smallest
+    value v with 2*cumweight(v) >= totw, pure Python) floor-divides
+    into the reported bucket and lies inside
+    [wmed_lo_cents, wmed_hi_cents]."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    W = 100_000
+
+    rows_by_group = {
+        # (price_dollars, qty)
+        "A": [(500.00, 1), (1500.00, 1), (2500.00, 10)],
+        "B": [(500.00, 3), (1500.00, 3)],
+        "C": [(-1500.00, 5), (-500.00, 1), (500.00, 2)],
+        "D": [(7777.77, 50)],
+        "E": [(100.00, 0), (1500.00, 4)],
+    }
+
+    def replay():
+        out = {}
+        for g, pw in rows_by_group.items():
+            cw = sorted(
+                (math.floor(p * 100 + 0.5), q) for p, q in pw
+            )
+            totw = sum(q for _, q in cw)
+            n = len(cw)
+            buckets = {}
+            for c, q in cw:
+                buckets[c // W] = buckets.get(c // W, 0) + q
+            runw = 0
+            for b in sorted(buckets):
+                runw += buckets[b]
+                if 2 * runw >= totw:
+                    wmed = b
+                    break
+            # containment vs the exact weighted lower-median element
+            cum = 0
+            for c, q in cw:
+                cum += q
+                if 2 * cum >= totw:
+                    elem = c
+                    break
+            assert elem // W == wmed, (g, elem, wmed)
+            assert wmed * W <= elem <= (wmed + 1) * W - 1, (g, elem)
+            out[g] = (n, totw, wmed, wmed * W, (wmed + 1) * W - 1)
+        return out
+
+    expect = replay()
+    # fixture drift guards
+    # A: the weighted median bucket must DIFFER from the unweighted one
+    a_cents = sorted(
+        math.floor(p * 100 + 0.5) for p, _ in rows_by_group["A"]
+    )
+    unweighted_med_bucket = a_cents[(len(a_cents) - 1) // 2] // W
+    assert expect["A"][2] == 2 and unweighted_med_bucket == 1
+    # B: exact 2*runw == totw at the winning bucket
+    assert expect["B"][2] == 0 and 2 * 3 == expect["B"][1]
+    assert expect["C"][2] == -2  # negative weighted-median bucket
+    assert expect["D"][0] == 1 and expect["D"][1] == 50
+    assert expect["E"][2] == 1  # zero-weight bucket skipped
+
+    rows = [
+        (p, "A", q, g) for g, pw in rows_by_group.items() for p, q in pw
+    ]
+    sf = _sf_with_lineitem(tmp_path, "wmed", rows)
+    got = all_queries()["weighted_median"].build(spark, sf)
+    per_group = {
+        r.l_linestatus: (
+            r.n_items,
+            r.total_units,
+            r.wmed_bucket,
+            r.wmed_lo_cents,
+            r.wmed_hi_cents,
+        )
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["weighted_median"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
 

@@ -79,7 +79,15 @@ families at sf0.001, 57000-57299 new families at sf0.1,
 58000-58999 mixed over all 20 at sf0.01, 59000-59299 mixed at
 sf0.1, 60000-61199 mixed at sf0.01, 62000-62299 mixed at sf0.1,
 63000-63599 mixed at sf0.01 — 8,140 r13 cases, ZERO
-divergences — ~29,700 total. The r12
+divergences — ~29,700 total; r14 (rangenull/nsafejoin/medianalg
+live): 64000-64029 shakedown of the three new families at sf0.01
+(30 cases, clean — recorded retroactively per the r14 verdict: the
+range ran in commit 8556bda but was never entered here); r15 (the
+young families' REAL campaigns, r14 verdict #3): 72000-72599
+young-three at sf0.01, 73000-73299 young-three at sf0.001,
+74000-74299 young-three at sf0.1, 75000-75999 mixed over all 23
+families at sf0.01, 76000-76299 mixed-23 at sf0.1 — 2,500 r15
+cases, ZERO divergences — ~32,230 total. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
