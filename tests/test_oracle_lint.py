@@ -377,3 +377,67 @@ def test_rule_fractional_cast_factor_scoping():
     ]
     for sql in good:
         assert not lint_fractional_cast(sql), f"scoped rule 9 misfire: {sql}"
+
+
+def test_rule_floor_ceil_sign_fires():
+    """Seeded negatives for RULE 11 (the r15 probe find, pinned in
+    test_floor_ceil_sign_result_type_cross_engine_seam): over DOUBLE
+    input, floor/ceil/ceiling return BIGINT in Spark but DOUBLE in
+    DuckDB, and sign() returns DOUBLE in Spark but an integer in
+    DuckDB — equal values, silently diverging types.  Every use in
+    shared SQL must sit inside a CAST."""
+    from oracle_lint import lint_floor_ceil_sign
+
+    bad = [
+        "SELECT floor(x * 100 + 0.5) AS cents FROM t",
+        "SELECT ceil(price) FROM t ORDER BY 1 LIMIT 5",
+        "SELECT ceiling(x) FROM t",
+        "SELECT sign(balance) AS s FROM t",
+        # CAST nearby but NOT enclosing
+        "SELECT CAST(x AS DOUBLE), floor(y) FROM t",
+    ]
+    for sql in bad:
+        assert lint_floor_ceil_sign(sql), f"rule 11 silent on: {sql}"
+    good = [
+        # the registry's sanctioned cents spelling
+        "SELECT CAST(floor(x * 100 + 0.5) AS BIGINT) AS cents FROM t",
+        "SELECT CAST(ceil(price) AS BIGINT) FROM t",
+        "SELECT CAST(sign(balance) AS INT) AS s FROM t",
+        # enclosing CAST at an outer level still normalizes the type
+        "SELECT CAST(floor(x) + floor(y) AS BIGINT) FROM t",
+        "SELECT length(s) FROM t",  # different fn
+    ]
+    for sql in good:
+        assert not lint_floor_ceil_sign(sql), f"rule 11 misfire: {sql}"
+
+
+def test_lint_sql_includes_floor_ceil_sign_rule():
+    assert lint_sql("SELECT floor(x) FROM t"), (
+        "rule 11 not aggregated into lint_sql"
+    )
+
+
+def test_builder_sql_walk_excludes_docstrings():
+    """Docstrings are prose, not executable SQL: a docstring QUOTING a
+    seam spelling (q_pipe_sql's mentions floor(x*100+0.5)) must not
+    trip rule 11, while real spark.sql() string constants stay
+    linted.  Guard both directions: the walk yields NO docstring
+    text, and still yields the SQL constants around it."""
+    import tempfile
+    from pathlib import Path
+
+    from oracle_lint import iter_builder_sql
+
+    src = '''
+"""Module docstring with SELECT floor(x * 100 + 0.5) FROM t prose."""
+
+def f(spark):
+    """Fn docstring: SELECT ceil(y) FROM t ORDER BY 1 prose."""
+    return spark.sql("SELECT o_orderkey FROM orders ORDER BY 1")
+'''
+    with tempfile.TemporaryDirectory() as d:
+        Path(d, "mod.py").write_text(src)
+        got = list(iter_builder_sql(d))
+    texts = [t for _, _, t in got]
+    assert any("o_orderkey" in t for t in texts), "real SQL lost"
+    assert not any("prose" in t for t in texts), "docstring leaked in"

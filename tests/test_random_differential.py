@@ -11492,6 +11492,74 @@ def test_histogram_percentile_quartile_edges(spark, tmp_path):
     assert g_cols == o_cols and g_ms == o_ms
 
 
+def test_floor_ceil_sign_result_type_cross_engine_seam(spark):
+    """PINNED seam cluster (r15 probe sweep): over DOUBLE input the
+    result TYPES diverge silently while the VALUES agree —
+
+    - floor/ceil/ceiling(DOUBLE): Spark returns BIGINT, DuckDB
+      DOUBLE — 300 vs 300.0 through the driver's strict value view
+      (int vs float never hash-equal);
+    - sign(DOUBLE): Spark returns DOUBLE, DuckDB an integer —
+      -1.0 vs -1, same class.
+
+    Equal instants, diverging types — exactly the rule-3/rule-4
+    pattern (DATE+INTERVAL, coarse date_trunc).  House rule
+    (oracle_lint RULE 11, the registry's existing cents discipline
+    machine-enforced): every floor/ceil/ceiling/sign in shared SQL
+    sits inside a CAST.  Also attested: floor over DECIMAL literals
+    is aligned (both engines stay in DECIMAL — the seam is the
+    DOUBLE regime), and width_bucket/1-arg trunc are DIALECT-ONLY
+    (Spark-only / DuckDB-only respectively: a shared use fails
+    loudly, so no house rule needed)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(sql):
+        return (
+            [tuple(r) for r in spark.sql(sql).collect()][0],
+            con.execute(sql).fetchall()[0],
+        )
+
+    # divergent regime: types differ, values agree
+    sql = (
+        "SELECT floor(CAST('3.0' AS DOUBLE) * 100 + 0.5), "
+        "ceil(CAST('1.5' AS DOUBLE)), sign(CAST('-2.5' AS DOUBLE))"
+    )
+    s, d = both(sql)
+    assert s == (300, 2, -1.0), s
+    assert isinstance(s[0], int) and isinstance(s[1], int), s
+    assert isinstance(s[2], float), s
+    assert d == (300.0, 2.0, -1), d
+    assert isinstance(d[0], float) and isinstance(d[1], float), d
+    assert isinstance(d[2], int), d
+
+    # the sanctioned spelling: CAST normalizes both engines
+    s, d = both(
+        "SELECT CAST(floor(CAST('3.0' AS DOUBLE) * 100 + 0.5) AS BIGINT), "
+        "CAST(ceil(CAST('1.5' AS DOUBLE)) AS BIGINT), "
+        "CAST(sign(CAST('-2.5' AS DOUBLE)) AS INT)"
+    )
+    assert s == d == (300, 2, -1), (s, d)
+
+    # aligned regime: DECIMAL input stays DECIMAL on both engines
+    s, d = both("SELECT floor(1.5), ceil(1.5)")
+    assert [str(x) for x in s] == [str(x) for x in d], (s, d)
+
+    # dialect-only (loud, not silent): Spark has width_bucket, DuckDB
+    # does not; DuckDB has 1-arg numeric trunc, Spark's trunc is
+    # date-only (2-arg)
+    assert spark.sql(
+        "SELECT width_bucket(5.0, 0.0, 10.0, 4)"
+    ).collect()[0][0] == 3
+    try:
+        con.execute("SELECT width_bucket(5.0, 0.0, 10.0, 4)")
+        raise AssertionError("DuckDB grew width_bucket — drop the note")
+    except duckdb.CatalogException:
+        pass
+    con.close()
+
+
 def test_weighted_median_boundary_regimes(spark, tmp_path):
     """Forced-boundary differential for the grouped WEIGHTED median
     (histogram accumulates integer unit weight, not row count),

@@ -513,14 +513,19 @@ def _frag(con, table: str, col: str, rng: random.Random) -> str:
 
 def _gen_str_expr(con, table: str, cols: dict, rng: random.Random) -> str:
     """A grouping expression from the probe-verified aligned function
-    pool (upper/lower/substr(pos>=1)/replace/concat/length-cast/
-    split_part/reverse/translate/lpad — cross-engine probe 2026-08-15).
-    substr position is ALWAYS >= 1 (position 0 is a pinned divergence,
-    test_substr_position_zero_cross_engine_seam); no CAST of doubles
-    to int anywhere (the other pinned divergence)."""
+    pool (upper/lower/substr(pos>=1 or negative)/replace/concat/
+    length-cast/split_part/reverse/translate/lpad, plus — r15, fuzzing
+    the RULE 10 seam's SANCTIONED spellings — ANSI
+    trim(LEADING/TRAILING/BOTH 'x' FROM s) and negative-start substr.
+    substr position is NEVER the literal 0 (a pinned divergence,
+    test_substr_position_zero / test_substr_zero_trim_order_dow
+    cross-engine seams) and character-set trims never use the two-arg
+    ltrim/rtrim spelling (argument roles SWAPPED between engines —
+    the same seam test); no CAST of doubles to int anywhere (the
+    other pinned divergence)."""
     c = rng.choice(cols["strs"])
     k = rng.randint(1, 8)
-    pick = rng.randrange(8)
+    pick = rng.randrange(11)
     if pick == 0:
         return f"upper(substr({c}, 1, {k}))"
     if pick == 1:
@@ -536,6 +541,20 @@ def _gen_str_expr(con, table: str, cols: dict, rng: random.Random) -> str:
         return f"reverse(substr({c}, 1, {k}))"
     if pick == 6:
         return f"translate(substr({c}, 1, {k}), 'aeiou', 'AEIOU')"
+    if pick == 7:
+        # negative start: both engines count from the end (aligned
+        # regime of the substr seam test); may overshoot the head
+        return f"substr({c}, -{k}, {rng.randint(1, 4)})"
+    if pick == 8:
+        side = rng.choice(["LEADING", "TRAILING", "BOTH"])
+        ch = (_frag(con, table, c, rng) or "a")[0]
+        if ch == "'":
+            ch = "a"
+        return f"trim({side} '{ch}' FROM {c})"
+    if pick == 9:
+        # 1-arg whitespace trims (legal under RULE 10) over a spaced
+        # composite so there is actually something to trim
+        return f"ltrim(rtrim(concat(' ', substr({c}, 1, {k}), ' ')))"
     i = rng.choice(cols["ints"])
     return f"lpad(CAST({i} % 10 AS STRING), 3, '0')"
 

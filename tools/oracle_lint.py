@@ -209,6 +209,26 @@ def lint_concat_null(sql: str) -> list[str]:
     return hits
 
 
+def _cast_wrapped(sql: str, pos: int) -> bool:
+    """True when position ``pos`` sits inside some enclosing
+    CAST( .. ) — the accepted fix for the result-TYPE seam rules
+    (3, 4, 11)."""
+    k, depth = pos - 1, 0
+    while k >= 0:
+        ch = sql[k]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                head = sql[max(0, k - 12):k].lower()
+                if re.search(r"\bcast\s*$", head):
+                    return True
+            else:
+                depth -= 1
+        k -= 1
+    return False
+
+
 def lint_date_interval(sql: str) -> list[str]:
     """Rule 3: a projected DATE +/- INTERVAL must be CAST.  Flags any
     interval arithmetic whose same-depth-adjacent text spells a DATE
@@ -233,24 +253,7 @@ def lint_date_interval(sql: str) -> list[str]:
         frag = sql[grp_start:m.end() + 40]
         if not _DATE_SPELLING.search(frag):
             continue  # timestamp arithmetic — aligned on both engines
-        # accepted: the arithmetic sits inside CAST( .. ) — check every
-        # enclosing open-paren for a preceding CAST
-        k, depth = start - 1, 0
-        wrapped = False
-        while k >= 0:
-            ch = sql[k]
-            if ch == ")":
-                depth += 1
-            elif ch == "(":
-                if depth == 0:
-                    head = sql[max(0, k - 12):k].lower()
-                    if re.search(r"\bcast\s*$", head):
-                        wrapped = True
-                        break
-                else:
-                    depth -= 1
-            k -= 1
-        if not wrapped:
+        if not _cast_wrapped(sql, start):
             hits.append(
                 f"DATE +/- INTERVAL not wrapped in CAST: "
                 f"{sql[m.start():m.end() + 30]!r}"
@@ -275,21 +278,7 @@ def lint_date_trunc(sql: str) -> list[str]:
     sql = _strip_comments(sql)
     hits = []
     for m in _COARSE_TRUNC.finditer(sql):
-        k, depth, wrapped = m.start() - 1, 0, False
-        while k >= 0:
-            ch = sql[k]
-            if ch == ")":
-                depth += 1
-            elif ch == "(":
-                if depth == 0:
-                    head = sql[max(0, k - 12):k].lower()
-                    if re.search(r"\bcast\s*$", head):
-                        wrapped = True
-                        break
-                else:
-                    depth -= 1
-            k -= 1
-        if not wrapped:
+        if not _cast_wrapped(sql, m.start()):
             hits.append(
                 f"coarse date_trunc not wrapped in CAST: "
                 f"{sql[m.start():m.end() + 25]!r}"
@@ -614,6 +603,34 @@ def lint_substr_trim(sql: str) -> list[str]:
     return hits
 
 
+_FLOOR_CEIL_SIGN = re.compile(
+    r"\b(floor|ceil|ceiling|sign)\s*\(", re.IGNORECASE
+)
+
+
+def lint_floor_ceil_sign(sql: str) -> list[str]:
+    """Rule 11 (r15 probe find, pinned in
+    test_floor_ceil_sign_result_type_cross_engine_seam): over DOUBLE
+    input the result TYPES diverge silently — floor/ceil/ceiling
+    return BIGINT in Spark but DOUBLE in DuckDB (300 vs 300.0 through
+    the driver's strict value view), and sign() returns DOUBLE in
+    Spark but an integer in DuckDB (-1.0 vs -1).  Equal values,
+    diverging types — the same class as rules 3/4.  House rule
+    (the registry's existing cents discipline, now machine-enforced):
+    every floor/ceil/ceiling/sign in shared SQL must sit inside a
+    CAST(...), which normalizes the type on both engines."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _FLOOR_CEIL_SIGN.finditer(sql_nc):
+        if not _cast_wrapped(sql_nc, m.start()):
+            hits.append(
+                f"{m.group(1).lower()}() not wrapped in CAST (Spark/"
+                f"DuckDB result types diverge over DOUBLE): "
+                f"{sql_nc[m.start():m.end() + 25]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -626,6 +643,7 @@ def lint_sql(sql: str) -> list[str]:
         + lint_array_agg_null(sql)
         + lint_fractional_cast(sql)
         + lint_substr_trim(sql)
+        + lint_floor_ceil_sign(sql)
     )
 
 
@@ -640,6 +658,24 @@ def iter_builder_sql(pkg_dir: str | None = None):
                 / "dpu_olap_spark")
     for py in sorted(root.rglob("*.py")):
         tree = ast.parse(py.read_text(), filename=str(py))
+        # docstrings are prose, not executable SQL — a docstring
+        # QUOTING a seam spelling (e.g. "floor(x*100+0.5)") must not
+        # trip the type-seam rules (first hit: rule 11 vs q_pipe_sql's
+        # docstring).  Exclude the leading string constant of every
+        # module/class/function body.
+        docstrings: set[int] = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                       ast.AsyncFunctionDef)
+            ) and node.body:
+                first = node.body[0]
+                if (
+                    isinstance(first, ast.Expr)
+                    and isinstance(first.value, ast.Constant)
+                    and isinstance(first.value.value, str)
+                ):
+                    docstrings.add(id(first.value))
         fstring_parts: set[int] = set()
         for node in ast.walk(tree):
             # f-strings (spark.sql(f"... {view} ...")) lint as their
@@ -661,6 +697,7 @@ def iter_builder_sql(pkg_dir: str | None = None):
                 isinstance(node, ast.Constant)
                 and isinstance(node.value, str)
                 and id(node) not in fstring_parts
+                and id(node) not in docstrings
                 and len(node.value) > 15
                 and _SQLISH.search(node.value)
             ):
