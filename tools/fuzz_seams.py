@@ -86,8 +86,14 @@ range ran in commit 8556bda but was never entered here); r15 (the
 young families' REAL campaigns, r14 verdict #3): 72000-72599
 young-three at sf0.01, 73000-73299 young-three at sf0.001,
 74000-74299 young-three at sf0.1, 75000-75999 mixed over all 23
-families at sf0.01, 76000-76299 mixed-23 at sf0.1 — 2,500 r15
-cases, ZERO divergences — ~32,230 total. The r12
+families at sf0.01, 76000-76299 mixed-23 at sf0.1; after the
+stringfunc RULE-10-spellings extension: 77000-77119 shakedown,
+78000-78399 stringfunc/setop/winsetop, 79000-79399 mixed; after
+histalg (the histogram-quantile algebra family) landed: 80000-80119
+shakedown, 81000-81399 histalg at sf0.01, 82000-82199
+histalg+medianalg at sf0.001, 83000-83199 histalg at sf0.1,
+84000-84599 mixed over all 24 families at sf0.01 — **4,940 r15
+cases, ZERO divergences — ~34,670 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
@@ -1332,6 +1338,71 @@ def _gen_medianalg(con, rng: random.Random) -> str:
     )
 
 
+def _gen_histalg(con, rng: random.Random) -> str:
+    """Histogram-bucket quantile algebra (r15 — the fuzz twin of
+    histogram_median / histogram_percentile / weighted_median):
+    grouped FLOOR-division bucketing via the sanctioned
+    positive-mod-then-divide spelling (the divide is `/` over an
+    exact multiple CAST to BIGINT — integral doubles cast identically
+    on both engines; bare DIV is Spark-only, `//` DuckDB-only), a
+    cumulative window over bucket order, and an integer
+    cross-multiplied threshold k*run >= m*tot picking the quantile
+    bucket.  Flavors: random width (incl. non-round), random k/m
+    fraction (any rational — the bucket rule never interpolates),
+    a SHIFT pushing cents negative (the trunc-vs-floor regime the
+    r14 ADVICE fix closed), WEIGHTED histograms over a modular
+    weight that includes ZEROS, and a NULLIF'd-cents flavor (NULL
+    forms its own bucket; bucket order spells NULLS FIRST per the
+    implicit-ASC house rule)."""
+    import math
+
+    table = rng.choice(["orders", "part", "customer", "supplier"])
+    cols = TABLE_COLS[table]
+    g = rng.choice(cols["groups"])
+    fcol = cols["floats"][0]
+    pred = _gen_predicate(con, table, cols, rng)
+    W = rng.choice([30000, 50000, 100000, 177777, 200000])
+    k, m = rng.choice([(2, 1), (4, 1), (4, 3), (8, 3), (8, 5), (5, 2),
+                       (10, 7), (3, 2)])
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    shift = 0
+    if rng.random() < 0.4:
+        fv = _sample_values(con, table, fcol, rng, 1)
+        shift = math.floor(fv[0] * 100 + 0.5) if fv else 0
+    c_expr = f"{cents} - {shift}" if shift else cents
+    nulls = ""
+    if rng.random() < 0.25:
+        fv = _sample_values(con, table, fcol, rng, 1)
+        lit = math.floor(fv[0] * 100 + 0.5) - shift if fv else 0
+        c_expr = f"NULLIF({c_expr}, {lit})"
+        nulls = " NULLS FIRST"  # NULL bucket sorts first on both
+    bucket = f"CAST((c - (((c % {W}) + {W}) % {W})) / {W} AS BIGINT)"
+    weighted = rng.random() < 0.4
+    icol = rng.choice(cols["ints"])
+    w_src = f", (({icol} % 7) + 7) % 7 AS w" if weighted else ""
+    msum = f"CAST(SUM(w) AS BIGINT)" if weighted else "COUNT(*)"
+    q = (
+        f"WITH c0 AS (SELECT {g} AS grp, {c_expr} AS c{w_src} "
+        f"FROM {table} WHERE ({pred})), "
+        f"h AS (SELECT grp, {bucket} AS b, {msum} AS cnt "
+        f"FROM c0 GROUP BY 1, 2), "
+        f"cum AS (SELECT grp, b, "
+        f"CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY b ASC{nulls} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        f" AS run, "
+        f"CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS tot "
+        f"FROM h) "
+        f"SELECT grp, MIN(tot) AS total_mass, "
+        f"MIN(CASE WHEN {k} * run >= {m} * tot THEN b END) AS qb, "
+        f"MIN(CASE WHEN {k} * run >= {m} * tot THEN b END) * {W} "
+        f"AS q_lo "
+        f"FROM cum GROUP BY grp"
+    )
+    if rng.random() < 0.3:
+        q += " HAVING MIN(tot) > 0"
+    return q
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -1356,6 +1427,7 @@ _SHAPES = {
     "rangenull": _gen_rangenull,
     "nsafejoin": _gen_nsafejoin,
     "medianalg": _gen_medianalg,
+    "histalg": _gen_histalg,
 }
 
 _DEFAULT_MIX = (
@@ -1365,7 +1437,7 @@ _DEFAULT_MIX = (
     + ["emptyset"] + ["outeragg"] + ["winframe"]
     + ["nullframe"] + ["winsetop"]
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
-    + ["rangenull"] + ["nsafejoin"] + ["medianalg"]
+    + ["rangenull"] + ["nsafejoin"] + ["medianalg"] + ["histalg"]
 )
 
 
