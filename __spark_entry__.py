@@ -153,13 +153,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # the 48 oldest r11-vintage rows (dedup_paragraph ..); the r11 tail's
 # last two rows (ivf_train, pq_encode) re-check at the head of the
 # r16 window, keeping every row's latest check <=4 rounds old.  The
-# round's SECOND new query (weighted_median) is deliberately deferred
-# behind the verified tail — exactly the r14 weighted_sample move:
-# spending a third new-query slot would push a third r11 row past the
-# horizon; it leads the r16 window instead (fully oracled at all
-# three SFs, plan-gated, and boundary-differentialed locally).
+# round's SECOND and THIRD new queries (weighted_median,
+# exact_median_refine) are deliberately deferred behind the verified
+# tail — exactly the r14 weighted_sample move: spending more
+# new-query slots would push more r11 rows past the horizon; they
+# lead the r16 window instead (both fully oracled at all three SFs,
+# plan-gated, and boundary-differentialed locally).
 _HIGH_PRIORITY: tuple[str, ...] = ("weighted_sample", "histogram_percentile")
-_LOW_PRIORITY: tuple[str, ...] = ("weighted_median",)
+_LOW_PRIORITY: tuple[str, ...] = ("weighted_median", "exact_median_refine")
 
 
 def _ordered_names() -> list[str]:
@@ -169,7 +170,10 @@ def _ordered_names() -> list[str]:
     first = [n for n in unverified if n in pri and n not in _LOW_PRIORITY]
     first.sort(key=pri.get)
     mid = [n for n in unverified if n not in pri and n not in _LOW_PRIORITY]
-    low = [n for n in unverified if n in _LOW_PRIORITY]
+    low = sorted(
+        (n for n in unverified if n in _LOW_PRIORITY),
+        key=_LOW_PRIORITY.index,
+    )
     # Already-verified tail, oldest-verified-round first so the
     # stalest rows re-check soonest: the 50 r11 rows lead
     # (dedup_paragraph .. pq_encode), then r12, r13, r14.

@@ -96,9 +96,11 @@ HEADLINE = [
     "histogram_median",
     "weighted_sample",
     # round 15: one bounded histogram serving all three quartiles,
-    # and its weighted-quantile sibling
+    # its weighted-quantile sibling, and the two-pass EXACT median
+    # (histogram prune -> rank-select)
     "histogram_percentile",
     "weighted_median",
+    "exact_median_refine",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

@@ -1430,6 +1430,116 @@ def q_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_median_refine",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2)
+                AS BIGINT) AS med2_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped median in two bounded-shuffle passes — the
+    refinement path histogram_median's bracket points at, now a real
+    operator that matches the engines' own median() bit-for-bit
+    (med2 = both middle elements' sum, the even-trick integer):
+
+    Pass 1 (the histogram_median machinery): bounded (group, bucket)
+    counts -> cumulative window -> for the two middle ranks
+    k1 = (n+1) DIV 2 and k2 = n DIV 2 + 1, the TARGET buckets
+    b1/b2 (smallest bucket whose cumulative count reaches each rank)
+    and the count of elements BEFORE each (run_before is monotone in
+    b within a group, so MIN(CASE WHEN run >= k THEN run_before END)
+    fetches the right one without a struct-min — min(struct) would
+    plan a SortAggregate, the pinned hard-won note).
+
+    Pass 2: re-scan the fact, broadcast-join the one-row-per-group
+    targets, keep ONLY rows whose bucket is b1 or b2 (per group —
+    everything else is pruned before any shuffle), rank within
+    (group, bucket) by value, and pick the (k - run_before)-th
+    element of each target bucket.  Ties are safe: row_number among
+    equal values is arbitrary but the VALUE at a fixed position in a
+    sorted multiset is deterministic.  For odd groups b1==b2 and
+    o1==o2 — the single middle row contributes to BOTH sums, giving
+    med2 = 2*c exactly as DuckDB's median interpolation does.
+
+    Scale: the exact alternative shuffles and sorts the whole fact
+    per group; this shuffles (a) bounded histogram counts and (b)
+    ONLY the two target buckets' rows (~2/n_buckets of the fact,
+    here ~1%), at the price of a second scan — the classic
+    scan-cheap/shuffle-expensive trade at 100 TB.  Plan-gated: the
+    pass-2 join must be a BroadcastHashJoin (never a shuffled join)
+    and partial counts must precede the first fact-scale exchange.
+
+    Reference parity: SURVEY.md section 2.4's partial->final SUM
+    discipline (host/aggr/aggr_native.cc:67-73) applied twice —
+    first to counts, then to a rank-pruned exact selection."""
+    W = _HIST_BUCKET_CENTS
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    bucket = f"(c - (((c % {W}) + {W}) % {W})) DIV {W}"
+    h = cents.groupBy(
+        "o_orderpriority", F.expr(bucket).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "b",
+        F.sum("cnt").over(w_run).alias("run"),
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("run_before"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    ).select(
+        "*",
+        F.expr("(tot + 1) DIV 2").alias("k1"),
+        F.expr("tot DIV 2 + 1").alias("k2"),
+    )
+    run, b, rb = F.col("run"), F.col("b"), F.col("run_before")
+    targets = cum.groupBy("o_orderpriority").agg(
+        F.min("tot").alias("n_orders"),
+        F.min("k1").alias("k1"),
+        F.min("k2").alias("k2"),
+        F.min(F.when(run >= F.col("k1"), b)).alias("b1"),
+        F.min(F.when(run >= F.col("k1"), rb)).alias("rb1"),
+        F.min(F.when(run >= F.col("k2"), b)).alias("b2"),
+        F.min(F.when(run >= F.col("k2"), rb)).alias("rb2"),
+    )
+    fact = cents.select(
+        "o_orderpriority", "c", F.expr(bucket).alias("cb")
+    )
+    pruned = fact.join(
+        F.broadcast(targets), "o_orderpriority", "inner"
+    ).where((F.col("cb") == F.col("b1")) | (F.col("cb") == F.col("b2")))
+    w_rank = Window.partitionBy("o_orderpriority", "cb").orderBy("c")
+    ranked = pruned.select(
+        "*", F.row_number().over(w_rank).alias("rn")
+    )
+    lower_hit = (F.col("cb") == F.col("b1")) & (
+        F.col("rn") == F.col("k1") - F.col("rb1")
+    )
+    upper_hit = (F.col("cb") == F.col("b2")) & (
+        F.col("rn") == F.col("k2") - F.col("rb2")
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.min("n_orders").alias("n_orders"),
+        (
+            F.sum(F.when(lower_hit, F.col("c")).otherwise(F.lit(0)))
+            + F.sum(F.when(upper_hit, F.col("c")).otherwise(F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("med2_cents"),
+    )
+
+
+@query(
     "weighted_median",
     oracle="""
     WITH c0 AS (

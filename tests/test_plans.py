@@ -753,6 +753,44 @@ def test_histogram_percentile_bounded_shuffles(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_median_refine_pruned_second_pass(spark):
+    """exact_median_refine's 100 TB contract: pass 1 is the
+    histogram_median machinery (partial counts BEFORE the fact-scale
+    exchange), pass 2 re-scans but broadcast-joins the one-row-per-
+    group targets and prunes to the two target buckets BEFORE its
+    (group, bucket) rank shuffle — so no exchange ever carries
+    unpruned fact rows.  Exactly 4 shuffle exchanges (bucketed count,
+    histogram re-key, pruned rank window, final agg), ONE broadcast
+    join, and never a shuffled join; both scans pruned to 2 columns."""
+    plan = _formatted_plan(spark, "exact_median_refine")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 4, f"expected exactly four exchanges:\n{plan}"
+    assert len(_re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the first shuffle uncombined"
+    )
+    # the pass-2 rank window shuffles on (group, bucket) — only rows
+    # that survived the target-bucket prune reach it
+    assert _re.search(r"hashpartitioning\(o_orderpriority#\d+, cb#", plan), (
+        "pass-2 rank shuffle not keyed on (group, bucket)"
+    )
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 3, f"run+tot (shared sort) and rank:\n{plan}"
+    schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 2 and all(
+        "o_totalprice" in s and "o_orderpriority" in s
+        and "o_custkey" not in s
+        for s in schemas
+    ), f"scan pruning lost: {schemas}"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_median_bounded_shuffles(spark):
     """weighted_median: the weighted variant of the bounded-histogram
     contract — the fact-scale exchange carries only partial-combined

@@ -11492,6 +11492,90 @@ def test_histogram_percentile_quartile_edges(spark, tmp_path):
     assert g_cols == o_cols and g_ms == o_ms
 
 
+def test_exact_median_refine_rank_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the two-pass exact grouped
+    median (histogram prune -> rank-select), attested by a pure-Python
+    replay of the exact rule (med2 = c[k1] + c[k2] over the sorted
+    multiset, k1 = (n+1)//2, k2 = n//2 + 1, 1-based — DuckDB's
+    median(c*2) interpolation in integers) and Spark-vs-DuckDB
+    through the registered oracle:
+
+    - group A: the two middle elements STRADDLE two buckets (b1 != b2
+      — the cross-bucket sum path);
+    - group B: odd count — one row serves BOTH ranks (med2 = 2*c);
+    - group C: TIES at the middle — row_number among equal values is
+      arbitrary but the value at the offset is deterministic;
+    - group D: the lower middle is the FIRST element of its bucket
+      and group E's upper middle is the LAST element of its bucket —
+      both (k - run_before) offset edges;
+    - group F: negative cents across negative buckets (floor
+      bucketing, the r14 ADVICE discipline);
+    - groups G/H: n=1 and n=2-in-one-bucket."""
+    import math
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    day = datetime(1995, 6, 1)
+    W = 200_000
+
+    prices = {
+        "A": [1000.00, 1500.00, 2500.00, 3000.00],  # middles b0|b1
+        "B": [500.00, 900.00, 4100.00],  # odd: one row, both ranks
+        "C": [100.00, 100.00, 100.00, 900.00],  # tied middles
+        "D": [1000.00, 1999.99, 2000.00, 2500.00, 9000.00],  # first-of-b1
+        "E": [1000.00, 1500.00, 1999.99, 2500.00],  # last-of-b0
+        "F": [-4500.00, -2500.00, -500.00, 3500.00],  # negative buckets
+        "G": [1234.56],
+        "H": [300.00, 700.00],
+    }
+
+    def replay():
+        out = {}
+        for g, ps in prices.items():
+            cents = sorted(math.floor(p * 100 + 0.5) for p in ps)
+            n = len(cents)
+            k1, k2 = (n + 1) // 2, n // 2 + 1
+            out[g] = (n, cents[k1 - 1] + cents[k2 - 1])
+        return out
+
+    expect = replay()
+
+    def cents_of(g):
+        return sorted(
+            math.floor(p * 100 + 0.5) for p in prices[g]
+        )
+
+    # fixture drift guards: the regimes must actually force
+    a = cents_of("A")
+    assert a[1] // W != a[2] // W, "A's middles no longer straddle"
+    d = cents_of("D")
+    mid = d[(5 - 1) // 2]
+    before_in_bucket = sum(1 for c in d if c // W == mid // W and c < mid)
+    assert before_in_bucket == 0, "D's middle no longer first-of-bucket"
+    e = cents_of("E")
+    up = e[4 // 2]  # k2 - 1 = 2
+    after_in_bucket = sum(1 for c in e if c // W == up // W and c > up)
+    assert after_in_bucket == 0, "E's upper middle no longer last-of-bucket"
+    assert all(c < 0 for c in cents_of("F")[:3])
+    c_mid = cents_of("C")
+    assert c_mid[1] == c_mid[2], "C's middles no longer tied"
+
+    rows = [(p, g, day) for g, ps in prices.items() for p in ps]
+    sf = _sf_with_orders(tmp_path, "exmed", rows)
+    got = all_queries()["exact_median_refine"].build(spark, sf)
+    per_group = {
+        r.o_orderpriority: (r.n_orders, r.med2_cents)
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["exact_median_refine"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
 def test_floor_ceil_sign_result_type_cross_engine_seam(spark):
     """PINNED seam cluster (r15 probe sweep): over DOUBLE input the
     result TYPES diverge silently while the VALUES agree —

@@ -92,8 +92,9 @@ stringfunc RULE-10-spellings extension: 77000-77119 shakedown,
 histalg (the histogram-quantile algebra family) landed: 80000-80119
 shakedown, 81000-81399 histalg at sf0.01, 82000-82199
 histalg+medianalg at sf0.001, 83000-83199 histalg at sf0.1,
-84000-84599 mixed over all 24 families at sf0.01 — **4,940 r15
-cases, ZERO divergences — ~34,670 total**. The r12
+84000-84599 mixed over all 24 families at sf0.01, 85000-85999
+mixed-24 at sf0.01, 86000-86399 mixed-24 at sf0.001 — **6,340 r15
+cases, ZERO divergences — ~36,070 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
