@@ -160,7 +160,13 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # lead the r16 window instead (both fully oracled at all three SFs,
 # plan-gated, and boundary-differentialed locally).
 _HIGH_PRIORITY: tuple[str, ...] = ("weighted_sample", "histogram_percentile")
-_LOW_PRIORITY: tuple[str, ...] = ("weighted_median", "exact_median_refine")
+_LOW_PRIORITY: tuple[str, ...] = (
+    "weighted_median",
+    "exact_median_refine",
+    "exact_quartiles_refine",
+    "group_mode",
+    "heavy_hitters",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -1654,3 +1654,199 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wmed_bucket") * W).alias("wmed_lo_cents"),
         ((F.col("wmed_bucket") + 1) * W - 1).alias("wmed_hi_cents"),
     )
+
+
+@query(
+    "exact_quartiles_refine",
+    oracle="""
+    WITH c0 AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c)
+                  AS BIGINT) AS q25_cents,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c)
+                  AS BIGINT) AS q75_cents
+      FROM c0
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, q25_cents, q75_cents,
+           q75_cents - q25_cents AS iqr_cents
+    FROM q
+    """,
+)
+def q_exact_quartiles_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped p25/p75 (percentile_disc semantics: the element
+    at 1-based rank ceil(p*n) of the sorted multiset) in two
+    bounded-shuffle passes — the exact_median_refine machinery
+    generalized from the two middle ranks to ARBITRARY order
+    statistics, closing the loop histogram_percentile's bracket
+    points at: the histogram names the quartile buckets, the refine
+    pass fetches the exact elements inside them.
+
+    Ranks in exact integer arithmetic: k25 = ceil(n/4) = (n+3) DIV 4,
+    k75 = ceil(3n/4) = (3n+3) DIV 4 — percentile_disc never
+    interpolates, so unlike median there is no multiply-through or
+    even/odd split; the answer IS a member of the multiset (which is
+    why the rule-9 lint sanctions bare CAST(percentile_disc(..))).
+
+    Pass 1 (bounded): (group, bucket) counts -> cumulative window ->
+    per rank k the target bucket (smallest b with run >= k) and
+    run_before, fetched via MIN(CASE WHEN run >= k ..) on the
+    monotone run — never min(struct) (SortAggregate trap).  Pass 2:
+    re-scan, broadcast-join the one-row-per-group targets, prune to
+    the <=2 target buckets BEFORE any shuffle, rank within (group,
+    bucket) by value, and keep the (k - run_before)-th element of
+    each target bucket (ties: row_number among equal values is
+    arbitrary but the VALUE at a fixed rank of a sorted multiset is
+    deterministic).  When both quartiles land in ONE bucket the two
+    hit-predicates select two (or, with k25==k75, one) rows of the
+    same bucket — MIN over the when-guarded column is exact either
+    way.
+
+    Scale: identical contract to exact_median_refine — the only
+    fact-scale exchange-free work is the map-side-combined histogram
+    and the ~2/n_buckets pruned slice; plan-gated ==4 Exchanges, the
+    pass-2 join a BroadcastHashJoin, both scans pruned to 2 columns.
+    Reference parity: the partial->final discipline of
+    host/aggr/aggr_native.cc:67-73 applied to rank selection."""
+    W = _HIST_BUCKET_CENTS
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    bucket = f"(c - (((c % {W}) + {W}) % {W})) DIV {W}"
+    h = cents.groupBy(
+        "o_orderpriority", F.expr(bucket).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "b",
+        F.sum("cnt").over(w_run).alias("run"),
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("run_before"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    ).select(
+        "*",
+        F.expr("(tot + 3) DIV 4").alias("k25"),
+        F.expr("(3 * tot + 3) DIV 4").alias("k75"),
+    )
+    run, b, rb = F.col("run"), F.col("b"), F.col("run_before")
+    targets = cum.groupBy("o_orderpriority").agg(
+        F.min("tot").alias("n_orders"),
+        F.min("k25").alias("k25"),
+        F.min("k75").alias("k75"),
+        F.min(F.when(run >= F.col("k25"), b)).alias("b25"),
+        F.min(F.when(run >= F.col("k25"), rb)).alias("rb25"),
+        F.min(F.when(run >= F.col("k75"), b)).alias("b75"),
+        F.min(F.when(run >= F.col("k75"), rb)).alias("rb75"),
+    )
+    fact = cents.select(
+        "o_orderpriority", "c", F.expr(bucket).alias("cb")
+    )
+    pruned = fact.join(
+        F.broadcast(targets), "o_orderpriority", "inner"
+    ).where((F.col("cb") == F.col("b25")) | (F.col("cb") == F.col("b75")))
+    w_rank = Window.partitionBy("o_orderpriority", "cb").orderBy("c")
+    ranked = pruned.select(
+        "*", F.row_number().over(w_rank).alias("rn")
+    )
+    hit25 = (F.col("cb") == F.col("b25")) & (
+        F.col("rn") == F.col("k25") - F.col("rb25")
+    )
+    hit75 = (F.col("cb") == F.col("b75")) & (
+        F.col("rn") == F.col("k75") - F.col("rb75")
+    )
+    out = ranked.groupBy("o_orderpriority").agg(
+        F.min("n_orders").alias("n_orders"),
+        F.min(F.when(hit25, F.col("c"))).alias("q25_cents"),
+        F.min(F.when(hit75, F.col("c"))).alias("q75_cents"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        "q25_cents",
+        "q75_cents",
+        (F.col("q75_cents") - F.col("q25_cents")).alias("iqr_cents"),
+    )
+
+
+@query(
+    "group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS cnt
+      FROM documents
+      WHERE lang IS NOT NULL
+      GROUP BY source, lang
+    ),
+    r AS (
+      SELECT source, lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, lang ASC) AS rn,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT source, tot AS n_docs, lang AS mode_lang, cnt AS mode_cnt,
+           (1000000 * cnt) // tot AS mode_share_ppm
+    FROM r
+    WHERE rn = 1
+    """,
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped MODE (most frequent value) with a fully
+    deterministic tie-break — the dominant language per document
+    source (the training-data use: routing a source to its majority
+    language before per-language sampling, cf. weighted_sample /
+    corpus_mix).  Neither engine's built-in mode() specifies a
+    tie-break, so BOTH sides spell the selection as a window rank
+    over (count DESC, value ASC) — ties go to the lexicographically
+    smallest value, pinned by the forced-tie differential.
+
+    Semantics: NULL langs are excluded on both sides (a NULL sort key
+    would hit the NULLS FIRST/LAST seam — oracle_lint rule 1 — and a
+    NULL "mode" is meaningless for routing); share is integer ppm via
+    truncating division of non-negative BIGINTs (floor-equal, the
+    sanctioned `//`/DIV regime).
+
+    Scale: exchange 1 carries map-side partial-combined (source,
+    lang) counts — bounded by sources x languages regardless of
+    corpus size; exchange 2 re-keys that bounded table on source for
+    the rank + total windows (one sort serves the rank; the total is
+    partition-only).  Plan-gated ==2 Exchanges, scan pruned to
+    (source, lang) — document text never leaves parquet.  The exact
+    alternative (per-group sort of the fact by frequency) is
+    precisely what the bounded histogram family avoids."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    ).select("source", "lang")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    w_all = Window.partitionBy("source")
+    ranked = counts.select(
+        "source",
+        "lang",
+        "cnt",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "source",
+        F.col("tot").alias("n_docs"),
+        F.col("lang").alias("mode_lang"),
+        F.col("cnt").alias("mode_cnt"),
+        F.expr("(1000000 * cnt) DIV tot").alias("mode_share_ppm"),
+    )

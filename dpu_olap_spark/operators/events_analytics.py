@@ -654,3 +654,77 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("total_dur_s") > 0)
     )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             event_type,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT day, event_type, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS day_total
+      FROM c
+    )
+    SELECT day, event_type, cnt, day_total,
+           (1000000 * cnt) // day_total AS share_ppm
+    FROM t
+    WHERE 5 * cnt > day_total
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters — event types holding a STRICT >1/5 share
+    of their day's traffic (the exact-verification pass of the
+    Misra-Gries / SpaceSaving frequent-items scheme: a streaming
+    sketch admits at most k-1 = 4 candidates above threshold 1/k;
+    this operator IS the exact count that confirms them, and at any
+    k its output is bounded to < k rows per group BY CONSTRUCTION —
+    strictly-greater than tot/5 can hold for at most 4 types).
+
+    Semantics (deterministic, engine-exact): the threshold is the
+    integer cross-multiplication 5*cnt > day_total — no division, no
+    floats (the rule-9 discipline); share_ppm is truncating division
+    of non-negative BIGINTs (floor-equal on both engines); day is
+    date_trunc('day') kept as TIMESTAMP on both sides (the rule-4
+    coarse-date_trunc seam spelling).  At least one type always
+    reaches cnt >= tot/5, so a day drops out entirely only under an
+    exact five-way tie — the all-tied and one-dominant regimes are
+    both forced in the differential.
+
+    Scale: exchange 1 carries map-side partial-combined (day, type)
+    counts — bounded by days x types regardless of event volume;
+    exchange 2 re-keys that bounded table on day for the
+    partition-total window; the filter and ppm projection run on
+    window output.  Plan-gated ==2 Exchanges, scan pruned to
+    (ts, event_type).  The naive alternative (join each event row
+    against its day total) would shuffle the fact twice."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_all = W.partitionBy("day")
+    with_tot = counts.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w_all).alias("day_total"),
+    )
+    return with_tot.where(
+        5 * F.col("cnt") > F.col("day_total")
+    ).select(
+        "day",
+        "event_type",
+        "cnt",
+        "day_total",
+        F.expr("(1000000 * cnt) DIV day_total").alias("share_ppm"),
+    )

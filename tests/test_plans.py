@@ -894,3 +894,104 @@ def test_sql_script_loop_reads_cached_histogram_not_orders(spark):
         spark.sql(f"DROP TEMPORARY VARIABLE sql_script_probe_{run_id}")
     with pytest.raises(Exception, match="UNRESOLVED"):
         spark.sql(f"SELECT sql_script_thr_{run_id}").collect()
+
+
+def test_exact_quartiles_refine_pruned_second_pass(spark):
+    """exact_quartiles_refine inherits exact_median_refine's 100 TB
+    contract with two arbitrary ranks instead of the middle pair:
+    partial counts BEFORE the fact-scale exchange, the pass-2 targets
+    join a BroadcastHashJoin (never shuffled), the rank shuffle keyed
+    on (group, bucket) so only prune-survivors reach it, exactly 4
+    exchanges, and both scans pruned to the 2 needed columns."""
+    plan = _formatted_plan(spark, "exact_quartiles_refine")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 4, f"expected exactly four exchanges:\n{plan}"
+    assert len(_re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the first shuffle uncombined"
+    )
+    assert _re.search(r"hashpartitioning\(o_orderpriority#\d+, cb#", plan), (
+        "pass-2 rank shuffle not keyed on (group, bucket)"
+    )
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 3, f"run+tot (shared sort) and rank:\n{plan}"
+    schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 2 and all(
+        "o_totalprice" in s and "o_orderpriority" in s
+        and "o_custkey" not in s
+        for s in schemas
+    ), f"scan pruning lost: {schemas}"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_mode_bounded_shuffles(spark):
+    """group_mode's 100 TB contract: the only fact-scale work is the
+    map-side-combinable (source, lang) count — the first exchange
+    carries at most sources x languages rows regardless of corpus
+    size; the second re-keys that bounded table on source for the
+    rank + total windows.  The scan reads ONLY (source, lang) — text
+    never leaves parquet — and the NULL-lang filter is pushed to the
+    scan."""
+    plan = _formatted_plan(spark, "group_mode")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected exactly two exchanges:\n{plan}"
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert _re.search(r"hashpartitioning\(source#\d+, lang#", plan), (
+        "exchange 1 not keyed on (source, lang)"
+    )
+    assert _re.search(r"hashpartitioning\(source#\d+, \d+\)", plan), (
+        "exchange 2 not keyed on source alone"
+    )
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 2, f"rank + total windows:\n{plan}"
+    assert "IsNotNull(lang)" in plan, "NULL-lang filter not pushed to scan"
+    assert "ReadSchema: struct<lang:string,source:string>" in plan or (
+        "ReadSchema: struct<source:string,lang:string>" in plan
+    ), "column pruning lost: the scan reads more than 2 columns"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_bounded_shuffles(spark):
+    """heavy_hitters' 100 TB contract: exchange 1 carries map-side
+    partial-combined (day, event_type) counts — bounded by days x
+    types no matter the event volume; exchange 2 re-keys the bounded
+    table on day for the partition-total window; the strict >1/5
+    filter and the ppm projection run on window output (never a
+    fact-vs-total join).  Scan pruned to (ts, event_type)."""
+    plan = _formatted_plan(spark, "heavy_hitters")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected exactly two exchanges:\n{plan}"
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert _re.search(r"hashpartitioning\(day#\d+, event_type#", plan), (
+        "exchange 1 not keyed on (day, type)"
+    )
+    assert _re.search(r"hashpartitioning\(day#\d+, \d+\)", plan), (
+        "exchange 2 not keyed on day alone"
+    )
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 1, f"one partition-total window:\n{plan}"
+    assert "ReadSchema: struct<ts:timestamp,event_type:string>" in plan or (
+        "ReadSchema: struct<event_type:string,ts:timestamp>" in plan
+    ), "column pruning lost: the scan reads more than 2 columns"
+    assert len(_re.findall(r"\(\d+\) \w*Join", plan)) == 0, (
+        "totals must come from a window, not a join"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

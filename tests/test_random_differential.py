@@ -12015,3 +12015,261 @@ def test_substr_zero_trim_order_dow_cross_engine_seam(spark):
         s, d = both(sql)
         assert s == d, (sql, s, d)
     con.close()
+
+
+def test_exact_quartiles_refine_rank_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the two-pass exact grouped
+    quartiles (histogram prune -> rank-select at ceil(n/4) and
+    ceil(3n/4)), attested by a pure-Python replay of percentile_disc
+    (q_p = sorted[ceil(p*n) - 1], 1-based) and Spark-vs-DuckDB
+    through the registered oracle:
+
+    - group A: q25 and q75 in DIFFERENT buckets (the two-target
+      prune path);
+    - group B: BOTH quartiles inside ONE bucket (b25 == b75 — the
+      two hit-predicates select two rows of the same pruned bucket);
+    - group C: n=1 — k25 == k75 == 1, one row serves both ranks and
+      iqr == 0;
+    - group D: TIES at both quartile ranks (row_number among equal
+      values is arbitrary but the value at the rank is
+      deterministic);
+    - group E: negative cents across negative buckets (floor
+      bucketing);
+    - group F: q25 is the FIRST element of its bucket and q75 the
+      LAST of the same bucket — both (k - run_before) offset edges."""
+    import math
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    day = datetime(1995, 6, 1)
+    W = 200_000
+
+    prices = {
+        "A": [1000.00, 1500.00, 2500.00, 3000.00,
+              4100.00, 4500.00, 6100.00, 7000.00],
+        "B": [100.00, 200.00, 300.00, 400.00],
+        "C": [1234.56],
+        "D": [500.00, 500.00, 500.00, 900.00, 900.00],
+        "E": [-4500.00, -2500.00, -500.00, 3500.00],
+        "F": [1000.00, 2000.00, 2500.00, 3000.00, 9000.00],
+    }
+
+    def replay():
+        out = {}
+        for g, ps in prices.items():
+            cents = sorted(math.floor(p * 100 + 0.5) for p in ps)
+            n = len(cents)
+            k25, k75 = (n + 3) // 4, (3 * n + 3) // 4
+            q25, q75 = cents[k25 - 1], cents[k75 - 1]
+            out[g] = (n, q25, q75, q75 - q25)
+        return out
+
+    expect = replay()
+
+    def cents_of(g):
+        return sorted(math.floor(p * 100 + 0.5) for p in prices[g])
+
+    def fbucket(c):
+        return (c - (((c % W) + W) % W)) // W
+
+    # fixture drift guards: the regimes must actually force
+    a = cents_of("A")
+    assert fbucket(a[1]) != fbucket(a[5]), "A's quartiles share a bucket"
+    b = cents_of("B")
+    assert fbucket(b[0]) == fbucket(b[2]), "B's quartiles left the bucket"
+    d = cents_of("D")
+    assert d[0] == d[1] and d[3] == d[4], "D's rank ties are gone"
+    e = cents_of("E")
+    assert fbucket(e[0]) < 0 and fbucket(e[2]) < 0, "E's buckets not negative"
+    f = cents_of("F")
+    q25f, q75f = f[1], f[3]
+    assert fbucket(q25f) == fbucket(q75f), "F's quartiles left the bucket"
+    in_bucket = [c for c in f if fbucket(c) == fbucket(q25f)]
+    assert in_bucket[0] == q25f and in_bucket[-1] == q75f, (
+        "F's first/last-of-bucket edges are gone"
+    )
+
+    rows = [(p, g, day) for g, ps in prices.items() for p in ps]
+    sf = _sf_with_orders(tmp_path, "exquart", rows)
+    got = all_queries()["exact_quartiles_refine"].build(spark, sf)
+    per_group = {
+        r.o_orderpriority: (r.n_orders, r.q25_cents, r.q75_cents,
+                            r.iqr_cents)
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["exact_quartiles_refine"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_group_mode_tie_break_and_null_regimes(spark, tmp_path):
+    """Forced-edge differential for the exact grouped mode, attested
+    by a pure-Python replay of the pinned tie-break (count DESC, then
+    value ASC) and Spark-vs-DuckDB through the registered oracle:
+
+    - source "tie": de and fr tie at 2 — the lexicographically
+      SMALLER lang (de) wins on both engines (the built-in mode()
+      functions leave this unspecified, which is why both sides
+      spell the window);
+    - source "nulls": NULL langs are excluded BEFORE counting — the
+      group survives with n_docs = 2 (not 5) and the en/es tie goes
+      to en;
+    - source "allnull": every lang NULL — the source vanishes from
+      the output entirely on both engines;
+    - source "solo": a single document — share exactly 1,000,000 ppm;
+    - source "dom": a strict majority — share 750,000 ppm
+      (truncating non-negative division, floor-equal on both)."""
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    docs = [
+        ("tie", ["de", "de", "fr", "fr", "zh"]),
+        ("nulls", [None, None, None, "en", "es"]),
+        ("allnull", [None, None]),
+        ("solo", ["ja"]),
+        ("dom", ["en", "en", "en", "fr"]),
+    ]
+    rows = []
+    i = 0
+    for source, langs in docs:
+        for lang in langs:
+            rows.append((i, f"doc {i}", lang, source))
+            i += 1
+
+    def replay():
+        out = {}
+        for source, langs in docs:
+            kept = [x for x in langs if x is not None]
+            if not kept:
+                continue
+            counts = {}
+            for x in kept:
+                counts[x] = counts.get(x, 0) + 1
+            tot = len(kept)
+            mode_lang = min(counts, key=lambda x: (-counts[x], x))
+            cnt = counts[mode_lang]
+            out[source] = (tot, mode_lang, cnt, (1_000_000 * cnt) // tot)
+        return out
+
+    expect = replay()
+    assert "allnull" not in expect and expect["tie"][1] == "de"
+    assert expect["nulls"] == (2, "en", 1, 500_000)
+
+    sf = _sf_with_documents(tmp_path, "gmode", rows)
+    got = all_queries()["group_mode"].build(spark, sf)
+    per_group = {
+        r.source: (r.n_docs, r.mode_lang, r.mode_cnt, r.mode_share_ppm)
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["group_mode"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
+
+
+def _sf_with_typed_events(tmp_path, subdir, rows):
+    """A fixture sf_dir whose events.parquet is custom ((event_id,
+    ts, event_type) tuples; microsecond timestamps) and whose other
+    nine tables are symlinks to sf0.001."""
+    from dpu_olap_spark.sources.tables import TABLES
+
+    d = tmp_path / subdir
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_heavy_hitters_threshold_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the exact >1/5 heavy hitters,
+    attested by a pure-Python replay of the strict integer threshold
+    (5*cnt > tot) and Spark-vs-DuckDB through the registered oracle:
+
+    - day 1: an EXACT five-way tie (2 each of 10) — 5*2 == 10 is not
+      strictly greater, so the whole day vanishes (the one regime
+      where no type qualifies);
+    - day 2: one dominant type (6 of 10) — exactly one survivor at
+      600,000 ppm;
+    - day 3: the boundary pair — 2 of 10 sits exactly AT 1/5 and is
+      excluded, while 3 of 10 and 5 of 10 pass (strictness forced on
+      both sides of the line);
+    - day 4: a single event — its type passes trivially at
+      1,000,000 ppm;
+    - timestamps carry time-of-day — date_trunc('day') must collapse
+      them into one group per day on both engines."""
+    from datetime import datetime
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    def day_events(day, spec):
+        """spec: {event_type: count}; spread time-of-day."""
+        out = []
+        h = 0
+        for etype, cnt in sorted(spec.items()):
+            for j in range(cnt):
+                out.append((datetime(2024, 1, day, h % 24, j % 60, 13),
+                            etype))
+                h += 5
+        return out
+
+    days = {
+        1: {"click": 2, "view": 2, "error": 2, "signup": 2, "purchase": 2},
+        2: {"click": 6, "view": 1, "error": 1, "signup": 1, "purchase": 1},
+        3: {"click": 2, "view": 3, "error": 5},
+        4: {"signup": 1},
+    }
+    rows = []
+    i = 0
+    for day, spec in days.items():
+        for ts, etype in day_events(day, spec):
+            rows.append((i, ts, etype))
+            i += 1
+
+    def replay():
+        out = set()
+        for day, spec in days.items():
+            tot = sum(spec.values())
+            for etype, cnt in spec.items():
+                if 5 * cnt > tot:
+                    out.add((datetime(2024, 1, day), etype, cnt, tot,
+                             (1_000_000 * cnt) // tot))
+        return out
+
+    expect = replay()
+    assert not any(r[0].day == 1 for r in expect), "the tied day leaked"
+    assert sum(1 for r in expect if r[0].day == 2) == 1
+    d3 = {r[1]: r[4] for r in expect if r[0].day == 3}
+    assert d3 == {"view": 300_000, "error": 500_000}, d3
+    assert (datetime(2024, 1, 4), "signup", 1, 1, 1_000_000) in expect
+
+    sf = _sf_with_typed_events(tmp_path, "hhits", rows)
+    got = all_queries()["heavy_hitters"].build(spark, sf)
+    got_set = {
+        (r.day, r.event_type, r.cnt, r.day_total, r.share_ppm)
+        for r in got.collect()
+    }
+    assert got_set == expect, got_set
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["heavy_hitters"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms
