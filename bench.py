@@ -101,6 +101,11 @@ HEADLINE = [
     "histogram_percentile",
     "weighted_median",
     "exact_median_refine",
+    # round 15 second wave: exact quartile refine, deterministic
+    # grouped mode, strict-share heavy hitters
+    "exact_quartiles_refine",
+    "group_mode",
+    "heavy_hitters",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

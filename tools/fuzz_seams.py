@@ -153,6 +153,7 @@ from __future__ import annotations
 
 import argparse
 import random
+import re
 import sys
 
 TABLE_COLS = {
@@ -1404,6 +1405,177 @@ def _gen_histalg(con, rng: random.Random) -> str:
     return q
 
 
+def _gen_modefreq(con, rng: random.Random) -> str:
+    """Mode / frequent-items algebra (r15 second wave — the fuzz twin
+    of group_mode / heavy_hitters): grouped value-frequency counts,
+    then either a RANK window over (cnt DESC [, val tiebreak]) picking
+    the mode set (RANK keeps ties, so the selected multiset is
+    deterministic even without a total order) or an integer
+    cross-multiplied share threshold k*cnt >(=) m*tot (both strict and
+    non-strict, landing exactly ON tie fractions), with optional ppm
+    shares via the sanctioned positive-mod division spelling.  Value
+    flavors: string columns, bounded modular ints (incl.
+    negative-shifted), and NULLIF'd values either filtered out
+    (IS NOT NULL) or kept as their own frequency class with explicit
+    NULLS ordering on the tiebreak."""
+    table = rng.choice(["orders", "part", "customer", "lineitem"])
+    cols = TABLE_COLS[table]
+    g = rng.choice(cols["groups"])
+    pred = _gen_predicate(con, table, cols, rng)
+    if rng.random() < 0.5 and cols["strs"]:
+        vcol = rng.choice(cols["strs"])
+        val = f"concat({vcol}, '_v')" if vcol == g else vcol
+        null_lit = None
+        if rng.random() < 0.35:
+            sv = _sample_values(con, table, vcol, rng, 1)
+            if sv:
+                inner = _lit("str", sv[0])
+                null_lit = (f"concat({inner}, '_v')"
+                            if vcol == g else inner)
+    else:
+        icol = rng.choice(cols["ints"])
+        k = rng.choice([3, 5, 7, 11])
+        shift = rng.choice([0, 0, 2])
+        val = f"((({icol} % {k}) + {k}) % {k}) - {shift}"
+        null_lit = (str(rng.randrange(k) - shift)
+                    if rng.random() < 0.35 else None)
+    v_expr = f"NULLIF({val}, {null_lit})" if null_lit else val
+    drop_nulls = null_lit is not None and rng.random() < 0.5
+    c_where = " WHERE val IS NOT NULL" if drop_nulls else ""
+    tiebreak = ""
+    if rng.random() < 0.6:
+        nulls = ("" if drop_nulls or not null_lit
+                 else rng.choice([" NULLS FIRST", " NULLS LAST"]))
+        tiebreak = f", val ASC{nulls}"
+    sel_kind = rng.choice(["rank", "rank", "thresh"])
+    if sel_kind == "rank":
+        j = rng.choice([1, 1, 2])
+        sel = f"rk <= {j}"
+    else:
+        k_, m_ = rng.choice([(5, 1), (4, 1), (3, 1), (8, 1),
+                             (10, 3), (7, 2), (2, 1)])
+        op = rng.choice([">", ">="])
+        sel = f"{k_} * cnt {op} {m_} * tot"
+    ppm = ""
+    if rng.random() < 0.5:
+        p = "1000000 * cnt"
+        ppm = (f", CAST((({p}) - (((({p}) % tot) + tot) % tot)) / tot "
+               f"AS BIGINT) AS share_ppm")
+    return (
+        f"WITH c0 AS (SELECT {g} AS grp, {v_expr} AS val "
+        f"FROM {table} WHERE ({pred})), "
+        f"c AS (SELECT grp, val, COUNT(*) AS cnt FROM c0{c_where} "
+        f"GROUP BY 1, 2), "
+        f"r AS (SELECT grp, val, cnt, "
+        f"RANK() OVER (PARTITION BY grp "
+        f"ORDER BY cnt DESC{tiebreak}) AS rk, "
+        f"CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS tot "
+        f"FROM c) "
+        f"SELECT grp, val, cnt, tot, rk{ppm} FROM r WHERE {sel}"
+    )
+
+
+# outer dim <- correlated fact: (dim, fact, dim_pk, fact_fk)
+_LATERAL_PAIRS = [
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+    ("part", "lineitem", "p_partkey", "l_partkey"),
+    ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+]
+# near-key of each fact — appended wherever LIMIT/running sums need an
+# order.  NB (seed-87015 find): in THIS testdata (l_orderkey,
+# l_linenumber) is NOT unique (duplicate linenumbers within an order),
+# so running sums additionally append the SUMMAND as the last sort key
+# — rows tied on the full order then contribute identical values, so
+# the running-sum multiset is order-invariant; RANK flavors keep ties
+# and the LIMIT flavor projects only columns functionally determined
+# by its sort prefix, so both are deterministic as-is.
+_FACT_UKEY = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+}
+
+
+def _gen_latwin(con, rng: random.Random) -> str:
+    """LATERAL over WINDOW outputs (r15 second wave — the NOTES'
+    under-explored composition): a dim row correlates into a fact
+    subquery whose body is a window computation, exercising
+    Catalyst's decorrelation of Window nodes vs DuckDB's native
+    lateral execution.  Flavors: RANK-filtered lateral rows (ties
+    kept — deterministic without a total order), a scalar aggregate
+    OVER a running-sum window (agg-of-window through the lateral
+    seam), and ORDER BY window output + LIMIT under an explicit
+    total order (unique key appended).  Optional NULLIF on the
+    windowed measure spells explicit NULLS placement on the sort;
+    windowed SUM(BIGINT) is CAST (the HUGEINT seam)."""
+    dim, fact, pk, fk = rng.choice(_LATERAL_PAIRS)
+    dc, fc = TABLE_COLS[dim], TABLE_COLS[fact]
+    fcol = rng.choice(fc["floats"])
+    cents = f"CAST(floor(f.{fcol} * 100 + 0.5) AS BIGINT)"
+    nulls = ""
+    if rng.random() < 0.3:
+        sv = _sample_values(con, fact, fcol, rng, 1)
+        if sv:
+            import math as _math
+
+            lit = _math.floor(sv[0] * 100 + 0.5)
+            cents = f"NULLIF({cents}, {lit})"
+            nulls = rng.choice([" NULLS FIRST", " NULLS LAST"])
+    fact_pred = _gen_predicate(con, fact, fc, rng)
+    # column references inside the lateral body must be qualified
+    for c in fc["ints"] + fc["floats"] + fc["strs"] + fc["dates"]:
+        fact_pred = re.sub(rf"(?<![\w.]){c}\b", f"f.{c}", fact_pred)
+    dim_pred = _gen_predicate(con, dim, dc, rng)
+    for c in dc["ints"] + dc["floats"] + dc["strs"] + dc["dates"]:
+        dim_pred = re.sub(rf"(?<![\w.]){c}\b", f"d.{c}", dim_pred)
+    ukey = ", ".join(f"f.{c} ASC" for c in _FACT_UKEY[fact])
+    dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
+    flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit"])
+    direction = rng.choice(["ASC", "DESC"])
+    if flavor == "rankfilter":
+        j = rng.choice([1, 2, 3])
+        body = (
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
+        )
+        outer = (f"SELECT {dkeys}, t.m, t.rk FROM {dim} d, "
+                 f"LATERAL ({body}) t WHERE t.rk <= {j}")
+        outer_has_where = True
+    elif flavor == "aggwin":
+        agg = rng.choice(["MAX", "MIN"])
+        body = (
+            f"SELECT {agg}(rsum) AS mx, COUNT(*) AS n FROM ("
+            f"SELECT CAST(SUM({cents}) OVER (ORDER BY {ukey}, "
+            f"{cents} ASC{nulls} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS BIGINT) AS rsum "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})) s"
+        )
+        outer = (f"SELECT {dkeys}, t.mx, t.n FROM {dim} d, "
+                 f"LATERAL ({body}) t")
+        outer_has_where = False
+    else:
+        j = rng.choice([1, 2, 3])
+        body = (
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred}) "
+            f"ORDER BY rk ASC, {ukey} LIMIT {j}"
+        )
+        outer = (f"SELECT {dkeys}, t.m, t.rk FROM {dim} d, "
+                 f"LATERAL ({body}) t")
+        outer_has_where = False
+    if rng.random() < 0.5:
+        # NB: the lateral BODY contains a WHERE — track the outer's own
+        outer += (" AND " if outer_has_where else " WHERE ")
+        outer += f"({dim_pred})"
+    return outer
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -1429,6 +1601,8 @@ _SHAPES = {
     "nsafejoin": _gen_nsafejoin,
     "medianalg": _gen_medianalg,
     "histalg": _gen_histalg,
+    "modefreq": _gen_modefreq,
+    "latwin": _gen_latwin,
 }
 
 _DEFAULT_MIX = (
@@ -1439,6 +1613,7 @@ _DEFAULT_MIX = (
     + ["nullframe"] + ["winsetop"]
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
     + ["rangenull"] + ["nsafejoin"] + ["medianalg"] + ["histalg"]
+    + ["modefreq"] + ["latwin"]
 )
 
 

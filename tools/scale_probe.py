@@ -884,6 +884,135 @@ def probe_histpctl(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     )
 
 
+def probe_exact_refine(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """exact_median_refine + exact_quartiles_refine (r15) on the SAME
+    orders table as probe_mad/probe_histmed — the two-pass exact
+    order-statistic path the histogram bracket points at.  The audit
+    records every exchange: the histogram exchanges stay bounded by
+    groups x buckets, and the pass-2 rank exchange carries ONLY the
+    target-bucket prune survivors (~n_targets/n_buckets of the fact —
+    the documented scan-cheap/shuffle-lean trade), plus whether the
+    pass-2 targets join executed as a BroadcastHashJoin."""
+    from dpu_olap_spark.registry import all_queries
+
+    walls: dict[str, float] = {}
+    extra: dict[str, int] = {}
+    for name, tag in (
+        ("exact_median_refine", "exmed"),
+        ("exact_quartiles_refine", "exquart"),
+    ):
+        q = all_queries()[name]
+        walls[name] = round(
+            min(
+                _timed(
+                    lambda: q.build(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for _ in range(3)
+            ),
+            3,
+        )
+        frame = q.build(spark, sf_dir)
+        recs = _exchange_records(frame)
+        broadcast_join = 0
+
+        def walk(node):
+            nonlocal broadcast_join
+            if "BroadcastHashJoin" in node.nodeName():
+                broadcast_join = 1
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+            if node.nodeName() == "AdaptiveSparkPlan":
+                walk(node.executedPlan())
+            elif "QueryStage" in node.nodeName():
+                walk(node.plan())
+
+        walk(frame._jdf.queryExecution().executedPlan())
+        extra[f"{tag}_n_exchanges"] = len(recs)
+        extra[f"{tag}_max_exchange_records"] = max(recs)
+        extra[f"{tag}_broadcast_join"] = broadcast_join
+    return walls, extra
+
+
+def gen_docs_langs(spark, n: int, path: str) -> None:
+    """Docs metadata with skewed sources (80% 'web') AND skewed langs
+    (60% 'en', the rest split over 4 minority languages) — the
+    group_mode regime where a naive per-source fact sort would pile
+    the hot source onto one reducer."""
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("web"))
+        .otherwise(F.concat(F.lit("src"), (F.col("id") % 2).cast("string")))
+        .alias("source"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10)) < 6, F.lit("en"))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+                (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(4)) + 1).cast("int"),
+            )
+        )
+        .alias("lang"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_group_mode(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """group_mode (r15) under an 80%-hot source: the audit records
+    both exchanges — the fact-scale one must carry only
+    partial-combined (source, lang) counts (bounded by sources x
+    langs x map partitions, independent of corpus size and the hot
+    source), the second only the bounded count table."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["group_mode"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    recs = _exchange_records(q.build(spark, sf_dir))
+    return (
+        {"group_mode": round(best, 3)},
+        {
+            "gmode_n_exchanges": len(recs),
+            "gmode_max_exchange_records": max(recs),
+        },
+    )
+
+
+def probe_heavy_hitters(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """heavy_hitters (r15) on the events table: the audit records both
+    exchanges — the fact-scale one carries only partial-combined
+    (day, type) counts (bounded by days x types x map partitions,
+    independent of event volume), the second the bounded count
+    table."""
+    from dpu_olap_spark.registry import all_queries
+
+    q = all_queries()["heavy_hitters"]
+    best = min(
+        _timed(
+            lambda: q.build(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
+    recs = _exchange_records(q.build(spark, sf_dir))
+    return (
+        {"heavy_hitters": round(best, 3)},
+        {
+            "hh_n_exchanges": len(recs),
+            "hh_max_exchange_records": max(recs),
+        },
+    )
+
+
 def gen_events_file(spark, n: int, sf_dir: str) -> None:
     """gen_events, collapsed to the single FILE named events.parquet
     that load_events_stream's pathGlobFilter contract expects."""
@@ -984,6 +1113,8 @@ def main() -> None:
     skew_extra: dict[int, dict[str, int]] = {}
     mix_results: dict[int, dict[str, float]] = {}
     mix_extra: dict[int, dict[str, int]] = {}
+    gm_results: dict[int, dict[str, float]] = {}
+    gm_extra: dict[int, dict[str, int]] = {}
     cc_results: dict[int, dict[str, float]] = {}
     cc_extra: dict[int, dict[str, int]] = {}
     para_results: dict[int, dict[str, float]] = {}
@@ -1023,6 +1154,10 @@ def main() -> None:
             gen_docs_sources(spark, docs_n, path)
             mix_results[docs_n], mix_extra[docs_n] = probe_corpus_mix(spark, path)
         for docs_n in doc_sizes:
+            sf = os.path.join(d, f"gmode_sf_{docs_n}")
+            gen_docs_langs(spark, docs_n, os.path.join(sf, "documents.parquet"))
+            gm_results[docs_n], gm_extra[docs_n] = probe_group_mode(spark, sf)
+        for docs_n in doc_sizes:
             sf = os.path.join(d, f"cc_sf_{docs_n}")
             gen_docs(spark, docs_n, os.path.join(sf, "documents.parquet"))
             cc_results[docs_n], cc_extra[docs_n] = probe_cc(spark, sf)
@@ -1038,6 +1173,9 @@ def main() -> None:
             sf = os.path.join(d, f"twa_sf_{ev_n}")
             gen_events(spark, ev_n, os.path.join(sf, "events.parquet"))
             twa_results[ev_n], twa_extra[ev_n] = probe_twa(spark, sf)
+            hh_w, hh_x = probe_heavy_hitters(spark, sf)
+            twa_results[ev_n].update(hh_w)
+            twa_extra[ev_n].update(hh_x)
         for rows in sizes:
             sf = os.path.join(d, f"mad_sf_{rows}")
             gen_orders(spark, rows, os.path.join(sf, "orders.parquet"))
@@ -1051,6 +1189,9 @@ def main() -> None:
             mad_results[rows].update(hp_w)
             mad_extra[rows].update(hp_x)
             ns_results[rows], ns_extra[rows] = probe_nullsafe(spark, sf)
+            er_w, er_x = probe_exact_refine(spark, sf)
+            mad_results[rows].update(er_w)
+            mad_extra[rows].update(er_x)
         for ev_n in event_sizes:
             sf = os.path.join(d, f"stream_sf_{ev_n}")
             gen_events_file(spark, ev_n, sf)
@@ -1190,6 +1331,17 @@ def main() -> None:
             for rows in twa_extra
         ),
         "",
+        "heavy_hitters (r15) on the same events table — exchange audit "
+        "(the fact-scale shuffle carries only partial-combined "
+        "(day, type) counts, bounded by days x types x map "
+        "partitions): "
+        + "; ".join(
+            f"{rows:,} rows -> {twa_extra[rows]['hh_n_exchanges']} "
+            "exchanges / max "
+            f"{twa_extra[rows]['hh_max_exchange_records']:,} records"
+            for rows in twa_extra
+        ),
+        "",
     ]
     lines += _table(
         "## Exact MAD vs histogram median on one orders table "
@@ -1242,6 +1394,44 @@ def main() -> None:
             "exchanges / max "
             f"{mad_extra[rows]['histpctl_max_exchange_records']:,} records"
             for rows in mad_extra
+        ),
+        "",
+        "exact_median_refine / exact_quartiles_refine (r15) — the "
+        "two-pass EXACT path: the largest exchange is the pass-2 "
+        "rank shuffle, which carries only the target-bucket prune "
+        "survivors (~n_targets/n_buckets of the fact), never the "
+        "whole table; the targets join must execute broadcast: "
+        + "; ".join(
+            f"{rows:,} rows -> exmed max "
+            f"{mad_extra[rows]['exmed_max_exchange_records']:,} records "
+            f"({mad_extra[rows]['exmed_n_exchanges']} exchanges, "
+            f"broadcast={bool(mad_extra[rows]['exmed_broadcast_join'])}),"
+            f" exquart max "
+            f"{mad_extra[rows]['exquart_max_exchange_records']:,} "
+            f"records ({mad_extra[rows]['exquart_n_exchanges']} "
+            "exchanges, "
+            f"broadcast={bool(mad_extra[rows]['exquart_broadcast_join'])})"
+            for rows in mad_extra
+        ),
+        "",
+    ]
+    lines += _table(
+        "## Grouped mode under an 80%-hot source "
+        "(real q_group_mode, r15)",
+        gm_results,
+        unit_rows=False,
+    )
+    lines += [
+        "",
+        "Exchange audit (the fact-scale shuffle carries only "
+        "partial-combined (source, lang) counts — bounded by sources "
+        "x langs x map partitions, independent of corpus size and "
+        "the hot source): "
+        + "; ".join(
+            f"{docs:,} docs -> {gm_extra[docs]['gmode_n_exchanges']} "
+            "exchanges / max "
+            f"{gm_extra[docs]['gmode_max_exchange_records']:,} records"
+            for docs in gm_extra
         ),
         "",
     ]
