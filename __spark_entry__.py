@@ -166,6 +166,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "exact_quartiles_refine",
     "group_mode",
     "heavy_hitters",
+    "exact_weighted_median",
 )
 
 

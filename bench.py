@@ -106,6 +106,7 @@ HEADLINE = [
     "exact_quartiles_refine",
     "group_mode",
     "heavy_hitters",
+    "exact_weighted_median",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

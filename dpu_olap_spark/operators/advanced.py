@@ -1850,3 +1850,128 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("mode_cnt"),
         F.expr("(1000000 * cnt) DIV tot").alias("mode_share_ppm"),
     )
+
+
+@query(
+    "exact_weighted_median",
+    oracle="""
+    WITH c0 AS (
+      SELECT l_linestatus,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    -- the oracle may afford the full per-group sort the operator
+    -- exists to avoid: per-VALUE weight totals, then the global
+    -- cumulative walk
+    v AS (
+      SELECT l_linestatus, c, CAST(SUM(w) AS BIGINT) AS vw,
+             COUNT(*) AS n
+      FROM c0 GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT l_linestatus, c,
+             CAST(SUM(vw) OVER (PARTITION BY l_linestatus ORDER BY c ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(vw) OVER (PARTITION BY l_linestatus)
+                  AS BIGINT) AS totw,
+             CAST(SUM(n) OVER (PARTITION BY l_linestatus)
+                  AS BIGINT) AS n_items
+      FROM v
+    )
+    SELECT l_linestatus,
+           MIN(n_items) AS n_items,
+           MIN(totw) AS total_units,
+           MIN(CASE WHEN 2 * cum >= totw THEN c END) AS wmed_cents
+    FROM s
+    GROUP BY l_linestatus
+    """,
+)
+def q_exact_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped WEIGHTED median — the element (not the bucket)
+    at which cumulative unit weight first reaches half the group's
+    total: weighted percentile_disc(0.5), which neither engine has
+    built in.  Completes the quantile family's refine story:
+    weighted_median names the bucket, this fetches the exact element
+    inside it — the weighted twin of exact_median_refine.
+
+    Semantics (deterministic, engine-exact, all BIGINT): weights are
+    exact integers (l_quantity); the answer is the smallest value c
+    with 2 * cumweight(<= c) >= total_weight.  Pass 2 walks PER ROW
+    in value order — row-level running sums under tied values depend
+    on an arbitrary tie order, but the SELECTED VALUE does not: a
+    row of value c* crosses the threshold iff the full per-value
+    cumulative at c* crosses and no earlier value already did (the
+    tie-safety argument in the differential, forced with zero-weight
+    and split-tie rows at the crossing point).  Zero weights never
+    flip the crossing (they add nothing); an all-zero-weight group
+    degenerates to the smallest value on both engines (2*0 >= 0).
+
+    Scale: pass 1 is the weighted_median bounded histogram (fact-
+    scale exchange = map-side-combined (group, bucket) weight sums);
+    pass 2 re-scans, broadcast-joins the one-row-per-group targets
+    (weight_before + total), prunes to the ONE target bucket per
+    group BEFORE any shuffle, and needs only a group-keyed exchange
+    whose partitioning the final aggregation reuses — ==3 Exchanges
+    total, strictly leaner than exact_median_refine's 4 (one rank
+    target instead of two, and no (group, bucket) rank re-key).  The
+    naive exact alternative sorts the whole fact per group.
+    Reference parity: host/aggr/aggr_native.cc:67-73's
+    partial->final SUM discipline applied to weight mass."""
+    W = _PCTL_BUCKET_CENTS
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("c"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("w"),
+    )
+    bucket = f"(c - (((c % {W}) + {W}) % {W})) DIV {W}"
+    h = rows.groupBy(
+        "l_linestatus", F.expr(bucket).alias("b")
+    ).agg(
+        F.sum("w").cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_run = (
+        Window.partitionBy("l_linestatus")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_linestatus")
+    cum = h.select(
+        "l_linestatus",
+        "b",
+        F.sum("wsum").over(w_run).alias("runw"),
+        (F.sum("wsum").over(w_run) - F.col("wsum")).alias("runw_before"),
+        F.sum("wsum").over(w_all).alias("totw"),
+        F.sum("n").over(w_all).alias("n_items"),
+    )
+    runw, b, rb = F.col("runw"), F.col("b"), F.col("runw_before")
+    targets = cum.groupBy("l_linestatus").agg(
+        F.min("n_items").alias("n_items"),
+        F.min("totw").alias("totw"),
+        F.min(F.when(2 * runw >= F.col("totw"), b)).alias("tb"),
+        F.min(F.when(2 * runw >= F.col("totw"), rb)).alias("wb"),
+    )
+    fact = rows.select(
+        "l_linestatus", "c", "w", F.expr(bucket).alias("cb")
+    )
+    pruned = fact.join(
+        F.broadcast(targets), "l_linestatus", "inner"
+    ).where(F.col("cb") == F.col("tb"))
+    w_walk = (
+        Window.partitionBy("l_linestatus")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = pruned.select(
+        "*", F.sum("w").over(w_walk).alias("cumw")
+    )
+    hit = 2 * (F.col("wb") + F.col("cumw")) >= F.col("totw")
+    return walked.groupBy("l_linestatus").agg(
+        F.min("n_items").alias("n_items"),
+        F.min("totw").alias("total_units"),
+        F.min(F.when(hit, F.col("c"))).alias("wmed_cents"),
+    )

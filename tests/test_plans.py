@@ -995,3 +995,35 @@ def test_heavy_hitters_bounded_shuffles(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_weighted_median_pruned_second_pass(spark):
+    """exact_weighted_median: the weighted refine is LEANER than
+    exact_median_refine — one target bucket instead of two and no
+    (group, bucket) rank re-key, so exactly 3 exchanges: bucketed
+    weight-sum (partial_sum before the fact-scale shuffle), histogram
+    re-key, and ONE group-keyed walk exchange whose partitioning the
+    final aggregation reuses.  The pass-2 targets join must stay a
+    BroadcastHashJoin; both scans pruned to the 3 needed columns."""
+    plan = _formatted_plan(spark, "exact_weighted_median")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 3, f"expected exactly three exchanges:\n{plan}"
+    assert len(_re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("hashpartitioning"), (
+        "fact rows reach the first shuffle uncombined"
+    )
+    n_windows = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 3, f"runw+totw (shared sort) and the walk:\n{plan}"
+    schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 2 and all(
+        "l_extendedprice" in s and "l_linestatus" in s
+        and "l_quantity" in s and "l_shipdate" not in s
+        for s in schemas
+    ), f"scan pruning lost: {schemas}"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -12273,3 +12273,93 @@ def test_heavy_hitters_threshold_boundaries(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["heavy_hitters"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_exact_weighted_median_crossing_boundaries(spark, tmp_path):
+    """Forced-boundary differential for the exact weighted median
+    (weighted histogram prune -> per-row weight walk), attested by a
+    pure-Python replay of the exact rule (smallest value c with
+    2*cumweight(<=c) >= total_weight) and Spark-vs-DuckDB through the
+    registered oracle:
+
+    - group A: a HEAVY first value drags the weighted median below
+      the unweighted one (the weight-matters regime, asserted);
+    - group B: a ZERO-weight value sits immediately before the
+      crossing — it adds nothing and must not be selected;
+    - group C: ALL weights zero — degenerates to the smallest value
+      (2*0 >= 0) on both engines;
+    - group D: the crossing value is SPLIT across tied rows — the
+      per-row walk's intra-tie order is arbitrary but the selected
+      VALUE is not (the tie-safety argument in the docstring);
+    - group E: the target bucket is NOT the first bucket (wb > 0 —
+      the broadcast weight_before offset path);
+    - group F: negative cents across negative buckets;
+    - group G: a single row;
+    - group H: all the weight concentrated on the LAST value."""
+    import math
+
+    from dpu_olap_spark.registry import all_queries, oracle_map
+    from tests.oracle import _rows_to_multiset, run_oracle
+
+    data = {
+        "A": [(1.00, 10), (2.00, 1), (3.00, 1), (4.00, 1)],
+        "B": [(1.00, 2), (1.50, 0), (2.00, 2)],
+        "C": [(5.00, 0), (6.00, 0), (7.00, 0)],
+        "D": [(1.00, 1), (1.00, 1), (2.00, 1), (3.00, 1)],
+        "E": [(500.00, 1), (1500.00, 1), (2500.00, 1)],
+        "F": [(-45.00, 3), (-25.00, 2), (-5.00, 1), (35.00, 1)],
+        "G": [(12.34, 7)],
+        "H": [(1.00, 1), (2.00, 1), (3.00, 10)],
+    }
+
+    def replay():
+        out = {}
+        for g, rows in data.items():
+            vw = sorted(
+                (math.floor(p * 100 + 0.5), w) for p, w in rows
+            )
+            totw = sum(w for _, w in vw)
+            cum = 0
+            wmed = None
+            for c, w in vw:
+                cum += w
+                if 2 * cum >= totw:
+                    wmed = c
+                    break
+            out[g] = (len(rows), totw, wmed)
+        return out
+
+    expect = replay()
+    # fixture drift guards
+    assert expect["A"][2] == 100, "A's heavy head no longer wins"
+    a_vals = sorted(math.floor(p * 100 + 0.5) for p, _ in data["A"])
+    assert expect["A"][2] < a_vals[len(a_vals) // 2], (
+        "A no longer distinguishes weighted from unweighted"
+    )
+    assert expect["B"][2] == 100 and data["B"][1][1] == 0
+    assert expect["C"][2] == 500, "C's all-zero degenerate moved"
+    assert expect["D"][2] == 100, "D's split tie no longer crosses"
+    W = 100_000
+    e_med = expect["E"][2]
+    e_wb = sum(
+        w for p, w in data["E"]
+        if math.floor(p * 100 + 0.5) // W < e_med // W
+    )
+    assert e_wb > 0, "E's target bucket became the first bucket"
+    assert expect["F"][2] < 0
+    assert expect["H"][2] == 300, "H's tail weight no longer wins"
+
+    rows = [
+        (p, "A", w, g) for g, pairs in data.items() for p, w in pairs
+    ]
+    sf = _sf_with_lineitem(tmp_path, "exwmed", rows)
+    got = all_queries()["exact_weighted_median"].build(spark, sf)
+    per_group = {
+        r.l_linestatus: (r.n_items, r.total_units, r.wmed_cents)
+        for r in got.collect()
+    }
+    assert per_group == expect, per_group
+    g_ms, g_cols = _rows_to_multiset(got.collect(), got.columns)
+    orows, ocols = run_oracle(oracle_map()["exact_weighted_median"], sf)
+    o_ms, o_cols = _rows_to_multiset(orows, ocols)
+    assert g_cols == o_cols and g_ms == o_ms

@@ -842,8 +842,10 @@ def probe_nullsafe(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
 
 def gen_lineitem(spark, n: int, path: str) -> None:
     """Synthetic lineitem-like table (3 returnflag groups, prices
-    $1,000-$41,000 -> ~400 buckets/group at $1,000 width): the
-    histogram_percentile regime."""
+    $1,000-$41,000 -> ~400 buckets/group at $1,000 width, integral
+    quantities 1-50 incl. a 2% zero-weight slice, 2 linestatus
+    groups): the histogram_percentile / exact_weighted_median
+    regime."""
     df = spark.range(n).select(
         F.col("id").alias("l_orderkey"),
         F.element_at(
@@ -853,6 +855,15 @@ def gen_lineitem(spark, n: int, path: str) -> None:
         (
             1000.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4_000_000)) / 100.0
         ).alias("l_extendedprice"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(50)) == 0, F.lit(0.0))
+        .otherwise(
+            (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(50)) + 1).cast("double")
+        )
+        .alias("l_quantity"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F")),
+            (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(2)) + 1).cast("int"),
+        ).alias("l_linestatus"),
     )
     df.write.mode("overwrite").parquet(path)
 
@@ -900,6 +911,7 @@ def probe_exact_refine(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, 
     for name, tag in (
         ("exact_median_refine", "exmed"),
         ("exact_quartiles_refine", "exquart"),
+        ("exact_weighted_median", "exwmed"),
     ):
         q = all_queries()[name]
         walls[name] = round(
@@ -1410,7 +1422,12 @@ def main() -> None:
             f"{mad_extra[rows]['exquart_max_exchange_records']:,} "
             f"records ({mad_extra[rows]['exquart_n_exchanges']} "
             "exchanges, "
-            f"broadcast={bool(mad_extra[rows]['exquart_broadcast_join'])})"
+            f"broadcast={bool(mad_extra[rows]['exquart_broadcast_join'])}),"
+            f" exwmed max "
+            f"{mad_extra[rows]['exwmed_max_exchange_records']:,} "
+            f"records ({mad_extra[rows]['exwmed_n_exchanges']} "
+            "exchanges, "
+            f"broadcast={bool(mad_extra[rows]['exwmed_broadcast_join'])})"
             for rows in mad_extra
         ),
         "",
