@@ -441,3 +441,37 @@ def f(spark):
     texts = [t for _, _, t in got]
     assert any("o_orderkey" in t for t in texts), "real SQL lost"
     assert not any("prose" in t for t in texts), "docstring leaked in"
+
+
+def test_rule_arg_minmax_fires():
+    """Seeded negatives for RULE 12 (the r15 probe find, pinned in
+    test_max_by_min_by_cross_engine_seam): max_by/min_by keep
+    OPPOSITE arbitrary rows under tied ordering keys AND diverge
+    semantically on NULL values at the winning key (Spark returns
+    the NULL, DuckDB skips the row).  Uniqueness/non-nullness cannot
+    be checked statically, so the family is banned in shared SQL —
+    spell an explicit window rank (the group_mode pattern)."""
+    from oracle_lint import lint_arg_minmax, lint_sql
+
+    bad = [
+        "SELECT max_by(name, ts) FROM t GROUP BY user_id",
+        "SELECT min_by(x, y) AS first_x FROM t",
+        "SELECT arg_max(v, k) FROM t",
+        "SELECT ARG_MIN(v, k) FROM t",
+        "SELECT g, MAX_BY(a, b) FROM t GROUP BY g",
+    ]
+    for sql in bad:
+        assert lint_arg_minmax(sql), f"rule 12 silent on: {sql}"
+    good = [
+        # the sanctioned spelling: explicit window rank + tie-break
+        "SELECT name FROM (SELECT name, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, name ASC) AS rn "
+        "FROM t) WHERE rn = 1",
+        "SELECT MAX(by_col) FROM t",   # plain MAX of a col named by_*
+        "SELECT max(bytes) FROM t",
+    ]
+    for sql in good:
+        assert not lint_arg_minmax(sql), f"rule 12 misfire: {sql}"
+    assert lint_sql("SELECT max_by(a, b) FROM t"), (
+        "rule 12 not aggregated into lint_sql"
+    )

@@ -12363,3 +12363,79 @@ def test_exact_weighted_median_crossing_boundaries(spark, tmp_path):
     orows, ocols = run_oracle(oracle_map()["exact_weighted_median"], sf)
     o_ms, o_cols = _rows_to_multiset(orows, ocols)
     assert g_cols == o_cols and g_ms == o_ms
+
+
+def test_max_by_min_by_cross_engine_seam(spark):
+    """PINNED seam cluster (r15 second-wave probe): max_by/min_by
+    exist on BOTH engines with the same signature and silently
+    disagree on both determinism axes —
+
+    - TIED ordering keys: the kept row is unspecified; in practice
+      Spark returns the later-arriving 'b' and DuckDB the earlier
+      'a' on the identical two-row VALUES input;
+    - NULL value at the winning key: Spark max_by keeps the max-key
+      row and returns its NULL value, DuckDB's max_by/arg_max SKIPS
+      null-valued rows and returns the runner-up — a semantic
+      divergence, not tie luck.
+
+    Attested ALIGNED: NULL ordering keys are skipped by both (the
+    non-null key's row wins), and an all-NULL-key input returns NULL
+    on both.  Attested DIALECT-ONLY (fails loudly, no house rule
+    needed): arg_max/arg_min names (DuckDB-only) and the 3-arg top-k
+    form (neither engine here).  House rule (oracle_lint RULE 12):
+    the family is banned in shared SQL — spell an explicit window
+    rank with a full tie-break (the group_mode pattern)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    tie = "SELECT max_by(x, y) AS r FROM (VALUES ('a', 1), ('b', 1)) t(x, y)"
+    s_tie = spark.sql(tie).collect()[0][0]
+    d_tie = con.execute(tie).fetchone()[0]
+    assert s_tie == "b" and d_tie == "a", (
+        "the tie regime moved — re-derive RULE 12's rationale: "
+        f"spark={s_tie!r} duck={d_tie!r}"
+    )
+
+    nullval = (
+        "SELECT max_by(x, y) AS r "
+        "FROM (VALUES (NULL, 2), ('a', 1)) t(x, y)"
+    )
+    s_nv = spark.sql(nullval).collect()[0][0]
+    d_nv = con.execute(nullval).fetchone()[0]
+    assert s_nv is None and d_nv == "a", (
+        "the NULL-value regime moved — re-derive RULE 12: "
+        f"spark={s_nv!r} duck={d_nv!r}"
+    )
+
+    # aligned regimes — these NOT diverging is what keeps the rule
+    # scoped to the family instead of to every extremum aggregate
+    nullkey = (
+        "SELECT max_by(x, y) AS r "
+        "FROM (VALUES ('a', 1), ('b', NULL)) t(x, y)"
+    )
+    assert spark.sql(nullkey).collect()[0][0] == "a"
+    assert con.execute(nullkey).fetchone()[0] == "a"
+    allnull = (
+        "SELECT max_by(x, y) AS r "
+        "FROM (VALUES ('a', NULL), ('b', NULL)) t(x, y)"
+    )
+    assert spark.sql(allnull).collect()[0][0] is None
+    assert con.execute(allnull).fetchone()[0] is None
+
+    # dialect-only forms fail LOUDLY — no silent seam to lint
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("SELECT arg_max(x, y) FROM (VALUES ('a', 1)) t(x, y)").collect()
+    with _pytest.raises(Exception):
+        con.execute("SELECT max_by(x, y, 2) FROM (VALUES ('a', 1)) t(x, y)")
+
+    # the sanctioned spelling agrees bit-for-bit on the tie input
+    ranked = (
+        "SELECT x AS r FROM (SELECT x, ROW_NUMBER() OVER "
+        "(ORDER BY y DESC, x ASC) AS rn "
+        "FROM (VALUES ('a', 1), ('b', 1)) t(x, y)) s WHERE rn = 1"
+    )
+    assert spark.sql(ranked).collect()[0][0] == "a"
+    assert con.execute(ranked).fetchone()[0] == "a"

@@ -631,6 +631,37 @@ def lint_floor_ceil_sign(sql: str) -> list[str]:
     return hits
 
 
+_ARG_MINMAX = re.compile(
+    r"\b(max_by|min_by|arg_max|arg_min|argmax|argmin)\s*\(", re.IGNORECASE
+)
+
+
+def lint_arg_minmax(sql: str) -> list[str]:
+    """Rule 12 (r15 probe find, pinned in
+    test_max_by_min_by_cross_engine_seam): max_by/min_by diverge on
+    BOTH axes that matter —
+    - TIED ordering keys: each engine keeps an arbitrary row and in
+      practice they pick OPPOSITE ones (Spark 'b', DuckDB 'a' on the
+      same two-row input);
+    - NULL values at the winning key: Spark returns the row's NULL
+      value, DuckDB SKIPS null-valued rows entirely and returns the
+      runner-up ('a' vs NULL — a semantic divergence, not tie luck).
+    A static lint cannot verify key uniqueness or value
+    non-nullness, so the house rule bans the whole family in shared
+    SQL; sanctioned spelling: an explicit ROW_NUMBER/RANK window
+    over (key DESC/ASC, full tie-break) — the group_mode pattern.
+    arg_max/arg_min (DuckDB-only) and 3-arg forms fail loudly on one
+    engine and are flagged for the same reason."""
+    sql_nc = _strip_comments(sql)
+    return [
+        f"{m.group(1).lower()}() — unspecified tie-break AND "
+        f"diverging NULL-value handling (Spark keeps the NULL, DuckDB "
+        f"skips the row); spell an explicit window rank instead: "
+        f"{sql_nc[m.start():m.end() + 25]!r}"
+        for m in _ARG_MINMAX.finditer(sql_nc)
+    ]
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -644,6 +675,7 @@ def lint_sql(sql: str) -> list[str]:
         + lint_fractional_cast(sql)
         + lint_substr_trim(sql)
         + lint_floor_ceil_sign(sql)
+        + lint_arg_minmax(sql)
     )
 
 
