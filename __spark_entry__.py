@@ -153,12 +153,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # the 48 oldest r11-vintage rows (dedup_paragraph ..); the r11 tail's
 # last two rows (ivf_train, pq_encode) re-check at the head of the
 # r16 window, keeping every row's latest check <=4 rounds old.  The
-# round's SECOND and THIRD new queries (weighted_median,
-# exact_median_refine) are deliberately deferred behind the verified
-# tail — exactly the r14 weighted_sample move: spending more
-# new-query slots would push more r11 rows past the horizon; they
-# lead the r16 window instead (both fully oracled at all three SFs,
-# plan-gated, and boundary-differentialed locally).
+# round's later new queries (weighted_median, exact_median_refine,
+# then the second wave's exact_quartiles_refine, group_mode,
+# heavy_hitters, exact_weighted_median) are deliberately deferred
+# behind the verified tail — exactly the r14 weighted_sample move:
+# spending more new-query slots would push more r11 rows past the
+# horizon; they lead the r16 window instead (every one fully oracled
+# at all three SFs, plan-gated, and boundary-differentialed locally;
+# driver-sim'd green in the full 208-query sweep).
 _HIGH_PRIORITY: tuple[str, ...] = ("weighted_sample", "histogram_percentile")
 _LOW_PRIORITY: tuple[str, ...] = (
     "weighted_median",

@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (23): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (26): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -47,7 +47,12 @@ IS NOT DISTINCT FROM spelling over multi-level-NULLIF'd and
 modulo-bucketed keys with a pre-aggregated dim (nsafejoin), and
 MAD/median algebra (medianalg — grouped median(c*2) / binary-exact
 percentile_cont WITHIN GROUP over c*4 / the self-joined mad4 shape,
-with NULLIF'd inputs and HAVING over the median).
+with NULLIF'd inputs and HAVING over the median); r15 added histalg
+(histogram-quantile algebra, see _gen_histalg) and a second wave of
+TWO more: mode/frequent-items algebra (modefreq — RANK-kept ties,
+strict/non-strict integer share thresholds, NULL frequency classes)
+and LATERAL over window outputs (latwin — decorrelated RANK filters,
+agg-over-running-sum, ORDER BY window + LIMIT under a total order).
 Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
 main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
 7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
@@ -94,7 +99,20 @@ shakedown, 81000-81399 histalg at sf0.01, 82000-82199
 histalg+medianalg at sf0.001, 83000-83199 histalg at sf0.1,
 84000-84599 mixed over all 24 families at sf0.01, 85000-85999
 mixed-24 at sf0.01, 86000-86399 mixed-24 at sf0.001 — **6,340 r15
-cases, ZERO divergences — ~36,070 total**. The r12
+cases, ZERO divergences — ~36,070 total**; r15 second wave
+(modefreq/latwin live — the mode/heavy-hitter algebra twin and the
+NOTES' under-explored LATERAL-over-window composition): 87000-87039
+shakedown (seed 87015 exposed a FIXTURE hazard, not a seam:
+(l_orderkey, l_linenumber) is NOT unique in this testdata, so
+latwin's running sums append the SUMMAND as the final sort key —
+tied rows then contribute identical values and the running-sum
+multiset is order-invariant), 88000-88399 modefreq+latwin at
+sf0.01, 89000-89199 at sf0.001, 90000-90199 at sf0.1, 91000-91599
+mixed over all 26 families at sf0.01, 92000-92999 mixed-26 at
+sf0.01, 93000-93399 mixed-26 at sf0.001, 94000-94399 mixed-26 at
+sf0.1 — **3,240 further cases, ZERO divergences — ~39,310 total**;
+the same wave's hand probe pinned the max_by/min_by tie +
+NULL-value seam (RULE 12). The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
