@@ -1465,7 +1465,28 @@ def _gen_modefreq(con, rng: random.Random) -> str:
         nulls = ("" if drop_nulls or not null_lit
                  else rng.choice([" NULLS FIRST", " NULLS LAST"]))
         tiebreak = f", val ASC{nulls}"
-    sel_kind = rng.choice(["rank", "rank", "thresh"])
+    sel_kind = rng.choice(["rank", "rank", "thresh", "gsets"])
+    if sel_kind == "gsets":
+        # wave 3: grouping sets over the rank output — the
+        # ROLLUP-over-empty seam (DuckDB emits (), Spark doesn't)
+        # guarded by the house HAVING COUNT(*) > 0 on both sides;
+        # GROUPING() separates data-NULL vals from rollup NULLs
+        j = rng.choice([1, 2])
+        return (
+            f"WITH c0 AS (SELECT {g} AS grp, {v_expr} AS val "
+            f"FROM {table} WHERE ({pred})), "
+            f"c AS (SELECT grp, val, COUNT(*) AS cnt FROM c0{c_where} "
+            f"GROUP BY 1, 2), "
+            f"r AS (SELECT grp, val, cnt, "
+            f"RANK() OVER (PARTITION BY grp "
+            f"ORDER BY cnt DESC{tiebreak}) AS rk "
+            f"FROM c) "
+            f"SELECT grp, val, GROUPING(grp) AS gg, GROUPING(val) AS gv, "
+            f"COUNT(*) AS n_modes, CAST(SUM(cnt) AS BIGINT) AS mass "
+            f"FROM r WHERE rk <= {j} "
+            f"GROUP BY GROUPING SETS ((grp, val), (grp), ()) "
+            f"HAVING COUNT(*) > 0"
+        )
     if sel_kind == "rank":
         j = rng.choice([1, 1, 2])
         sel = f"rk <= {j}"
@@ -1548,8 +1569,54 @@ def _gen_latwin(con, rng: random.Random) -> str:
         dim_pred = re.sub(rf"(?<![\w.]){c}\b", f"d.{c}", dim_pred)
     ukey = ", ".join(f"f.{c} ASC" for c in _FACT_UKEY[fact])
     dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
-    flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit"])
+    flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit",
+                         "setop", "winover"])
     direction = rng.choice(["ASC", "DESC"])
+    if flavor == "setop":
+        # wave 3: LATERAL composed with set ops — two rank-filtered
+        # lateral queries (deterministic multisets) under
+        # INTERSECT/EXCEPT/UNION ALL dedup semantics
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION ALL"])
+        parts = []
+        for j, dirn in ((rng.choice([1, 2]), direction),
+                        (rng.choice([2, 3]),
+                         rng.choice(["ASC", "DESC"]))):
+            body = (
+                f"SELECT {cents} AS m, "
+                f"RANK() OVER (ORDER BY {cents} {dirn}{nulls}) AS rk "
+                f"FROM {fact} f "
+                f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
+            )
+            parts.append(
+                f"SELECT d.{pk} AS k, t.m, t.rk FROM {dim} d, "
+                f"LATERAL ({body}) t WHERE t.rk <= {j}"
+            )
+        return f"({parts[0]}) {op} ({parts[1]})"
+    if flavor == "winover":
+        # wave 3: a SECOND window over the lateral's output (double
+        # window through decorrelation).  Deterministic under ties:
+        # sort is (dim pk, rk) and rows tied on both carry EQUAL m
+        # (rk <-> m is a bijection within a slice), so every frame's
+        # sum is position-determined whatever the tie permutation.
+        j = rng.choice([1, 2, 3])
+        frame = rng.choice(
+            ["ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"]
+        )
+        dstr = rng.choice(dc["strs"])
+        body = (
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
+        )
+        return (
+            f"SELECT d.{pk}, t.m, t.rk, "
+            f"CAST(SUM(t.m) OVER (PARTITION BY d.{dstr} "
+            f"ORDER BY d.{pk} ASC, t.rk ASC {frame}) AS BIGINT) AS rs2 "
+            f"FROM {dim} d, LATERAL ({body}) t WHERE t.rk <= {j}"
+        )
     if flavor == "rankfilter":
         j = rng.choice([1, 2, 3])
         body = (
