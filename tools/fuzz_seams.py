@@ -112,7 +112,17 @@ mixed over all 26 families at sf0.01, 92000-92999 mixed-26 at
 sf0.01, 93000-93399 mixed-26 at sf0.001, 94000-94399 mixed-26 at
 sf0.1 — **3,240 further cases, ZERO divergences — ~39,310 total**;
 the same wave's hand probe pinned the max_by/min_by tie +
-NULL-value seam (RULE 12). The r12
+NULL-value seam (RULE 12); wave 3 (three new FLAVORS closing the
+next under-explored list — latwin "setop" composes two rank-filtered
+laterals under INTERSECT/EXCEPT/UNION ALL, latwin "winover" runs a
+SECOND bounded-frame window over the lateral output (double window
+through decorrelation; tie-safe because rk <-> m is a bijection
+within a slice), modefreq "gsets" runs GROUPING SETS over the rank
+output with the house HAVING COUNT(*) > 0 empty-group guard):
+95000-95059 shakedown, 96000-96499 modefreq+latwin at sf0.01,
+97000-97199 at sf0.001, 98000-98199 at sf0.1, 99000-99499 mixed-26
+at sf0.01 — **1,460 further cases, ZERO divergences — ~40,770
+total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
