@@ -1475,7 +1475,31 @@ def _gen_modefreq(con, rng: random.Random) -> str:
         nulls = ("" if drop_nulls or not null_lit
                  else rng.choice([" NULLS FIRST", " NULLS LAST"]))
         tiebreak = f", val ASC{nulls}"
-    sel_kind = rng.choice(["rank", "rank", "thresh", "gsets"])
+    sel_kind = rng.choice(["rank", "rank", "thresh", "gsets", "rollup2"])
+    if sel_kind == "rollup2" and len(cols["groups"]) >= 2:
+        # wave 4: TWO-LEVEL groups with partial rollup — rank within
+        # (grp1, grp2), then ROLLUP(grp1, grp2) over the mode set
+        # (the empty-group seam guarded by the house HAVING)
+        g1, g2 = rng.sample(cols["groups"], 2)
+        j = rng.choice([1, 2])
+        return (
+            f"WITH c0 AS (SELECT {g1} AS grp1, {g2} AS grp2, "
+            f"{v_expr} AS val FROM {table} WHERE ({pred})), "
+            f"c AS (SELECT grp1, grp2, val, COUNT(*) AS cnt "
+            f"FROM c0{c_where} GROUP BY 1, 2, 3), "
+            f"r AS (SELECT grp1, grp2, val, cnt, "
+            f"RANK() OVER (PARTITION BY grp1, grp2 "
+            f"ORDER BY cnt DESC{tiebreak}) AS rk "
+            f"FROM c) "
+            f"SELECT grp1, grp2, GROUPING(grp1) AS gg1, "
+            f"GROUPING(grp2) AS gg2, "
+            f"COUNT(*) AS n_modes, CAST(SUM(cnt) AS BIGINT) AS mass "
+            f"FROM r WHERE rk <= {j} "
+            f"GROUP BY ROLLUP(grp1, grp2) "
+            f"HAVING COUNT(*) > 0"
+        )
+    if sel_kind == "rollup2":
+        sel_kind = "rank"  # single-group tables fall back
     if sel_kind == "gsets":
         # wave 3: grouping sets over the rank output — the
         # ROLLUP-over-empty seam (DuckDB emits (), Spark doesn't)
@@ -1580,8 +1604,61 @@ def _gen_latwin(con, rng: random.Random) -> str:
     ukey = ", ".join(f"f.{c} ASC" for c in _FACT_UKEY[fact])
     dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
     flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit",
-                         "setop", "winover"])
+                         "setop", "winover", "latjoin", "rangewin"])
     direction = rng.choice(["ASC", "DESC"])
+    if flavor == "latjoin":
+        # wave 4: decorrelation THROUGH a join — the lateral body is a
+        # PK-FK join, measure from either side; RANK keeps ties
+        dim2, fact2, pk2, fk2, mcol, malias = rng.choice([
+            ("part", "lineitem", "p_partkey", "l_partkey",
+             "l_extendedprice", "f"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey",
+             "l_quantity", "f"),
+            ("part", "lineitem", "p_partkey", "l_partkey",
+             "p_retailprice", "g"),
+        ])
+        if (dim, fact) != ("orders", "lineitem"):
+            dim, fact, pk, fk = "orders", "lineitem", "o_orderkey", "l_orderkey"
+        m2 = f"CAST(floor({malias}.{mcol} * 100 + 0.5) AS BIGINT)"
+        g_pred = _gen_predicate(con, dim2, TABLE_COLS[dim2], rng)
+        gcols = TABLE_COLS[dim2]
+        for c in gcols["ints"] + gcols["floats"] + gcols["strs"] + gcols["dates"]:
+            g_pred = re.sub(rf"(?<![\w.]){c}\b", f"g.{c}", g_pred)
+        j = rng.choice([1, 2, 3])
+        body = (
+            f"SELECT {m2} AS m, "
+            f"RANK() OVER (ORDER BY {m2} {direction}) AS rk "
+            f"FROM {fact} f JOIN {dim2} g ON f.{fk2} = g.{pk2} "
+            f"WHERE f.{fk} = d.{pk} AND ({g_pred})"
+        )
+        return (
+            f"SELECT d.{pk}, d.o_orderpriority, t.m, t.rk "
+            f"FROM {dim} d, LATERAL ({body}) t WHERE t.rk <= {j}"
+        )
+    if flavor == "rangewin":
+        # wave 4: the second window uses a RANGE frame over the single
+        # numeric dim pk — peers are ALL lateral rows of that pk, so
+        # the frame is value-determined whatever the tie order
+        j = rng.choice([1, 2])
+        off = rng.choice([0, 1, 5, 1000])
+        frame = rng.choice([
+            f"RANGE BETWEEN {off} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {off} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        dstr = rng.choice(dc["strs"])
+        body = (
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
+        )
+        return (
+            f"SELECT d.{pk}, t.m, t.rk, "
+            f"CAST(SUM(t.m) OVER (PARTITION BY d.{dstr} "
+            f"ORDER BY d.{pk} ASC {frame}) AS BIGINT) AS rs2 "
+            f"FROM {dim} d, LATERAL ({body}) t WHERE t.rk <= {j}"
+        )
     if flavor == "setop":
         # wave 3: LATERAL composed with set ops — two rank-filtered
         # lateral queries (deterministic multisets) under
