@@ -122,6 +122,15 @@ output with the house HAVING COUNT(*) > 0 empty-group guard):
 95000-95059 shakedown, 96000-96499 modefreq+latwin at sf0.01,
 97000-97199 at sf0.001, 98000-98199 at sf0.1, 99000-99499 mixed-26
 at sf0.01 — **1,460 further cases, ZERO divergences — ~40,770
+total**; wave 4 (three MORE flavors: latwin "latjoin" puts a PK-FK
+JOIN inside the lateral body — decorrelation through a join, measure
+from either side; latwin "rangewin" gives the second window a
+numeric RANGE frame over the dim pk, value-determined whatever the
+tie order; modefreq "rollup2" ranks within TWO-LEVEL groups then
+partial-rolls-up with the house HAVING guard): 100000-100059
+shakedown, 101000-101499 modefreq+latwin at sf0.01, 102000-102199
+at sf0.001, 103000-103199 at sf0.1, 104000-104599 mixed-26 at
+sf0.01 — **1,560 further cases, ZERO divergences — ~42,330
 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
