@@ -131,7 +131,12 @@ partial-rolls-up with the house HAVING guard): 100000-100059
 shakedown, 101000-101499 modefreq+latwin at sf0.01, 102000-102199
 at sf0.001, 103000-103199 at sf0.1, 104000-104599 mixed-26 at
 sf0.01 — **1,560 further cases, ZERO divergences — ~42,330
-total**. The r12
+total**; wave 5 (latwin "leftlat": LEFT JOIN LATERAL with empty
+laterals null-extending the dim, rank filters in the ON clause —
+probed aligned first): 105000-105059 shakedown, 106000-106399
+latwin at sf0.01, 107000-107199 at sf0.001, 108000-108199 at sf0.1,
+109000-109599 mixed-26 at sf0.01 — **1,460 further cases, ZERO
+divergences — ~43,790 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
@@ -1613,8 +1618,30 @@ def _gen_latwin(con, rng: random.Random) -> str:
     ukey = ", ".join(f"f.{c} ASC" for c in _FACT_UKEY[fact])
     dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
     flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit",
-                         "setop", "winover", "latjoin", "rangewin"])
+                         "setop", "winover", "latjoin", "rangewin",
+                         "leftlat"])
     direction = rng.choice(["ASC", "DESC"])
+    if flavor == "leftlat":
+        # wave 5: LEFT JOIN LATERAL — dims with an EMPTY lateral are
+        # null-extended (probed aligned, incl. rank filters in the ON
+        # clause, which both engines apply post-lateral while keeping
+        # the extension)
+        j = rng.choice([1, 2])
+        on = rng.choice(["true", f"t.rk <= {j}"])
+        body = (
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
+        )
+        q = (
+            f"SELECT {dkeys}, t.m, t.rk FROM {dim} d "
+            f"LEFT JOIN LATERAL ({body}) t ON {on}"
+        )
+        if rng.random() < 0.4:
+            # outer predicate on the DIM keeps null-extended rows
+            q += f" WHERE ({dim_pred})"
+        return q
     if flavor == "latjoin":
         # wave 4: decorrelation THROUGH a join — the lateral body is a
         # PK-FK join, measure from either side; RANK keeps ties
