@@ -475,3 +475,50 @@ def test_rule_arg_minmax_fires():
     assert lint_sql("SELECT max_by(a, b) FROM t"), (
         "rule 12 not aggregated into lint_sql"
     )
+
+
+def test_rule_lateral_scalar_agg_fires():
+    """Seeded negatives for RULE 13 (the r15 seed-110004 find, pinned
+    in test_lateral_scalar_aggregate_empty_slice_cross_engine_seam):
+    a comma/CROSS LATERAL whose body is an UNGROUPED aggregate loses
+    whole rows on one engine only (Spark emits the mandatory
+    aggregate row per outer; DuckDB prunes empty slices).  Sanctioned
+    spelling: LEFT JOIN LATERAL ... ON true (+ COALESCE for COUNT)."""
+    from oracle_lint import lint_lateral_scalar_agg, lint_sql
+
+    bad = [
+        "SELECT n.k, t.mx FROM nation n, LATERAL ("
+        "SELECT MAX(c.v) AS mx FROM customer c WHERE c.k = n.k) t",
+        "SELECT n.k, t.n FROM nation n CROSS JOIN LATERAL ("
+        "SELECT COUNT(*) AS n FROM customer c WHERE c.k = n.k) t",
+        # derived-table wrap is NOT sanctioned (aligns only when a
+        # window blocks DuckDB's rewrite)
+        "SELECT n.k, t.mx FROM nation n, LATERAL ("
+        "SELECT SUM(s.v) AS mx FROM (SELECT v FROM c WHERE c.k = n.k) s) t",
+    ]
+    for sql in bad:
+        assert lint_lateral_scalar_agg(sql), f"rule 13 silent on: {sql}"
+    good = [
+        # the sanctioned join
+        "SELECT n.k, COALESCE(t.n, 0) AS n FROM nation n "
+        "LEFT JOIN LATERAL (SELECT COUNT(*) AS n FROM customer c "
+        "WHERE c.k = n.k) t ON true",
+        # grouped body: empty groups vanish on BOTH engines
+        "SELECT r.k, t.* FROM region r, LATERAL ("
+        "SELECT n.n_name, COUNT(*) AS n FROM nation n "
+        "WHERE n.rk = r.k GROUP BY n.n_name) t",
+        # non-aggregate body (rank filter) — rows, not scalars
+        "SELECT d.k, t.m FROM dim d, LATERAL ("
+        "SELECT m, RANK() OVER (ORDER BY m) AS rk FROM f "
+        "WHERE f.k = d.k) t WHERE t.rk <= 2",
+        # aggregate only INSIDE a nested subquery, body itself scalar-free
+        "SELECT d.k, t.m FROM dim d, LATERAL ("
+        "SELECT m FROM f WHERE f.k = d.k AND f.v > "
+        "(SELECT AVG(v) FROM f)) t",
+    ]
+    for sql in good:
+        assert not lint_lateral_scalar_agg(sql), f"rule 13 misfire: {sql}"
+    assert lint_sql(
+        "SELECT n.k, t.mx FROM n, LATERAL (SELECT MAX(v) AS mx "
+        "FROM c WHERE c.k = n.k) t"
+    ), "rule 13 not aggregated into lint_sql"

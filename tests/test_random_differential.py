@@ -12439,3 +12439,88 @@ def test_max_by_min_by_cross_engine_seam(spark):
     )
     assert spark.sql(ranked).collect()[0][0] == "a"
     assert con.execute(ranked).fetchone()[0] == "a"
+
+
+def test_lateral_scalar_aggregate_empty_slice_cross_engine_seam(spark):
+    """PINNED seam (r15 latwin-nested2 build, seed 110004): a
+    comma/CROSS LATERAL whose body is an UNGROUPED aggregate over the
+    correlated slice silently disagrees on EMPTY slices —
+
+    - Spark emits the SQL-standard mandatory aggregate row per outer
+      (MAX -> NULL, COUNT -> 0), keeping every outer row;
+    - DuckDB's decorrelation rewrites the lateral to a grouped join
+      and PRUNES outers whose slice is empty — whole rows vanish
+      from one engine only (rows=15000 vs 12981 in the fuzz find).
+
+    Also attested here:
+    - the derived-table wrap does NOT reliably align (it diverges on
+      plain relations; the aggwin fuzz shape stays aligned only
+      because its WINDOW function blocks DuckDB's rewrite);
+    - nesting the aggregate lateral inside another lateral diverges
+      the same way;
+    - the SANCTIONED spelling — LEFT JOIN LATERAL ... ON true with
+      COALESCE on COUNT-like reads — matches bit-for-bit at both
+      flat and nested depth (house rule, oracle_lint RULE 13).
+
+    Self-contained VALUES inputs; slice k=2 (flat) / k=1 (nested) is
+    forced empty."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(q):
+        s = sorted([tuple(r) for r in spark.sql(q).collect()], key=repr)
+        d = sorted(con.execute(q).fetchall(), key=repr)
+        return s, d
+
+    flat = (
+        "SELECT n.k, t.mx FROM (VALUES (1), (2)) n(k), LATERAL ("
+        "SELECT MAX(c.v) AS mx FROM (VALUES (1, 10), (1, 20)) c(k2, v) "
+        "WHERE c.k2 = n.k) t"
+    )
+    s, d = both(flat)
+    assert s == [(1, 20), (2, None)], f"Spark dropped the standard row: {s}"
+    assert d == [(1, 20)], (
+        "DuckDB stopped pruning empty slices — re-derive RULE 13's "
+        f"rationale: {d}"
+    )
+
+    derived = (
+        "SELECT n.k, t.mx FROM (VALUES (1), (2)) n(k), LATERAL ("
+        "SELECT MAX(s.v) AS mx FROM ("
+        "SELECT c.v AS v FROM (VALUES (1, 10), (1, 20)) c(k2, v) "
+        "WHERE c.k2 = n.k) s) t"
+    )
+    s, d = both(derived)
+    assert s == [(1, 20), (2, None)] and d == [(1, 20)], (
+        "the derived-table wrap alignment changed — revisit whether "
+        f"RULE 13 may sanction it: spark={s} duck={d}"
+    )
+
+    nested = (
+        "SELECT n.k, t.m2, t.mx FROM (VALUES (1), (2)) n(k), LATERAL ("
+        "SELECT m.k3 AS m2, u.mx FROM (VALUES (1), (2)) m(k3), LATERAL ("
+        "SELECT MAX(c.v) AS mx FROM (VALUES (1, 10), (2, 20)) c(k2, v) "
+        "WHERE c.k2 = m.k3 AND c.v > 15) u "
+        "WHERE m.k3 = n.k) t"
+    )
+    s, d = both(nested)
+    assert s == [(1, 1, None), (2, 2, 20)] and d == [(2, 2, 20)], (
+        f"the nested regime moved: spark={s} duck={d}"
+    )
+
+    # the sanctioned spelling agrees at depth, for MAX and for COUNT
+    for agg, empty_val in (("MAX(c.v)", 0), ("COUNT(*)", 0)):
+        sanctioned = (
+            "SELECT n.k, t.m2, t.mx0 FROM (VALUES (1), (2)) n(k), "
+            "LATERAL ("
+            "SELECT m.k3 AS m2, COALESCE(u.mx, 0) AS mx0 "
+            "FROM (VALUES (1), (2)) m(k3) LEFT JOIN LATERAL ("
+            f"SELECT {agg} AS mx FROM (VALUES (1, 10), (2, 20)) c(k2, v) "
+            "WHERE c.k2 = m.k3 AND c.v > 15) u ON true "
+            "WHERE m.k3 = n.k) t"
+        )
+        s, d = both(sanctioned)
+        assert s == d and (1, 1, empty_val) in s, (
+            f"sanctioned spelling diverged for {agg}: spark={s} duck={d}"
+        )

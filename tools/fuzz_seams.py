@@ -1619,8 +1619,59 @@ def _gen_latwin(con, rng: random.Random) -> str:
     dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
     flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit",
                          "setop", "winover", "latjoin", "rangewin",
-                         "leftlat"])
+                         "leftlat", "nested2"])
     direction = rng.choice(["ASC", "DESC"])
+    if flavor == "nested2":
+        # wave 6: correlated laterals nested TWO deep, each
+        # correlation crossing exactly ONE lateral boundary (probed
+        # aligned: region -> nation -> customer).  TWO capability
+        # boundaries found while building this flavor, both LOUD
+        # (dialect-only, so not fuzzed): (a) a lateral body containing
+        # ROLLUP/GROUPING SETS is DuckDB-only — Spark cannot
+        # decorrelate an outer reference under Expand
+        # (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY); (b) an outer
+        # reference crossing TWO lateral boundaries at once is
+        # DuckDB-only — Spark resolves lateral correlation one level
+        # up (UNRESOLVED_COLUMN).
+        agg = rng.choice(["MAX", "MIN", "SUM", "COUNT"])
+        inner_m = (f"{agg}({cents})" if agg != "COUNT"
+                   else "COUNT(*)")
+        if (dim, fact) != ("customer", "orders"):
+            dim, pk = "customer", "c_custkey"
+        dstr2 = rng.choice(TABLE_COLS["customer"]["strs"])
+        # measure comes from lineitem (the innermost slice); the
+        # aggregate reads the derived table's column
+        lcents = "CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT)"
+        inner_m = f"{agg}(lc)" if agg != "COUNT" else "COUNT(*)"
+        l_pred = _gen_predicate(con, "lineitem", TABLE_COLS["lineitem"], rng)
+        for c in (TABLE_COLS["lineitem"]["ints"]
+                  + TABLE_COLS["lineitem"]["floats"]
+                  + TABLE_COLS["lineitem"]["strs"]
+                  + TABLE_COLS["lineitem"]["dates"]):
+            l_pred = re.sub(rf"(?<![\w.]){c}\b", f"f.{c}", l_pred)
+        # the inner aggregate lateral is LEFT ... ON true with a
+        # COALESCE read-back — the spelling that stays aligned at
+        # nesting depth.  A comma-lateral whose ungrouped aggregate
+        # reads the correlated slice diverges SILENTLY on empty
+        # slices (Spark emits the mandatory aggregate row per outer,
+        # DuckDB prunes the outer — the seed-110004 find, pinned in
+        # test_lateral_scalar_aggregate_empty_slice seam test, RULE
+        # 13); the derived-table wrap aligns at the FLAT level only.
+        return (
+            f"SELECT d.{pk}, d.{dstr2}, t.o_orderkey, t.mx0 "
+            f"FROM customer d, LATERAL ("
+            f"SELECT m.o_orderkey, COALESCE(u.mx, 0) AS mx0 "
+            f"FROM orders m LEFT JOIN LATERAL ("
+            f"SELECT CAST({inner_m} AS BIGINT) AS mx FROM ("
+            f"SELECT {lcents.replace('f.', 's0.')} AS lc "
+            f"FROM lineitem s0 "
+            f"WHERE s0.l_orderkey = m.o_orderkey "
+            f"AND ({l_pred.replace('f.', 's0.')})"
+            f") s"
+            f") u ON true "
+            f"WHERE m.o_custkey = d.{pk}"
+            f") t"
+        )
     if flavor == "leftlat":
         # wave 5: LEFT JOIN LATERAL — dims with an EMPTY lateral are
         # null-extended (probed aligned, incl. rank filters in the ON

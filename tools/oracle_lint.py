@@ -662,6 +662,68 @@ def lint_arg_minmax(sql: str) -> list[str]:
     ]
 
 
+_LATERAL_OPEN = re.compile(r"\blateral\s*\(", re.IGNORECASE)
+_AGG_HEAD_ANY = re.compile(
+    r"\b(max|min|sum|count|avg|mean|median|stddev\w*|var\w*|"
+    r"percentile\w*|string_agg|listagg|array_agg|bool_\w+)\s*\(",
+    re.IGNORECASE,
+)
+_LEFT_JOIN_TAIL = re.compile(r"(?is)left\s+(outer\s+)?join\s*$")
+
+
+def _top_level_text(s: str) -> str:
+    """s with everything inside nested parens blanked — leaves only
+    the expression's own top-level tokens."""
+    out = []
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(")")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
+
+
+def lint_lateral_scalar_agg(sql: str) -> list[str]:
+    """Rule 13 (r15 probe find seed 110004, pinned in
+    test_lateral_scalar_aggregate_empty_slice_cross_engine_seam): a
+    comma/CROSS-joined LATERAL whose body is an UNGROUPED aggregate
+    diverges SILENTLY on empty correlated slices — Spark emits the
+    SQL-standard mandatory aggregate row per outer (MAX->NULL,
+    COUNT->0), DuckDB's decorrelation rewrites to a grouped join and
+    PRUNES outers whose slice is empty, so whole rows vanish from one
+    engine only.  Wrapping the slice in a derived table is NOT a
+    reliable fix (it aligns only when a window function blocks
+    DuckDB's rewrite).  House rule: a scalar-aggregate lateral body
+    must be joined LEFT JOIN LATERAL ... ON true, with COALESCE on
+    COUNT-like reads (0 vs null-extension).  Grouped lateral bodies
+    (GROUP BY inside) are untouched — both engines drop empty groups
+    there."""
+    sql_nc = _strip_comments(sql)
+    hits = []
+    for m in _LATERAL_OPEN.finditer(sql_nc):
+        if _LEFT_JOIN_TAIL.search(sql_nc[: m.start()].rstrip()):
+            continue  # LEFT JOIN LATERAL — the sanctioned join
+        body = _call_args(sql_nc, m.end() - 1)
+        top = _top_level_text(body)
+        if re.search(r"\bgroup\s+by\b", top, re.IGNORECASE):
+            continue  # grouped body: empty groups vanish on BOTH
+        from_m = re.search(r"\bfrom\b", top, re.IGNORECASE)
+        head = top[: from_m.start()] if from_m else top
+        if _AGG_HEAD_ANY.search(head):
+            hits.append(
+                "comma/CROSS LATERAL with an ungrouped aggregate body "
+                "— Spark keeps one aggregate row per outer, DuckDB "
+                "prunes empty slices; use LEFT JOIN LATERAL ... ON "
+                f"true (+ COALESCE for COUNT): {body.strip()[:60]!r}"
+            )
+    return hits
+
+
 def lint_sql(sql: str) -> list[str]:
     return (
         lint_order_by_nulls(sql)
@@ -676,6 +738,7 @@ def lint_sql(sql: str) -> list[str]:
         + lint_substr_trim(sql)
         + lint_floor_ceil_sign(sql)
         + lint_arg_minmax(sql)
+        + lint_lateral_scalar_agg(sql)
     )
 
 
