@@ -136,7 +136,17 @@ laterals null-extending the dim, rank filters in the ON clause —
 probed aligned first): 105000-105059 shakedown, 106000-106399
 latwin at sf0.01, 107000-107199 at sf0.001, 108000-108199 at sf0.1,
 109000-109599 mixed-26 at sf0.01 — **1,460 further cases, ZERO
-divergences — ~43,790 total**. The r12
+divergences — ~43,790 total**; wave 6 (latwin "nested2": two-deep
+correlated laterals — BUILDING it caught the round's one LIVE silent
+seam at seed 110004: comma-LATERAL + ungrouped aggregate loses
+empty-slice outers on DuckDB only, pinned as RULE 13 with the
+LEFT JOIN LATERAL + COALESCE sanctioned spelling; also two LOUD
+capability boundaries: Spark rejects ROLLUP/GROUPING SETS lateral
+bodies and outer references crossing two lateral boundaries):
+110000-110079 shakedown, 111000-111399 latwin at sf0.01,
+112000-112199 at sf0.001, 113000-113149 at sf0.1, 114000-114599
+mixed-26 at sf0.01 — **1,430 further cases, ZERO divergences —
+~45,220 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
