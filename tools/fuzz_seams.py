@@ -146,7 +146,8 @@ bodies and outer references crossing two lateral boundaries):
 110000-110079 shakedown, 111000-111399 latwin at sf0.01,
 112000-112199 at sf0.001, 113000-113149 at sf0.1, 114000-114599
 mixed-26 at sf0.01 — **1,430 further cases, ZERO divergences —
-~45,220 total**. The r12
+~45,220 total**; closing mixed-26 sweep 115000-115799 (post-gates,
+final tree) added 800 more — **~46,020 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
