@@ -147,7 +147,11 @@ bodies and outer references crossing two lateral boundaries):
 112000-112199 at sf0.001, 113000-113149 at sf0.1, 114000-114599
 mixed-26 at sf0.01 — **1,430 further cases, ZERO divergences —
 ~45,220 total**; closing mixed-26 sweep 115000-115799 (post-gates,
-final tree) added 800 more — **~46,020 total**. The r12
+final tree) added 800 more — **~46,020 total**; wave 7 (leftlat
+READ-BACK flavors: null-extended m/rk read raw, through COALESCE
+sentinels, and through a CASE null-extension indicator):
+116000-116399 latwin at sf0.01 + 117000-117199 at sf0.001 — 600
+more clean — **~46,620 total**. The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
@@ -1696,8 +1700,17 @@ def _gen_latwin(con, rng: random.Random) -> str:
             f"FROM {fact} f "
             f"WHERE f.{fk} = d.{pk} AND ({fact_pred})"
         )
+        # read-back flavors: raw NULLs, COALESCE'd sentinels, and a
+        # null-extension indicator — the null-extended m/rk must flow
+        # through COALESCE identically on both engines
+        proj = rng.choice([
+            "t.m, t.rk",
+            "COALESCE(t.m, -1) AS m0, COALESCE(t.rk, 0) AS rk0",
+            "COALESCE(t.m, -1) AS m0, "
+            "CASE WHEN t.rk IS NULL THEN 1 ELSE 0 END AS extended",
+        ])
         q = (
-            f"SELECT {dkeys}, t.m, t.rk FROM {dim} d "
+            f"SELECT {dkeys}, {proj} FROM {dim} d "
             f"LEFT JOIN LATERAL ({body}) t ON {on}"
         )
         if rng.random() < 0.4:
