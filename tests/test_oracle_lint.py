@@ -515,9 +515,27 @@ def test_rule_lateral_scalar_agg_fires():
         "SELECT d.k, t.m FROM dim d, LATERAL ("
         "SELECT m FROM f WHERE f.k = d.k AND f.v > "
         "(SELECT AVG(v) FROM f)) t",
+        # window-ONLY body (r16 ADVICE fix): SUM(..) OVER is a per-row
+        # computation — the lateral still returns one row per slice
+        # element, empty slices vanish on BOTH engines (latwin fuzz)
+        "SELECT d.k, t.rs FROM dim d, LATERAL ("
+        "SELECT SUM(v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rs "
+        "FROM f WHERE f.k = d.k) t",
+        # two window aggregates, one with a frame, one named-window
+        "SELECT d.k, t.* FROM dim d CROSS JOIN LATERAL ("
+        "SELECT AVG(v) OVER (PARTITION BY g) AS a, "
+        "COUNT(*) OVER w AS c FROM f WHERE f.k = d.k "
+        "WINDOW w AS (ORDER BY v)) t",
     ]
     for sql in good:
         assert not lint_lateral_scalar_agg(sql), f"rule 13 misfire: {sql}"
+    # MIXED body — a true scalar aggregate alongside a window call
+    # must STILL flag (the window exemption is per-call, not per-body)
+    assert lint_lateral_scalar_agg(
+        "SELECT d.k, t.* FROM dim d, LATERAL ("
+        "SELECT MAX(v) AS mx, SUM(v) OVER (ORDER BY v) AS rs "
+        "FROM f WHERE f.k = d.k) t"
+    ), "rule 13 must still fire when a scalar aggregate accompanies a window"
     assert lint_sql(
         "SELECT n.k, t.mx FROM n, LATERAL (SELECT MAX(v) AS mx "
         "FROM c WHERE c.k = n.k) t"

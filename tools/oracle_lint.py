@@ -688,6 +688,51 @@ def _top_level_text(s: str) -> str:
     return "".join(out)
 
 
+def _has_scalar_agg(head: str) -> bool:
+    """True iff ``head`` (top-level masked text before FROM) contains
+    an aggregate call that is NOT a window function.  ``SUM(x) OVER
+    (...)`` is a per-row window computation — the lateral body still
+    returns one row per slice element, both engines drop empty slices
+    identically (the repo's latwin/winover fuzz families prove it), so
+    rule 13 must not fire on it (r15 ADVICE fix).  The head text comes
+    from _top_level_text, so call interiors are blanked but the parens
+    themselves survive — walk to the aggregate's matching close paren
+    and check for a following top-level OVER."""
+    for m in _AGG_HEAD_ANY.finditer(head):
+        depth = 0
+        close = -1
+        for i in range(m.end() - 1, len(head)):
+            if head[i] == "(":
+                depth += 1
+            elif head[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close < 0:
+            return True  # unbalanced — conservatively flag
+        tail = head[close + 1:].lstrip()
+        # OVER ( ... )  or a named window: OVER w
+        if re.match(r"(?i)over\b", tail):
+            continue  # window function, not a scalar aggregate
+        # FILTER (...) OVER (...) — aggregate-with-filter window form
+        fm = re.match(r"(?i)filter\s*\(", tail)
+        if fm:
+            d, j = 0, fm.end() - 1
+            while j < len(tail):
+                if tail[j] == "(":
+                    d += 1
+                elif tail[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if re.match(r"(?i)\s*over\b", tail[j + 1:]):
+                continue
+        return True
+    return False
+
+
 def lint_lateral_scalar_agg(sql: str) -> list[str]:
     """Rule 13 (r15 probe find seed 110004, pinned in
     test_lateral_scalar_aggregate_empty_slice_cross_engine_seam): a
@@ -702,7 +747,9 @@ def lint_lateral_scalar_agg(sql: str) -> list[str]:
     must be joined LEFT JOIN LATERAL ... ON true, with COALESCE on
     COUNT-like reads (0 vs null-extension).  Grouped lateral bodies
     (GROUP BY inside) are untouched — both engines drop empty groups
-    there."""
+    there.  Window-only bodies (every aggregate-named call followed
+    by OVER) are per-row computations, aligned on both engines (the
+    latwin fuzz families prove it) — exempt (r16 ADVICE fix)."""
     sql_nc = _strip_comments(sql)
     hits = []
     for m in _LATERAL_OPEN.finditer(sql_nc):
@@ -714,7 +761,7 @@ def lint_lateral_scalar_agg(sql: str) -> list[str]:
             continue  # grouped body: empty groups vanish on BOTH
         from_m = re.search(r"\bfrom\b", top, re.IGNORECASE)
         head = top[: from_m.start()] if from_m else top
-        if _AGG_HEAD_ANY.search(head):
+        if _has_scalar_agg(head):
             hits.append(
                 "comma/CROSS LATERAL with an ungrouped aggregate body "
                 "— Spark keeps one aggregate row per outer, DuckDB "
