@@ -173,8 +173,25 @@ _HIGH_PRIORITY: tuple[str, ...] = (
     "group_mode",
     "heavy_hitters",
     "exact_weighted_median",
+    # r16's one NEW registration (verdict #4): the streaming
+    # bounded-histogram percentile — behind the six deferred rows,
+    # ahead of the verified tail
+    "stream_histogram_pctl",
 )
-_LOW_PRIORITY: tuple[str, ...] = ()
+# The r16 TPC-DS-lite registrations are deferred BEHIND the verified
+# tail (the r14 weighted_sample / r15 quantile-family precedent): the
+# r15 verdict explicitly feeds them into the R17 window ("Done = 5+
+# new tpcds_q* rows ... fed into the r17 window"), and spending r16
+# slots on them would push stale r12 rows past the 4-round horizon.
+# All six are fully oracled at all three SFs and plan-gated locally.
+_LOW_PRIORITY: tuple[str, ...] = (
+    "tpcds_q1",
+    "tpcds_q34",
+    "tpcds_q36",
+    "tpcds_q47",
+    "tpcds_q51",
+    "tpcds_q88",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -107,6 +107,17 @@ HEADLINE = [
     "group_mode",
     "heavy_hitters",
     "exact_weighted_median",
+    # round 16: the streaming bounded-histogram percentile (state
+    # keyed by histogram cell) and the TPC-DS-lite shapes TPC-H
+    # lacks (grouping-set windows, deviation-from-window-average,
+    # two-channel cumulative splice, scalar-subquery battery)
+    "stream_histogram_pctl",
+    "tpcds_q1",
+    "tpcds_q34",
+    "tpcds_q36",
+    "tpcds_q47",
+    "tpcds_q51",
+    "tpcds_q88",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

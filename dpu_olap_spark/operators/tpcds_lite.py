@@ -1,0 +1,470 @@
+"""TPC-DS-lite (r15 verdict #8): six TPC-DS query SHAPES adapted to
+the driver testdata's TPC-H-ish star schema.  TPC-H is 22/22 since
+r11; these add the plan shapes TPC-H does not exercise —
+grouping-set + window composition (Q36), deviation-from-window-average
+with LAG/LEAD (Q47), two-channel FULL OUTER + cumulative windows
+(Q51), bucket-HAVING + join-back (Q34), windowed group-average
+comparison over a CTE (Q1), and a battery of independent scalar
+subqueries (Q88).
+
+ADAPTATIONS (no store/catalog/web channels, date_dim, or item here):
+channels derive from o_orderpriority / l_returnflag slices; months
+from year(ts)*100+month(ts); item hierarchy from p_brand/p_type;
+returns from l_returnflag = 'R'.  Each query keeps the ORIGINAL's
+operator shape — the thing the reference suite cares about — with an
+exact DuckDB oracle.
+
+Exactness discipline: money through integer cents
+(floor(x*100 + 0.5)), deviation thresholds as integer
+cross-multiplications (10*cents*n < 9*tot, never AVG), every windowed
+DuckDB SUM cast back from HUGEINT, GROUPING() cast to INT both sides,
+ratios as double-of-exact-int divisions (identical operands both
+engines).
+
+Reference parity: SURVEY.md §2.4/§2.6 composition
+(host/aggr/aggr_native.cc partial->final, host/join/join_dpu.cc
+PK-FK) exercised through deeper multi-fact plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpu_olap_spark.registry import query
+from dpu_olap_spark.sources.tables import load_table
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents: floor(x*100 + 0.5), the registry-wide
+    half-up spelling (pandas .round / CAST would diverge)."""
+    return F.floor(col * 100 + 0.5).cast("bigint")
+
+
+def _yyyymm(col: str) -> Column:
+    return (F.year(col) * 100 + F.month(col)).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape: CTE of per-customer channel totals, keep customers above
+# 1.2x their group's average, via window aggregates (never AVG — the
+# threshold is the integer cross-multiplication 5*x*n > 6*sum).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q1",
+    oracle="""
+    WITH ctr AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ret_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_nationkey
+    )
+    SELECT c_custkey, ret_cents
+    FROM (
+      SELECT c_custkey, ret_cents,
+             CAST(SUM(ret_cents) OVER (PARTITION BY c_nationkey)
+                  AS BIGINT) AS nat_cents,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_n
+      FROM ctr
+    ) t
+    WHERE 5 * ret_cents * nat_n > 6 * nat_cents
+    """,
+)
+def q_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape — customers whose returned revenue exceeds
+    1.2x their nation's average returner.  The average never
+    materializes: 5*x*n > 6*sum keeps the comparison in BIGINTs (the
+    rule-9 discipline), computed by window aggregates over the
+    customer-level CTE so the fact is aggregated exactly once.
+
+    Scale: the fact collapses to one row per returning customer
+    before the window; the window shuffles customer-level rows keyed
+    by nation (25 partitions of ~|customers|/25), never the fact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ctr = (
+        li.select(
+            "l_orderkey",
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rc"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("rc").cast("bigint").alias("ret_cents"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        ctr.select(
+            "c_custkey",
+            "ret_cents",
+            F.sum("ret_cents").over(w).cast("bigint").alias("nat_cents"),
+            F.count(F.lit(1)).over(w).alias("nat_n"),
+        )
+        .where(
+            5 * F.col("ret_cents") * F.col("nat_n") > 6 * F.col("nat_cents")
+        )
+        .select("c_custkey", "ret_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34/Q73 shape: orders whose line count lands in a bucket (grouped
+# HAVING BETWEEN), joined back to the customer dimension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q34",
+    oracle="""
+    WITH oc AS (
+      SELECT o.o_orderkey, o.o_custkey, COUNT(*) AS n_lines
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o.o_orderkey, o.o_custkey
+      HAVING COUNT(*) BETWEEN 7 AND 13
+    )
+    SELECT c.c_custkey, c.c_name, oc.o_orderkey, oc.n_lines
+    FROM oc JOIN customer c ON oc.o_custkey = c.c_custkey
+    """,
+)
+def q_tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34 shape — big-basket orders (7-13 lines) by urgent
+    customers.  The HAVING prunes the fact-level aggregate BEFORE the
+    dimension join, so the join probes only bucket survivors; the
+    customer side broadcasts."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    oc = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .where(F.col("n_lines").between(7, 13))
+    )
+    return oc.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_custkey", "c_name", "o_orderkey", "n_lines")
+
+
+# ---------------------------------------------------------------------------
+# Q36 shape: margin over a ROLLUP hierarchy with GROUPING()
+# indicators and RANK within the parent grouping level.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q36",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand, p.p_type,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT) AS rev_c,
+             CAST(floor(p.p_retailprice * l.l_quantity
+                  * 100 + 0.5) AS BIGINT) AS cost_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT p_brand, p_type,
+             CAST(GROUPING(p_brand) AS INT)
+               + CAST(GROUPING(p_type) AS INT) AS lochierarchy,
+             CAST(GROUPING(p_type) AS INT) AS g_type,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_cents,
+             CAST(SUM(cost_c) AS BIGINT) AS cost_cents
+      FROM f GROUP BY ROLLUP(p_brand, p_type)
+      HAVING COUNT(*) > 0
+    )
+    SELECT p_brand, p_type, lochierarchy, rev_cents, cost_cents,
+           RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_type = 0 THEN p_brand END
+             ORDER BY CAST(rev_cents AS DOUBLE)
+                      / CAST(cost_cents AS DOUBLE) ASC
+           ) AS rank_within_parent
+    FROM g
+    """,
+)
+def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape — gross-margin ranking through a ROLLUP
+    hierarchy (type within brand within grand total), RANK partitioned
+    by the GROUPING level so each row ranks among its PARENT's
+    children.  The margin ratio divides two exact BIGINT sums as
+    doubles — identical operands on both engines, so equal ratios tie
+    identically and RANK agrees.  HAVING COUNT(*) > 0 is the house
+    empty-rollup guard (DuckDB emits the () row over empty input,
+    Spark does not).
+
+    Scale: the rollup is a map-side-combinable aggregate over ~150
+    (brand, type) cells x 3 levels; the window input is the bounded
+    cell table, never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_retailprice"
+    )
+    f = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        "p_type",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+        _cents(F.col("p_retailprice") * F.col("l_quantity")).alias("cost_c"),
+    )
+    g = (
+        f.rollup("p_brand", "p_type")
+        .agg(
+            (
+                F.grouping("p_brand").cast("int")
+                + F.grouping("p_type").cast("int")
+            ).alias("lochierarchy"),
+            F.grouping("p_type").cast("int").alias("g_type"),
+            F.sum("rev_c").cast("bigint").alias("rev_cents"),
+            F.sum("cost_c").cast("bigint").alias("cost_cents"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_type") == 0, F.col("p_brand")),
+    ).orderBy(
+        (
+            F.col("rev_cents").cast("double")
+            / F.col("cost_cents").cast("double")
+        ).asc()
+    )
+    return g.select(
+        "p_brand",
+        "p_type",
+        "lochierarchy",
+        "rev_cents",
+        "cost_cents",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47/Q57 shape: monthly series per brand, months below 90% of the
+# brand average, with the neighbors via LAG/LEAD.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q47",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                  AS BIGINT) AS yyyymm,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT brand, yyyymm, cents,
+             CAST(SUM(cents) OVER (PARTITION BY brand) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY brand) AS nm,
+             LAG(cents) OVER (PARTITION BY brand ORDER BY yyyymm ASC)
+               AS prev_cents,
+             LEAD(cents) OVER (PARTITION BY brand ORDER BY yyyymm ASC)
+               AS next_cents
+      FROM m
+    )
+    SELECT brand, yyyymm, cents, prev_cents, next_cents
+    FROM w
+    WHERE 10 * cents * nm < 9 * tot
+    """,
+)
+def q_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape — brand-months whose revenue falls below 90%
+    of the brand's monthly average, reported with the neighboring
+    months (LAG/LEAD).  The average is never computed:
+    10*cents*nm < 9*tot is the exact integer form.  yyyymm is unique
+    within a brand, so the LAG/LEAD order is total (no tie hazard).
+
+    Scale: the fact collapses to brand x month (~2,000 rows) in one
+    map-combinable aggregate; all four windows share one
+    (brand)-partitioned sort of that bounded table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            _yyyymm("l_shipdate").alias("yyyymm"),
+            _cents(F.col("l_extendedprice")).alias("rc"),
+        )
+        .groupBy("brand", "yyyymm")
+        .agg(F.sum("rc").cast("bigint").alias("cents"))
+    )
+    order = Window.partitionBy("brand").orderBy(F.col("yyyymm").asc())
+    whole = Window.partitionBy("brand")
+    w = m.select(
+        "brand",
+        "yyyymm",
+        "cents",
+        F.sum("cents").over(whole).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(whole).alias("nm"),
+        F.lag("cents").over(order).alias("prev_cents"),
+        F.lead("cents").over(order).alias("next_cents"),
+    )
+    return w.where(10 * F.col("cents") * F.col("nm") < 9 * F.col("tot")).select(
+        "brand", "yyyymm", "cents", "prev_cents", "next_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q51 shape: two channels FULL OUTER joined on the period key, then
+# cumulative sums compared.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q51",
+    oracle="""
+    WITH ord AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                  AS BIGINT) AS mo,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    ),
+    ret AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                  AS BIGINT) AS mo,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(o.mo, r.mo) AS mo,
+             COALESCE(o.cents, 0) AS ord_cents,
+             COALESCE(r.cents, 0) AS ret_cents
+      FROM ord o FULL JOIN ret r ON o.mo = r.mo
+    ),
+    c AS (
+      SELECT mo,
+             CAST(SUM(ord_cents) OVER (ORDER BY mo ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_ord,
+             CAST(SUM(ret_cents) OVER (ORDER BY mo ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_ret
+      FROM j
+    )
+    SELECT mo, cum_ord, cum_ret
+    FROM c WHERE 3 * cum_ret > 2 * cum_ord
+    """,
+)
+def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape — two independent channel aggregates (urgent
+    order revenue vs returned line revenue) FULL OUTER joined on the
+    month, cumulative sums over the spliced series, months where the
+    returns trend crosses 2/3 of the orders trend.  COALESCE makes
+    the month key and both measures total before the windows (the
+    null-safe splice is the shape's point).
+
+    Scale: both channels collapse to <=84 month rows before the FULL
+    OUTER join and the single-partition cumulative window — bounded
+    by the calendar, not the fact, so the one-partition window is
+    safe at any fact size."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    ord_m = (
+        o.select(
+            _yyyymm("o_orderdate").alias("mo"),
+            _cents(F.col("o_totalprice")).alias("oc"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("oc").cast("bigint").alias("cents"))
+    )
+    ret_m = (
+        li.select(
+            _yyyymm("l_shipdate").alias("mo"),
+            _cents(F.col("l_extendedprice")).alias("rc"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("rc").cast("bigint").alias("cents"))
+    )
+    j = (
+        ord_m.alias("o")
+        .join(ret_m.alias("r"), F.col("o.mo") == F.col("r.mo"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.mo"), F.col("r.mo")).alias("mo"),
+            F.coalesce(F.col("o.cents"), F.lit(0)).alias("ord_cents"),
+            F.coalesce(F.col("r.cents"), F.lit(0)).alias("ret_cents"),
+        )
+    )
+    cum = Window.orderBy(F.col("mo").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = j.select(
+        "mo",
+        F.sum("ord_cents").over(cum).cast("bigint").alias("cum_ord"),
+        F.sum("ret_cents").over(cum).cast("bigint").alias("cum_ret"),
+    )
+    return c.where(3 * F.col("cum_ret") > 2 * F.col("cum_ord"))
+
+
+# ---------------------------------------------------------------------------
+# Q88 shape: a battery of independent scalar-subquery counts in one
+# SELECT — the multi-scan plan TPC-H never produces.
+# ---------------------------------------------------------------------------
+
+_Q88_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_quantity + 0.5) AS BIGINT)
+     BETWEEN 1 AND 10
+     AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) <= 2) AS b1,
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_quantity + 0.5) AS BIGINT)
+     BETWEEN 11 AND 20
+     AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) <= 4) AS b2,
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_quantity + 0.5) AS BIGINT)
+     BETWEEN 21 AND 30
+     AND CAST(floor(l_tax * 100 + 0.5) AS BIGINT) >= 4) AS b3,
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_quantity + 0.5) AS BIGINT)
+     BETWEEN 31 AND 40
+     AND l_returnflag = 'R') AS b4,
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_quantity + 0.5) AS BIGINT)
+     BETWEEN 41 AND 50
+     AND l_linestatus = 'F') AS b5,
+  (SELECT COUNT(*) FROM {li} WHERE CAST(floor(l_discount * 100 + 0.5)
+     AS BIGINT) >= 8 AND l_returnflag = 'A') AS b6
+"""
+
+
+@query("tpcds_q88", oracle=_Q88_SQL.format(li="lineitem"))
+def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape — six independent banded counts as scalar
+    subqueries in a single one-row SELECT.  Each band is an
+    integer-exact predicate (quantity/discount/tax through the cents
+    spelling).  Spark plans the six as independent subquery stages
+    over the shared scan; there is no join, cartesian or otherwise.
+
+    Scale: six parallel aggregates over one table — each is a
+    map-side count, the combine is 6 scalars."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "tpcds_q88_lineitem"
+    )
+    return spark.sql(_Q88_SQL.format(li="tpcds_q88_lineitem"))

@@ -87,5 +87,10 @@ def _ensure_loaded() -> None:
     # the r6 window (__spark_entry__._LOW_PRIORITY) so the r2-vintage
     # re-verification cohort keeps its 45 slots; promote in r7
     from dpu_olap_spark.sources import python_stream_source  # noqa: F401
+    # r16 TPC-DS-lite family: registered this round, deferred to the
+    # BACK of the r16 window (__spark_entry__._LOW_PRIORITY) so the
+    # six r15-deferred operators + the stale r12 cohort keep their
+    # slots; the verdict feeds these into the r17 window
+    from dpu_olap_spark.operators import tpcds_lite  # noqa: F401
 
     _LOADED = True

@@ -998,3 +998,185 @@ def q_statestore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bounded-histogram percentile (r15 verdict #4): the round-15
+# histogram sketch meets the keyed-state machinery.  State is keyed by
+# (group, bucket) — each key holds ONE BIGINT count — so the state
+# store IS the bounded (group, bucket) histogram: #groups x #buckets
+# entries no matter how many events stream through, the same
+# "state tracks keys, not events" invariant SCALE_PROBE.md attests for
+# the agg/join state families.  The batch twin (histogram_percentile's
+# algebra over the same events) is the exact oracle.
+
+HIST_BUCKET_CENTS_STREAM = 2_000  # $20 buckets over events.value cents
+
+HIST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+HIST_STATE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType(), False)])
+
+
+def _track_bucket(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """One histogram cell: accumulate this (group, bucket) key's event
+    count across micro-batches and emit the cumulative snapshot.  No
+    timeout: a histogram cell never expires — the state is bounded by
+    construction (cells, not events), so eviction would only lose
+    counts."""
+    event_type, b = key
+    cnt = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        cnt += len(pdf)
+    state.update((cnt,))
+    yield pd.DataFrame({"event_type": [event_type], "b": [b], "cnt": [cnt]})
+
+
+def streaming_bucket_counts(events_stream: DataFrame) -> DataFrame:
+    """events_stream needs (event_type, value); rows are bucketed by
+    exact-integer cents FLOOR division (the sanctioned positive-mod
+    spelling — sign-exact on any domain) BEFORE the keyed state op, so
+    the per-key work is a length count, never value math."""
+    W = HIST_BUCKET_CENTS_STREAM
+    bucketed = (
+        events_stream.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"(c - (((c % {W}) + {W}) % {W})) DIV {W}").alias("b"),
+        )
+    )
+    return bucketed.groupBy("event_type", "b").applyInPandasWithState(
+        _track_bucket,
+        outputStructType=HIST_OUTPUT_SCHEMA,
+        stateStructType=HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_histogram_percentiles(emitted: DataFrame) -> DataFrame:
+    """Collapse the update-mode snapshots (max per cell = the final
+    count) into the final bounded histogram, then read p25/p50/p75 off
+    the cumulative walk — the identical algebra, thresholds, and
+    bracket arithmetic as q_histogram_percentile (operators/
+    advanced.py), applied to state-built counts instead of a batch
+    groupBy."""
+    from pyspark.sql import Window
+
+    W = HIST_BUCKET_CENTS_STREAM
+    h = emitted.groupBy("event_type", "b").agg(F.max("cnt").alias("cnt"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "b",
+        F.sum("cnt").over(w_run).alias("run"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    run, b, tot = F.col("run"), F.col("b"), F.col("tot")
+    out = cum.groupBy("event_type").agg(
+        F.min("tot").alias("n_items"),
+        F.min(F.when(4 * run >= tot, b)).alias("p25_bucket"),
+        F.min(F.when(2 * run >= tot, b)).alias("p50_bucket"),
+        F.min(F.when(4 * run >= 3 * tot, b)).alias("p75_bucket"),
+    )
+    return out.select(
+        "event_type",
+        "n_items",
+        "p25_bucket",
+        "p50_bucket",
+        "p75_bucket",
+        (F.col("p25_bucket") * W).alias("p25_lo_cents"),
+        ((F.col("p75_bucket") + 1) * W - 1).alias("p75_hi_cents"),
+    )
+
+
+@query(
+    "stream_histogram_pctl",
+    oracle="""
+    WITH c0 AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      -- FLOOR-division buckets (the sanctioned positive-mod spelling:
+      -- the numerator becomes an exact multiple, so truncating //
+      -- equals floor on any sign)
+      SELECT event_type,
+             (c - (((c % 2000) + 2000) % 2000)) // 2000 AS b,
+             COUNT(*) AS cnt
+      FROM c0
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, b,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS run,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS tot
+      FROM h
+    )
+    SELECT event_type,
+           MIN(tot) AS n_items,
+           MIN(CASE WHEN 4 * run >= tot THEN b END) AS p25_bucket,
+           MIN(CASE WHEN 2 * run >= tot THEN b END) AS p50_bucket,
+           MIN(CASE WHEN 4 * run >= 3 * tot THEN b END) AS p75_bucket,
+           MIN(CASE WHEN 4 * run >= tot THEN b END) * 2000
+             AS p25_lo_cents,
+           (MIN(CASE WHEN 4 * run >= 3 * tot THEN b END) + 1) * 2000 - 1
+             AS p75_hi_cents
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def q_stream_histogram_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING bounded-histogram percentile: p25/p50/p75 value
+    brackets per event type, maintained incrementally by a keyed-state
+    operator while events stream in (availableNow, update mode,
+    memory sink), then finalized with the exact cumulative-walk
+    algebra of q_histogram_percentile.
+
+    Why this shape at 100 TB: a streaming percentile normally needs
+    either a mergeable sketch (approximate) or full retention (
+    unbounded).  The bounded histogram is the third way — keying the
+    STATE STORE by (group, bucket) makes each state entry one BIGINT
+    counter, so state size is #groups x #buckets (here 5 x ~25)
+    FOREVER, independent of stream length; every micro-batch touches
+    only the cells its rows land in, and the per-cell update is a
+    row-count (no value math inside the Python hop).  The finalize
+    walk runs over ~125 rows.  Integer thresholds (4*run >= tot etc.)
+    are the binary-exact rule-9 discipline; the emitted snapshot is
+    cumulative so max-per-cell is eviction/replay-safe.
+
+    Batch-twin oracle: the same histogram algebra computed by DuckDB
+    directly over events — with a finite source, streamed state-built
+    counts equal the batch GROUP BY bit-for-bit.
+
+    Reference parity: generalizes the aggregator-function-pointer seam
+    (/root/reference/dpu/shared/kernels/aggr.h:9) to keyed,
+    fault-tolerant streaming state, composed with SURVEY §2.4's
+    partial->final discipline (the snapshot max IS the final merge)."""
+    stream = load_events_stream(spark, sf_dir)
+    out = streaming_bucket_counts(stream)
+    sink = f"stream_histogram_pctl_{next(_sink_counter)}"
+    # ~125 active (group, bucket) cells: 8 state partitions (see
+    # run_to_memory_sink's sizing note)
+    run_to_memory_sink(out, sink, "update", state_partitions=8)
+    return finalize_histogram_percentiles(spark.table(sink))

@@ -27,7 +27,15 @@ def test_every_shape_family_generates_bindable_sql():
         for shape, gen in sorted(fz._SHAPES.items()):
             for seed in (1, 2, 3):
                 rng = random.Random(seed)
-                sql = gen(con, rng)
+                out = gen(con, rng)
+                # exactrefine is the asymmetric family: (spark, duck)
+                # pair — only the duck side is DuckDB-bindable (the
+                # spark side uses DIV and runs on Spark alone)
+                if isinstance(out, tuple):
+                    spark_sql, sql = out
+                    assert isinstance(spark_sql, str) and "SELECT" in spark_sql
+                else:
+                    sql = out
                 assert isinstance(sql, str) and "SELECT" in sql, (shape, sql)
                 # bind + execute on DuckDB only: validates every
                 # identifier, function, and literal the generator emits
@@ -46,3 +54,24 @@ def test_default_mix_covers_every_family():
         "a shape family is registered but missing from the default mix "
         "(or vice versa) — campaigns would silently skip it"
     )
+
+
+def test_campaign_ledger_is_sound():
+    """The LEDGER (r15 verdict #7: campaigns as data, not prose) must
+    stay sorted, disjoint, family-known, and its per-round totals must
+    match the historically attested counts — a retroactive edit that
+    inflates a past round's case count fails HERE."""
+    import io
+
+    import fuzz_seams as fz
+
+    buf = io.StringIO()
+    assert fz.ledger_report(out=buf), buf.getvalue()
+    per_round: dict[str, int] = {}
+    for lo, hi, _sf, _fams, rnd in fz.LEDGER:
+        per_round[rnd] = per_round.get(rnd, 0) + (hi - lo + 1)
+    # the verdict-attested historical totals (NOTES_NEXT_ROUND r12-r15)
+    assert per_round["r12"] == 10_200
+    assert per_round["r13"] == 8_140
+    assert per_round["r14"] == 30
+    assert per_round["r15"] == 16_890

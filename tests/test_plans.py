@@ -1027,3 +1027,131 @@ def test_exact_weighted_median_pruned_second_pass(spark):
     ), f"scan pruning lost: {schemas}"
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS-lite plan gates (r16): the six shapes' 100 TB contracts.
+# ---------------------------------------------------------------------------
+
+
+def test_tpcds_q1_agg_before_window_and_broadcast_dim(spark):
+    """Q1 shape: the fact collapses to customer level (partial_sum
+    before the shuffle), the customer dim joins broadcast, and the
+    window reads the AGGREGATED table (exactly one Window node — the
+    nation sum/count share one spec)."""
+    plan = _formatted_plan(spark, "tpcds_q1")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # lineitem scan pruned: no quantity/tax; returnflag filter pushed
+    li_schema = next(s for s in re.findall(r"ReadSchema: (\S+)", plan)
+                     if "l_extendedprice" in s)
+    assert "l_quantity" not in li_schema and "l_tax" not in li_schema
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag not pushed"
+
+
+def test_tpcds_q34_having_prunes_before_dim_join(spark):
+    """Q34 shape: the line-count HAVING filters the aggregate BEFORE
+    the broadcast customer join (bucket survivors only probe the
+    dim), and the lineitem scan reads exactly one column."""
+    plan = _formatted_plan(spark, "tpcds_q34")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    li_schema = next(s for s in re.findall(r"ReadSchema: (\S+)", plan)
+                     if "l_orderkey" in s)
+    assert li_schema == "struct<l_orderkey:bigint>", li_schema
+    # HAVING runs on the agg output, upstream of the join: in the
+    # tree render the streamed (:-) side lists before the broadcast
+    # build (+-), so the count filter must appear before the
+    # BroadcastExchange of the customer dim
+    tree = plan[: plan.index("(1) Scan")]
+    assert re.search(r":.*Filter", tree), f"no filter on the agg side:\n{tree}"
+    assert tree.index("Filter") < tree.index("BroadcastExchange"), (
+        "bucket HAVING not applied before the dim join"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q36_rollup_expand_then_bounded_window(spark):
+    """Q36 shape: ROLLUP plans one Expand over the map-combined
+    (brand, type) cells, the part dim broadcasts, and the RANK window
+    reads the bounded rollup output (one Window node)."""
+    plan = _formatted_plan(spark, "tpcds_q36")
+    assert "Expand" in plan, "ROLLUP lost its Expand"
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q47_one_fact_shuffle_shared_window_sort(spark):
+    """Q47 shape: the fact collapses to brand x month in ONE
+    map-combined shuffle; the four window functions run over that
+    bounded table in two Window nodes (whole-partition stats +
+    lag/lead) sharing the (brand) partitioning — so exactly two
+    shuffle exchanges total."""
+    plan = _formatted_plan(spark, "tpcds_q47")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected 2 exchanges:\n{plan}"
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q51_channels_aggregate_before_full_outer(spark):
+    """Q51 shape: both channels partial-aggregate to month level
+    BEFORE the FULL OUTER splice (two partial_sum exchanges), and the
+    cumulative window runs once over the spliced <=84-row series (a
+    deliberate single partition — bounded by the calendar)."""
+    plan = _formatted_plan(spark, "tpcds_q51")
+    assert re.search(r"SortMergeJoin FullOuter|ShuffledHashJoin FullOuter",
+                     plan), "full outer join lost"
+    assert len(re.findall(r"partial_sum", plan)) >= 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "SinglePartition" in plan, (
+        "the cumulative window should own the one single-partition "
+        "exchange (bounded input)"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q88_independent_scalar_subqueries_no_joins(spark):
+    """Q88 shape: six independent scalar-subquery counts — each a
+    partial->final aggregate over its own pruned scan; NO join of any
+    kind materializes the combination (the hosting operator is a
+    one-row projection)."""
+    plan = _formatted_plan(spark, "tpcds_q88")
+    assert len(re.findall(r"Subquery:\d+ Hosting", plan)) == 6
+    assert "Scan OneRowRelation" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in q88 plan"
+    # every band is a map-side partial count
+    assert len(re.findall(r"partial_count", plan)) == 6
+
+
+def test_stream_histogram_pctl_finalize_bounded(spark):
+    """The streaming histogram's FINALIZE plan (what runs after the
+    state-built counts land): everything downstream of the memory
+    sink is the bounded-histogram walk — cell-level max, one shared
+    window sort, final per-group agg — over ~125 rows, with no
+    Python in the plan (the Python hop lives in the stream, not the
+    finalize)."""
+    from dpu_olap_spark.streaming import stateful as st
+
+    emitted = spark.createDataFrame(
+        [("click", 1, 5), ("click", 2, 3), ("view", 1, 7)],
+        schema=st.HIST_OUTPUT_SCHEMA,
+    )
+    df = st.finalize_histogram_percentiles(emitted)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

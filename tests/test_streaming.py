@@ -633,3 +633,79 @@ def test_retired_checkpoints_bounded_per_key(tmp_path):
         stateful._SS_CKPT.update(saved_ckpt)
         stateful._SS_RETIRED.clear()
         stateful._SS_RETIRED.update(saved_retired)
+
+
+def test_stream_histogram_pctl_state_bounded_and_batch_exact(spark):
+    """The r16 streaming bounded-histogram percentile: (a) the state
+    key set is the HISTOGRAM CELL set — distinct (event_type, bucket)
+    pairs in the update stream equal the batch histogram's cells, the
+    'state tracks cells, not events' invariant (10,000 events at
+    sf0.01 collapse to ~125 state entries); (b) the finalized
+    percentiles equal the batch twin (q_histogram_percentile's algebra
+    over the same rows) bit-for-bit; (c) each percentile bucket
+    CONTAINS the corresponding exact percentile element (the bracket
+    contract)."""
+    from dpu_olap_spark.sources.tables import load_events_stream, load_table
+    from dpu_olap_spark.streaming import stateful as st
+
+    sf = "/root/testdata/sf0.01"
+    out = st.streaming_bucket_counts(load_events_stream(spark, sf))
+    from dpu_olap_spark.sources.tables import run_to_memory_sink
+
+    sink = f"hist_pctl_test_{next(st._sink_counter)}"
+    run_to_memory_sink(out, sink, "update", state_partitions=8)
+    emitted = spark.table(sink)
+
+    W = st.HIST_BUCKET_CENTS_STREAM
+    events = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    batch_cells = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"(c - (((c % {W}) + {W}) % {W})) DIV {W}").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # (a) state boundedness: the update stream's key set == cell set
+    stream_cells = emitted.select("event_type", "b").distinct()
+    n_stream, n_batch = stream_cells.count(), batch_cells.count()
+    n_events = events.count()
+    assert n_stream == n_batch, (n_stream, n_batch)
+    assert n_stream < n_events / 10, (
+        f"state cells ({n_stream}) should be far below events "
+        f"({n_events}) — the histogram is not bounded"
+    )
+    # (b) state-built counts == batch counts, cell by cell
+    final_counts = emitted.groupBy("event_type", "b").agg(
+        F.max("cnt").alias("cnt")
+    )
+    assert final_counts.exceptAll(batch_cells).count() == 0
+    assert batch_cells.exceptAll(final_counts).count() == 0
+    # (c) bracket contract: the exact p25/p50/p75 elements (1-based
+    # rank ceil(p*n) over sorted cents) land inside their buckets
+    result = {
+        r["event_type"]: r
+        for r in st.finalize_histogram_percentiles(emitted).collect()
+    }
+    import math
+
+    cents_by_type: dict[str, list[int]] = {}
+    for row in events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    ).collect():
+        cents_by_type.setdefault(row["event_type"], []).append(row["c"])
+    for et, cents in cents_by_type.items():
+        cents.sort()
+        n = len(cents)
+        r = result[et]
+        assert r["n_items"] == n
+        for p, bcol in ((1, "p25_bucket"), (2, "p50_bucket"),
+                        (3, "p75_bucket")):
+            exact = cents[math.ceil(p * n / 4) - 1]
+            lo = r[bcol] * W
+            assert lo <= exact <= lo + W - 1, (et, p, exact, r[bcol])

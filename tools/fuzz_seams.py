@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (26): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (27): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -53,105 +53,17 @@ TWO more: mode/frequent-items algebra (modefreq — RANK-kept ties,
 strict/non-strict integer share thresholds, NULL frequency classes)
 and LATERAL over window outputs (latwin — decorrelated RANK filters,
 agg-over-running-sum, ORDER BY window + LIMIT under a total order).
-Campaign log: seeds 0-499, 1000-1399, 2000-2299, 3000-3299 (r11
-main); 4000-4099 stringfunc, 5000-5099 setop, 6000-6099 subquery,
-7000-7299 mixed, 8000-8079 groupsets, 9000-9119 nullcase+datefunc,
-10000-10499 mixed, 11000-11119 multijoin, 13000-13299 and
-15000-15299 mixed post-deterministic-sampler, 16000-16199 mixed at
-sf0.1, 17000-17079 joinwindow, 18000-18599 and 19000-19599 mixed
-over all families, 20000-20299 mixed at sf0.001 (empty-group-rich
-regime), 21000-21999 and 22000-23499 mixed, 24000-25999 mixed,
-26000-27499 mixed post-HAVING-guard (r11 continuation); r12:
-28000-28059 shakedown + 28100-28639 of the three NEW empty-regime
-families at sf0.001, 29000-29499 new families at sf0.01, 30000-30499
-mixed at sf0.01, 31000-31999 mixed at sf0.01, 32000-32499 new
-families at sf0.001, 33000-33199 mixed at sf0.1; r12 second wave
-(nullframe/winsetop live): 34000-34079 shakedown, 35000-35499
-nullframe+winsetop at sf0.01, 36000-36499 mixed over all 17 families
-at sf0.01, 37000-37299 the five r12 families at sf0.1, 38000-38119
-nullframe post-floor-fix, 39000-39999 mixed at sf0.01, 40000-40399
-nullframe+winsetop+emptyset at sf0.001, 41000-42499 mixed at
-sf0.01, 43000-44499 mixed at sf0.001 (empty-rich, all 17
-families), 45000-45999 mixed at sf0.1 — 10,200 r12 cases, ZERO
-divergences — ~21,600 cases through r12; r13 (multi-level-NULLIF
-flavors live): 47000-47119 nullframe shakedown at sf0.01,
-48000-48499 nullframe at sf0.01, 49000-49499 the five empty/window
-families at sf0.1, 50000-50499 mixed at sf0.1, 51000-51499 mixed at
-sf0.01, 52000-52999 mixed at sf0.01, 53000-53299 nullframe+winsetop
-at sf0.001; after the three r13 families landed: 54000-54119
-shakedown, 55000-55599 new families at sf0.01, 56000-56299 new
-families at sf0.001, 57000-57299 new families at sf0.1,
-58000-58999 mixed over all 20 at sf0.01, 59000-59299 mixed at
-sf0.1, 60000-61199 mixed at sf0.01, 62000-62299 mixed at sf0.1,
-63000-63599 mixed at sf0.01 — 8,140 r13 cases, ZERO
-divergences — ~29,700 total; r14 (rangenull/nsafejoin/medianalg
-live): 64000-64029 shakedown of the three new families at sf0.01
-(30 cases, clean — recorded retroactively per the r14 verdict: the
-range ran in commit 8556bda but was never entered here); r15 (the
-young families' REAL campaigns, r14 verdict #3): 72000-72599
-young-three at sf0.01, 73000-73299 young-three at sf0.001,
-74000-74299 young-three at sf0.1, 75000-75999 mixed over all 23
-families at sf0.01, 76000-76299 mixed-23 at sf0.1; after the
-stringfunc RULE-10-spellings extension: 77000-77119 shakedown,
-78000-78399 stringfunc/setop/winsetop, 79000-79399 mixed; after
-histalg (the histogram-quantile algebra family) landed: 80000-80119
-shakedown, 81000-81399 histalg at sf0.01, 82000-82199
-histalg+medianalg at sf0.001, 83000-83199 histalg at sf0.1,
-84000-84599 mixed over all 24 families at sf0.01, 85000-85999
-mixed-24 at sf0.01, 86000-86399 mixed-24 at sf0.001 — **6,340 r15
-cases, ZERO divergences — ~36,070 total**; r15 second wave
-(modefreq/latwin live — the mode/heavy-hitter algebra twin and the
-NOTES' under-explored LATERAL-over-window composition): 87000-87039
-shakedown (seed 87015 exposed a FIXTURE hazard, not a seam:
-(l_orderkey, l_linenumber) is NOT unique in this testdata, so
-latwin's running sums append the SUMMAND as the final sort key —
-tied rows then contribute identical values and the running-sum
-multiset is order-invariant), 88000-88399 modefreq+latwin at
-sf0.01, 89000-89199 at sf0.001, 90000-90199 at sf0.1, 91000-91599
-mixed over all 26 families at sf0.01, 92000-92999 mixed-26 at
-sf0.01, 93000-93399 mixed-26 at sf0.001, 94000-94399 mixed-26 at
-sf0.1 — **3,240 further cases, ZERO divergences — ~39,310 total**;
-the same wave's hand probe pinned the max_by/min_by tie +
-NULL-value seam (RULE 12); wave 3 (three new FLAVORS closing the
-next under-explored list — latwin "setop" composes two rank-filtered
-laterals under INTERSECT/EXCEPT/UNION ALL, latwin "winover" runs a
-SECOND bounded-frame window over the lateral output (double window
-through decorrelation; tie-safe because rk <-> m is a bijection
-within a slice), modefreq "gsets" runs GROUPING SETS over the rank
-output with the house HAVING COUNT(*) > 0 empty-group guard):
-95000-95059 shakedown, 96000-96499 modefreq+latwin at sf0.01,
-97000-97199 at sf0.001, 98000-98199 at sf0.1, 99000-99499 mixed-26
-at sf0.01 — **1,460 further cases, ZERO divergences — ~40,770
-total**; wave 4 (three MORE flavors: latwin "latjoin" puts a PK-FK
-JOIN inside the lateral body — decorrelation through a join, measure
-from either side; latwin "rangewin" gives the second window a
-numeric RANGE frame over the dim pk, value-determined whatever the
-tie order; modefreq "rollup2" ranks within TWO-LEVEL groups then
-partial-rolls-up with the house HAVING guard): 100000-100059
-shakedown, 101000-101499 modefreq+latwin at sf0.01, 102000-102199
-at sf0.001, 103000-103199 at sf0.1, 104000-104599 mixed-26 at
-sf0.01 — **1,560 further cases, ZERO divergences — ~42,330
-total**; wave 5 (latwin "leftlat": LEFT JOIN LATERAL with empty
-laterals null-extending the dim, rank filters in the ON clause —
-probed aligned first): 105000-105059 shakedown, 106000-106399
-latwin at sf0.01, 107000-107199 at sf0.001, 108000-108199 at sf0.1,
-109000-109599 mixed-26 at sf0.01 — **1,460 further cases, ZERO
-divergences — ~43,790 total**; wave 6 (latwin "nested2": two-deep
-correlated laterals — BUILDING it caught the round's one LIVE silent
-seam at seed 110004: comma-LATERAL + ungrouped aggregate loses
-empty-slice outers on DuckDB only, pinned as RULE 13 with the
-LEFT JOIN LATERAL + COALESCE sanctioned spelling; also two LOUD
-capability boundaries: Spark rejects ROLLUP/GROUPING SETS lateral
-bodies and outer references crossing two lateral boundaries):
-110000-110079 shakedown, 111000-111399 latwin at sf0.01,
-112000-112199 at sf0.001, 113000-113149 at sf0.1, 114000-114599
-mixed-26 at sf0.01 — **1,430 further cases, ZERO divergences —
-~45,220 total**; closing mixed-26 sweep 115000-115799 (post-gates,
-final tree) added 800 more — **~46,020 total**; wave 7 (leftlat
-READ-BACK flavors: null-extended m/rk read raw, through COALESCE
-sentinels, and through a CASE null-extension indicator):
-116000-116399 latwin at sf0.01 + 117000-117199 at sf0.001 — 600
-more clean — **~46,620 total**. The r12
+Campaign log: the machine-readable LEDGER table below (range ->
+families/SF/round; print + attest it with --ledger).  Every recorded
+range ran CLEAN unless a seam is named here.  Seams found by
+campaign, newest first: r15 seed 110004 (comma-LATERAL + ungrouped
+aggregate silently prunes empty-slice outers on DuckDB only ->
+RULE 13 + the LEFT JOIN LATERAL sanctioned spelling); r15 seed 87015
+(a FIXTURE hazard, not a seam: (l_orderkey, l_linenumber) is NOT
+unique in this testdata, so running sums append the SUMMAND as the
+final sort key); the r15 hand probes beside the campaigns pinned
+RULE 11 (floor/ceil/sign result types) and RULE 12 (max_by/min_by
+tie + NULL-value divergence).  The r12
 probe sweeps pinned SIX new cross-engine seams (all in
 tests/test_random_differential.py, each with aligned regimes and a
 sanctioned shared spelling): implicit-ASC NULLS placement,
@@ -257,6 +169,170 @@ TABLE_COLS = {
         groups=["lang", "source"],
     ),
 }
+
+# ---------------------------------------------------------------------------
+# Campaign LEDGER (r15 verdict #7): every fuzz campaign ever run, as a
+# machine-readable table instead of prose.  Each entry:
+#   (seed_lo, seed_hi_inclusive, sf, families, round)
+# families "mixed" = the full _DEFAULT_MIX of the day; a comma list =
+# --shapes subset.  All ranges ran CLEAN (0 divergences); the seams
+# the campaigns DID find are narrated in the module docstring and
+# pinned in tests/test_random_differential.py.  Attest with --ledger:
+# it prints the table, checks ranges are disjoint/sorted, and sums
+# per-round + cumulative counts.  New campaigns append here in the
+# same commit that runs them.
+LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
+    (0, 499, "0.01", "mixed", "r11"),
+    (1000, 1399, "0.01", "mixed", "r11"),
+    (2000, 2299, "0.01", "mixed", "r11"),
+    (3000, 3299, "0.01", "mixed", "r11"),
+    (4000, 4099, "0.01", "stringfunc", "r11"),
+    (5000, 5099, "0.01", "setop", "r11"),
+    (6000, 6099, "0.01", "subquery", "r11"),
+    (7000, 7299, "0.01", "mixed", "r11"),
+    (8000, 8079, "0.01", "groupsets", "r11"),
+    (9000, 9119, "0.01", "nullcase,datefunc", "r11"),
+    (10000, 10499, "0.01", "mixed", "r11"),
+    (11000, 11119, "0.01", "multijoin", "r11"),
+    (13000, 13299, "0.01", "mixed", "r11"),
+    (15000, 15299, "0.01", "mixed", "r11"),
+    (16000, 16199, "0.1", "mixed", "r11"),
+    (17000, 17079, "0.01", "joinwindow", "r11"),
+    (18000, 18599, "0.01", "mixed", "r11"),
+    (19000, 19599, "0.01", "mixed", "r11"),
+    (20000, 20299, "0.001", "mixed", "r11"),
+    (21000, 21999, "0.01", "mixed", "r11"),
+    (22000, 23499, "0.01", "mixed", "r11"),
+    (24000, 25999, "0.01", "mixed", "r11"),  # seed 25995: ROLLUP-on-empty
+    (26000, 27499, "0.01", "mixed", "r11"),  # post-HAVING-guard
+    (28000, 28059, "0.001", "emptyset,outeragg,winframe", "r12"),
+    (28100, 28639, "0.001", "emptyset,outeragg,winframe", "r12"),
+    (29000, 29499, "0.01", "emptyset,outeragg,winframe", "r12"),
+    (30000, 30499, "0.01", "mixed", "r12"),
+    (31000, 31999, "0.01", "mixed", "r12"),
+    (32000, 32499, "0.001", "emptyset,outeragg,winframe", "r12"),
+    (33000, 33199, "0.1", "mixed", "r12"),
+    (34000, 34079, "0.01", "nullframe,winsetop", "r12"),
+    (35000, 35499, "0.01", "nullframe,winsetop", "r12"),
+    (36000, 36499, "0.01", "mixed", "r12"),
+    (37000, 37299, "0.1",
+     "emptyset,outeragg,winframe,nullframe,winsetop", "r12"),
+    (38000, 38119, "0.01", "nullframe", "r12"),  # post-floor-fix
+    (39000, 39999, "0.01", "mixed", "r12"),
+    (40000, 40399, "0.001", "nullframe,winsetop,emptyset", "r12"),
+    (41000, 42499, "0.01", "mixed", "r12"),
+    (43000, 44499, "0.001", "mixed", "r12"),
+    (45000, 45999, "0.1", "mixed", "r12"),
+    (47000, 47119, "0.01", "nullframe", "r13"),
+    (48000, 48499, "0.01", "nullframe", "r13"),
+    (49000, 49499, "0.1",
+     "emptyset,outeragg,winframe,nullframe,winsetop", "r13"),
+    (50000, 50499, "0.1", "mixed", "r13"),
+    (51000, 51499, "0.01", "mixed", "r13"),
+    (52000, 52999, "0.01", "mixed", "r13"),
+    (53000, 53299, "0.001", "nullframe,winsetop", "r13"),
+    (54000, 54119, "0.01", "winsetgroup,nullkeyjoin,ntilefuzz", "r13"),
+    (55000, 55599, "0.01", "winsetgroup,nullkeyjoin,ntilefuzz", "r13"),
+    (56000, 56299, "0.001", "winsetgroup,nullkeyjoin,ntilefuzz", "r13"),
+    (57000, 57299, "0.1", "winsetgroup,nullkeyjoin,ntilefuzz", "r13"),
+    (58000, 58999, "0.01", "mixed", "r13"),
+    (59000, 59299, "0.1", "mixed", "r13"),
+    (60000, 61199, "0.01", "mixed", "r13"),
+    (62000, 62299, "0.1", "mixed", "r13"),
+    (63000, 63599, "0.01", "mixed", "r13"),
+    (64000, 64029, "0.01", "rangenull,nsafejoin,medianalg", "r14"),
+    (72000, 72599, "0.01", "rangenull,nsafejoin,medianalg", "r15"),
+    (73000, 73299, "0.001", "rangenull,nsafejoin,medianalg", "r15"),
+    (74000, 74299, "0.1", "rangenull,nsafejoin,medianalg", "r15"),
+    (75000, 75999, "0.01", "mixed", "r15"),
+    (76000, 76299, "0.1", "mixed", "r15"),
+    (77000, 77119, "0.01", "stringfunc", "r15"),  # RULE-10 spellings ext
+    (78000, 78399, "0.01", "stringfunc,setop,winsetop", "r15"),
+    (79000, 79399, "0.01", "mixed", "r15"),
+    (80000, 80119, "0.01", "histalg", "r15"),
+    (81000, 81399, "0.01", "histalg", "r15"),
+    (82000, 82199, "0.001", "histalg,medianalg", "r15"),
+    (83000, 83199, "0.1", "histalg", "r15"),
+    (84000, 84599, "0.01", "mixed", "r15"),
+    (85000, 85999, "0.01", "mixed", "r15"),
+    (86000, 86399, "0.001", "mixed", "r15"),
+    (87000, 87039, "0.01", "modefreq,latwin", "r15"),  # seed 87015 hazard
+    (88000, 88399, "0.01", "modefreq,latwin", "r15"),
+    (89000, 89199, "0.001", "modefreq,latwin", "r15"),
+    (90000, 90199, "0.1", "modefreq,latwin", "r15"),
+    (91000, 91599, "0.01", "mixed", "r15"),
+    (92000, 92999, "0.01", "mixed", "r15"),
+    (93000, 93399, "0.001", "mixed", "r15"),
+    (94000, 94399, "0.1", "mixed", "r15"),
+    (95000, 95059, "0.01", "modefreq,latwin", "r15"),  # setop/winover/gsets
+    (96000, 96499, "0.01", "modefreq,latwin", "r15"),
+    (97000, 97199, "0.001", "modefreq,latwin", "r15"),
+    (98000, 98199, "0.1", "modefreq,latwin", "r15"),
+    (99000, 99499, "0.01", "mixed", "r15"),
+    (100000, 100059, "0.01", "modefreq,latwin", "r15"),  # latjoin/rangewin
+    (101000, 101499, "0.01", "modefreq,latwin", "r15"),
+    (102000, 102199, "0.001", "modefreq,latwin", "r15"),
+    (103000, 103199, "0.1", "modefreq,latwin", "r15"),
+    (104000, 104599, "0.01", "mixed", "r15"),
+    (105000, 105059, "0.01", "latwin", "r15"),  # leftlat flavor
+    (106000, 106399, "0.01", "latwin", "r15"),
+    (107000, 107199, "0.001", "latwin", "r15"),
+    (108000, 108199, "0.1", "latwin", "r15"),
+    (109000, 109599, "0.01", "mixed", "r15"),
+    (110000, 110079, "0.01", "latwin", "r15"),  # nested2; seed 110004 seam
+    (111000, 111399, "0.01", "latwin", "r15"),
+    (112000, 112199, "0.001", "latwin", "r15"),
+    (113000, 113149, "0.1", "latwin", "r15"),
+    (114000, 114599, "0.01", "mixed", "r15"),
+    (115000, 115799, "0.01", "mixed", "r15"),  # closing sweep, final tree
+    (116000, 116399, "0.01", "latwin", "r15"),  # leftlat COALESCE read-back
+    (117000, 117199, "0.001", "latwin", "r15"),
+    (120000, 120039, "0.01", "exactrefine", "r16"),  # shakedown
+    (121000, 121399, "0.01", "exactrefine", "r16"),
+    (122000, 122199, "0.001", "exactrefine", "r16"),
+    (123000, 123199, "0.1", "exactrefine", "r16"),
+    (124000, 124399, "0.01", "mixed", "r16"),
+    (125000, 125199, "0.01", "exactrefine", "r16"),
+)
+
+
+def ledger_report(out=None) -> bool:
+    """Print the campaign table + per-round and cumulative totals;
+    return True iff the ledger is structurally sound (sorted, disjoint,
+    known families, known SFs)."""
+    import sys as _sys
+
+    out = out or _sys.stdout
+    ok = True
+    prev_hi = -1
+    per_round: dict[str, int] = {}
+    for lo, hi, sf, fams, rnd in LEDGER:
+        n = hi - lo + 1
+        if lo <= prev_hi or hi < lo:
+            ok = False
+            print(f"LEDGER ERROR: range {lo}-{hi} overlaps/backwards",
+                  file=out)
+        prev_hi = hi
+        if sf not in ("0.001", "0.01", "0.1"):
+            ok = False
+            print(f"LEDGER ERROR: unknown sf {sf!r} at {lo}", file=out)
+        if fams != "mixed":
+            unknown = set(fams.split(",")) - set(_SHAPES)
+            if unknown:
+                ok = False
+                print(f"LEDGER ERROR: unknown families {sorted(unknown)} "
+                      f"at {lo}", file=out)
+        per_round[rnd] = per_round.get(rnd, 0) + n
+        print(f"{lo:>7}-{hi:<7} sf{sf:<6} {rnd:<4} n={n:<5} {fams}",
+              file=out)
+    total = sum(per_round.values())
+    print("-" * 60, file=out)
+    for rnd in sorted(per_round):
+        print(f"{rnd}: {per_round[rnd]:,} cases", file=out)
+    print(f"TOTAL: {total:,} clean cases across {len(LEDGER)} campaigns"
+          f" ({'OK' if ok else 'STRUCTURALLY BROKEN'})", file=out)
+    return ok
+
 
 _CMP = ["<", "<=", "=", ">=", ">", "<>"]
 
@@ -1859,6 +1935,199 @@ def _gen_latwin(con, rng: random.Random) -> str:
     return outer
 
 
+def _gen_exactrefine(con, rng: random.Random):
+    """THE ASYMMETRIC FAMILY (r15 verdict #2): fuzzes the two-pass
+    broadcast-prune + rank-walk EXACT quantile pipeline — the
+    machinery behind q_exact_median_refine / q_exact_quartiles_refine
+    / q_exact_weighted_median (operators/advanced.py) — by SPELLING
+    THE WHOLE PIPELINE as Spark SQL and comparing it against DuckDB's
+    NATIVE median / percentile_disc / cumulative-walk computation on
+    the same rows.  Returns a (spark_sql, duck_sql) PAIR, the only
+    generator that does; the runner executes each side on its own
+    engine.
+
+    What it machine-checks (previously pinned only by hand-written
+    differentials): (a) the target-bucket fetch — MIN(CASE WHEN
+    den*run >= num*tot THEN b/run_before END) picks the first
+    crossing bucket because run is monotone in b; (b) the pass-2
+    rank walk — row_number among TIED values is arbitrary but the
+    VALUE at rank k is deterministic (ties are FORCED by quantizing
+    the cents to a coarse multiple); (c) zero-weight rows never flip
+    the weighted crossing (weights are sampled from a modular class
+    that includes 0); (d) the bracket algebra survives NEGATIVE
+    domains (c_acctbal cents, plus a random downward shift) under
+    the positive-mod floor-bucket spelling; (e) NULLIF holes at
+    data values near the crossing are skipped identically.
+
+    Randomized: table/group/value, bucket width W (non-round widths
+    included), target fraction num/den (arbitrary rationals — the
+    cumulative-walk oracle affords what percentile_disc's
+    binary-exact-only literals cannot), mode (median-pair / single
+    rank / weighted threshold), predicate, tie-quantization, NULL
+    holes, weight class."""
+    choices = [
+        ("lineitem", "l_returnflag",
+         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)", "l_orderkey"),
+        ("lineitem", "l_linestatus",
+         "CAST(floor(l_quantity + 0.5) AS BIGINT)", "l_partkey"),
+        ("orders", "o_orderpriority",
+         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)", "o_orderkey"),
+        ("orders", "o_orderstatus",
+         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)", "o_custkey"),
+        ("customer", "c_mktsegment",  # negative-rich domain
+         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)", "c_custkey"),
+        ("customer", "c_nationkey",
+         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)", "c_custkey"),
+        ("part", "p_brand", "CAST(p_size AS BIGINT)", "p_partkey"),
+        ("documents", "lang", "CAST(n_chars AS BIGINT)", "doc_id"),
+        ("documents", "source", "CAST(n_chars AS BIGINT)", "doc_id"),
+    ]
+    table, g, base, rowcol = rng.choice(choices)
+    cols = TABLE_COLS[table]
+    # shift to force negative buckets even on positive sources
+    shift = rng.choice([0, 0, 0, 777, 123457, 10_000_000])
+    c = f"({base} - {shift})" if shift else base
+    # FORCE ties half the time: quantize cents to a coarse multiple
+    # via the sanctioned positive-mod floor spelling (portable — the
+    # c0 body is shared verbatim between both sides)
+    if rng.random() < 0.5:
+        q = rng.choice([10, 100, 1000, 2500])
+        c = f"({c} - ((({c} % {q}) + {q}) % {q}))"
+    pred = (_near_empty_pred(con, table, cols, rng)
+            if rng.random() < 0.25
+            else _gen_predicate(con, table, cols, rng))
+    mode = rng.choice(["median2", "rank", "rank", "weighted", "weighted"])
+    # num/den target fraction (num < den); arbitrary rationals are fine
+    # because the oracle is a cumulative walk, not a float literal
+    den = rng.choice([2, 3, 4, 5, 7, 8, 10])
+    num = rng.randrange(1, den)
+    w_expr = rng.choice([
+        "CAST(1 AS BIGINT)",
+        f"((({rowcol} % 5) + 5) % 5)",      # zero-rich (~20% zeros)
+        f"((({rowcol} % 7) + 7) % 7) + 1",  # strictly positive
+    ])
+    sel = f"{g} AS g, {c} AS c, {w_expr} AS w"
+    c0 = f"SELECT {sel} FROM {table} WHERE ({pred})"
+    if rng.random() < 0.4:
+        # punch a NULL hole at an actual data value near the median
+        # crossing, then drop it on both sides — the pipeline must
+        # skip holes identically
+        cnt = con.execute(
+            f"SELECT COUNT(*) FROM {table} WHERE ({pred}) "
+            f"AND {c} IS NOT NULL"
+        ).fetchone()[0]
+        row = con.execute(
+            f"SELECT {c} AS v FROM {table} WHERE ({pred}) "
+            f"ORDER BY v LIMIT 1 OFFSET {max(cnt, 2) // 2}"
+        ).fetchone() if cnt else None
+        if row and row[0] is not None:
+            c0 = (
+                f"SELECT g, c, w FROM (SELECT {g} AS g, "
+                f"NULLIF({c}, {row[0]}) AS c, {w_expr} AS w "
+                f"FROM {table} WHERE ({pred})) s0 WHERE c IS NOT NULL"
+            )
+    W = rng.choice([3, 7, 17, 93, 1000, 12345, 100000])
+    bkt = lambda e: f"(({e} - ((({e} % {W}) + {W}) % {W})) DIV {W})"  # noqa: E731
+
+    if mode == "weighted":
+        spark_sql = f"""WITH c0 AS ({c0}),
+h AS (SELECT g, {bkt('c')} AS b, CAST(SUM(w) AS BIGINT) AS wsum
+      FROM c0 GROUP BY g, {bkt('c')}),
+cum AS (SELECT g, b, wsum,
+        SUM(wsum) OVER (PARTITION BY g ORDER BY b ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        SUM(wsum) OVER (PARTITION BY g) AS tot FROM h),
+tgt AS (SELECT g, MIN(tot) AS tw,
+        MIN(CASE WHEN {den} * run >= {num} * tot THEN b END) AS tb,
+        MIN(CASE WHEN {den} * run >= {num} * tot THEN run - wsum END) AS rb
+        FROM cum GROUP BY g),
+p2 AS (SELECT f.g, f.c, t.rb, t.tw,
+        SUM(f.w) OVER (PARTITION BY f.g ORDER BY f.c ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+       FROM c0 f JOIN tgt t ON f.g = t.g AND {bkt('f.c')} = t.tb)
+SELECT g, CAST(MIN(tw) AS BIGINT) AS tw,
+       MIN(CASE WHEN {den} * (rb + cw) >= {num} * tw THEN c END) AS val
+FROM p2 GROUP BY g"""
+        duck_sql = f"""WITH c0 AS ({c0}),
+r AS (SELECT g, c,
+      SUM(w) OVER (PARTITION BY g ORDER BY c ASC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      SUM(w) OVER (PARTITION BY g) AS tw FROM c0)
+SELECT g, CAST(MIN(tw) AS BIGINT) AS tw,
+       MIN(CASE WHEN {den} * cw >= {num} * tw THEN c END) AS val
+FROM r GROUP BY g"""
+        return spark_sql, duck_sql
+
+    if mode == "rank":
+        spark_sql = f"""WITH c0 AS ({c0}),
+h AS (SELECT g, {bkt('c')} AS b, COUNT(*) AS cnt
+      FROM c0 GROUP BY g, {bkt('c')}),
+cum AS (SELECT g, b, cnt,
+        SUM(cnt) OVER (PARTITION BY g ORDER BY b ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        SUM(cnt) OVER (PARTITION BY g) AS tot FROM h),
+tgt AS (SELECT g, MIN(tot) AS tot,
+        ({num} * MIN(tot) + {den} - 1) DIV {den} AS k,
+        MIN(CASE WHEN {den} * run >= {num} * tot THEN b END) AS tb,
+        MIN(CASE WHEN {den} * run >= {num} * tot THEN run - cnt END) AS rb
+        FROM cum GROUP BY g),
+p2 AS (SELECT f.g, f.c, t.k, t.rb, t.tot,
+        ROW_NUMBER() OVER (PARTITION BY f.g ORDER BY f.c ASC) AS rn
+       FROM c0 f JOIN tgt t ON f.g = t.g AND {bkt('f.c')} = t.tb)
+SELECT g, MIN(tot) AS n,
+       MIN(CASE WHEN rn = k - rb THEN c END) AS val
+FROM p2 GROUP BY g"""
+        # binary-exact fractions can use percentile_disc NATIVELY;
+        # everything else gets the cumulative-walk oracle
+        frac = num / den
+        if den in (2, 4, 8) and rng.random() < 0.5:
+            duck_sql = f"""WITH c0 AS ({c0})
+SELECT g, COUNT(*) AS n,
+       CAST(percentile_disc({frac!r}) WITHIN GROUP (ORDER BY c ASC)
+            AS BIGINT) AS val
+FROM c0 GROUP BY g"""
+        else:
+            duck_sql = f"""WITH c0 AS ({c0}),
+r AS (SELECT g, c,
+      ROW_NUMBER() OVER (PARTITION BY g ORDER BY c ASC) AS rnk,
+      COUNT(*) OVER (PARTITION BY g) AS tot FROM c0)
+SELECT g, MIN(tot) AS n,
+       MIN(CASE WHEN {den} * rnk >= {num} * tot THEN c END) AS val
+FROM r GROUP BY g"""
+        return spark_sql, duck_sql
+
+    # median2: both middle ranks via the even-trick integer med2
+    spark_sql = f"""WITH c0 AS ({c0}),
+h AS (SELECT g, {bkt('c')} AS b, COUNT(*) AS cnt
+      FROM c0 GROUP BY g, {bkt('c')}),
+cum AS (SELECT g, b, cnt,
+        SUM(cnt) OVER (PARTITION BY g ORDER BY b ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        SUM(cnt) OVER (PARTITION BY g) AS tot FROM h),
+cum2 AS (SELECT *, (tot + 1) DIV 2 AS k1, tot DIV 2 + 1 AS k2 FROM cum),
+tgt AS (SELECT g, MIN(tot) AS tot, MIN(k1) AS k1, MIN(k2) AS k2,
+        MIN(CASE WHEN run >= k1 THEN b END) AS b1,
+        MIN(CASE WHEN run >= k1 THEN run - cnt END) AS rb1,
+        MIN(CASE WHEN run >= k2 THEN b END) AS b2,
+        MIN(CASE WHEN run >= k2 THEN run - cnt END) AS rb2
+        FROM cum2 GROUP BY g),
+p2 AS (SELECT f.g, f.c, t.k1, t.rb1, t.b1, t.k2, t.rb2, t.b2, t.tot,
+        {bkt('f.c')} AS cb,
+        ROW_NUMBER() OVER (PARTITION BY f.g, {bkt('f.c')}
+          ORDER BY f.c ASC) AS rn
+       FROM c0 f JOIN tgt t ON f.g = t.g
+        AND ({bkt('f.c')} = t.b1 OR {bkt('f.c')} = t.b2))
+SELECT g, MIN(tot) AS n,
+       CAST(SUM(CASE WHEN cb = b1 AND rn = k1 - rb1 THEN c ELSE 0 END)
+          + SUM(CASE WHEN cb = b2 AND rn = k2 - rb2 THEN c ELSE 0 END)
+            AS BIGINT) AS med2
+FROM p2 GROUP BY g"""
+    duck_sql = f"""WITH c0 AS ({c0})
+SELECT g, COUNT(*) AS n, CAST(median(2 * c) AS BIGINT) AS med2
+FROM c0 GROUP BY g"""
+    return spark_sql, duck_sql
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -1886,6 +2155,7 @@ _SHAPES = {
     "histalg": _gen_histalg,
     "modefreq": _gen_modefreq,
     "latwin": _gen_latwin,
+    "exactrefine": _gen_exactrefine,
 }
 
 _DEFAULT_MIX = (
@@ -1896,7 +2166,7 @@ _DEFAULT_MIX = (
     + ["nullframe"] + ["winsetop"]
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
     + ["rangenull"] + ["nsafejoin"] + ["medianalg"] + ["histalg"]
-    + ["modefreq"] + ["latwin"]
+    + ["modefreq"] + ["latwin"] + ["exactrefine"]
 )
 
 
@@ -1918,7 +2188,11 @@ def main() -> int:
     ap.add_argument("--shapes", default=None,
                     help="comma-separated shape subset "
                          f"(of {sorted(_SHAPES)})")
+    ap.add_argument("--ledger", action="store_true",
+                    help="print + attest the campaign ledger and exit")
     args = ap.parse_args()
+    if args.ledger:
+        return 0 if ledger_report() else 1
     shapes = args.shapes.split(",") if args.shapes else None
     if shapes:
         unknown = set(shapes) - set(_SHAPES)
@@ -1946,12 +2220,18 @@ def main() -> int:
     failures = 0
     for seed in seeds:
         rng = random.Random(seed)
-        sql = _gen_query(con, rng, shapes)
+        gen = _gen_query(con, rng, shapes)
+        # exactrefine returns a (spark_sql, duck_sql) PAIR — the Spark
+        # side spells the refine pipeline, the DuckDB side the native
+        # quantile oracle; every other family shares one SQL text
+        spark_sql, duck_sql = gen if isinstance(gen, tuple) else (gen, gen)
+        sql = spark_sql if spark_sql == duck_sql else (
+            f"[spark] {spark_sql} ||| [duck] {duck_sql}")
         try:
-            sdf = spark.sql(sql)
+            sdf = spark.sql(spark_sql)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
-            cur = con.execute(sql)
+            cur = con.execute(duck_sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
             sset, scs = _rows_to_multiset(srows, scols)
@@ -1960,7 +2240,7 @@ def main() -> int:
                   and sset == oset)
             if ok:
                 assert_pandas_view_matches(
-                    srows, scols, sql, args.sf, f"fuzz_{seed}")
+                    srows, scols, duck_sql, args.sf, f"fuzz_{seed}")
             print(f"seed {seed}: {'OK' if ok else 'DIVERGE'} "
                   f"rows={len(sset)}/{len(oset)} :: {sql}")
             if not ok:

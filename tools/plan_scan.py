@@ -44,6 +44,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     "skyline_pareto",  # phase-2 merge sweep over per-bucket survivors
                        # (bounded by buckets x distinct sizes, never
                        # fact rows; phase-1 windows are bucketed)
+    "tpcds_q51",       # cumulative splice over the month axis — both
+                       # channels pre-aggregate to <=84 calendar rows
+                       # before the FULL OUTER + window (plan-gated in
+                       # test_tpcds_q51_channels_aggregate_before_full_outer)
 }
 
 

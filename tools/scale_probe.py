@@ -1073,7 +1073,7 @@ def probe_stream_state(
     got: dict[str, object] = {}
 
     for name in ("rocksdb_state_agg", "joinstate_read",
-                 "stream_full_outer_join"):
+                 "stream_full_outer_join", "stream_histogram_pctl"):
         q = all_queries()[name]
         walls[name] = round(
             min(
@@ -1083,6 +1083,19 @@ def probe_stream_state(
             3,
         )
     extra["agg_state_keys"] = got["rocksdb_state_agg"].count()
+    # r16: the streaming bounded histogram — state cells = groups x
+    # buckets, FLAT in event volume (the whole design claim)
+    from dpu_olap_spark.sources.tables import load_events_stream
+    from dpu_olap_spark.streaming import stateful as _st
+
+    hist_out = _st.streaming_bucket_counts(load_events_stream(spark, sf_dir))
+    hist_sink = f"probe_hist_{next(_st._sink_counter)}"
+    from dpu_olap_spark.sources.tables import run_to_memory_sink
+
+    run_to_memory_sink(hist_out, hist_sink, "update", state_partitions=8)
+    extra["hist_state_cells"] = (
+        spark.table(hist_sink).select("event_type", "b").distinct().count()
+    )
     sides = {
         r["side"]: r["count"]
         for r in got["joinstate_read"].groupBy("side").count().collect()
