@@ -12524,3 +12524,53 @@ def test_lateral_scalar_aggregate_empty_slice_cross_engine_seam(spark):
         assert s == d and (1, 1, empty_val) in s, (
             f"sanctioned spelling diverged for {agg}: spark={s} duck={d}"
         )
+
+
+def test_refine_pipeline_null_group_key_vs_direct_group_by(spark):
+    """PINNED (r16 exactrefine campaign, seeds 128002/128016/128047 —
+    caught mid-build by the asymmetric fuzz pair): NOT a cross-engine
+    seam — each spelling agrees across engines — but a
+    pipeline-vs-intent hazard unique to two-pass refine operators:
+
+    - a direct GROUP BY keeps the NULL group (BOTH engines emit a
+      row for g IS NULL);
+    - the refine pipeline's pass-2 re-join on the group key is an
+      EQUI-join, so the NULL group silently vanishes from the final
+      result (BOTH engines — NULL never equals NULL);
+
+    so an oracle pairing the pipeline against a direct grouped
+    quantile diverges by exactly the NULL group.  House rule (wired
+    into _gen_exactrefine's g_filter): a NULLIF'd or nullable group
+    key is excluded with an explicit IS NOT NULL on BOTH sides;
+    registered refine operators group on non-null columns only."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(q):
+        s = sorted([tuple(r) for r in spark.sql(q).collect()], key=repr)
+        d = sorted(con.execute(q).fetchall(), key=repr)
+        return s, d
+
+    vals = "(VALUES ('a', 1), ('a', 3), (NULL, 5), (NULL, 7)) t(g, c)"
+    direct = f"SELECT g, MIN(c) AS lo FROM {vals} GROUP BY g"
+    s, d = both(direct)
+    assert s == d and len(s) == 2 and (None, 5) in s, (
+        f"direct GROUP BY must keep the NULL group on both: {s} {d}"
+    )
+    # the pipeline shape: aggregate, then re-join the source on g
+    pipeline = (
+        f"SELECT f.g, MIN(f.c) AS lo FROM {vals.replace('t(', 'f(')} "
+        f"JOIN (SELECT g FROM {vals} GROUP BY g) x ON f.g = x.g "
+        f"GROUP BY f.g"
+    )
+    s, d = both(pipeline)
+    assert s == d and len(s) == 1 and all(r[0] is not None for r in s), (
+        f"the equi-join must drop the NULL group on both: {s} {d}"
+    )
+    # sanctioned: exclude NULL groups explicitly on both sides — the
+    # filtered direct form then matches the pipeline exactly
+    for q in (direct + " HAVING g IS NOT NULL",
+              pipeline):
+        s, d = both(q)
+        assert s == d and s == [("a", 1)], (q, s, d)

@@ -709,3 +709,59 @@ def test_stream_histogram_pctl_state_bounded_and_batch_exact(spark):
             exact = cents[math.ceil(p * n / 4) - 1]
             lo = r[bcol] * W
             assert lo <= exact <= lo + W - 1, (et, p, exact, r[bcol])
+
+
+def test_time_ordered_chunked_replay_matches_single_batch(spark, tmp_path):
+    """SCALE.md r16 replay lever #2, pinned: draining history as
+    EVENT-TIME-ORDERED chunk files (watermark advances between
+    micro-batches, join state evicts progressively) must emit exactly
+    the single-giant-batch row multiset — the 10M sweep showed 3.5x
+    throughput with identical emitted rows; this pins the equivalence
+    at test scale.  Ordering is what makes it safe: each chunk's min
+    event time exceeds the previous chunk's max, so no row ever
+    arrives below the advanced watermark."""
+    import glob
+    import os
+    import shutil
+    import sys
+    import time as _time
+    from collections import Counter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import stream_join_sweep as sw
+
+    sf = "/root/testdata/sf0.001"
+
+    def drain(source, label):
+        joined = sw.build_fo_join(spark, sf, source=source)
+        from dpu_olap_spark.sources.tables import run_to_memory_sink
+
+        sink = f"chunkeq_{label}"
+        run_to_memory_sink(joined, sink, "append", state_partitions=8)
+        rows = Counter(tuple(r) for r in spark.table(sink).collect())
+        spark.catalog.dropTempView(sink)
+        return rows
+
+    single = drain(None, "single")
+
+    # time-ordered chunk fixture in tmp_path (the testdata dir is
+    # read-only; chunk boundaries are exact repartitionByRange splits)
+    chunk_dir = str(tmp_path / "chunks")
+    os.makedirs(chunk_dir)
+    multi = str(tmp_path / "_multi")
+    (spark.read.parquet(os.path.join(sf, "events.parquet"))
+     .repartitionByRange(5, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(multi))
+    now = _time.time() - 1_000
+    parts = sorted(glob.glob(os.path.join(multi, "part-*.parquet")))
+    assert len(parts) == 5
+    for i, part in enumerate(parts):
+        tgt = os.path.join(chunk_dir, f"chunk_{i:04d}.parquet")
+        shutil.move(part, tgt)
+        os.utime(tgt, (now + i, now + i))
+
+    chunked = drain(sw.chunk_source(spark, chunk_dir, 1), "chunked")
+    assert chunked == single and sum(single.values()) > 0, (
+        f"chunked replay diverged: {sum(chunked.values())} rows vs "
+        f"{sum(single.values())}"
+    )

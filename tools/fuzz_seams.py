@@ -293,6 +293,17 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (123000, 123199, "0.1", "exactrefine", "r16"),
     (124000, 124399, "0.01", "mixed", "r16"),
     (125000, 125199, "0.01", "exactrefine", "r16"),
+    (126000, 126299, "0.001", "mixed", "r16"),
+    (127000, 127199, "0.1", "mixed", "r16"),
+    # 128000-128299's FIRST execution raced a generator edit (the
+    # NULLIF-group flavor landed before its g_filter wiring) and
+    # showed 13 pipeline-vs-oracle NULL-group rows — pinned in
+    # test_refine_pipeline_null_group_key_vs_direct_group_by; the
+    # range re-ran CLEAN on the gated tree and is recorded from that
+    # run
+    (128000, 128299, "0.01", "exactrefine", "r16"),
+    (129000, 129059, "0.01", "modefreq,latwin", "r16"),  # mixwin/setop2
+    (130000, 130059, "0.01", "exactrefine", "r16"),  # null-group flavor
 )
 
 
@@ -1580,7 +1591,47 @@ def _gen_modefreq(con, rng: random.Random) -> str:
         nulls = ("" if drop_nulls or not null_lit
                  else rng.choice([" NULLS FIRST", " NULLS LAST"]))
         tiebreak = f", val ASC{nulls}"
-    sel_kind = rng.choice(["rank", "rank", "thresh", "gsets", "rollup2"])
+    sel_kind = rng.choice(["rank", "rank", "thresh", "gsets", "rollup2",
+                           "setop2"])
+    if sel_kind == "setop2":
+        # r16 (the NOTES' under-explored modefreq composition): mode /
+        # heavy-hitter sets from TWO tables composed under set ops —
+        # the shared bounded-modular value domain makes the one
+        # output column union-compatible; each side is rendered
+        # deterministic before the compose (RANK under a full
+        # tiebreak, or a strict integer share threshold).
+        t2 = rng.choice(
+            [t for t in ("orders", "part", "customer", "lineitem")
+             if t != table]
+        )
+        c2 = TABLE_COLS[t2]
+        k = rng.choice([3, 5, 7, 11])
+        shift = rng.choice([0, 0, 2])
+        pred2 = _gen_predicate(con, t2, c2, rng)
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION ALL"])
+
+        def _mode_side(tbl, icol, p):
+            v = f"((({icol} % {k}) + {k}) % {k}) - {shift}"
+            base = (f"SELECT val, COUNT(*) AS cnt FROM "
+                    f"(SELECT {v} AS val FROM {tbl} WHERE ({p})) s "
+                    f"GROUP BY val")
+            if rng.random() < 0.3:
+                k_, m_ = rng.choice([(5, 1), (4, 1), (3, 1), (7, 2)])
+                return (
+                    f"SELECT val FROM (SELECT val, cnt, "
+                    f"CAST(SUM(cnt) OVER () AS BIGINT) AS tot "
+                    f"FROM ({base}) c) r WHERE {k_} * cnt > {m_} * tot"
+                )
+            j = rng.choice([1, 2, 3])
+            return (
+                f"SELECT val FROM (SELECT val, "
+                f"RANK() OVER (ORDER BY cnt DESC, val ASC) AS rk "
+                f"FROM ({base}) c) r WHERE rk <= {j}"
+            )
+
+        s1 = _mode_side(table, rng.choice(cols["ints"]), pred)
+        s2 = _mode_side(t2, rng.choice(c2["ints"]), pred2)
+        return f"({s1}) {op} ({s2})"
     if sel_kind == "rollup2" and len(cols["groups"]) >= 2:
         # wave 4: TWO-LEVEL groups with partial rollup — rank within
         # (grp1, grp2), then ROLLUP(grp1, grp2) over the mode set
@@ -1710,8 +1761,42 @@ def _gen_latwin(con, rng: random.Random) -> str:
     dkeys = f"d.{pk}, d.{rng.choice(dc['strs'])}"
     flavor = rng.choice(["rankfilter", "rankfilter", "aggwin", "limit",
                          "setop", "winover", "latjoin", "rangewin",
-                         "leftlat", "nested2"])
+                         "leftlat", "nested2", "mixwin"])
     direction = rng.choice(["ASC", "DESC"])
+    if flavor == "mixwin":
+        # r16 (the NOTES' last under-explored lateral composition,
+        # probed aligned first): window + LIMIT + set op all INSIDE
+        # one lateral body.  Side A: the LIMIT flavor (total order =
+        # rk, unique key; rank ties carry EQUAL m so the projected
+        # (m, rk) multiset is LIMIT-deterministic); side B: a plain
+        # rank filter under an independent direction.  UNION ALL
+        # keeps multisets, INTERSECT/EXCEPT dedup identically.
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION ALL"])
+        j1, j2 = rng.choice([1, 2]), rng.choice([1, 2, 3])
+        dir2 = rng.choice(["ASC", "DESC"])
+        body_a = (
+            f"SELECT m, rk FROM ("
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {direction}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred}) "
+            f"ORDER BY rk ASC, {ukey} LIMIT {j1}) a"
+        )
+        body_b = (
+            f"SELECT m, rk FROM ("
+            f"SELECT {cents} AS m, "
+            f"RANK() OVER (ORDER BY {cents} {dir2}{nulls}) AS rk "
+            f"FROM {fact} f "
+            f"WHERE f.{fk} = d.{pk} AND ({fact_pred})) b "
+            f"WHERE rk <= {j2}"
+        )
+        q = (
+            f"SELECT d.{pk}, t.m, t.rk FROM {dim} d, "
+            f"LATERAL (({body_a}) {op} ({body_b})) t"
+        )
+        if rng.random() < 0.4:
+            q += f" WHERE ({dim_pred})"
+        return q
     if flavor == "nested2":
         # wave 6: correlated laterals nested TWO deep, each
         # correlation crossing exactly ONE lateral boundary (probed
@@ -1984,6 +2069,20 @@ def _gen_exactrefine(con, rng: random.Random):
     ]
     table, g, base, rowcol = rng.choice(choices)
     cols = TABLE_COLS[table]
+    g_filter = ""
+    if rng.random() < 0.2:
+        # NULLIF'd group key, EXCLUDED on both sides: the pipeline's
+        # pass-2 equi-join would drop a NULL group on Spark while the
+        # oracle's GROUP BY keeps it — registered operators never
+        # group on a nullable key, so the house spelling is the
+        # explicit IS NOT NULL (this flavor fuzzes the NULLIF +
+        # filter interplay, i.e. a whole group vanishing from the
+        # analysis)
+        sv = _sample_values(con, table, g, rng, 1)
+        if sv:
+            kind = "int" if g in cols["ints"] else "str"
+            g = f"NULLIF({g}, {_lit(kind, sv[0])})"
+            g_filter = f" AND ({g}) IS NOT NULL"
     # shift to force negative buckets even on positive sources
     shift = rng.choice([0, 0, 0, 777, 123457, 10_000_000])
     c = f"({base} - {shift})" if shift else base
@@ -2007,7 +2106,7 @@ def _gen_exactrefine(con, rng: random.Random):
         f"((({rowcol} % 7) + 7) % 7) + 1",  # strictly positive
     ])
     sel = f"{g} AS g, {c} AS c, {w_expr} AS w"
-    c0 = f"SELECT {sel} FROM {table} WHERE ({pred})"
+    c0 = f"SELECT {sel} FROM {table} WHERE ({pred}){g_filter}"
     if rng.random() < 0.4:
         # punch a NULL hole at an actual data value near the median
         # crossing, then drop it on both sides — the pipeline must
@@ -2024,7 +2123,8 @@ def _gen_exactrefine(con, rng: random.Random):
             c0 = (
                 f"SELECT g, c, w FROM (SELECT {g} AS g, "
                 f"NULLIF({c}, {row[0]}) AS c, {w_expr} AS w "
-                f"FROM {table} WHERE ({pred})) s0 WHERE c IS NOT NULL"
+                f"FROM {table} WHERE ({pred}){g_filter}) s0 "
+                f"WHERE c IS NOT NULL"
             )
     W = rng.choice([3, 7, 17, 93, 1000, 12345, 100000])
     bkt = lambda e: f"(({e} - ((({e} % {W}) + {W}) % {W})) DIV {W})"  # noqa: E731
