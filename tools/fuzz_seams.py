@@ -304,6 +304,11 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (128000, 128299, "0.01", "exactrefine", "r16"),
     (129000, 129059, "0.01", "modefreq,latwin", "r16"),  # mixwin/setop2
     (130000, 130059, "0.01", "exactrefine", "r16"),  # null-group flavor
+    (131000, 131499, "0.01", "modefreq,latwin", "r16"),
+    (132000, 132199, "0.001", "modefreq,latwin", "r16"),
+    (133000, 133199, "0.1", "modefreq,latwin", "r16"),
+    (134000, 134399, "0.01", "exactrefine", "r16"),
+    (135000, 135599, "0.01", "mixed", "r16"),  # closing sweep, final tree
 )
 
 

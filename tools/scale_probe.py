@@ -1025,6 +1025,123 @@ def probe_heavy_hitters(spark, sf_dir: str) -> tuple[dict[str, float], dict[str,
     )
 
 
+def gen_tpcds_star(spark, n: int, sf_dir: str) -> None:
+    """Synthetic star for the TPC-DS-lite probes: lineitem(n) with
+    25 brands x 84 ship months x 3 return flags, part(n//100) with
+    brand/type hierarchy, orders(n//4) over the same 84 months x 5
+    priorities, customer(n//40) over 25 nations — the regimes where
+    q36's rollup cells, q47's brand-months, and q51's month axis must
+    stay FLAT as the facts grow."""
+    os.makedirs(sf_dir, exist_ok=True)
+    n_parts = max(1000, n // 100)
+    spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n_parts)).alias("l_partkey"),
+        (
+            1000.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4_000_000)) / 100.0
+        ).alias("l_extendedprice"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(11)) / 100.0).alias(
+            "l_discount"
+        ),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(50)) + 1)
+        .cast("double")
+        .alias("l_quantity"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+        ).alias("l_returnflag"),
+        # 84 distinct months spread over 7 years
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.make_interval(
+                F.lit(0),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(84)).cast("int"),
+            )
+        ).alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    spark.range(n_parts).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(
+            F.lit("Brand#"), F.pmod(F.xxhash64("id"), F.lit(25))
+        ).alias("p_brand"),
+        F.concat(
+            F.lit("TYPE"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(6))
+        ).alias("p_type"),
+        (
+            900.0 + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)) / 100.0
+        ).alias("p_retailprice"),
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "part.parquet"))
+    n_orders = max(1000, n // 4)
+    n_cust = max(500, n // 40)
+    spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id"), F.lit(n_cust)).alias("o_custkey"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in (
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW")]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+        (
+            1000.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4_000_000)) / 100.0
+        ).alias("o_totalprice"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.make_interval(
+                F.lit(0),
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(84)).cast("int"),
+            )
+        ).alias("o_orderdate"),
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+    spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(25)).alias("c_nationkey"),
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "customer.parquet"))
+
+
+def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """The r16 TPC-DS-lite shapes at volume: walls best-of-3 plus the
+    exchange audits that make each one's 100 TB claim falsifiable —
+
+    - q47: the ONLY fact-scale exchange carries partial-combined
+      (brand, month) sums (bounded by cells x map partitions); the
+      window exchange carries the ~2,100-row bounded cell table, FLAT
+      in fact size;
+    - q36: the rollup exchange carries partial-combined Expand output
+      (<= 3 levels x cells x map partitions); the rank window input is
+      the bounded rollup table;
+    - q51: both channel exchanges carry <= 84 month rows each after
+      map-side partial aggregation; the single-partition cumulative
+      exchange carries the spliced <= 84-row axis;
+    - q1: the window exchange carries CUSTOMER-level rows (grows with
+      the customer dimension, never the fact)."""
+    from dpu_olap_spark.registry import all_queries
+
+    walls: dict[str, float] = {}
+    extra: dict[str, int] = {}
+    for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1"):
+        q = all_queries()[name]
+        walls[name] = round(
+            min(
+                _timed(
+                    lambda: q.build(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for _ in range(3)
+            ),
+            3,
+        )
+        recs = _exchange_records(q.build(spark, sf_dir))
+        key = name.removeprefix("tpcds_")
+        extra[f"{key}_n_exchanges"] = len(recs)
+        extra[f"{key}_min_exchange_records"] = min(recs)
+        extra[f"{key}_max_exchange_records"] = max(recs)
+    return walls, extra
+
+
 def gen_events_file(spark, n: int, sf_dir: str) -> None:
     """gen_events, collapsed to the single FILE named events.parquet
     that load_events_stream's pathGlobFilter contract expects."""
@@ -1153,6 +1270,8 @@ def main() -> None:
     ns_results: dict[int, dict[str, float]] = {}
     ns_extra: dict[int, dict[str, int]] = {}
     stream_results: dict[int, dict[str, float]] = {}
+    tpcds_results: dict[int, dict[str, float]] = {}
+    tpcds_extra: dict[int, dict[str, int]] = {}
     stream_extra: dict[int, dict[str, int]] = {}
     sizes = sorted({600_000, n})
     doc_sizes = sorted({50_000, n_docs})
@@ -1223,6 +1342,10 @@ def main() -> None:
             stream_results[ev_n], stream_extra[ev_n] = probe_stream_state(
                 spark, sf, ev_n
             )
+        for rows in sizes:
+            sf = os.path.join(d, f"tpcds_sf_{rows}")
+            gen_tpcds_star(spark, rows, sf)
+            tpcds_results[rows], tpcds_extra[rows] = probe_tpcds(spark, sf)
     lines = [
         "# SCALE_PROBE — operator throughput vs data size",
         "",
@@ -1489,6 +1612,36 @@ def main() -> None:
             "% of input), full-outer emitted "
             f"{stream_extra[rows]['full_outer_rows']:,}"
             for rows in stream_extra
+        )
+        + "; streaming bounded histogram: "
+        + "; ".join(
+            f"{rows:,} events -> "
+            f"{stream_extra[rows].get('hist_state_cells', -1):,} state "
+            "cells (groups x buckets — value-range-bounded, flat in "
+            "volume)"
+            for rows in stream_extra
+        ),
+    ]
+    lines += [""]
+    lines += _table(
+        "## TPC-DS-lite shapes (real q_tpcds_q47/q36/q51/q1, r16)",
+        tpcds_results,
+        unit_rows=True,
+    )
+    lines += [
+        "",
+        "Exchange audit — the bounded-cell claims each shape's plan "
+        "gate makes, verified empirically (min/max "
+        "shuffleRecordsWritten per plan): "
+        + "; ".join(
+            f"{rows:,} rows -> "
+            + ", ".join(
+                f"{q}: {tpcds_extra[rows][f'{q}_n_exchanges']}x "
+                f"[{tpcds_extra[rows][f'{q}_min_exchange_records']:,} "
+                f".. {tpcds_extra[rows][f'{q}_max_exchange_records']:,}]"
+                for q in ("q47", "q36", "q51", "q1")
+            )
+            for rows in tpcds_extra
         ),
     ]
     out = os.path.join(
