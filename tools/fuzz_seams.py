@@ -16,7 +16,7 @@ Usage: python tools/fuzz_seams.py [--n 300] [--seed-base 0]
        [--sf /root/testdata/sf0.01] [--shapes stringfunc,setop]
 Prints one line per case; exits nonzero if any case diverges.
 
-Shape families (27): single-table filter+agg, PK-FK inner/LEFT join,
+Shape families (28): single-table filter+agg, PK-FK inner/LEFT join,
 three-table chain/star joins with per-hop INNER/LEFT mixing,
 rank-filter/running-sum windows OVER a PK-FK join,
 total-order top-k, calendar extraction + date_trunc/interval bounds,
@@ -308,7 +308,13 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (132000, 132199, "0.001", "modefreq,latwin", "r16"),
     (133000, 133199, "0.1", "modefreq,latwin", "r16"),
     (134000, 134399, "0.01", "exactrefine", "r16"),
-    (135000, 135599, "0.01", "mixed", "r16"),  # closing sweep, final tree
+    (135000, 135599, "0.01", "mixed", "r16"),  # mixed-27 sweep
+    (136000, 136059, "0.01", "rollupwin", "r16"),  # shakedown
+    (137000, 137399, "0.01", "rollupwin", "r16"),
+    (138000, 138199, "0.001", "rollupwin", "r16"),
+    (139000, 139199, "0.1", "rollupwin", "r16"),
+    (140000, 140499, "0.01", "mixed", "r16"),  # mixed-28
+    (141000, 141299, "0.01", "exactrefine", "r16"),  # pdisc oracle leg
 )
 
 
@@ -2025,6 +2031,69 @@ def _gen_latwin(con, rng: random.Random) -> str:
     return outer
 
 
+def _gen_rollupwin(con, rng: random.Random) -> str:
+    """Windows OVER grouping-set outputs (r16 — the tpcds_q36 shape as
+    a family; the existing winsetgroup family covers the REVERSE
+    composition, grouping sets over window outputs): aggregate under
+    ROLLUP / CUBE / GROUPING SETS with GROUPING() indicators, then
+    RANK/DENSE_RANK the resulting level table partitioned by grouping
+    level (optionally with the q36 rank-within-PARENT CASE — NULL
+    parent partitions group identically on both engines).  Rank keys:
+    the exact BIGINT sum, the count, or their double ratio (identical
+    operands both engines, so equal ratios tie identically).  The
+    house empty-rollup HAVING guard applies; NULLIF'd g2 values ride
+    as data-NULLs disambiguated from rollup-NULLs by GROUPING();
+    nullable tiebreak keys always spell NULLS FIRST/LAST."""
+    table = rng.choice(["lineitem", "orders", "part", "customer"])
+    cols = TABLE_COLS[table]
+    g1, g2 = rng.sample(cols["groups"], 2)
+    fcol = rng.choice(cols["floats"])
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    pred = _gen_predicate(con, table, cols, rng)
+    v2 = g2
+    if rng.random() < 0.3:
+        sv = _sample_values(con, table, g2, rng, 1)
+        if sv:
+            kind = "int" if g2 in cols["ints"] else "str"
+            v2 = f"NULLIF({g2}, {_lit(kind, sv[0])})"
+    gtype = rng.choice(
+        ["ROLLUP(g1, g2)", "CUBE(g1, g2)",
+         "GROUPING SETS ((g1, g2), (g1), ())"]
+    )
+    rank_fn = rng.choice(["RANK", "RANK", "DENSE_RANK"])
+    key = rng.choice(["s", "n", "ratio"])
+    key_expr = {"s": "s", "n": "n",
+                "ratio": "CAST(s AS DOUBLE) / n"}[key]
+    dirn = rng.choice(["ASC", "DESC"])
+    part = rng.choice([
+        "gg1 + gg2",
+        "gg1, gg2",
+        "gg1 + gg2, CASE WHEN gg2 = 0 THEN g1 END",  # q36: within parent
+    ])
+    tiebreak = ""
+    if rng.random() < 0.5:
+        # full tiebreak over the (nullable) rollup keys — NULLS spelled
+        tiebreak = (", g1 ASC NULLS FIRST, g2 ASC NULLS LAST"
+                    if rng.random() < 0.5
+                    else ", g2 DESC NULLS FIRST, g1 DESC NULLS LAST")
+    q = (
+        f"WITH f AS (SELECT {g1} AS g1, {v2} AS g2, {cents} AS m "
+        f"FROM {table} WHERE ({pred})), "
+        f"g AS (SELECT g1, g2, CAST(GROUPING(g1) AS INT) AS gg1, "
+        f"CAST(GROUPING(g2) AS INT) AS gg2, "
+        f"CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n "
+        f"FROM f GROUP BY {gtype} HAVING COUNT(*) > 0) "
+        f"SELECT g1, g2, gg1, gg2, s, n, "
+        f"{rank_fn}() OVER (PARTITION BY {part} "
+        f"ORDER BY {key_expr} {dirn}{tiebreak}) AS rk "
+        f"FROM g"
+    )
+    if rng.random() < 0.4:
+        j = rng.choice([1, 2, 3])
+        q = f"SELECT * FROM ({q}) z WHERE rk <= {j}"
+    return q
+
+
 def _gen_exactrefine(con, rng: random.Random):
     """THE ASYMMETRIC FAMILY (r15 verdict #2): fuzzes the two-pass
     broadcast-prune + rank-walk EXACT quantile pipeline — the
@@ -2153,7 +2222,19 @@ p2 AS (SELECT f.g, f.c, t.rb, t.tw,
 SELECT g, CAST(MIN(tw) AS BIGINT) AS tw,
        MIN(CASE WHEN {den} * (rb + cw) >= {num} * tw THEN c END) AS val
 FROM p2 GROUP BY g"""
-        duck_sql = f"""WITH c0 AS ({c0}),
+        if (w_expr == "CAST(1 AS BIGINT)" and den in (2, 4, 8)
+                and rng.random() < 0.5):
+            # uniform weights + binary-exact fraction: the weighted
+            # walk degenerates to percentile_disc — cross-check the
+            # whole weighted pipeline against DuckDB's NATIVE
+            # order-statistic instead of the cumulative-walk spelling
+            duck_sql = f"""WITH c0 AS ({c0})
+SELECT g, COUNT(*) AS tw,
+       CAST(percentile_disc({num / den!r}) WITHIN GROUP (ORDER BY c ASC)
+            AS BIGINT) AS val
+FROM c0 GROUP BY g"""
+        else:
+            duck_sql = f"""WITH c0 AS ({c0}),
 r AS (SELECT g, c,
       SUM(w) OVER (PARTITION BY g ORDER BY c ASC
         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
@@ -2261,6 +2342,7 @@ _SHAPES = {
     "modefreq": _gen_modefreq,
     "latwin": _gen_latwin,
     "exactrefine": _gen_exactrefine,
+    "rollupwin": _gen_rollupwin,
 }
 
 _DEFAULT_MIX = (
@@ -2271,7 +2353,7 @@ _DEFAULT_MIX = (
     + ["nullframe"] + ["winsetop"]
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
     + ["rangenull"] + ["nsafejoin"] + ["medianalg"] + ["histalg"]
-    + ["modefreq"] + ["latwin"] + ["exactrefine"]
+    + ["modefreq"] + ["latwin"] + ["exactrefine"] + ["rollupwin"]
 )
 
 
