@@ -711,15 +711,27 @@ def test_stream_histogram_pctl_state_bounded_and_batch_exact(spark):
             assert lo <= exact <= lo + W - 1, (et, p, exact, r[bcol])
 
 
-def test_time_ordered_chunked_replay_matches_single_batch(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n_chunks,watermark",
+    [(5, "1 hour"), (3, "10 minutes"), (8, "1 hour")],
+)
+def test_time_ordered_chunked_replay_matches_single_batch(
+        spark, tmp_path, n_chunks, watermark):
     """SCALE.md r16 replay lever #2, pinned: draining history as
     EVENT-TIME-ORDERED chunk files (watermark advances between
     micro-batches, join state evicts progressively) must emit exactly
     the single-giant-batch row multiset — the 10M sweep showed 3.5x
     throughput with identical emitted rows; this pins the equivalence
-    at test scale.  Ordering is what makes it safe: each chunk's min
-    event time exceeds the previous chunk's max, so no row ever
-    arrives below the advanced watermark."""
+    at test scale ACROSS chunk counts and eviction horizons (both
+    sides always share the watermark; a shorter horizon evicts more
+    null-extensions earlier but the final multiset is invariant).
+    Ordering is what makes it safe: each chunk's min event time
+    exceeds the previous chunk's max (exact repartitionByRange
+    boundaries), so no row ever arrives below the advanced
+    watermark — with ANY delay."""
     import glob
     import os
     import shutil
@@ -733,10 +745,11 @@ def test_time_ordered_chunked_replay_matches_single_batch(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
 
     def drain(source, label):
-        joined = sw.build_fo_join(spark, sf, source=source)
+        joined = sw.build_fo_join(spark, sf, source=source,
+                                  watermark=watermark)
         from dpu_olap_spark.sources.tables import run_to_memory_sink
 
-        sink = f"chunkeq_{label}"
+        sink = f"chunkeq_{n_chunks}_{watermark.split()[0]}_{label}"
         run_to_memory_sink(joined, sink, "append", state_partitions=8)
         rows = Counter(tuple(r) for r in spark.table(sink).collect())
         spark.catalog.dropTempView(sink)
@@ -750,11 +763,11 @@ def test_time_ordered_chunked_replay_matches_single_batch(spark, tmp_path):
     os.makedirs(chunk_dir)
     multi = str(tmp_path / "_multi")
     (spark.read.parquet(os.path.join(sf, "events.parquet"))
-     .repartitionByRange(5, "ts").sortWithinPartitions("ts")
+     .repartitionByRange(n_chunks, "ts").sortWithinPartitions("ts")
      .write.mode("overwrite").parquet(multi))
     now = _time.time() - 1_000
     parts = sorted(glob.glob(os.path.join(multi, "part-*.parquet")))
-    assert len(parts) == 5
+    assert len(parts) == n_chunks
     for i, part in enumerate(parts):
         tgt = os.path.join(chunk_dir, f"chunk_{i:04d}.parquet")
         shutil.move(part, tgt)

@@ -315,6 +315,10 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (139000, 139199, "0.1", "rollupwin", "r16"),
     (140000, 140499, "0.01", "mixed", "r16"),  # mixed-28
     (141000, 141299, "0.01", "exactrefine", "r16"),  # pdisc oracle leg
+    (142000, 142079, "0.01", "exactrefine", "r16"),  # joined-src shakedown
+    (143000, 143399, "0.01", "exactrefine", "r16"),  # joined sources
+    (144000, 144199, "0.1", "exactrefine", "r16"),
+    (145000, 145199, "0.001", "exactrefine", "r16"),
 )
 
 
@@ -2140,9 +2144,25 @@ def _gen_exactrefine(con, rng: random.Random):
         ("part", "p_brand", "CAST(p_size AS BIGINT)", "p_partkey"),
         ("documents", "lang", "CAST(n_chars AS BIGINT)", "doc_id"),
         ("documents", "source", "CAST(n_chars AS BIGINT)", "doc_id"),
+        # JOINED sources (r16 late wave — the refine pipeline
+        # downstream of a PK-FK join; the join text is portable and
+        # shared verbatim in c0 on both engines; predicates sample
+        # from the FACT side's column set, names unique across pairs)
+        ("lineitem JOIN part ON l_partkey = p_partkey", "p_brand",
+         "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+         " AS BIGINT)", "l_orderkey", "lineitem"),
+        ("orders JOIN customer ON o_custkey = c_custkey",
+         "c_mktsegment",
+         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+         "o_orderkey", "orders"),
+        ("lineitem JOIN supplier ON l_suppkey = s_suppkey",
+         "s_nationkey",
+         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+         "l_partkey", "lineitem"),
     ]
-    table, g, base, rowcol = rng.choice(choices)
-    cols = TABLE_COLS[table]
+    choice = rng.choice(choices)
+    table, g, base, rowcol = choice[:4]
+    cols = TABLE_COLS[choice[4] if len(choice) == 5 else table]
     g_filter = ""
     if rng.random() < 0.2:
         # NULLIF'd group key, EXCLUDED on both sides: the pipeline's
@@ -2154,7 +2174,9 @@ def _gen_exactrefine(con, rng: random.Random):
         # analysis)
         sv = _sample_values(con, table, g, rng, 1)
         if sv:
-            kind = "int" if g in cols["ints"] else "str"
+            # kind from the sampled VALUE, not the cols dict — joined
+            # sources group on the DIM side, outside the fact colset
+            kind = "int" if isinstance(sv[0], int) else "str"
             g = f"NULLIF({g}, {_lit(kind, sv[0])})"
             g_filter = f" AND ({g}) IS NOT NULL"
     # shift to force negative buckets even on positive sources

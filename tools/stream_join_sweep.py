@@ -42,12 +42,14 @@ ROCKSDB = (
 )
 
 
-def build_fo_join(spark, sf_dir: str, source=None) -> DataFrame:
+def build_fo_join(spark, sf_dir: str, source=None,
+                  watermark: str = "1 hour") -> DataFrame:
     """The q_stream_full_outer_join pipeline verbatim (windows.py) —
     rebuilt here so the sweep can own the sink config.  ``source`` is
     an optional zero-arg factory returning a fresh streaming events DF
     (the chunked-replay variants); default = the operator's own
-    single-file loader."""
+    single-file loader.  ``watermark`` parametrizes the eviction
+    horizon (both sides always share it)."""
 
     def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
         s = source() if source else load_events_stream(spark, sf_dir)
@@ -57,8 +59,9 @@ def build_fo_join(spark, sf_dir: str, source=None) -> DataFrame:
             F.col("ts").alias(ts_alias),
         )
 
-    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
-    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
+    p = side("purchase", "purchase_id", "pts").withWatermark(
+        "pts", watermark)
+    c = side("click", "click_id", "cts").withWatermark("cts", watermark)
     return p.join(
         c,
         F.expr(
