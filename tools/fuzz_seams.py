@@ -319,6 +319,9 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (143000, 143399, "0.01", "exactrefine", "r16"),  # joined sources
     (144000, 144199, "0.1", "exactrefine", "r16"),
     (145000, 145199, "0.001", "exactrefine", "r16"),
+    (146000, 146299, "0.01", "rollupwin", "r16"),  # rankwin2 flavor
+    (147000, 147149, "0.001", "rollupwin", "r16"),
+    (148000, 148399, "0.01", "mixed", "r16"),  # closing mixed-28
 )
 
 
@@ -2092,6 +2095,24 @@ def _gen_rollupwin(con, rng: random.Random) -> str:
         f"ORDER BY {key_expr} {dirn}{tiebreak}) AS rk "
         f"FROM g"
     )
+    if rng.random() < 0.35:
+        # r16 late wave: a SECOND window over the rank output — a
+        # running sum across each grouping level in rank order.  The
+        # sort spells a TOTAL order (rk, gg1, gg2, then both nullable
+        # rollup keys with explicit NULLS): RANK ties resolve through
+        # the keys, so every ROWS-frame prefix sum is
+        # position-determined on both engines.
+        frame = rng.choice(
+            ["ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]
+        )
+        q = (
+            f"SELECT g1, g2, gg1, gg2, s, n, rk, "
+            f"CAST(SUM(s) OVER (PARTITION BY gg1 + gg2 "
+            f"ORDER BY rk ASC, gg1 ASC, gg2 ASC, "
+            f"g1 ASC NULLS FIRST, g2 ASC NULLS LAST {frame}) "
+            f"AS BIGINT) AS rs2 FROM ({q}) z0"
+        )
     if rng.random() < 0.4:
         j = rng.choice([1, 2, 3])
         q = f"SELECT * FROM ({q}) z WHERE rk <= {j}"
