@@ -322,6 +322,8 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (146000, 146299, "0.01", "rollupwin", "r16"),  # rankwin2 flavor
     (147000, 147149, "0.001", "rollupwin", "r16"),
     (148000, 148399, "0.01", "mixed", "r16"),  # closing mixed-28
+    (149000, 149999, "0.01", "mixed", "r16"),  # idle-time volume
+    (150000, 150399, "0.001", "mixed", "r16"),
 )
 
 
