@@ -324,6 +324,7 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (148000, 148399, "0.01", "mixed", "r16"),  # closing mixed-28
     (149000, 149999, "0.01", "mixed", "r16"),  # idle-time volume
     (150000, 150399, "0.001", "mixed", "r16"),
+    (151000, 151299, "0.1", "mixed", "r16"),
 )
 
 
