@@ -71,35 +71,15 @@ _VERIFIED_R14 = (
     "statestore_timetravel", "pystream_scan", "pysink_write",
     "sink_zorder",
 )
-_VERIFIED_R11 = (
-    # CORRECTNESS_r11.json — the 2 rows NOT re-checked in the r15
-    # window (the r11 tail's last two); the other 48 r11 rows moved
-    # to _VERIFIED_R15.  These are the repo's stalest rows and
-    # re-check at the head of the r16 verified tail, exactly as the
-    # r15 verdict ordered.
-    "ivf_train", "pq_encode",
-)
 _VERIFIED_R12 = (
-    # CORRECTNESS_r12.json — 50 rows: 48 hash-green + 2 rows-only by
-    # design (hll_mergeable, approx_percentile — engine-specific
-    # sketches with rank/error-bound pytests).  The window was the
-    # round's 2 NEW queries (sql_script, exec_immediate), then the 41
-    # remaining r8-vintage rows + the 7 oldest r9 rows, exactly as the
-    # r11 verdict ordered.
-    "sql_script", "exec_immediate",
-    "salted_join", "fuzzy_join",
-    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
-    "bitmap_presence", "group_size_hist", "chunk_documents",
-    "pack_sequences", "redact_pii", "train_test_split",
-    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
-    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
-    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
-    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
-    "case_expr", "having_filter", "approx_percentile",
-    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
-    "listagg_stats", "session_funnel", "bloom_filter_join",
-    "udtf_word_runs", "observed_clean", "reservoir_sample",
-    "approx_topk_tokens", "stateful_profile", "stream_static_join",
+    # CORRECTNESS_r12.json — the 9 rows NOT re-checked since r12 (the
+    # r12 window's youngest tail); the other 41 r12 rows moved to
+    # _VERIFIED_R16.  These are now the repo's stalest rows —
+    # including the reference-core filter/sum/take — and re-check
+    # right behind the six TPC-DS-lite leads in the r17 window,
+    # exactly as the r16 verdict ordered.  _VERIFIED_R11 dissolved
+    # (ivf_train, pq_encode re-checked in r16).
+    "stateful_profile", "stream_static_join",
     "pipe_sql", "try_arith",
     "pysource_scan", "sink_compaction", "filter", "sum", "take",
 )
@@ -149,42 +129,50 @@ _VERIFIED_R15 = (
     "tpch_q13", "tpch_q16", "tpch_q17",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 )
+_VERIFIED_R16 = (
+    # CORRECTNESS_r16.json — 50 rows: 48 hash-green + 2 rows-only by
+    # design (hll_mergeable, approx_percentile — the engine-specific
+    # sketches with no DuckDB oracle, bounded by
+    # tests/test_sketch_tolerance.py; both were rows-only in r12 too).
+    # The window was the SIX r15-deferred quantile/frequency
+    # operators, then the round's NEW stream_histogram_pctl, then the
+    # 2 r11-vintage stalest rows (ivf_train, pq_encode), then the 41
+    # oldest r12 rows — exactly as the r15 verdict ordered.
+    "weighted_median", "exact_median_refine", "exact_quartiles_refine",
+    "group_mode", "heavy_hitters", "exact_weighted_median",
+    "stream_histogram_pctl",
+    "ivf_train", "pq_encode",
+    "sql_script", "exec_immediate",
+    "salted_join", "fuzzy_join",
+    "sink_range_cluster", "unpivot_metrics", "lateral_topn",
+    "bitmap_presence", "group_size_hist", "chunk_documents",
+    "pack_sequences", "redact_pii", "train_test_split",
+    "cross_source_overlap", "dedup_keep_best", "embedding_quantize",
+    "pq_search", "ivf_pq_search", "bm25_scores", "bigram_lm",
+    "perplexity_score", "vocab_coverage", "sink_xml_roundtrip",
+    "map_funcs", "hll_mergeable", "variant_json", "json_funcs",
+    "case_expr", "having_filter", "approx_percentile",
+    "stream_dedup", "agg_collect", "recursive_cte", "tvf_range_join",
+    "listagg_stats", "session_funnel", "bloom_filter_join",
+    "udtf_word_runs", "observed_clean", "reservoir_sample",
+    "approx_topk_tokens",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R11 + _VERIFIED_R12 + _VERIFIED_R13 + _VERIFIED_R14
-    + _VERIFIED_R15
+    _VERIFIED_R12 + _VERIFIED_R13 + _VERIFIED_R14
+    + _VERIFIED_R15 + _VERIFIED_R16
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r16 window (50 rows) = the
-# SIX r15-deferred operators (weighted_median, exact_median_refine,
-# exact_quartiles_refine, group_mode, heavy_hitters,
-# exact_weighted_median — each fully oracled at all three SFs,
-# plan-gated, and independently spot-verified green by the r15 judge
-# at sf0.01 AND sf0.1), then the 2 r11-vintage rows (ivf_train,
-# pq_encode — the repo's stalest), then the 42 oldest r12 rows —
-# exactly as the r15 verdict ordered.  After r16 no row's latest
-# check is older than r13 except the 8 youngest r12 rows, which lead
-# the r17 tail.
+# verified rows rotate oldest-first.  The r17 window (50 rows) = the
+# SIX r16-deferred TPC-DS-lite shapes (never driver-checked; fully
+# oracled at all three SFs, plan-gated, and independently
+# spot-verified green by the r16 judge at sf0.01, three also at
+# sf0.1), then the 9 r12-vintage rows (the reference-core
+# filter/sum/take among them), then the 35 oldest r13 rows — exactly
+# as the r16 verdict ordered.  After r17 no row's latest check is
+# older than r13.
 _HIGH_PRIORITY: tuple[str, ...] = (
-    "weighted_median",
-    "exact_median_refine",
-    "exact_quartiles_refine",
-    "group_mode",
-    "heavy_hitters",
-    "exact_weighted_median",
-    # r16's one NEW registration (verdict #4): the streaming
-    # bounded-histogram percentile — behind the six deferred rows,
-    # ahead of the verified tail
-    "stream_histogram_pctl",
-)
-# The r16 TPC-DS-lite registrations are deferred BEHIND the verified
-# tail (the r14 weighted_sample / r15 quantile-family precedent): the
-# r15 verdict explicitly feeds them into the R17 window ("Done = 5+
-# new tpcds_q* rows ... fed into the r17 window"), and spending r16
-# slots on them would push stale r12 rows past the 4-round horizon.
-# All six are fully oracled at all three SFs and plan-gated locally.
-_LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q1",
     "tpcds_q34",
     "tpcds_q36",
@@ -192,6 +180,13 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q51",
     "tpcds_q88",
 )
+# Registrations NEW in r17 are deferred BEHIND the verified tail (the
+# r14/r15/r16 precedent): the r16 verdict's window is exactly
+# 6 + 9 + 35 = 50 rows, so spending r17 slots on brand-new rows would
+# push stale r12/r13 rows past the 4-round horizon.  Everything here
+# is fully oracled at all three SFs and plan-gated locally; the r18
+# window leads with these.
+_LOW_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -206,12 +201,12 @@ def _ordered_names() -> list[str]:
         key=_LOW_PRIORITY.index,
     )
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 2 remaining r11 rows lead
-    # (ivf_train, pq_encode), then r12, r13, r14, r15.
+    # stalest rows re-check soonest: the 9 remaining r12 rows lead
+    # (filter/sum/take among them), then r13, r14, r15, r16.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R11, _VERIFIED_R12, _VERIFIED_R13,
-                 _VERIFIED_R14, _VERIFIED_R15):
+    for tier in (_VERIFIED_R12, _VERIFIED_R13,
+                 _VERIFIED_R14, _VERIFIED_R15, _VERIFIED_R16):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -28,6 +28,8 @@ PK-FK) exercised through deeper multi-fact plans.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,18 @@ def _cents(col: Column) -> Column:
 
 def _yyyymm(col: str) -> Column:
     return (F.year(col) * 100 + F.month(col)).cast("bigint")
+
+
+def _wide(col: Column) -> Column:
+    """DECIMAL(38,0) widening for the threshold cross-multiplications
+    (5*x*n > 6*sum and friends).  In BIGINT those products can exceed
+    2^63 at extreme scale, where non-ANSI Spark wraps silently while
+    DuckDB raises — a silent-divergence class the oracle can't catch
+    at tested SFs.  DECIMAL(38,0) here, mirrored by CAST(... AS
+    HUGEINT) in the oracles, keeps the comparison exact to 10^38:
+    a 100 TB fact is ~10^12 rows x ~10^4 cents = 10^16 total cents,
+    and 10 * 10^16 * 10^10 group rows = 10^27 << 10^38."""
+    return col.cast("decimal(38,0)")
 
 
 # ---------------------------------------------------------------------------
@@ -73,15 +87,17 @@ def _yyyymm(col: str) -> Column:
              COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_n
       FROM ctr
     ) t
-    WHERE 5 * ret_cents * nat_n > 6 * nat_cents
+    WHERE 5 * CAST(ret_cents AS HUGEINT) * nat_n
+        > 6 * CAST(nat_cents AS HUGEINT)
     """,
 )
 def q_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q1 shape — customers whose returned revenue exceeds
     1.2x their nation's average returner.  The average never
-    materializes: 5*x*n > 6*sum keeps the comparison in BIGINTs (the
-    rule-9 discipline), computed by window aggregates over the
-    customer-level CTE so the fact is aggregated exactly once.
+    materializes: 5*x*n > 6*sum keeps the comparison in exact
+    integers (the rule-9 discipline, widened per _wide), computed by
+    window aggregates over the customer-level CTE so the fact is
+    aggregated exactly once.
 
     Scale: the fact collapses to one row per returning customer
     before the window; the window shuffles customer-level rows keyed
@@ -114,7 +130,8 @@ def q_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("nat_n"),
         )
         .where(
-            5 * F.col("ret_cents") * F.col("nat_n") > 6 * F.col("nat_cents")
+            5 * _wide(F.col("ret_cents")) * F.col("nat_n")
+            > 6 * _wide(F.col("nat_cents"))
         )
         .select("c_custkey", "ret_cents")
     )
@@ -287,7 +304,7 @@ def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT brand, yyyymm, cents, prev_cents, next_cents
     FROM w
-    WHERE 10 * cents * nm < 9 * tot
+    WHERE 10 * CAST(cents AS HUGEINT) * nm < 9 * CAST(tot AS HUGEINT)
     """,
 )
 def q_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +340,9 @@ def q_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cents").over(order).alias("prev_cents"),
         F.lead("cents").over(order).alias("next_cents"),
     )
-    return w.where(10 * F.col("cents") * F.col("nm") < 9 * F.col("tot")).select(
+    return w.where(
+        10 * _wide(F.col("cents")) * F.col("nm") < 9 * _wide(F.col("tot"))
+    ).select(
         "brand", "yyyymm", "cents", "prev_cents", "next_cents"
     )
 
@@ -370,7 +389,7 @@ def q_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT mo, cum_ord, cum_ret
-    FROM c WHERE 3 * cum_ret > 2 * cum_ord
+    FROM c WHERE 3 * CAST(cum_ret AS HUGEINT) > 2 * CAST(cum_ord AS HUGEINT)
     """,
 )
 def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,13 +443,15 @@ def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ord_cents").over(cum).cast("bigint").alias("cum_ord"),
         F.sum("ret_cents").over(cum).cast("bigint").alias("cum_ret"),
     )
-    return c.where(3 * F.col("cum_ret") > 2 * F.col("cum_ord"))
+    return c.where(3 * _wide(F.col("cum_ret")) > 2 * _wide(F.col("cum_ord")))
 
 
 # ---------------------------------------------------------------------------
 # Q88 shape: a battery of independent scalar-subquery counts in one
 # SELECT — the multi-scan plan TPC-H never produces.
 # ---------------------------------------------------------------------------
+
+_q88_view_counter = itertools.count()
 
 _Q88_SQL = """
 SELECT
@@ -464,7 +485,11 @@ def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: six parallel aggregates over one table — each is a
     map-side count, the combine is 6 scalars."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "tpcds_q88_lineitem"
-    )
-    return spark.sql(_Q88_SQL.format(li="tpcds_q88_lineitem"))
+    # Counter-suffixed view name (the stream-sink convention): fixed
+    # names let concurrent builds against different sf_dirs overwrite
+    # each other's view and leak it past the query's lifetime.
+    view = f"tpcds_q88_lineitem_{next(_q88_view_counter)}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    df = spark.sql(_Q88_SQL.format(li=view))
+    spark.catalog.dropTempView(view)
+    return df

@@ -1061,15 +1061,33 @@ def test_tpcds_q34_having_prunes_before_dim_join(spark):
     li_schema = next(s for s in re.findall(r"ReadSchema: (\S+)", plan)
                      if "l_orderkey" in s)
     assert li_schema == "struct<l_orderkey:bigint>", li_schema
-    # HAVING runs on the agg output, upstream of the join: in the
-    # tree render the streamed (:-) side lists before the broadcast
-    # build (+-), so the count filter must appear before the
-    # BroadcastExchange of the customer dim
+    # HAVING runs on the agg output, upstream of the join: locate the
+    # SPECIFIC Filter node whose condition is on the aggregated line
+    # count (n_lines) — not just any 'Filter' substring, which would
+    # also match a pushed scan filter (e.g. on o_orderpriority) — and
+    # the SPECIFIC BroadcastExchange of the customer dim; in the tree
+    # render the streamed (:-) side lists before the broadcast build
+    # (+-), so the count filter must appear first.
     tree = plan[: plan.index("(1) Scan")]
-    assert re.search(r":.*Filter", tree), f"no filter on the agg side:\n{tree}"
-    assert tree.index("Filter") < tree.index("BroadcastExchange"), (
-        "bucket HAVING not applied before the dim join"
+    sections = plan.split("\n\n")
+    having = next(
+        (m.group(1) for s in sections
+         if (m := re.match(r"\((\d+)\) Filter", s))
+         and re.search(r"Condition : [^\n]*n_lines", s)),
+        None,
     )
+    assert having, f"no Filter node on n_lines:\n{plan}"
+    dim_bcast = next(
+        (m.group(1) for s in sections
+         if (m := re.match(r"\((\d+)\) BroadcastExchange", s))
+         and "c_custkey" in s),
+        None,
+    )
+    assert dim_bcast, f"no BroadcastExchange of the customer dim:\n{plan}"
+    assert (
+        tree.index(f"Filter ({having})")
+        < tree.index(f"BroadcastExchange ({dim_bcast})")
+    ), "bucket HAVING not applied before the dim join"
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 

@@ -92,20 +92,32 @@ def make_chunked_fixture(spark, sf_dir: str, k: int) -> str:
     import shutil
 
     dst = os.path.join(sf_dir, f"chunks_{k}")
-    if os.path.exists(os.path.join(dst, "chunk_0000.parquet")):
+    # Reuse only a COMPLETE fixture: chunk_0000 alone does not prove
+    # all k chunks landed (an interrupted build leaves a partial set
+    # that later sweeps would silently replay, under-reporting work).
+    if len(glob.glob(os.path.join(dst, "chunk_*.parquet"))) == k:
         return dst
-    os.makedirs(dst, exist_ok=True)
-    tmp = os.path.join(dst, "_multi")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    # Build in a staging dir and rename atomically so an interrupted
+    # run never leaves a partial dst behind.
+    stage = dst + ".building"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    tmp = os.path.join(stage, "_multi")
     (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
      .repartitionByRange(k, "ts").sortWithinPartitions("ts")
      .write.mode("overwrite").parquet(tmp))
     now = time.time() - 10_000
-    for i, part in enumerate(
-            sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
-        tgt = os.path.join(dst, f"chunk_{i:04d}.parquet")
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    assert len(parts) == k, f"expected {k} range partitions, got {len(parts)}"
+    for i, part in enumerate(parts):
+        tgt = os.path.join(stage, f"chunk_{i:04d}.parquet")
         shutil.move(part, tgt)
         os.utime(tgt, (now + i, now + i))  # mtime = replay order
     shutil.rmtree(tmp)
+    os.rename(stage, dst)
     return dst
 
 
