@@ -48,6 +48,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _restore_nano_ts(df, name)
 
 
+# --- replay-volume-adaptive state partitioning (SCALE.md §r16) -------------
+
+# The sweep's measured knee: symmetric-join replay pushes EVERY input
+# row through a per-partition state map, so partitions track VOLUME
+# (rows/300k, capped at cores), not key count; per-key AGG state keeps
+# the r12 key-sized default (8) because per-batch commit cost dominates
+# under ~100k events.
+REPLAY_ROWS_PER_PARTITION = 300_000
+STATE_PARTITIONS_DEFAULT = 8
+
+_ROW_COUNT_CACHE: dict[tuple[str, float], int] = {}
+
+
+def parquet_row_count(path: str) -> int:
+    """Row count from the parquet footer — a driver-side metadata read
+    (no Spark job), cached per (path, mtime).  Accepts a single file
+    or a directory of part files."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    key = (path, os.path.getmtime(path))
+    n = _ROW_COUNT_CACHE.get(key)
+    if n is None:
+        files = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        _ROW_COUNT_CACHE[key] = n
+    return n
+
+
+def replay_state_partitions(n_rows: int, cores: int) -> int:
+    """The r16 sweep rule for stream-stream JOIN state partitions:
+    ``max(8, min(cores, n_rows // 300_000))``.  Measured at 10M events
+    (SCALE.md §r16): p8 = 105.9s, p32 = 32.1s (3.3x) on 32 cores with
+    identical emitted rows; p64 regressed at 1M, so cores is the cap.
+    At driver/bench fixture sizes (<= 100k events) the rule floors at
+    the r12 key-sized default of 8, so registered-query plans are
+    unchanged at test scale."""
+    return max(
+        STATE_PARTITIONS_DEFAULT,
+        min(cores, n_rows // REPLAY_ROWS_PER_PARTITION),
+    )
+
+
+def join_replay_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Volume-adaptive state partitions for the registered
+    stream-stream join queries: events row count from the parquet
+    footer, cores from the local scheduler."""
+    n = parquet_row_count(os.path.join(sf_dir, "events.parquet"))
+    return replay_state_partitions(n, spark.sparkContext.defaultParallelism)
+
+
 def _restore_nano_ts(df: DataFrame, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 

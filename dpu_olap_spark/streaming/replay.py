@@ -1,0 +1,173 @@
+"""Event-time-ordered chunked replay for stream-stream join history.
+
+SCALE.md §r16 measured two ~3.3-3.5x levers for replaying a large
+events history through the watermarked interval joins (10M events,
+identical emitted rows in every config):
+
+1. state partitions tracking replay VOLUME — min(cores, rows/300k)
+   (`tables.replay_state_partitions`, now applied by the registered
+   join queries themselves), and
+2. EVENT-TIME-ORDERED ~1M-row chunked replay: a single availableNow
+   batch cannot evict (the watermark only advances between batches),
+   so live join state grows to the WHOLE input — the linear wall and
+   an unbounded-memory hazard; time-sorted chunk files replayed with
+   maxFilesPerTrigger=1 advance the watermark every chunk and keep
+   live state at the horizon sliver.  Ordering is REQUIRED for
+   correctness: unordered chunks would drop later-arriving rows below
+   the advanced watermark (the late-data rule).
+
+This module makes lever 2 a code path, not a runbook note:
+``replay_interval_join`` drives the SAME pipeline builder the
+registered queries use (`windows.interval_join_pipeline`) and the
+same sink runner (`tables.run_to_memory_sink`), choosing chunk count
+and state partitions from the measured rules.  The levers do NOT
+stack (per-batch commit cost scales with partitions x batches), so
+the chunked path halves the partition count and caps it at the
+sweep's measured knee (p16 at 10 chunks on 32 cores was the best
+row: 30.0s for 10M events, ~0.33 M rows/s).
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dpu_olap_spark.sources.tables import (
+    STATE_PARTITIONS_DEFAULT,
+    _restore_nano_ts,
+    parquet_row_count,
+    replay_state_partitions,
+    run_to_memory_sink,
+)
+
+ROWS_PER_CHUNK = 1_000_000
+CHUNKED_PARTITION_CAP = 16
+
+_replay_counter = itertools.count()
+
+
+def chunked_replay_partitions(cores: int) -> int:
+    """State partitions for a CHUNKED replay: half the cores, capped
+    at 16, floored at the key-sized default.  The sweep's do-not-stack
+    finding: per-batch commit cost ~ partitions x batches, so with
+    ~rows/1M batches the single-batch volume rule over-pays (p32 + 10
+    chunks = 36.8s vs p16 + 10 chunks = 30.0s at 10M on 32 cores)."""
+    return max(STATE_PARTITIONS_DEFAULT, min(cores // 2, CHUNKED_PARTITION_CAP))
+
+
+def ordered_event_chunks(
+    spark: SparkSession,
+    events_path: str,
+    scratch_dir: str,
+    n_chunks: int,
+) -> str:
+    """Rewrite one events parquet file as ``n_chunks`` EVENT-TIME-
+    ORDERED chunk files with strictly increasing mtimes, so a
+    maxFilesPerTrigger=1 stream replays history in watermark order.
+    Chunk boundaries are exact repartitionByRange splits on ts, so
+    each chunk's min event time exceeds the previous chunk's max.
+    Built in a staging dir and renamed atomically; an existing
+    complete chunk set (exact count) is reused."""
+    dst = os.path.join(scratch_dir, f"chunks_{n_chunks}")
+    if len(glob.glob(os.path.join(dst, "chunk_*.parquet"))) == n_chunks:
+        return dst
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    stage = dst + ".building"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    tmp = os.path.join(stage, "_multi")
+    (
+        spark.read.parquet(events_path)
+        .repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    assert len(parts) == n_chunks, (
+        f"expected {n_chunks} range partitions, got {len(parts)}"
+    )
+    now = time.time() - 10_000
+    for i, part in enumerate(parts):
+        tgt = os.path.join(stage, f"chunk_{i:04d}.parquet")
+        shutil.move(part, tgt)
+        os.utime(tgt, (now + i, now + i))  # mtime = replay order
+    shutil.rmtree(tmp)
+    os.rename(stage, dst)
+    return dst
+
+
+def chunked_events_source(spark: SparkSession, chunk_dir: str):
+    """Zero-arg factory (the ``source`` seam of
+    ``interval_join_pipeline``) streaming the ordered chunks one file
+    per micro-batch, with the same nano-ts restoration the single-file
+    loader applies (a no-op on already-timestamp data)."""
+    schema = spark.read.parquet(chunk_dir).schema
+
+    def make() -> DataFrame:
+        return _restore_nano_ts(
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(chunk_dir),
+            "events",
+        )
+
+    return make
+
+
+def replay_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str = "fullOuter",
+    watermark: str = "1 hour",
+    scratch_dir: str | None = None,
+    rows_per_chunk: int = ROWS_PER_CHUNK,
+    timeout_s: int = 900,
+) -> DataFrame:
+    """Replay the events history at ``sf_dir`` through the REGISTERED
+    interval-join pipeline with the measured r16 levers applied:
+
+    - history <= one chunk: single availableNow batch, state
+      partitions by the volume rule (min(cores, rows/300k), floor 8)
+      — identical to what the registered queries now choose;
+    - larger history: event-time-ordered ~1M-row chunked replay
+      (watermark advances between micro-batches, live state stays at
+      the horizon sliver) at the chunked partition knee.
+
+    Emitted rows are invariant across these configs (pinned by
+    tests/test_streaming.py chunked==single equivalence and the 10M
+    sweep).  Returns the memory-sink result table."""
+    from dpu_olap_spark.streaming.windows import interval_join_pipeline
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_rows = parquet_row_count(events_path)
+    n_chunks = max(1, n_rows // rows_per_chunk)
+    cores = spark.sparkContext.defaultParallelism
+
+    if n_chunks >= 2:
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="replay_chunks_")
+        chunk_dir = ordered_event_chunks(spark, events_path, scratch, n_chunks)
+        source = chunked_events_source(spark, chunk_dir)
+        partitions = chunked_replay_partitions(cores)
+    else:
+        source = None
+        partitions = replay_state_partitions(n_rows, cores)
+
+    joined = interval_join_pipeline(
+        spark, sf_dir, how=how, watermark=watermark, source=source
+    )
+    sink = f"replay_ij_{how.lower()}_{next(_replay_counter)}"
+    run_to_memory_sink(
+        joined, sink, "append",
+        timeout_s=timeout_s, state_partitions=partitions,
+    )
+    return spark.table(sink)

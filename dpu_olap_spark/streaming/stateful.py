@@ -690,29 +690,23 @@ def q_joinstate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose clicks never evict, or right-size watermark delays."""
     import tempfile
 
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = load_events_stream(spark, sf_dir)
-        return s.where(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{kind}_user"),
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
-        )
+    from dpu_olap_spark.streaming.windows import interval_join_pipeline
 
-    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
-    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
-    joined = p.join(
-        c,
-        F.expr(
-            "purchase_user = click_user AND "
-            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
-        ),
-    ).select(F.col("purchase_user").alias("user_id"), "purchase_id", "click_id")
+    # The shared pipeline's output projection only shapes the noop
+    # sink; the state reader below reads the JOIN STATE
+    # (value.purchase_user etc.), whose schema is the side inputs —
+    # identical to the pre-refactor inline construction.
+    joined = interval_join_pipeline(spark, sf_dir, how="inner")
     ckpt = tempfile.mkdtemp(prefix="joinstate_ckpt_")
-    from dpu_olap_spark.sources.tables import _STATE_CONF_LOCK
+    from dpu_olap_spark.sources.tables import (
+        _STATE_CONF_LOCK,
+        join_replay_partitions,
+    )
 
+    state_parts = join_replay_partitions(spark, sf_dir)
     with _STATE_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
         try:
             q = (
                 joined.writeStream.outputMode("append")

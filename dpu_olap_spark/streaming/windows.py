@@ -22,9 +22,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dpu_olap_spark.registry import query
-from dpu_olap_spark.sources.tables import load_events_stream, load_table, run_to_memory_sink
+from dpu_olap_spark.sources.tables import (
+    join_replay_partitions,
+    load_events_stream,
+    load_table,
+    run_to_memory_sink,
+)
 
 _sink_counter = itertools.count()
+
+
+def interval_join_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str = "inner",
+    watermark: str = "1 hour",
+    source=None,
+) -> DataFrame:
+    """The purchases x clicks 30-minute interval join shared by
+    stream_stream_join / stream_left_outer_join /
+    stream_full_outer_join, the replay entry point
+    (streaming.replay), and the tuning sweep
+    (tools/stream_join_sweep.py) — ONE definition so the measured
+    levers apply to the registered pipeline verbatim.  ``source`` is
+    an optional zero-arg factory returning a fresh streaming events
+    DF (the chunked-replay variants); default = the single-file
+    loader.  ``watermark`` parametrizes the eviction horizon (both
+    sides always share it)."""
+
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        s = source() if source is not None else load_events_stream(spark, sf_dir)
+        return s.where(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{kind}_user"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    p = side("purchase", "purchase_id", "pts").withWatermark("pts", watermark)
+    c = side("click", "click_id", "cts").withWatermark("cts", watermark)
+    joined = p.join(
+        c,
+        F.expr(
+            "purchase_user = click_user AND "
+            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
+        ),
+        how,
+    )
+    user = (
+        F.coalesce("purchase_user", "click_user")
+        if how == "fullOuter"
+        else F.col("purchase_user")
+    )
+    return joined.select(user.alias("user_id"), "purchase_id", "click_id")
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -221,27 +270,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked (bounded state). Inner interval joins emit matches as
     they occur, so the availableNow run over a finite source equals
     the batch join — the oracle."""
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = load_events_stream(spark, sf_dir)
-        return s.where(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{kind}_user"),
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
-        )
-
-    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
-    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
-    joined = p.join(
-        c,
-        F.expr(
-            "purchase_user = click_user AND "
-            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
-        ),
-    ).select(
-        F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
-    )
+    joined = interval_join_pipeline(spark, sf_dir, how="inner")
     sink = f"stream_ss_join_{next(_sink_counter)}"
-    run_to_memory_sink(joined, sink, "append", state_partitions=8)
+    run_to_memory_sink(joined, sink, "append",
+                       state_partitions=join_replay_partitions(spark, sf_dir))
     return spark.table(sink)
 
 
@@ -364,28 +396,10 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch of a live stream). At 100 TB the same rule is why outer
     results trail the watermark delay in production: state is bounded
     by (delay + range) per side, sharded by the join key."""
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = load_events_stream(spark, sf_dir)
-        return s.where(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{kind}_user"),
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
-        )
-
-    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
-    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
-    joined = p.join(
-        c,
-        F.expr(
-            "purchase_user = click_user AND "
-            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
-        ),
-        "leftOuter",
-    ).select(
-        F.col("purchase_user").alias("user_id"), "purchase_id", "click_id"
-    )
+    joined = interval_join_pipeline(spark, sf_dir, how="leftOuter")
     sink = f"stream_lo_join_{next(_sink_counter)}"
-    run_to_memory_sink(joined, sink, "append", state_partitions=8)
+    run_to_memory_sink(joined, sink, "append",
+                       state_partitions=join_replay_partitions(spark, sf_dir))
     return spark.table(sink)
 
 
@@ -506,28 +520,8 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joinstate_read state rows obey). Global watermark = min across
     both withWatermark operators of (ms-truncated post-filter max
     event time - 1 h)."""
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = load_events_stream(spark, sf_dir)
-        return s.where(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{kind}_user"),
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
-        )
-
-    p = side("purchase", "purchase_id", "pts").withWatermark("pts", "1 hour")
-    c = side("click", "click_id", "cts").withWatermark("cts", "1 hour")
-    joined = p.join(
-        c,
-        F.expr(
-            "purchase_user = click_user AND "
-            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
-        ),
-        "fullOuter",
-    ).select(
-        F.coalesce("purchase_user", "click_user").alias("user_id"),
-        "purchase_id",
-        "click_id",
-    )
+    joined = interval_join_pipeline(spark, sf_dir, how="fullOuter")
     sink = f"stream_fo_join_{next(_sink_counter)}"
-    run_to_memory_sink(joined, sink, "append", state_partitions=8)
+    run_to_memory_sink(joined, sink, "append",
+                       state_partitions=join_replay_partitions(spark, sf_dir))
     return spark.table(sink)

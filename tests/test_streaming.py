@@ -778,3 +778,70 @@ def test_time_ordered_chunked_replay_matches_single_batch(
         f"chunked replay diverged: {sum(chunked.values())} rows vs "
         f"{sum(single.values())}"
     )
+
+
+# --- r17: the measured replay rules as code paths (SCALE.md §r16) ----------
+
+
+def test_replay_partition_rules_match_sweep_measurements():
+    """The two partition rules pin the sweep's measured knees exactly:
+    volume rule min(cores, rows/300k) floored at the r12 key-sized
+    default (p32 best at 10M on 32 cores; fixtures <=100k stay at 8),
+    chunked rule cores/2 capped at 16 (p16 + 10 chunks was the best
+    sweep row; p32 + chunks over-pays commit cost)."""
+    from dpu_olap_spark.sources.tables import replay_state_partitions
+    from dpu_olap_spark.streaming.replay import chunked_replay_partitions
+
+    # volume rule
+    assert replay_state_partitions(10_000_000, 32) == 32  # sweep best
+    assert replay_state_partitions(10_000_000, 16) == 16  # cores cap
+    assert replay_state_partitions(3_000_000, 32) == 10
+    assert replay_state_partitions(100_000, 32) == 8      # fixture floor
+    assert replay_state_partitions(0, 32) == 8
+    # chunked rule
+    assert chunked_replay_partitions(32) == 16            # sweep best
+    assert chunked_replay_partitions(64) == 16            # knee cap
+    assert chunked_replay_partitions(8) == 8              # floor
+
+
+def test_registered_join_queries_keep_fixture_default():
+    """At every driver/bench fixture SF the adaptive rule resolves to
+    the measured-right default of 8 (events <= 100k rows), so the
+    registered join queries' state layout is unchanged at test scale
+    — the rule only bites at replay volume."""
+    from dpu_olap_spark.sources.tables import (
+        parquet_row_count,
+        replay_state_partitions,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = parquet_row_count(f"/root/testdata/{sf}/events.parquet")
+        assert replay_state_partitions(n, 32) == 8, (sf, n)
+
+
+def test_replay_entry_point_matches_registered_query(spark, tmp_path):
+    """replay_interval_join (the r17 entry point applying the measured
+    levers) must emit exactly the registered query's row multiset:
+    here the history is forced through the chunked path (rows_per_chunk
+    small enough for 5 ordered chunks at sf0.001) and compared against
+    q_stream_full_outer_join's single-batch result at the same SF."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import get_query
+    from dpu_olap_spark.streaming.replay import replay_interval_join
+
+    sf = "/root/testdata/sf0.001"
+    registered = Counter(
+        tuple(r)
+        for r in get_query("stream_full_outer_join").build(spark, sf).collect()
+    )
+    replayed_df = replay_interval_join(
+        spark, sf, how="fullOuter",
+        scratch_dir=str(tmp_path), rows_per_chunk=200,
+    )
+    replayed = Counter(tuple(r) for r in replayed_df.collect())
+    assert sum(registered.values()) > 0
+    assert replayed == registered, (
+        f"replay diverged: {sum(replayed.values())} rows vs "
+        f"{sum(registered.values())}"
+    )

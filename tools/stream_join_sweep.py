@@ -31,10 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
 
 from dpu_olap_spark.session import get_spark, tune  # noqa: E402
-from dpu_olap_spark.sources.tables import load_events_stream  # noqa: E402
 
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -44,35 +43,13 @@ ROCKSDB = (
 
 def build_fo_join(spark, sf_dir: str, source=None,
                   watermark: str = "1 hour") -> DataFrame:
-    """The q_stream_full_outer_join pipeline verbatim (windows.py) —
-    rebuilt here so the sweep can own the sink config.  ``source`` is
-    an optional zero-arg factory returning a fresh streaming events DF
-    (the chunked-replay variants); default = the operator's own
-    single-file loader.  ``watermark`` parametrizes the eviction
-    horizon (both sides always share it)."""
+    """The q_stream_full_outer_join pipeline — since r17 this IS the
+    registered builder (windows.interval_join_pipeline), so the sweep
+    measures the exact code path the operators run."""
+    from dpu_olap_spark.streaming.windows import interval_join_pipeline
 
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        s = source() if source else load_events_stream(spark, sf_dir)
-        return s.where(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{kind}_user"),
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
-        )
-
-    p = side("purchase", "purchase_id", "pts").withWatermark(
-        "pts", watermark)
-    c = side("click", "click_id", "cts").withWatermark("cts", watermark)
-    return p.join(
-        c,
-        F.expr(
-            "purchase_user = click_user AND "
-            "cts BETWEEN pts - INTERVAL 30 MINUTES AND pts"
-        ),
-        "fullOuter",
-    ).select(
-        F.coalesce("purchase_user", "click_user").alias("user_id"),
-        "purchase_id",
-        "click_id",
+    return interval_join_pipeline(
+        spark, sf_dir, how="fullOuter", watermark=watermark, source=source
     )
 
 
