@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode/feature-extract as Arrow-batched `mapInPandas` stages.
 
-The container has no image/audio codec libraries, so the actual decode
-is stubbed (deterministic fake derived from payload bytes; the real
+The container has no image/video codec libraries, so those decodes
+are stubbed (deterministic fake derived from payload bytes; the real
 library call raises NotImplementedError at the clearly marked seam).
-Everything Spark-side is real and tested: schema, binary columns,
-batch iteration, partitioning.
+AUDIO is real end-to-end since r17: an encode stage writes genuine
+RIFF/WAVE 16-bit PCM containers with the stdlib ``wave`` module and
+the decode stage parses them back with the ``wave`` reader — no
+external package needed, byte-exact roundtrip pinned in
+tests/test_llm_ops.py. Everything Spark-side is real and tested:
+schema, binary columns, batch iteration, partitioning.
 
 Scale notes: binary payloads ride in parquet as column chunks;
 `mapInPandas` streams Arrow batches through Python with bounded memory
@@ -99,9 +103,10 @@ def _codecs_available() -> bool:
 
 
 def _real_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
-    """Real codec integration: PIL for images; audio/video still need
-    pyav/soundfile and keep the explicit seam. Selected automatically
-    by the _codecs_available probe — no code change when the container
+    """Rich-codec integration: PIL for images; video still needs
+    pyav and keeps the explicit seam (audio decodes via the always-on
+    stdlib ``wave`` path, not this probe). Selected automatically by
+    the _codecs_available probe — no code change when the container
     gains the libraries."""
     if modality == "image":
         import io
@@ -113,9 +118,60 @@ def _real_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
             px = list(im.convert("L").resize((8, 8)).getdata())
             return w, h, 1, round(sum(px) / max(1, len(px)), 4)
     raise NotImplementedError(
-        "audio/video decode needs pyav/soundfile; not installed in this "
-        "environment (images decode via PIL when present)"
+        "video decode needs pyav; not installed in this environment "
+        "(images decode via PIL when present; audio decodes via the "
+        "stdlib wave path unconditionally)"
     )
+
+
+# --- real audio path: stdlib RIFF/WAVE, no external packages ---------------
+
+_WAV_RATE = 8000  # Hz; fixed for the deterministic PCM synthesis
+
+
+def _wav_payload(data: bytes) -> bytes:
+    """A GENUINE WAV container (RIFF/WAVE header, mono, 16-bit PCM,
+    8 kHz) written with the stdlib ``wave`` module: each source byte b
+    becomes the PCM sample (b - 128) * 256, an exactly invertible
+    mapping covering the full int16-aligned range."""
+    import io
+    import struct
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(
+            struct.pack(f"<{len(data)}h", *((b - 128) * 256 for b in data))
+        )
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL audio decode via the stdlib ``wave`` reader: parses the
+    RIFF/WAVE header (sample rate, channel count, sample width, frame
+    count) and the PCM frames. Returns (sample_rate, bits_per_sample,
+    n_frames, mean recovered byte) — the audio filling of the shared
+    _DECODE_SCHEMA, where width carries the rate and height the bit
+    depth."""
+    import io
+    import struct
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        bits = w.getsampwidth() * 8
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    samples = struct.unpack(f"<{n_frames * nch}h", raw)
+    # exact inverse of _wav_payload's (b - 128) * 256 (floor division
+    # is exact: every sample is a multiple of 256)
+    recovered = [s // 256 + 128 for s in samples]
+    mean = round(sum(recovered) / max(1, len(recovered)), 4)
+    return rate, bits, n_frames, mean
 
 
 def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
@@ -128,12 +184,38 @@ def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
     return w, h, frames, round(mean, 4)
 
 
+_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Container-encode stage: audio payloads become genuine WAV files
+    (real ``wave`` writer); other modalities pass through unchanged.
+    Chained ahead of the decode stage so the decode receives a real
+    container to parse, not synthesized bytes."""
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["payload"] = [
+            _wav_payload(bytes(p)) if m == "audio" else bytes(p)
+            for m, p in zip(pdf["modality"], pdf["payload"])
+        ]
+        yield pdf
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     decode = _real_decode if _codecs_available() else _fake_decode
     for pdf in batches:
         out = {"doc_id": [], "modality": [], "width": [], "height": [], "n_frames": [], "mean_byte": []}
         for doc_id, modality, payload in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
-            w, h, fr, mean = decode(bytes(payload), modality)
+            if modality == "audio":
+                w, h, fr, mean = _decode_wav(bytes(payload))
+            else:
+                w, h, fr, mean = decode(bytes(payload), modality)
             out["doc_id"].append(doc_id)
             out["modality"].append(modality)
             out["width"].append(w)
@@ -145,12 +227,21 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query("mm_decode")  # python decode stage -> rows-only check
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage: Arrow-batched mapInPandas over
-    (doc_id, modality, payload). Deterministic fake decode (no codec
-    libs in this container) behind the _real_decode seam."""
+    """Decode/feature-extract stage: two chained Arrow-batched
+    mapInPandas stages over (doc_id, modality, payload).  AUDIO is a
+    real codec path end-to-end: the first stage writes genuine
+    RIFF/WAVE 16-bit PCM containers (stdlib ``wave`` writer), the
+    second parses them back (``wave`` reader) — rate/bits/frames/mean
+    from the actual container, byte-exact roundtrip pinned in
+    tests/test_llm_ops.py.  Image/video keep the deterministic fake
+    behind the _real_decode env-gate (no PIL/pyav in this container).
+    Both stages fuse into one Spark stage (no shuffle between
+    mapInPandas nodes)."""
     assets = _with_payload(spark, sf_dir)
-    return assets.select("doc_id", "modality", "payload").mapInPandas(
-        _decode_batches, schema=_DECODE_SCHEMA
+    return (
+        assets.select("doc_id", "modality", "payload")
+        .mapInPandas(_encode_wav_batches, schema=_ASSET_SCHEMA)
+        .mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
     )
 
 
