@@ -186,7 +186,11 @@ _HIGH_PRIORITY: tuple[str, ...] = (
 # push stale r12/r13 rows past the 4-round horizon.  Everything here
 # is fully oracled at all three SFs and plan-gated locally; the r18
 # window leads with these.
-_LOW_PRIORITY: tuple[str, ...] = ()
+_LOW_PRIORITY: tuple[str, ...] = (
+    "tpcds_q14",
+    "tpcds_q67",
+    "tpcds_q78",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -1,11 +1,13 @@
-"""TPC-DS-lite (r15 verdict #8): six TPC-DS query SHAPES adapted to
-the driver testdata's TPC-H-ish star schema.  TPC-H is 22/22 since
-r11; these add the plan shapes TPC-H does not exercise —
+"""TPC-DS-lite (r15 verdict #8, grown r17): TPC-DS query SHAPES
+adapted to the driver testdata's TPC-H-ish star schema.  TPC-H is
+22/22 since r11; these add the plan shapes TPC-H does not exercise —
 grouping-set + window composition (Q36), deviation-from-window-average
 with LAG/LEAD (Q47), two-channel FULL OUTER + cumulative windows
 (Q51), bucket-HAVING + join-back (Q34), windowed group-average
-comparison over a CTE (Q1), and a battery of independent scalar
-subqueries (Q88).
+comparison over a CTE (Q1), a battery of independent scalar
+subqueries (Q88), cross-channel INTERSECT + join-back (Q14, r17),
+rollup + windowed top-k per group (Q67, r17), and per-channel
+anti-join + cross-channel ratio comparison (Q78, r17).
 
 ADAPTATIONS (no store/catalog/web channels, date_dim, or item here):
 channels derive from o_orderpriority / l_returnflag slices; months
@@ -493,3 +495,275 @@ def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.sql(_Q88_SQL.format(li=view))
     spark.catalog.dropTempView(view)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape (r17): entities present in ALL sales channels via
+# INTERSECT, joined back for per-channel reporting — the cross-channel
+# set-intersection plan TPC-H never produces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q14",
+    oracle="""
+    WITH sm AS (
+      SELECT l_suppkey AS sk,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS mo,
+             l_returnflag AS channel,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      GROUP BY 1, 2, 3
+    ),
+    x AS (
+      SELECT sk, mo FROM sm WHERE channel = 'A'
+      INTERSECT
+      SELECT sk, mo FROM sm WHERE channel = 'N'
+      INTERSECT
+      SELECT sk, mo FROM sm WHERE channel = 'R'
+    )
+    SELECT s.s_nationkey AS nationkey, sm.mo, sm.channel,
+           CAST(SUM(sm.cents) AS BIGINT) AS cents,
+           CAST(SUM(sm.n_lines) AS BIGINT) AS n_lines
+    FROM sm
+    JOIN x ON sm.sk = x.sk AND sm.mo = x.mo
+    JOIN supplier s ON sm.sk = s.s_suppkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape — supplier-months active in ALL THREE return
+    channels (the INTERSECT of per-channel key sets), reported per
+    (nation, month, channel).  The original intersects item sets
+    across store/catalog/web sales; here channels are the
+    l_returnflag slices (the house adaptation) and the key is
+    (supplier, month) — probed non-degenerate at every SF (sf0.001:
+    605 of 826 supplier-months survive; sf0.1: 62,529 of 82,531).
+
+    Scale: the fact collapses ONCE to (supplier, month, channel)
+    cells in a map-combinable aggregate; the INTERSECT runs over
+    per-channel projections of that bounded table (distinct + semi
+    joins, never the fact); the join-back keys two aggregated tables
+    on (sk, mo); the supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sm = (
+        li.select(
+            F.col("l_suppkey").alias("sk"),
+            _yyyymm("l_shipdate").alias("mo"),
+            F.col("l_returnflag").alias("channel"),
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rc"),
+        )
+        .groupBy("sk", "mo", "channel")
+        .agg(
+            F.sum("rc").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+    def chan(flag: str) -> DataFrame:
+        return sm.where(F.col("channel") == flag).select("sk", "mo")
+
+    x = chan("A").intersect(chan("N")).intersect(chan("R"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        sm.join(x, ["sk", "mo"])
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), F.col("mo"), F.col("channel")
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 shape (r17): top-k per group over a ROLLUP hierarchy — the
+# windowed-k filter over grouping-set output TPC-H never produces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q67",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand, p.p_type,
+             CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                  AS BIGINT) AS mo,
+             CAST(GROUPING(p.p_type) AS INT) AS g_type,
+             CAST(GROUPING(mo) AS INT) AS g_mo,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sumsales
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY ROLLUP(p.p_brand, p.p_type, mo)
+      HAVING COUNT(*) > 0
+    ),
+    r AS (
+      SELECT p_brand, p_type, mo, g_type, g_mo, sumsales,
+             RANK() OVER (
+               PARTITION BY p_brand
+               ORDER BY sumsales DESC, g_type ASC, g_mo ASC,
+                        p_type ASC NULLS LAST, mo ASC NULLS LAST
+             ) AS rk
+      FROM g
+    )
+    SELECT p_brand, p_type, mo, g_type, g_mo, sumsales, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape — top-5 sales cells per brand across EVERY
+    level of the ROLLUP(brand, type, month) hierarchy at once (month
+    cells compete with their own type subtotal and the brand total;
+    the all-NULL grand-total row is its own partition).  The original
+    ranks rollup output within i_category; the rank order is made
+    TOTAL (sumsales, grouping flags, then the nullable keys with
+    spelled NULLS LAST) so RANK agrees across engines — within a
+    brand no two rows share all five keys.
+
+    Scale: the rollup is one map-combinable Expand aggregate over
+    ~12.6k bounded cells; the window reads that bounded table
+    partitioned by brand — never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            "p_type",
+            _yyyymm("l_shipdate").alias("mo"),
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rc"),
+        )
+        .rollup("p_brand", "p_type", "mo")
+        .agg(
+            F.grouping("p_type").cast("int").alias("g_type"),
+            F.grouping("mo").cast("int").alias("g_mo"),
+            F.sum("rc").cast("bigint").alias("sumsales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("sumsales").desc(),
+        F.col("g_type").asc(),
+        F.col("g_mo").asc(),
+        F.col("p_type").asc_nulls_last(),
+        F.col("mo").asc_nulls_last(),
+    )
+    return (
+        g.select(
+            "p_brand", "p_type", "mo", "g_type", "g_mo", "sumsales",
+            F.rank().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q78 shape (r17): per-channel aggregates over NEVER-RETURNED entities
+# (anti-join inside each channel) compared across channels — the
+# anti-join + multi-channel ratio plan TPC-H never produces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q78",
+    oracle="""
+    WITH ret AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 8
+    ),
+    ch1 AS (
+      SELECT l.l_partkey AS pk, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS urgent_cents,
+             COUNT(*) AS urgent_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND NOT EXISTS (SELECT 1 FROM ret WHERE ret.l_partkey = l.l_partkey)
+      GROUP BY 1, 2
+    ),
+    ch2 AS (
+      SELECT l.l_partkey AS pk, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS other_cents,
+             COUNT(*) AS other_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        AND NOT EXISTS (SELECT 1 FROM ret WHERE ret.l_partkey = l.l_partkey)
+      GROUP BY 1, 2
+    )
+    SELECT ch1.pk, ch1.yr, ch1.urgent_cents, ch1.urgent_lines,
+           ch2.other_cents, ch2.other_lines
+    FROM ch1 JOIN ch2 ON ch1.pk = ch2.pk AND ch1.yr = ch2.yr
+    WHERE 2 * CAST(ch1.urgent_cents AS HUGEINT) > CAST(ch2.other_cents AS HUGEINT)
+    """,
+)
+def q_tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 shape — per-(part, year) revenue from TWO order
+    channels (urgent vs other priorities), each restricted to parts
+    NEVER returned at a deep discount (the anti-join), then the
+    channels joined and kept where urgent revenue exceeds half the
+    other channel's (_wide-widened cross-multiplication).  The
+    original anti-joins each sales channel against its returns table
+    and compares store vs web ratios.  Probed non-degenerate at every
+    SF (sf0.001: 85 joined part-years, 55 survive the ratio; sf0.1:
+    8,063 / 5,271).
+
+    Scale: the returned-parts set is a DISTINCT projection of a
+    pushed-down fact filter (bounded by |part|, broadcastable); both
+    channel aggregates anti-join the fact BEFORE aggregating (a
+    broadcast anti-join per channel, no shuffle added); the channel
+    join keys two aggregated tables on (pk, yr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    ret = (
+        li.where(
+            (F.col("l_returnflag") == "R")
+            & (F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint") >= 8)
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def channel(pred, cents_name: str, lines_name: str) -> DataFrame:
+        return (
+            li.join(F.broadcast(ret), "l_partkey", "left_anti")
+            .join(o.where(pred), F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.col("l_partkey").alias("pk"),
+                F.year("o_orderdate").cast("bigint").alias("yr"),
+                _cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("rc"),
+            )
+            .groupBy("pk", "yr")
+            .agg(
+                F.sum("rc").cast("bigint").alias(cents_name),
+                F.count(F.lit(1)).alias(lines_name),
+            )
+        )
+
+    ch1 = channel(urgent, "urgent_cents", "urgent_lines")
+    ch2 = channel(~urgent, "other_cents", "other_lines")
+    return (
+        ch1.join(ch2, ["pk", "yr"])
+        .where(2 * _wide(F.col("urgent_cents")) > _wide(F.col("other_cents")))
+        .select(
+            "pk", "yr", "urgent_cents", "urgent_lines",
+            "other_cents", "other_lines",
+        )
+    )

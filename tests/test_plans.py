@@ -1173,3 +1173,60 @@ def test_stream_histogram_pctl_finalize_bounded(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q14_intersect_as_semi_joins_over_aggregates(spark):
+    """Q14 shape: the three-way INTERSECT plans as two LeftSemi
+    broadcast joins over per-channel AGGREGATED key sets (never the
+    fact), the fact collapses in one map-combined aggregate
+    (partial_sum), each channel scan has its returnflag filter
+    pushed, and the supplier dim broadcasts."""
+    plan = _formatted_plan(spark, "tpcds_q14")
+    assert len(re.findall(r"BroadcastHashJoin LeftSemi", plan)) == 2, (
+        "INTERSECT should plan as two semi joins"
+    )
+    assert "partial_sum" in plan
+    for flag in ("A", "N", "R"):
+        assert f"EqualTo(l_returnflag,{flag})" in plan, (
+            f"channel filter {flag} not pushed to its scan"
+        )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q67_rollup_topk_pushdown(spark):
+    """Q67 shape: ROLLUP plans one Expand over the map-combined
+    cells, and the per-brand top-5 filter is pushed below the window
+    exchange as WindowGroupLimit (map-side rank pruning — rows beyond
+    5 per brand never cross the shuffle)."""
+    plan = _formatted_plan(spark, "tpcds_q67")
+    assert "Expand" in plan, "ROLLUP lost its Expand"
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k not pushed down (WindowGroupLimit missing)"
+    )
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("hashpartitioning"), (
+        "fact rows reach the shuffle uncombined"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q78_anti_join_before_aggregation(spark):
+    """Q78 shape: each channel anti-joins the fact against the
+    broadcast returned-parts set BEFORE aggregating (two LeftAnti
+    broadcast joins), and the channel join keys two aggregated
+    tables."""
+    plan = _formatted_plan(spark, "tpcds_q78")
+    assert len(re.findall(r"BroadcastHashJoin LeftAnti", plan)) == 2
+    assert len(re.findall(r"partial_sum", plan)) >= 2
+    # the anti joins feed the aggregates: every LeftAnti node id is
+    # smaller than its branch's final HashAggregate — check the tree
+    # lists each LeftAnti beneath (after) an Exchange+HashAggregate
+    tree = plan[: plan.index("(1) Scan")]
+    assert re.search(
+        r"HashAggregate[\s\S]*?BroadcastHashJoin LeftAnti", tree
+    ), "anti join does not feed the channel aggregate"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) Inner", plan), (
+        "channel join lost"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

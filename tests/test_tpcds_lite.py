@@ -188,3 +188,159 @@ def test_tpcds_q34_q47_q88_recompute(spark):
     out = qs["tpcds_q88"].build(spark, SF).collect()[0]
     assert out["b1"] == b1 and out["b6"] == b6
     assert b1 > 0 and b6 > 0, "bands must be non-empty to mean anything"
+
+
+def test_tpcds_q14_intersect_excludes_and_aggregates_exactly(spark):
+    """Recompute the (supplier, month, channel) cells and the
+    three-way channel INTERSECT in pure Python; the final
+    (nation, month, channel) rollup must match exactly, and the
+    intersection must be a STRICT subset of the key universe (the
+    edge the shape exists for — supplier-months missing from at
+    least one channel are excluded; probed 605 of 826 at sf0.001)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_returnflag",
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SF, "supplier")
+        .select("s_suppkey", "s_nationkey").collect()
+    }
+    cells: dict[tuple, list[int]] = {}
+    for r in li:
+        mo = r["l_shipdate"].year * 100 + r["l_shipdate"].month
+        k = (r["l_suppkey"], mo, r["l_returnflag"])
+        c = cells.setdefault(k, [0, 0])
+        c[0] += _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+        c[1] += 1
+    per_ch = {
+        ch: {(sk, mo) for (sk, mo, c) in cells if c == ch}
+        for ch in ("A", "N", "R")
+    }
+    inter = per_ch["A"] & per_ch["N"] & per_ch["R"]
+    universe = per_ch["A"] | per_ch["N"] | per_ch["R"]
+    assert inter and inter < universe, "intersection edge not forced"
+    expected: dict[tuple, list[int]] = {}
+    for (sk, mo, ch), (cents, n) in cells.items():
+        if (sk, mo) in inter:
+            e = expected.setdefault((snat[sk], mo, ch), [0, 0])
+            e[0] += cents
+            e[1] += n
+    got = {
+        (r["nationkey"], r["mo"], r["channel"]): [r["cents"], r["n_lines"]]
+        for r in all_queries()["tpcds_q14"].build(spark, SF).collect()
+    }
+    assert got == expected and expected
+
+
+def test_tpcds_q67_topk_mixes_grouping_levels(spark):
+    """Recompute the ROLLUP(brand, type, month) cells and the per-brand
+    top-5 under the spelled total order in pure Python; the output
+    must match exactly, every non-null brand's rank-1 row must be its
+    own TOTAL (all cents positive, so the subtotal dominates every
+    child), and month-level cells must appear in some brand's top-5
+    (levels genuinely compete — the shape's point)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    pmap = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"])
+        for r in load_table(spark, SF, "part")
+        .select("p_partkey", "p_brand", "p_type").collect()
+    }
+    cells: dict[tuple, int] = {}
+    for r in li:
+        brand, ptype = pmap[r["l_partkey"]]
+        mo = r["l_shipdate"].year * 100 + r["l_shipdate"].month
+        c = _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+        for key in (
+            (brand, ptype, mo, 0, 0),
+            (brand, ptype, None, 0, 1),
+            (brand, None, None, 1, 1),
+            (None, None, None, 1, 1),  # grand total (own NULL partition)
+        ):
+            cells[key] = cells.get(key, 0) + c
+    by_brand: dict = {}
+    for (brand, ptype, mo, g_type, g_mo), s in cells.items():
+        by_brand.setdefault(brand, []).append(
+            (brand, ptype, mo, g_type, g_mo, s)
+        )
+    expected = set()
+    for brand, rows in by_brand.items():
+        rows.sort(key=lambda t: (
+            -t[5], t[3], t[4],
+            (t[1] is None, t[1]),  # NULLS LAST
+            (t[2] is None, t[2]),
+        ))
+        for i, t in enumerate(rows[:5], start=1):
+            expected.add(t + (i,))  # total order -> rank == row number
+    out = all_queries()["tpcds_q67"].build(spark, SF).collect()
+    got = {
+        (r["p_brand"], r["p_type"], r["mo"], r["g_type"], r["g_mo"],
+         r["sumsales"], r["rk"])
+        for r in out
+    }
+    assert got == expected and expected
+    for r in out:
+        if r["p_brand"] is not None and r["rk"] == 1:
+            assert (r["g_type"], r["g_mo"]) == (1, 1), (
+                "brand total should dominate its children"
+            )
+    assert any(r["g_mo"] == 0 for r in out), (
+        "no month-level cell reached a top-5 — levels not competing"
+    )
+
+
+def test_tpcds_q78_antijoin_and_ratio_boundaries(spark):
+    """Recompute the deep-discount-returned part set, both channel
+    aggregates, the channel join, and the 2*urgent > other filter in
+    pure Python; every boundary must genuinely bite at this SF: the
+    anti-join excludes parts, the channel join drops single-channel
+    part-years, and the ratio filter drops joined rows."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_returnflag", "l_discount",
+                "l_extendedprice")
+        .collect()
+    )
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"].year)
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+    }
+    ret = {
+        r["l_partkey"] for r in li
+        if r["l_returnflag"] == "R"
+        and math.floor(r["l_discount"] * 100 + 0.5) >= 8
+    }
+    all_parts = {r["l_partkey"] for r in li}
+    assert ret and ret < all_parts, "anti-join edge not forced"
+    ch: dict[int, dict] = {0: {}, 1: {}}
+    for r in li:
+        if r["l_partkey"] in ret:
+            continue
+        prio, yr = orders[r["l_orderkey"]]
+        which = 0 if prio in ("1-URGENT", "2-HIGH") else 1
+        c = ch[which].setdefault((r["l_partkey"], yr), [0, 0])
+        c[0] += _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+        c[1] += 1
+    joined = set(ch[0]) & set(ch[1])
+    assert joined < (set(ch[0]) | set(ch[1])), "join edge not forced"
+    expected = {}
+    for k in joined:
+        u, o = ch[0][k], ch[1][k]
+        if 2 * u[0] > o[0]:
+            expected[k] = (u[0], u[1], o[0], o[1])
+    assert expected and len(expected) < len(joined), (
+        "ratio edge not forced"
+    )
+    got = {
+        (r["pk"], r["yr"]): (r["urgent_cents"], r["urgent_lines"],
+                             r["other_cents"], r["other_lines"])
+        for r in all_queries()["tpcds_q78"].build(spark, SF).collect()
+    }
+    assert got == expected
