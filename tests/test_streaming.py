@@ -845,3 +845,58 @@ def test_replay_entry_point_matches_registered_query(spark, tmp_path):
         f"replay diverged: {sum(replayed.values())} rows vs "
         f"{sum(registered.values())}"
     )
+
+
+def test_disordered_replay_negatives_and_filter_lag(spark, tmp_path):
+    """The chunked-replay fuzz family's pinned negatives
+    (tools/fuzz_replay.py): replaying history OUT of event-time order
+    with a short watermark must LOSE rows — and the loss obeys the
+    one-batch filter lag this round's instrumentation surfaced
+    (numRowsDroppedByWatermark stays 0 for the batch immediately
+    after the watermark-advancing chunk; drops begin at the second
+    post-advance batch).  Pinned: (a) dedup with 3 max-first chunks
+    drops late keys (strictly fewer rows); (b) the SAME disorder with
+    only 2 chunks drops NOTHING (there is no second post-advance
+    batch — output equals the baseline); (c) the watermark-free
+    histogram op is invariant under any order."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fuzz_replay as fr
+
+    from dpu_olap_spark.streaming.replay import (
+        chunked_events_source,
+        ordered_event_chunks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scratch = str(tmp_path)
+    wm = "10 minutes"
+
+    def run(name, source):
+        return fr._run(spark, sf, name, wm, source)
+
+    def disordered(k):
+        od = ordered_event_chunks(
+            spark, os.path.join(sf, "events.parquet"),
+            os.path.join(scratch, f"k{k}"), k)
+        return chunked_events_source(spark, fr._disordered_dir(od, scratch))
+
+    # (a) k=3 dedup: late keys genuinely dropped
+    base_dedup = run("dedup", None)
+    late3 = run("dedup", disordered(3))
+    assert sum(late3.values()) < sum(base_dedup.values()), (
+        "3-chunk max-first dedup failed to drop late keys"
+    )
+    # (b) k=2 full outer: the filter lag means NO drop — equality
+    base_fo = run("join_fullouter", None)
+    late2 = run("join_fullouter", disordered(2))
+    assert late2 == base_fo, (
+        "2-chunk disorder dropped rows — the one-batch filter lag "
+        "assumption no longer holds; re-derive NEG_CHUNK_COUNTS"
+    )
+    # (c) histogram: watermark-free, order-invariant
+    base_h = run("hist_pctl", None)
+    late_h = run("hist_pctl", disordered(3))
+    assert late_h == base_h and sum(base_h.values()) > 0

@@ -181,6 +181,11 @@ TABLE_COLS = {
 # it prints the table, checks ranges are disjoint/sorted, and sums
 # per-round + cumulative counts.  New campaigns append here in the
 # same commit that runs them.
+# Families run by a dedicated runner outside _gen_query (their cases
+# are stream-vs-stream differentials, not shared-SQL): the ledger
+# records them alongside the SQL families.
+_EXTERNAL_FAMILIES = {"chunkreplay"}  # tools/fuzz_replay.py
+
 LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (0, 499, "0.01", "mixed", "r11"),
     (1000, 1399, "0.01", "mixed", "r11"),
@@ -325,6 +330,12 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (149000, 149999, "0.01", "mixed", "r16"),  # idle-time volume
     (150000, 150399, "0.001", "mixed", "r16"),
     (151000, 151299, "0.1", "mixed", "r16"),
+    # --- r17: exactrefine UNION'd-sources wave + rollupwin CUBE-3 ---
+    (152000, 152039, "0.01", "exactrefine,rollupwin", "r17"),  # shakedown
+    (152100, 152129, "0.01", "rollupwin", "r17"),  # cube3 shakedown
+    (153000, 154199, "0.01", "exactrefine", "r17"),  # union wave
+    (155000, 155199, "0.001", "exactrefine", "r17"),
+    (156000, 156199, "0.1", "exactrefine", "r17"),
 )
 
 
@@ -349,7 +360,8 @@ def ledger_report(out=None) -> bool:
             ok = False
             print(f"LEDGER ERROR: unknown sf {sf!r} at {lo}", file=out)
         if fams != "mixed":
-            unknown = set(fams.split(",")) - set(_SHAPES)
+            unknown = (set(fams.split(",")) - set(_SHAPES)
+                       - _EXTERNAL_FAMILIES)
             if unknown:
                 ok = False
                 print(f"LEDGER ERROR: unknown families {sorted(unknown)} "
@@ -2053,7 +2065,14 @@ def _gen_rollupwin(con, rng: random.Random) -> str:
     operands both engines, so equal ratios tie identically).  The
     house empty-rollup HAVING guard applies; NULLIF'd g2 values ride
     as data-NULLs disambiguated from rollup-NULLs by GROUPING();
-    nullable tiebreak keys always spell NULLS FIRST/LAST."""
+    nullable tiebreak keys always spell NULLS FIRST/LAST.
+
+    r17 wave: a THREE-COLUMN flavor (lineitem/part, the tables with
+    >= 3 group columns) under CUBE(g1, g2, g3) / ROLLUP(g1, g2, g3) /
+    a 4-set GROUPING SETS — windows over the full 8-level CUBE
+    lattice, the genuinely-open corner the r16 notes name."""
+    if rng.random() < 0.4:
+        return _gen_rollupwin3(con, rng)
     table = rng.choice(["lineitem", "orders", "part", "customer"])
     cols = TABLE_COLS[table]
     g1, g2 = rng.sample(cols["groups"], 2)
@@ -2122,6 +2141,96 @@ def _gen_rollupwin(con, rng: random.Random) -> str:
     return q
 
 
+# Synthetic cols dict for the UNION'd exactrefine sources: predicate
+# sampling runs against the union SUBQUERY's output columns (gsrc /
+# vsrc / rsrc), which _sample_values handles because its SELECT just
+# wraps whatever table text it is given.
+_UNION_COLS = dict(
+    ints=["vsrc", "rsrc"],
+    floats=[],
+    strs=["gsrc"],
+    dates=[],
+    groups=["gsrc"],
+)
+
+
+def _gen_rollupwin3(con, rng: random.Random) -> str:
+    """The r17 three-column rollupwin flavor: windows over the output
+    of CUBE(g1, g2, g3) (all 8 grouping levels at once), a 3-col
+    ROLLUP, or a 4-set GROUPING SETS — partitioned by the grouping
+    vector (summed or spelled out, optionally with a q36-style
+    within-parent CASE), ranked on the exact BIGINT sum / count /
+    their double ratio, with the house empty-rollup HAVING guard and
+    every nullable sort key's NULLS spelled.  The optional NULLIF
+    rides on g3 (data-NULLs vs lattice-NULLs disambiguated by
+    GROUPING()); the optional second window runs a ROWS-framed
+    running sum over the rank output under a spelled total order
+    across all three nullable keys."""
+    table = rng.choice(["lineitem", "part"])  # the >=3-group tables
+    cols = TABLE_COLS[table]
+    g1, g2, g3 = rng.sample(cols["groups"], 3)
+    fcol = rng.choice(cols["floats"])
+    cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
+    pred = _gen_predicate(con, table, cols, rng)
+    v3 = g3
+    if rng.random() < 0.3:
+        sv = _sample_values(con, table, g3, rng, 1)
+        if sv:
+            kind = "int" if g3 in cols["ints"] else "str"
+            v3 = f"NULLIF({g3}, {_lit(kind, sv[0])})"
+    gtype = rng.choice(
+        ["CUBE(g1, g2, g3)", "CUBE(g1, g2, g3)",  # the open corner
+         "ROLLUP(g1, g2, g3)",
+         "GROUPING SETS ((g1, g2, g3), (g1, g2), (g2, g3), ())"]
+    )
+    rank_fn = rng.choice(["RANK", "RANK", "DENSE_RANK"])
+    key_expr = rng.choice(["s", "n", "CAST(s AS DOUBLE) / n"])
+    dirn = rng.choice(["ASC", "DESC"])
+    part = rng.choice([
+        "gg1 + gg2 + gg3",
+        "gg1, gg2, gg3",
+        "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g1 END",  # within parent
+    ])
+    tiebreak = ""
+    if rng.random() < 0.5:
+        tiebreak = (
+            ", g1 ASC NULLS FIRST, g2 ASC NULLS LAST, g3 ASC NULLS LAST"
+            if rng.random() < 0.5
+            else ", g3 DESC NULLS FIRST, g1 DESC NULLS LAST,"
+                 " g2 ASC NULLS FIRST"
+        )
+    q = (
+        f"WITH f AS (SELECT {g1} AS g1, {g2} AS g2, {v3} AS g3, "
+        f"{cents} AS m FROM {table} WHERE ({pred})), "
+        f"g AS (SELECT g1, g2, g3, CAST(GROUPING(g1) AS INT) AS gg1, "
+        f"CAST(GROUPING(g2) AS INT) AS gg2, "
+        f"CAST(GROUPING(g3) AS INT) AS gg3, "
+        f"CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n "
+        f"FROM f GROUP BY {gtype} HAVING COUNT(*) > 0) "
+        f"SELECT g1, g2, g3, gg1, gg2, gg3, s, n, "
+        f"{rank_fn}() OVER (PARTITION BY {part} "
+        f"ORDER BY {key_expr} {dirn}{tiebreak}) AS rk "
+        f"FROM g"
+    )
+    if rng.random() < 0.35:
+        frame = rng.choice(
+            ["ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]
+        )
+        q = (
+            f"SELECT g1, g2, g3, gg1, gg2, gg3, s, n, rk, "
+            f"CAST(SUM(s) OVER (PARTITION BY gg1 + gg2 + gg3 "
+            f"ORDER BY rk ASC, gg1 ASC, gg2 ASC, gg3 ASC, "
+            f"g1 ASC NULLS FIRST, g2 ASC NULLS LAST, "
+            f"g3 ASC NULLS LAST {frame}) "
+            f"AS BIGINT) AS rs2 FROM ({q}) z0"
+        )
+    if rng.random() < 0.4:
+        j = rng.choice([1, 2, 3])
+        q = f"SELECT * FROM ({q}) z WHERE rk <= {j}"
+    return q
+
+
 def _gen_exactrefine(con, rng: random.Random):
     """THE ASYMMETRIC FAMILY (r15 verdict #2): fuzzes the two-pass
     broadcast-prune + rank-walk EXACT quantile pipeline — the
@@ -2151,7 +2260,15 @@ def _gen_exactrefine(con, rng: random.Random):
     cumulative-walk oracle affords what percentile_disc's
     binary-exact-only literals cannot), mode (median-pair / single
     rank / weighted threshold), predicate, tie-quantization, NULL
-    holes, weight class."""
+    holes, weight class.
+
+    r17 wave: UNION'd sources — the refine pipeline downstream of a
+    UNION ALL of two facts (lineitem+orders, customer+orders
+    negative-rich, and two SLICES of lineitem sharing l_linestatus so
+    each group's distribution is a bimodal cross-source merge).  The
+    union subquery is portable, shared verbatim in c0; predicates
+    sample at the union OUTPUT columns via the synthetic
+    _UNION_COLS."""
     choices = [
         ("lineitem", "l_returnflag",
          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)", "l_orderkey"),
@@ -2183,10 +2300,39 @@ def _gen_exactrefine(con, rng: random.Random):
          "s_nationkey",
          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
          "l_partkey", "lineitem"),
+        # UNION'd sources (r17 — the refine pipeline downstream of a
+        # UNION ALL of two facts; the union text is portable and
+        # shared verbatim in c0 on both engines; the synthetic cols
+        # dict routes predicate sampling at the UNION OUTPUT columns,
+        # which DuckDB samples straight off the subquery)
+        ("(SELECT l_returnflag AS gsrc, CAST(floor(l_extendedprice"
+         " * 100 + 0.5) AS BIGINT) AS vsrc, l_orderkey AS rsrc"
+         " FROM lineitem UNION ALL SELECT o_orderstatus,"
+         " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+         " o_orderkey FROM orders) u",
+         "gsrc", "vsrc", "rsrc", _UNION_COLS),
+        ("(SELECT c_mktsegment AS gsrc, CAST(floor(c_acctbal"
+         " * 100 + 0.5) AS BIGINT) AS vsrc, c_custkey AS rsrc"
+         " FROM customer UNION ALL SELECT o_orderpriority,"
+         " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+         " o_custkey FROM orders) u",  # negative-rich left source
+         "gsrc", "vsrc", "rsrc", _UNION_COLS),
+        # OVERLAPPING group domains: both slices carry l_linestatus,
+        # so each group's value distribution is the bimodal MERGE of
+        # two scales — the walk must cross sources inside one group
+        ("(SELECT l_linestatus AS gsrc, CAST(floor(l_quantity + 0.5)"
+         " AS BIGINT) AS vsrc, l_partkey AS rsrc FROM lineitem"
+         " WHERE l_returnflag = 'R' UNION ALL SELECT l_linestatus,"
+         " CAST(floor(l_tax * 10000 + 0.5) AS BIGINT), l_suppkey"
+         " FROM lineitem WHERE l_returnflag <> 'R') u",
+         "gsrc", "vsrc", "rsrc", _UNION_COLS),
     ]
     choice = rng.choice(choices)
     table, g, base, rowcol = choice[:4]
-    cols = TABLE_COLS[choice[4] if len(choice) == 5 else table]
+    if len(choice) == 5 and isinstance(choice[4], dict):
+        cols = choice[4]
+    else:
+        cols = TABLE_COLS[choice[4] if len(choice) == 5 else table]
     g_filter = ""
     if rng.random() < 0.2:
         # NULLIF'd group key, EXCLUDED on both sides: the pipeline's

@@ -1058,7 +1058,13 @@ def gen_tpcds_star(spark, n: int, sf_dir: str) -> None:
                 F.pmod(F.xxhash64("id", F.lit(2)), F.lit(84)).cast("int"),
             )
         ).alias("l_shipdate"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(max(100, n // 1000)))
+        .alias("l_suppkey"),
     ).write.mode("overwrite").parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    spark.range(max(100, n // 1000)).select(
+        F.col("id").alias("s_suppkey"),
+        F.pmod(F.xxhash64("id", F.lit(6)), F.lit(25)).alias("s_nationkey"),
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "supplier.parquet"))
     spark.range(n_parts).select(
         F.col("id").alias("p_partkey"),
         F.concat(
@@ -1115,12 +1121,23 @@ def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
       map-side partial aggregation; the single-partition cumulative
       exchange carries the spliced <= 84-row axis;
     - q1: the window exchange carries CUSTOMER-level rows (grows with
-      the customer dimension, never the fact)."""
+      the customer dimension, never the fact);
+    - q14 (r17): the fact exchange carries partial-combined
+      (supplier, month, channel) cells — suppliers x 84 x 3, sublinear
+      in fact size; the INTERSECT semi-joins and the join-back run
+      over those bounded cell tables;
+    - q67 (r17): the rollup exchange carries Expand output bounded by
+      cells x levels; WindowGroupLimit caps what crosses the window
+      exchange at 5 rows per brand per map partition;
+    - q78 (r17): both channel exchanges carry partial-combined
+      (part, year) cells; the returned-parts anti-join side is a
+      bounded DISTINCT broadcast."""
     from dpu_olap_spark.registry import all_queries
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
-    for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1"):
+    for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1",
+                 "tpcds_q14", "tpcds_q67", "tpcds_q78"):
         q = all_queries()[name]
         walls[name] = round(
             min(
