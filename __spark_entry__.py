@@ -190,6 +190,7 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q14",
     "tpcds_q67",
     "tpcds_q78",
+    "stream_replay_chunked",
 )
 
 

@@ -118,6 +118,14 @@ HEADLINE = [
     "tpcds_q47",
     "tpcds_q51",
     "tpcds_q88",
+    # round 17: cross-channel INTERSECT + join-back, rollup top-k
+    # with WindowGroupLimit pushdown, per-channel anti-join + ratio,
+    # and the ordered-chunked stream replay path (a real 4-batch
+    # availableNow stream — chunk build + checkpoint init dominate)
+    "tpcds_q14",
+    "tpcds_q67",
+    "tpcds_q78",
+    "stream_replay_chunked",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

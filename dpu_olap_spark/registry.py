@@ -93,4 +93,8 @@ def _ensure_loaded() -> None:
     # slots; the verdict feeds these into the r17 window
     from dpu_olap_spark.operators import tpcds_lite  # noqa: F401
 
+    # r17: the chunked-replay entry point + its driver-checkable
+    # registration (stream_replay_chunked)
+    from dpu_olap_spark.streaming import replay  # noqa: F401
+
     _LOADED = True

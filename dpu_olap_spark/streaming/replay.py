@@ -171,3 +171,60 @@ def replay_interval_join(
         timeout_s=timeout_s, state_partitions=partitions,
     )
     return spark.table(sink)
+
+
+# --- driver-checkable registration of the chunked path ---------------------
+
+from dpu_olap_spark.registry import query  # noqa: E402
+
+
+@query(
+    "stream_replay_chunked",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(pts)) FROM p),
+                   (SELECT date_trunc('milliseconds', max(cts)) FROM c))
+             - INTERVAL '1 hour' AS w
+    ),
+    j AS (
+      SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+             p.purchase_id, p.pts, c.click_id, c.cts
+      FROM p FULL JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.pts - INTERVAL '30 minutes' AND p.pts
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM j
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND pts < (SELECT w FROM wm))
+       OR (purchase_id IS NULL AND cts < (SELECT w FROM wm) - INTERVAL '30 minutes')
+    """,
+)
+def q_stream_replay_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked-replay path, driver-checkable: the full-outer
+    interval join replayed as FOUR event-time-ordered chunk files
+    (maxFilesPerTrigger=1 — the watermark advances between
+    micro-batches and live state stays at the horizon sliver) must
+    emit exactly the rows the single-batch registered query
+    (q_stream_full_outer_join) emits, which is the same DuckDB
+    eviction-rule oracle.  rows_per_chunk tracks n/4 so every fixture
+    SF replays in ~4 ordered chunks; the chunk fixture is rebuilt in
+    a scratch dir per run (the testdata dir is read-only).
+
+    Scale: this IS the 10M-replay shape SCALE.md §r17 measured at
+    0.27 M rows/s — ordered chunking bounds LIVE join state at the
+    watermark horizon instead of the whole input, the hazard a single
+    availableNow batch hides."""
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n = parquet_row_count(events_path)
+    return replay_interval_join(
+        spark, sf_dir, how="fullOuter",
+        rows_per_chunk=max(200, n // 4),
+    )

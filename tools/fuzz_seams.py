@@ -336,6 +336,9 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (153000, 154199, "0.01", "exactrefine", "r17"),  # union wave
     (155000, 155199, "0.001", "exactrefine", "r17"),
     (156000, 156199, "0.1", "exactrefine", "r17"),
+    (157000, 157799, "0.01", "rollupwin", "r17"),  # cube3 wave
+    (158000, 158199, "0.001", "rollupwin", "r17"),
+    (159000, 159199, "0.1", "rollupwin", "r17"),
 )
 
 
