@@ -188,6 +188,7 @@ _HIGH_PRIORITY: tuple[str, ...] = (
 # window leads with these.
 _LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q14",
+    "tpcds_q58",
     "tpcds_q67",
     "tpcds_q78",
     "stream_replay_chunked",

@@ -123,6 +123,7 @@ HEADLINE = [
     # and the ordered-chunked stream replay path (a real 4-batch
     # availableNow stream — chunk build + checkpoint init dominate)
     "tpcds_q14",
+    "tpcds_q58",
     "tpcds_q67",
     "tpcds_q78",
     "stream_replay_chunked",

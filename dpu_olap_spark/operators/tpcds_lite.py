@@ -767,3 +767,88 @@ def q_tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_cents", "other_lines",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q58 shape (r17): three aggregates of the SAME fact (one per channel)
+# inner-joined on the entity key and compared against their own
+# cross-channel average — the N-way self-aggregate join TPC-H never
+# produces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q58",
+    oracle="""
+    WITH bc AS (
+      SELECT l_partkey AS pk, l_returnflag AS ch,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    a AS (SELECT pk, cents FROM bc WHERE ch = 'A'),
+    n AS (SELECT pk, cents FROM bc WHERE ch = 'N'),
+    r AS (SELECT pk, cents FROM bc WHERE ch = 'R')
+    SELECT a.pk, a.cents AS a_cents, n.cents AS n_cents, r.cents AS r_cents
+    FROM a JOIN n ON a.pk = n.pk JOIN r ON n.pk = r.pk
+    WHERE 15 * CAST(a.cents AS HUGEINT)
+            BETWEEN 4 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+                AND 6 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+      AND 15 * CAST(n.cents AS HUGEINT)
+            BETWEEN 4 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+                AND 6 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+      AND 15 * CAST(r.cents AS HUGEINT)
+            BETWEEN 4 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+                AND 6 * CAST(a.cents + n.cents + r.cents AS HUGEINT)
+    """,
+)
+def q_tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58 shape — parts whose revenue is BALANCED across all
+    three return channels: the per-(part, channel) aggregate of one
+    fact, split into three channel tables, inner-joined back on the
+    part key, kept where every channel sits within ±20% of the
+    cross-channel average (15*c BETWEEN 4*tot AND 6*tot in widened
+    integers — never a float average).  The original joins three
+    per-channel item aggregates and compares each to their avg.  The
+    part grain keeps the filter biting at EVERY volume (the entity
+    dimension grows with the fact, so per-cell channel shares stay
+    noisy — fixed dims like brand converge to 1/3 by sf0.1 and the
+    band stops selecting; probed: 48 of 200 survive at sf0.001,
+    4,313 of 19,996 at sf0.1, and the 3-channel presence join also
+    bites at sf0.1).
+
+    Scale: ONE map-combinable fact aggregate to (part, channel)
+    cells; the three channel tables are disjoint projections of that
+    bounded table; the 3-way join keys aggregated tables on pk —
+    never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bc = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_returnflag").alias("ch"),
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rc"),
+        )
+        .groupBy("pk", "ch")
+        .agg(F.sum("rc").cast("bigint").alias("cents"))
+    )
+
+    def chan(flag: str, out: str) -> DataFrame:
+        return bc.where(F.col("ch") == flag).select(
+            F.col("pk"), F.col("cents").alias(out)
+        )
+
+    j = (
+        chan("A", "a_cents")
+        .join(chan("N", "n_cents"), "pk")
+        .join(chan("R", "r_cents"), "pk")
+    )
+    tot = _wide(F.col("a_cents") + F.col("n_cents") + F.col("r_cents"))
+    cond = None
+    for c in ("a_cents", "n_cents", "r_cents"):
+        band = (15 * _wide(F.col(c)) >= 4 * tot) & (
+            15 * _wide(F.col(c)) <= 6 * tot
+        )
+        cond = band if cond is None else (cond & band)
+    return j.where(cond).select("pk", "a_cents", "n_cents", "r_cents")

@@ -1230,3 +1230,29 @@ def test_tpcds_q78_anti_join_before_aggregation(spark):
         "channel join lost"
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q58_three_channel_aggregates_join(spark):
+    """Q58 shape: each channel is its own map-combined aggregate over
+    a pushed returnflag-filtered scan (three partial_sum branches),
+    and the 3-way join keys AGGREGATED tables — the join strategy is
+    left to the planner (broadcast at test stats; at part-dimension
+    scale AQE would shuffle), so only the aggregate-before-join
+    structure is pinned."""
+    plan = _formatted_plan(spark, "tpcds_q58")
+    assert len(re.findall(r"partial_sum", plan)) >= 3
+    for flag in ("A", "N", "R"):
+        assert f"EqualTo(l_returnflag,{flag})" in plan, (
+            f"channel filter {flag} not pushed to its scan"
+        )
+    # every join input is an aggregate: no join node may appear below
+    # the first HashAggregate of any branch in the tree render
+    tree = plan[: plan.index("(1) Scan")]
+    first_join = re.search(r"(BroadcastHashJoin|SortMergeJoin|"
+                           r"ShuffledHashJoin)", tree)
+    first_agg = re.search(r"HashAggregate", tree)
+    assert first_join and first_agg
+    assert first_join.start() < first_agg.start(), (
+        "expected joins ABOVE the channel aggregates in the tree"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

@@ -344,3 +344,41 @@ def test_tpcds_q78_antijoin_and_ratio_boundaries(spark):
         for r in all_queries()["tpcds_q78"].build(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_tpcds_q58_balance_band_and_presence_edges(spark):
+    """Recompute the per-(part, channel) cents, the 3-channel
+    presence join, and the ±20% balance band (15*c in [4*tot, 6*tot])
+    in pure Python; the band must genuinely bite (some joined parts
+    fail), and the output must match exactly."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    cells: dict[tuple, int] = {}
+    for r in li:
+        k = (r["l_partkey"], r["l_returnflag"])
+        cells[k] = cells.get(k, 0) + _cents(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+    parts = {pk for pk, _ in cells}
+    joined = {
+        pk for pk in parts
+        if all((pk, ch) in cells for ch in ("A", "N", "R"))
+    }
+    expected = {}
+    failed_band = 0
+    for pk in joined:
+        a, n, rr = (cells[(pk, ch)] for ch in ("A", "N", "R"))
+        tot = a + n + rr
+        if all(4 * tot <= 15 * c <= 6 * tot for c in (a, n, rr)):
+            expected[pk] = (a, n, rr)
+        else:
+            failed_band += 1
+    assert expected and failed_band > 0, "balance band never bites"
+    got = {
+        r["pk"]: (r["a_cents"], r["n_cents"], r["r_cents"])
+        for r in all_queries()["tpcds_q58"].build(spark, SF).collect()
+    }
+    assert got == expected

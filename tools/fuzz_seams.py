@@ -339,6 +339,7 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (157000, 157799, "0.01", "rollupwin", "r17"),  # cube3 wave
     (158000, 158199, "0.001", "rollupwin", "r17"),
     (159000, 159199, "0.1", "rollupwin", "r17"),
+    (164000, 164299, "0.01", "rollupwin", "r17"),  # cube3 top-up (613 3-col)
 )
 
 

@@ -1137,7 +1137,7 @@ def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
     for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1",
-                 "tpcds_q14", "tpcds_q67", "tpcds_q78"):
+                 "tpcds_q14", "tpcds_q67", "tpcds_q78", "tpcds_q58"):
         q = all_queries()[name]
         walls[name] = round(
             min(
