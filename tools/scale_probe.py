@@ -1641,7 +1641,7 @@ def main() -> None:
     ]
     lines += [""]
     lines += _table(
-        "## TPC-DS-lite shapes (real q_tpcds_q47/q36/q51/q1, r16)",
+        "## TPC-DS-lite shapes (real q_tpcds_* builders; q47/q36/q51/q1 r16, q14/q67/q78/q58 r17)",
         tpcds_results,
         unit_rows=True,
     )
@@ -1656,7 +1656,8 @@ def main() -> None:
                 f"{q}: {tpcds_extra[rows][f'{q}_n_exchanges']}x "
                 f"[{tpcds_extra[rows][f'{q}_min_exchange_records']:,} "
                 f".. {tpcds_extra[rows][f'{q}_max_exchange_records']:,}]"
-                for q in ("q47", "q36", "q51", "q1")
+                for q in ("q47", "q36", "q51", "q1",
+                          "q14", "q67", "q78", "q58")
             )
             for rows in tpcds_extra
         ),
