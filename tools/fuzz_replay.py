@@ -19,6 +19,9 @@ What a case asserts depends on the (pipeline, order) draw:
       matches cluster inside the max chunk — seed 163003 showed
       exactly that vacuity, so the assertion is on totals);
     * dedup: strictly fewer emitted rows (late keys dropped);
+    * session (r17 second wave): strictly fewer surviving EVENTS
+      (sum of n_events) — session ROW counts can move either way
+      because a dropped bridging event splits a merged session;
     * hist_pctl: EQUALITY — the bounded-histogram state op carries no
       watermark (counters are order-invariant by design), so even
       disordered replay must reproduce the single-batch percentiles.
@@ -64,8 +67,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WATERMARKS = ["10 minutes", "30 minutes", "1 hour", "3 hours"]
 CHUNK_COUNTS = [2, 3, 5, 8, 12]
-PIPELINES = ["join_inner", "join_fullouter", "dedup", "hist_pctl"]
-NEG_PIPELINES = ["join_fullouter", "dedup", "hist_pctl"]
+PIPELINES = ["join_inner", "join_fullouter", "dedup", "hist_pctl", "session"]
+NEG_PIPELINES = ["join_fullouter", "dedup", "hist_pctl", "session"]
 # disordered flavors need the watermark well under a chunk's time
 # span so the late-drop is guaranteed by input-level dropping, and
 # k >= 3 because the late-input filter lags the watermark by one
@@ -103,6 +106,23 @@ def _build_pipeline(spark, sf_dir: str, name: str, watermark: str, source):
     if name == "hist_pctl":
         s = source() if source is not None else load_events_stream(spark, sf_dir)
         return streaming_bucket_counts(s), "update"
+    if name == "session":
+        s = source() if source is not None else load_events_stream(spark, sf_dir)
+        return (
+            s.withWatermark("ts", watermark)
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("sess_start"),
+                F.col("sw.end").alias("sess_end"),
+                "n_events",
+            ),
+            "append",
+        )
     raise ValueError(name)
 
 
@@ -188,6 +208,18 @@ def run_case(spark, seed: int, sf_dir: str, scratch: str,
             f"{sum(single.values())}"
         )
         return f"{label}: OK rows={sum(got.values())}"
+    if name == "session":
+        # dropped events can SPLIT sessions (a bridging event lost),
+        # so ROW count may move either way — the robust invariant is
+        # the surviving-EVENT total (sum of n_events), which strictly
+        # shrinks when any input is late-dropped
+        ev = lambda c: sum(row[3] * n for row, n in c.items())  # noqa: E731
+        assert ev(got) < ev(single), (
+            f"{label}: event total did not drop "
+            f"({ev(got)} vs {ev(single)})"
+        )
+        return (f"{label}: OK late-drop events "
+                f"{ev(single)}->{ev(got)}")
     assert sum(got.values()) < sum(single.values()), (
         f"{label}: rows did not drop "
         f"({sum(got.values())} vs {sum(single.values())})"

@@ -339,7 +339,18 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (157000, 157799, "0.01", "rollupwin", "r17"),  # cube3 wave
     (158000, 158199, "0.001", "rollupwin", "r17"),
     (159000, 159199, "0.1", "rollupwin", "r17"),
+    # chunkreplay (tools/fuzz_replay.py, sf0.001 streaming fixtures):
+    # mixed = ~80% ordered-equivalence + ~20% disordered late-drop
+    # negatives; "negative" ranges are ALL disordered (the assertion
+    # IS the late-drop/invariance, so a passing case is clean)
+    (162000, 162519, "0.001", "chunkreplay", "r17"),  # mixed (408 ordered)
+    (163200, 163349, "0.001", "chunkreplay", "r17"),  # negatives
     (164000, 164299, "0.01", "rollupwin", "r17"),  # cube3 top-up (613 3-col)
+    (165000, 165119, "0.001", "chunkreplay", "r17"),  # ordered top-up
+    (166000, 166499, "0.01", "mixed", "r17"),  # closing mixed-28
+    (167000, 167199, "0.001", "mixed", "r17"),
+    (168000, 168149, "0.1", "mixed", "r17"),
+    (169300, 169449, "0.001", "chunkreplay", "r17"),  # +session pipeline
 )
 
 
