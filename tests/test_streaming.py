@@ -802,6 +802,13 @@ def test_replay_partition_rules_match_sweep_measurements():
     assert chunked_replay_partitions(32) == 16            # sweep best
     assert chunked_replay_partitions(64) == 16            # knee cap
     assert chunked_replay_partitions(8) == 8              # floor
+    # the entry point caps the chunked knee by the volume rule: at
+    # fixture scale (<= 300k rows) the key-sized 8 wins (4 batches x
+    # 16 partitions measured ~2x slower than 4 x 8 at 100k rows)
+    assert min(chunked_replay_partitions(32),
+               replay_state_partitions(100_000, 32)) == 8
+    assert min(chunked_replay_partitions(32),
+               replay_state_partitions(10_000_000, 32)) == 16
 
 
 def test_registered_join_queries_keep_fixture_default():
