@@ -352,6 +352,7 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (168000, 168149, "0.1", "mixed", "r17"),
     (169300, 169449, "0.001", "chunkreplay", "r17"),  # +session pipeline
     (170000, 170299, "0.01", "mixed", "r17"),  # idle-time volume
+    (171000, 171199, "0.001", "mixed", "r17"),
 )
 
 
