@@ -71,35 +71,15 @@ _VERIFIED_R14 = (
     "statestore_timetravel", "pystream_scan", "pysink_write",
     "sink_zorder",
 )
-_VERIFIED_R12 = (
-    # CORRECTNESS_r12.json — the 9 rows NOT re-checked since r12 (the
-    # r12 window's youngest tail); the other 41 r12 rows moved to
-    # _VERIFIED_R16.  These are now the repo's stalest rows —
-    # including the reference-core filter/sum/take — and re-check
-    # right behind the six TPC-DS-lite leads in the r17 window,
-    # exactly as the r16 verdict ordered.  _VERIFIED_R11 dissolved
-    # (ivf_train, pq_encode re-checked in r16).
-    "stateful_profile", "stream_static_join",
-    "pipe_sql", "try_arith",
-    "pysource_scan", "sink_compaction", "filter", "sum", "take",
-)
 _VERIFIED_R13 = (
-    # CORRECTNESS_r13.json — 50 rows, ALL hash-green (the first
-    # all-hash window since the sketch queries entered rotation).
-    # The window was the round's 6 NEW queries, then the 43 remaining
-    # r9-vintage rows (led by the two reference-core rows `partition`
-    # and `join`) plus the oldest r10 row (stream_foreach_batch),
-    # exactly as the r12 verdict ordered; _VERIFIED_R9 dissolved.
-    "skyline_pareto", "ntile_deciles", "mad_outliers", "null_safe_join",
-    "topk_cumshare", "time_weighted_avg",
-    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
-    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
-    "scalar_subquery", "decorrelated_subquery", "stats_agg",
-    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
-    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
-    "date_arith", "union_by_name", "pandas_udf_demo", "sql_udf",
-    "merge_upsert",
+    # CORRECTNESS_r13.json — the 15 rows NOT re-checked since r13
+    # (the r13 window's youngest tail); the other 35 r13 rows moved
+    # to _VERIFIED_R17.  These are now the repo's stalest rows and
+    # re-check right behind the five r17-registration leads in the
+    # r18 window, exactly as the r17 verdict ordered.  _VERIFIED_R12
+    # dissolved (its 9 rows — reference-core filter/sum/take among
+    # them — re-checked in r17).
+    "pandas_udf_demo", "sql_udf", "merge_upsert",
     "statestore_read", "stream_dedup_unbounded", "cache_scan",
     "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
     "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
@@ -157,41 +137,56 @@ _VERIFIED_R16 = (
     "udtf_word_runs", "observed_clean", "reservoir_sample",
     "approx_topk_tokens",
 )
+_VERIFIED_R17 = (
+    # CORRECTNESS_r17.json — 50 rows, ALL hash-green (zero rows-only
+    # in the window for the first time since r13).  The window was
+    # the SIX r16-deferred TPC-DS-lite shapes (their first driver
+    # rows), then the 9 r12-vintage rows (reference-core
+    # filter/sum/take among them), then the 35 oldest r13 rows —
+    # exactly as the r16 verdict ordered; _VERIFIED_R12 dissolved.
+    "tpcds_q1", "tpcds_q34", "tpcds_q36", "tpcds_q47", "tpcds_q51",
+    "tpcds_q88",
+    "stateful_profile", "stream_static_join",
+    "pipe_sql", "try_arith",
+    "pysource_scan", "sink_compaction", "filter", "sum", "take",
+    "skyline_pareto", "ntile_deciles", "mad_outliers", "null_safe_join",
+    "topk_cumshare", "time_weighted_avg",
+    "partition", "join", "join_agg", "tpch_q3", "tpch_q6", "tpch_q15",
+    "group_agg", "asof_join", "range_join", "pivot", "grouping_sets",
+    "scalar_subquery", "decorrelated_subquery", "stats_agg",
+    "percentiles", "hash_sample", "string_funcs2", "null_funcs",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q4", "window_nav",
+    "window_dist", "in_subquery", "full_outer_join", "array_funcs",
+    "date_arith", "union_by_name",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R12 + _VERIFIED_R13 + _VERIFIED_R14
-    + _VERIFIED_R15 + _VERIFIED_R16
+    _VERIFIED_R13 + _VERIFIED_R14
+    + _VERIFIED_R15 + _VERIFIED_R16 + _VERIFIED_R17
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r17 window (50 rows) = the
-# SIX r16-deferred TPC-DS-lite shapes (never driver-checked; fully
-# oracled at all three SFs, plan-gated, and independently
-# spot-verified green by the r16 judge at sf0.01, three also at
-# sf0.1), then the 9 r12-vintage rows (the reference-core
-# filter/sum/take among them), then the 35 oldest r13 rows — exactly
-# as the r16 verdict ordered.  After r17 no row's latest check is
-# older than r13.
+# verified rows rotate oldest-first.  The r18 window (50 rows) = the
+# FIVE r17 registrations (never driver-checked; fully oracled at all
+# three SFs, plan-gated, and independently verified green by the r17
+# judge at both sf0.01 and sf0.1), then the 15 remaining r13-vintage
+# rows, then the 30 oldest r14 rows — exactly as the r17 verdict
+# ordered.  After r18 no row's latest check is older than r14.
 _HIGH_PRIORITY: tuple[str, ...] = (
-    "tpcds_q1",
-    "tpcds_q34",
-    "tpcds_q36",
-    "tpcds_q47",
-    "tpcds_q51",
-    "tpcds_q88",
-)
-# Registrations NEW in r17 are deferred BEHIND the verified tail (the
-# r14/r15/r16 precedent): the r16 verdict's window is exactly
-# 6 + 9 + 35 = 50 rows, so spending r17 slots on brand-new rows would
-# push stale r12/r13 rows past the 4-round horizon.  Everything here
-# is fully oracled at all three SFs and plan-gated locally; the r18
-# window leads with these.
-_LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q14",
     "tpcds_q58",
     "tpcds_q67",
     "tpcds_q78",
     "stream_replay_chunked",
+)
+# Registrations NEW in r18 are deferred BEHIND the verified tail (the
+# r14..r17 precedent): the r17 verdict's window is exactly
+# 5 + 15 + 30 = 50 rows, so spending r18 slots on brand-new rows
+# would push stale r13/r14 rows past the staleness horizon.
+# Everything here is fully oracled at all three SFs and plan-gated
+# locally; the r19 window leads with these.
+_LOW_PRIORITY: tuple[str, ...] = (
+    "stream_replay_chunked_lo",
 )
 
 
@@ -207,12 +202,12 @@ def _ordered_names() -> list[str]:
         key=_LOW_PRIORITY.index,
     )
     # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 9 remaining r12 rows lead
-    # (filter/sum/take among them), then r13, r14, r15, r16.
+    # stalest rows re-check soonest: the 15 remaining r13 rows lead,
+    # then r14, r15, r16, r17.
     seen = set(first + mid + low)
     rest: list[str] = []
-    for tier in (_VERIFIED_R12, _VERIFIED_R13,
-                 _VERIFIED_R14, _VERIFIED_R15, _VERIFIED_R16):
+    for tier in (_VERIFIED_R13, _VERIFIED_R14,
+                 _VERIFIED_R15, _VERIFIED_R16, _VERIFIED_R17):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]

@@ -58,25 +58,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 REPLAY_ROWS_PER_PARTITION = 300_000
 STATE_PARTITIONS_DEFAULT = 8
 
-_ROW_COUNT_CACHE: dict[tuple[str, float], int] = {}
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def parquet_row_count(path: str) -> int:
     """Row count from the parquet footer — a driver-side metadata read
-    (no Spark job), cached per (path, mtime).  Accepts a single file
-    or a directory of part files."""
+    (no Spark job).  Accepts a single file or a directory of part
+    files.  Cached per PART-FILE fingerprint (name + mtime + size of
+    every matched file), not the directory's own mtime: overwriting an
+    existing part file in place does not touch the directory mtime, so
+    a directory-keyed cache could size replay state for stale volume
+    (the r17 ADVICE fix)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
-    key = (path, os.path.getmtime(path))
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    key = tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
     n = _ROW_COUNT_CACHE.get(key)
     if n is None:
-        files = (
-            sorted(_glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
         n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
         _ROW_COUNT_CACHE[key] = n
     return n

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import glob
 import itertools
+import json
 import os
 import shutil
 import tempfile
@@ -61,21 +62,84 @@ def chunked_replay_partitions(cores: int) -> int:
     return max(STATE_PARTITIONS_DEFAULT, min(cores // 2, CHUNKED_PARTITION_CAP))
 
 
+_MANIFEST = "_MANIFEST.json"
+
+
+def _chunk_footer_stats(path: str) -> tuple[int, object, object]:
+    """(rows, min_ts, max_ts) from the parquet footer — a driver-side
+    metadata read, no Spark job.  min/max are None when any row group
+    lacks ts statistics."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    idx = next(
+        i for i in range(len(md.schema))
+        if md.schema.column(i).name == "ts"
+    )
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return md.num_rows, None, None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return md.num_rows, min(mins), max(maxs)
+
+
+def _chunk_set_ok(dst: str, n_chunks: int, expected_rows: int) -> bool:
+    """Validate a cached chunk set by CONTENT, not file count alone
+    (the r17 ADVICE hardening): the manifest must record this exact
+    request, footer row counts must sum to the source row count, and
+    footer ts ranges must be event-time-ordered across chunk files.
+    Anything planted, truncated, or stale fails closed (rebuild)."""
+    try:
+        with open(os.path.join(dst, _MANIFEST)) as fh:
+            man = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    files = sorted(glob.glob(os.path.join(dst, "chunk_*.parquet")))
+    if (
+        man.get("requested") != n_chunks
+        or man.get("n_files") != len(files)
+        or man.get("total_rows") != expected_rows
+        or not files
+    ):
+        return False
+    total, prev_max = 0, None
+    try:
+        for f in files:
+            rows, mn, mx = _chunk_footer_stats(f)
+            total += rows
+            if prev_max is not None and mn is not None and mn < prev_max:
+                return False
+            prev_max = mx if mx is not None else prev_max
+    except Exception:
+        return False
+    return total == expected_rows
+
+
 def ordered_event_chunks(
     spark: SparkSession,
     events_path: str,
     scratch_dir: str,
     n_chunks: int,
 ) -> str:
-    """Rewrite one events parquet file as ``n_chunks`` EVENT-TIME-
-    ORDERED chunk files with strictly increasing mtimes, so a
+    """Rewrite one events parquet file as up to ``n_chunks`` EVENT-
+    TIME-ORDERED chunk files with strictly increasing mtimes, so a
     maxFilesPerTrigger=1 stream replays history in watermark order.
     Chunk boundaries are exact repartitionByRange splits on ts, so
-    each chunk's min event time exceeds the previous chunk's max.
-    Built in a staging dir and renamed atomically; an existing
-    complete chunk set (exact count) is reused."""
+    each chunk's min event time is >= the previous chunk's max.
+    repartitionByRange may legitimately emit FEWER non-empty
+    partitions (heavy ts duplication, sampled boundaries collapsing)
+    — the ordering guarantee is what matters, so fewer chunks is
+    accepted and recorded in the manifest; only an EMPTY result
+    fails.  Built in a staging dir and renamed atomically; an
+    existing chunk set is reused only after content validation
+    (manifest + footer row counts + footer ts ordering —
+    _chunk_set_ok)."""
     dst = os.path.join(scratch_dir, f"chunks_{n_chunks}")
-    if len(glob.glob(os.path.join(dst, "chunk_*.parquet"))) == n_chunks:
+    expected_rows = parquet_row_count(events_path)
+    if _chunk_set_ok(dst, n_chunks, expected_rows):
         return dst
     if os.path.exists(dst):
         shutil.rmtree(dst)
@@ -92,15 +156,34 @@ def ordered_event_chunks(
         .parquet(tmp)
     )
     parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
-    assert len(parts) == n_chunks, (
-        f"expected {n_chunks} range partitions, got {len(parts)}"
+    assert parts, f"repartitionByRange({n_chunks}) emitted no data files"
+    assert len(parts) <= n_chunks, (
+        f"expected <= {n_chunks} range partitions, got {len(parts)}"
     )
     now = time.time() - 10_000
+    prev_max = None
     for i, part in enumerate(parts):
         tgt = os.path.join(stage, f"chunk_{i:04d}.parquet")
         shutil.move(part, tgt)
         os.utime(tgt, (now + i, now + i))  # mtime = replay order
+        rows, mn, mx = _chunk_footer_stats(tgt)
+        assert rows > 0, f"empty range partition {part}"
+        assert prev_max is None or mn is None or mn >= prev_max, (
+            f"chunk {i} min ts {mn} < previous max {prev_max}: "
+            "range partitioning broke event-time order"
+        )
+        prev_max = mx if mx is not None else prev_max
     shutil.rmtree(tmp)
+    with open(os.path.join(stage, _MANIFEST), "w") as fh:
+        json.dump(
+            {
+                "requested": n_chunks,
+                "n_files": len(parts),
+                "total_rows": expected_rows,
+                "source": os.path.abspath(events_path),
+            },
+            fh,
+        )
     os.rename(stage, dst)
     return dst
 
@@ -124,19 +207,66 @@ def chunked_events_source(spark: SparkSession, chunk_dir: str):
     return make
 
 
+_SCRATCH_KEEP = 8
+
+
+def _scratch_root() -> str:
+    """Per-user 0o700 cache root for reusable chunk sets.  On a
+    multi-user host a predictable world-writable path could be
+    pre-created by another user to plant or symlink chunk files into
+    the replay (the r17 ADVICE hardening), so the root is uid-scoped,
+    created 0o700, and verified OWNED by us with no group/other
+    access; any mismatch falls back to a fresh private mkdtemp
+    (non-reusable but safe)."""
+    root = os.path.join(tempfile.gettempdir(), f"replay_chunks_u{os.getuid()}")
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root, follow_symlinks=False)
+        import stat as _stat
+
+        if (
+            st.st_uid != os.getuid()
+            or not _stat.S_ISDIR(st.st_mode)
+            or (st.st_mode & 0o077)
+        ):
+            raise OSError("scratch root not a private dir we own")
+    except OSError:
+        return tempfile.mkdtemp(prefix="replay_chunks_")
+    return root
+
+
+def _prune_scratch(root: str, keep: str) -> None:
+    """Bound the cache: keep the newest _SCRATCH_KEEP per-history dirs
+    (plus the one in use); evict oldest-mtime first, best-effort."""
+    try:
+        entries = [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if os.path.join(root, e) != keep
+            and os.path.isdir(os.path.join(root, e))
+        ]
+        entries.sort(key=os.path.getmtime, reverse=True)
+        for stale in entries[_SCRATCH_KEEP:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _stable_scratch(events_path: str, n_rows: int) -> str:
-    """Deterministic per-history scratch dir, so repeated replays of
-    the same immutable events file (driver re-checks, bench runs)
-    reuse the already-built ordered chunk set instead of rewriting it
-    each time.  Keyed by absolute path + row count + mtime; the
-    exact-count reuse check in ordered_event_chunks still guards a
-    partial build."""
+    """Deterministic per-history scratch dir under the private
+    per-user root, so repeated replays of the same immutable events
+    file (driver re-checks, bench runs) reuse the already-built
+    ordered chunk set instead of rewriting it each time.  Keyed by
+    absolute path + row count + mtime; reuse is content-validated
+    (_chunk_set_ok), and the root is pruned to the newest
+    _SCRATCH_KEEP histories so /tmp never accumulates unboundedly."""
     import hashlib
 
     key = f"{os.path.abspath(events_path)}|{n_rows}|{os.path.getmtime(events_path)}"
     h = hashlib.md5(key.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"replay_chunks_{h}")
-    os.makedirs(d, exist_ok=True)
+    d = os.path.join(_scratch_root(), f"h{h}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    _prune_scratch(os.path.dirname(d), d)
     return d
 
 
@@ -166,7 +296,10 @@ def replay_interval_join(
 
     events_path = os.path.join(sf_dir, "events.parquet")
     n_rows = parquet_row_count(events_path)
-    n_chunks = max(1, n_rows // rows_per_chunk)
+    # round-UP division: a history even slightly over one chunk takes
+    # the chunked path (the docstring's ">1 chunk auto-chunks"), and
+    # the registered fixture sizes (n divisible by 4) are unchanged
+    n_chunks = max(1, -(-n_rows // rows_per_chunk))
     cores = spark.sparkContext.defaultParallelism
 
     if n_chunks >= 2:
@@ -246,9 +379,68 @@ def q_stream_replay_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.27 M rows/s — ordered chunking bounds LIVE join state at the
     watermark horizon instead of the whole input, the hazard a single
     availableNow batch hides."""
+    return _replay_chunked_checked(spark, sf_dir, how="fullOuter")
+
+
+def _replay_chunked_checked(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared body of the chunked-replay registrations: ~4 event-time-
+    ordered chunks per fixture SF, failing loudly if a fixture is ever
+    too small to reach the chunked path (r17 ADVICE: a silent
+    single-batch degrade would driver-check the wrong code)."""
     events_path = os.path.join(sf_dir, "events.parquet")
     n = parquet_row_count(events_path)
-    return replay_interval_join(
-        spark, sf_dir, how="fullOuter",
-        rows_per_chunk=max(200, n // 4),
+    rows_per_chunk = max(200, n // 4)
+    assert -(-n // rows_per_chunk) >= 2, (
+        f"events fixture at {sf_dir} too small ({n} rows) to exercise "
+        "the chunked replay path"
     )
+    return replay_interval_join(
+        spark, sf_dir, how=how,
+        rows_per_chunk=rows_per_chunk,
+    )
+
+
+@query(
+    "stream_replay_chunked_lo",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(pts)) FROM p),
+                   (SELECT date_trunc('milliseconds', max(cts)) FROM c))
+             - INTERVAL '1 hour' AS w
+    ),
+    j AS (
+      SELECT p.user_id, p.purchase_id, p.pts, c.click_id
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.pts - INTERVAL '30 minutes' AND p.pts
+    )
+    SELECT user_id, purchase_id, click_id
+    FROM j
+    WHERE click_id IS NOT NULL OR pts < (SELECT w FROM wm)
+    """,
+)
+def q_stream_replay_chunked_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT OUTER leg of the chunked-replay entry point, driver-
+    checkable (r17 verdict #3: `replay_interval_join` accepted
+    how="leftOuter" but only the fullOuter leg had a registered
+    query, so the leftOuter replay path was tested only
+    transitively).  Same ~4 event-time-ordered chunk files as
+    stream_replay_chunked; the oracle is stream_left_outer_join's
+    eviction rule verbatim — ordered chunked replay must emit exactly
+    the single-batch multiset, because the watermark ends at the same
+    final horizon and every null-extension decision is the same (the
+    chunked==single equivalence pinned in tests/test_streaming.py,
+    now for both outer legs).
+
+    Scale: identical levers to stream_replay_chunked — ordered
+    chunking bounds LIVE purchase-side state at the watermark horizon
+    instead of the whole history (SCALE.md §r17, 2.9x at 10M
+    events)."""
+    return _replay_chunked_checked(spark, sf_dir, how="leftOuter")

@@ -854,6 +854,34 @@ def test_replay_entry_point_matches_registered_query(spark, tmp_path):
     )
 
 
+def test_replay_entry_point_left_outer_matches_registered_query(spark, tmp_path):
+    """The LEFT OUTER leg of the chunked==single equivalence (r18:
+    stream_replay_chunked_lo registers this path): ordered chunked
+    replay ends at the same final watermark horizon, so every
+    null-extension decision matches the single-batch registered
+    query's."""
+    from collections import Counter
+
+    from dpu_olap_spark.registry import get_query
+    from dpu_olap_spark.streaming.replay import replay_interval_join
+
+    sf = "/root/testdata/sf0.001"
+    registered = Counter(
+        tuple(r)
+        for r in get_query("stream_left_outer_join").build(spark, sf).collect()
+    )
+    replayed_df = replay_interval_join(
+        spark, sf, how="leftOuter",
+        scratch_dir=str(tmp_path), rows_per_chunk=200,
+    )
+    replayed = Counter(tuple(r) for r in replayed_df.collect())
+    assert sum(registered.values()) > 0
+    assert replayed == registered, (
+        f"leftOuter replay diverged: {sum(replayed.values())} rows vs "
+        f"{sum(registered.values())}"
+    )
+
+
 def test_disordered_replay_negatives_and_filter_lag(spark, tmp_path):
     """The chunked-replay fuzz family's pinned negatives
     (tools/fuzz_replay.py): replaying history OUT of event-time order

@@ -5,8 +5,14 @@ import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
 from tests.oracle import run_oracle, _rows_to_multiset, assert_pandas_view_matches
 
-names = sys.argv[1:]
-SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+import argparse
+ap = argparse.ArgumentParser(description="Check named queries against the DuckDB oracle")
+ap.add_argument("names", nargs="+", help="query names from queries()")
+ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+                help="sf dir (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)")
+args = ap.parse_args()
+names = args.names
+SF = args.sf
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.ui.showConsoleProgress", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")

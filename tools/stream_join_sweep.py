@@ -42,14 +42,17 @@ ROCKSDB = (
 
 
 def build_fo_join(spark, sf_dir: str, source=None,
-                  watermark: str = "1 hour") -> DataFrame:
-    """The q_stream_full_outer_join pipeline — since r17 this IS the
-    registered builder (windows.interval_join_pipeline), so the sweep
-    measures the exact code path the operators run."""
+                  watermark: str = "1 hour",
+                  how: str = "fullOuter") -> DataFrame:
+    """The q_stream_full_outer_join / q_stream_left_outer_join
+    pipeline — since r17 this IS the registered builder
+    (windows.interval_join_pipeline), so the sweep measures the exact
+    code path the operators run; ``how`` times either outer leg (r18:
+    stream_replay_chunked_lo registers the leftOuter one)."""
     from dpu_olap_spark.streaming.windows import interval_join_pipeline
 
     return interval_join_pipeline(
-        spark, sf_dir, how="fullOuter", watermark=watermark, source=source
+        spark, sf_dir, how=how, watermark=watermark, source=source
     )
 
 
@@ -113,8 +116,8 @@ def chunk_source(spark, chunk_dir: str, files_per_trigger: int):
 
 
 def run_once(spark, sf_dir: str, partitions: int, provider: str | None,
-             label: str, source=None) -> tuple[float, int]:
-    joined = build_fo_join(spark, sf_dir, source=source)
+             label: str, source=None, how: str = "fullOuter") -> tuple[float, int]:
+    joined = build_fo_join(spark, sf_dir, source=source, how=how)
     with tempfile.TemporaryDirectory(prefix="sweep_ckpt_") as ckpt:
         confs = {"spark.sql.shuffle.partitions": str(partitions)}
         if provider:
@@ -188,6 +191,14 @@ def main() -> None:
         wall, rows = run_once(spark, sf_dir, 16, None,
                               f"p16_chunked{k}", source=src)
         record(f"p16_hdfs_chunked{k}", wall, rows)
+    # the leftOuter leg at the adopted knee (r18: registered as
+    # stream_replay_chunked_lo) — purchase-side-only null extension,
+    # so expect a wall at or below the fullOuter row
+    chunk_dir = make_chunked_fixture(spark, sf_dir, 10)
+    src = chunk_source(spark, chunk_dir, 1)
+    wall, rows = run_once(spark, sf_dir, 16, None,
+                          "p16_chunked10_lo", source=src, how="leftOuter")
+    record("p16_hdfs_chunked10_LO", wall, rows)
     best = min(results, key=lambda r: r[1])
     print(f"BEST: {best[0]} at {best[1]:.2f}s ({best[2]:.2f} M rows/s)")
 
