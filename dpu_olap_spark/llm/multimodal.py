@@ -1,15 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode/feature-extract as Arrow-batched `mapInPandas` stages.
 
-The container has no image/video codec libraries, so those decodes
-are stubbed (deterministic fake derived from payload bytes; the real
-library call raises NotImplementedError at the clearly marked seam).
-AUDIO is real end-to-end since r17: an encode stage writes genuine
-RIFF/WAVE 16-bit PCM containers with the stdlib ``wave`` module and
-the decode stage parses them back with the ``wave`` reader — no
-external package needed, byte-exact roundtrip pinned in
-tests/test_llm_ops.py. Everything Spark-side is real and tested:
-schema, binary columns, batch iteration, partitioning.
+AUDIO is real end-to-end since r17 (genuine RIFF/WAVE 16-bit PCM via
+the stdlib ``wave`` module, both directions) and IMAGE since r18
+(genuine PNG containers via stdlib zlib + struct: standard chunk
+layout, CRC-verified, per-row None/Sub/Up filters; the decoder is a
+validating parser implementing all five PNG filter types, and the
+resize stage nearest-neighbor-resamples the actual pixel grid) — no
+external packages needed, byte-exact roundtrips pinned in
+tests/test_llm_ops.py.  VIDEO has no stdlib codec, so its decode is
+stubbed (deterministic fake derived from payload bytes; the real
+library call raises NotImplementedError at the clearly marked pyav
+seam).  Everything Spark-side is real and tested: schema, binary
+columns, batch iteration, partitioning.
 
 Scale notes: binary payloads ride in parquet as column chunks;
 `mapInPandas` streams Arrow batches through Python with bounded memory
@@ -91,36 +94,29 @@ _DECODE_SCHEMA = T.StructType(
 def _codecs_available() -> bool:
     """Capability probe, evaluated on the WORKER inside the decode
     stage (the executor environment is what matters, not the driver).
-    Real image decode needs PIL; set SPARK_GRAFT_FORCE_FAKE_CODECS=1
-    to pin the deterministic fake even where codecs exist (e.g. to
-    keep byte-stable test fixtures)."""
+    Since r18 image decode is REAL via the stdlib PNG path (zlib +
+    struct) and audio via stdlib ``wave`` — this probe now gates only
+    the VIDEO codec (pyav).  Set SPARK_GRAFT_FORCE_FAKE_CODECS=1 to
+    pin the deterministic fake even where libs exist (e.g. to keep
+    byte-stable test fixtures)."""
     import importlib.util
     import os
 
     if os.environ.get("SPARK_GRAFT_FORCE_FAKE_CODECS"):
         return False
-    return importlib.util.find_spec("PIL") is not None
+    return importlib.util.find_spec("av") is not None
 
 
 def _real_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
-    """Rich-codec integration: PIL for images; video still needs
-    pyav and keeps the explicit seam (audio decodes via the always-on
-    stdlib ``wave`` path, not this probe). Selected automatically by
-    the _codecs_available probe — no code change when the container
-    gains the libraries."""
-    if modality == "image":
-        import io
-
-        from PIL import Image
-
-        with Image.open(io.BytesIO(payload)) as im:
-            w, h = im.size
-            px = list(im.convert("L").resize((8, 8)).getdata())
-            return w, h, 1, round(sum(px) / max(1, len(px)), 4)
+    """Rich-codec integration seam: VIDEO still needs pyav (image
+    decodes via the always-on stdlib PNG path since r18; audio via
+    stdlib ``wave`` since r17 — neither routes through this probe).
+    Selected automatically by the _codecs_available probe — no code
+    change when the container gains the library."""
     raise NotImplementedError(
         "video decode needs pyav; not installed in this environment "
-        "(images decode via PIL when present; audio decodes via the "
-        "stdlib wave path unconditionally)"
+        "(images decode via the stdlib PNG path unconditionally; "
+        "audio via the stdlib wave path unconditionally)"
     )
 
 
@@ -174,6 +170,155 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     return rate, bits, n_frames, mean
 
 
+# --- real image path: stdlib PNG (zlib + struct), no external packages -----
+#
+# The r17 WAV pattern applied again (r17 verdict #6): the encode stage
+# writes GENUINE PNG containers — 8-bit grayscale, standard chunk
+# layout (IHDR / tEXt / IDAT / IEND), per-chunk CRC32, zlib-compressed
+# scanlines with REAL per-row filter types cycling None/Sub/Up so the
+# decoder's unfilterer is exercised, not bypassed — and the decode
+# stage is a VALIDATING parser: signature + CRC verification + IHDR
+# field checks + scanline unfiltering (all five PNG filter types).
+# Any external PNG reader (PIL etc.) opens these containers and
+# agrees on dims and pixels; byte-exact roundtrip pinned in
+# tests/test_llm_ops.py.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_payload(data: bytes) -> bytes:
+    """A GENUINE PNG container: 8-bit grayscale, width = 16 +
+    data[0] % 64 (the historical dim rule, now the real raster
+    width), height = ceil(len/width) with a zero-padded final row.
+    The original byte length rides in a standard tEXt chunk so the
+    decode can trim the padding and the roundtrip is byte-exact.
+    Row filters cycle 0/1/2 (None/Sub/Up) so the decoder genuinely
+    unfilters."""
+    import struct
+    import zlib
+
+    w = 16 + (data[0] % 64) if data else 16
+    h = max(1, -(-len(data) // w))
+    padded = data + b"\x00" * (w * h - len(data))
+    raw = bytearray()
+    prior = b"\x00" * w
+    for r in range(h):
+        row = padded[r * w : (r + 1) * w]
+        ftype = r % 3
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub: diff vs left neighbor
+            raw += bytes(
+                (row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(w)
+            )
+        else:  # Up: diff vs same column of the prior row
+            raw += bytes((row[x] - prior[x]) & 0xFF for x in range(w))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"len\x00" + str(len(data)).encode())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, bytes, int]:
+    """Validating PNG parse: signature, per-chunk CRC32, IHDR fields,
+    zlib-inflated scanlines unfiltered per the spec (all five filter
+    types — Paeth included for containers other writers produce).
+    Returns (width, height, pixel bytes row-major, original length
+    from the tEXt 'len' chunk; -1 when absent)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat, orig_len = bytearray(), -1
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_col, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_col, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: need 8-bit grayscale, no interlace"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"tEXt" and data.startswith(b"len\x00"):
+            orig_len = int(data[4:])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    px = bytearray()
+    prior = bytearray(w)
+    for r in range(h):
+        ftype = raw[r * (w + 1)]
+        line = bytearray(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)])
+        if ftype == 1:  # Sub
+            for x in range(1, w):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(w):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(w):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                b, c = prior[x], (prior[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG row {r}: unknown filter type {ftype}")
+        px += line
+        prior = line
+    return w, h, bytes(px), orig_len
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL image decode via the stdlib PNG parser: (width, height,
+    1 frame, mean of the ORIGINAL payload bytes — padding trimmed via
+    the container's tEXt length)."""
+    w, h, px, orig_len = _png_parse(payload)
+    data = px[:orig_len] if orig_len >= 0 else px
+    mean = round(sum(data) / max(1, len(data)), 4)
+    return w, h, 1, mean
+
+
 def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int, float]:
     """Deterministic fake: dimensions derived from payload bytes — keeps
     the full Arrow/mapInPandas path testable without codecs."""
@@ -193,29 +338,41 @@ _ASSET_SCHEMA = T.StructType(
 )
 
 
-def _encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+_CONTAINER_ENCODERS = {"audio": _wav_payload, "image": _png_payload}
+
+
+def _encode_container_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Container-encode stage: audio payloads become genuine WAV files
-    (real ``wave`` writer); other modalities pass through unchanged.
+    (stdlib ``wave`` writer, r17) and image payloads genuine PNG files
+    (stdlib zlib/struct writer, r18); video passes through unchanged.
     Chained ahead of the decode stage so the decode receives a real
     container to parse, not synthesized bytes."""
     for pdf in batches:
         pdf = pdf.copy()
         pdf["payload"] = [
-            _wav_payload(bytes(p)) if m == "audio" else bytes(p)
+            _CONTAINER_ENCODERS.get(m, bytes)(bytes(p))
             for m, p in zip(pdf["modality"], pdf["payload"])
         ]
         yield pdf
 
 
+# r17-r18 transitional alias (external callers/tests used the wav name)
+_encode_wav_batches = _encode_container_batches
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    decode = _real_decode if _codecs_available() else _fake_decode
+    # image and audio decode via the always-on stdlib codec paths;
+    # only VIDEO routes through the pyav env gate (fake until present)
+    video_decode = _real_decode if _codecs_available() else _fake_decode
     for pdf in batches:
         out = {"doc_id": [], "modality": [], "width": [], "height": [], "n_frames": [], "mean_byte": []}
         for doc_id, modality, payload in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
             if modality == "audio":
                 w, h, fr, mean = _decode_wav(bytes(payload))
+            elif modality == "image":
+                w, h, fr, mean = _decode_png(bytes(payload))
             else:
-                w, h, fr, mean = decode(bytes(payload), modality)
+                w, h, fr, mean = video_decode(bytes(payload), modality)
             out["doc_id"].append(doc_id)
             out["modality"].append(modality)
             out["width"].append(w)
@@ -228,19 +385,21 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query("mm_decode")  # python decode stage -> rows-only check
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage: two chained Arrow-batched
-    mapInPandas stages over (doc_id, modality, payload).  AUDIO is a
-    real codec path end-to-end: the first stage writes genuine
-    RIFF/WAVE 16-bit PCM containers (stdlib ``wave`` writer), the
-    second parses them back (``wave`` reader) — rate/bits/frames/mean
-    from the actual container, byte-exact roundtrip pinned in
-    tests/test_llm_ops.py.  Image/video keep the deterministic fake
-    behind the _real_decode env-gate (no PIL/pyav in this container).
+    mapInPandas stages over (doc_id, modality, payload).  AUDIO (r17)
+    and IMAGE (r18) are real codec paths end-to-end: the first stage
+    writes genuine RIFF/WAVE 16-bit PCM containers (stdlib ``wave``)
+    and genuine PNG containers (stdlib zlib/struct — IHDR/tEXt/IDAT/
+    IEND, CRC-verified, per-row None/Sub/Up filters), the second
+    parses them back with validating readers — dims/rate/frames/mean
+    from the actual containers, byte-exact roundtrips pinned in
+    tests/test_llm_ops.py.  Video keeps the deterministic fake behind
+    the _real_decode pyav env-gate (no stdlib video codec exists).
     Both stages fuse into one Spark stage (no shuffle between
     mapInPandas nodes)."""
     assets = _with_payload(spark, sf_dir)
     return (
         assets.select("doc_id", "modality", "payload")
-        .mapInPandas(_encode_wav_batches, schema=_ASSET_SCHEMA)
+        .mapInPandas(_encode_container_batches, schema=_ASSET_SCHEMA)
         .mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
     )
 
@@ -338,10 +497,22 @@ _RESIZE_SCHEMA = T.StructType(
 _TARGET = 32  # thumbnail long side
 
 
+def _nn_resample(px: bytes, w: int, h: int, rw: int, rh: int) -> bytes:
+    """Nearest-neighbor resample of a row-major 8-bit grayscale
+    raster — the real thumbnail kernel (pure stdlib; what
+    PIL.Image.resize(NEAREST) computes)."""
+    return bytes(
+        px[(y * h // rh) * w + (x * w // rw)]
+        for y in range(rh)
+        for x in range(rw)
+    )
+
+
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake resize: dims from _fake_decode, aspect-
-    preserving scale to a 32px long side, 'thumbnail' = md5 of a
-    stride-sampled byte subset (stands in for PIL.Image.resize)."""
+    """REAL resize (r18): parse the genuine PNG container (validating
+    stdlib decoder), nearest-neighbor resample the ACTUAL pixel grid
+    to a 32px long side, fingerprint the resampled raster.  Dims are
+    the container's IHDR values."""
     import hashlib
 
     for pdf in batches:
@@ -351,14 +522,10 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             if modality != "image":
                 continue
-            data = bytes(payload)
-            w, h, _fr, _mean = _fake_decode(data, modality)
-            # clamp only the denominator: report decoded dims truthfully
-            # (0x0 for empty payloads) but never divide by zero
+            w, h, px, _orig_len = _png_parse(bytes(payload))
             scale = _TARGET / max(w, h, 1)
             rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
-            stride = max(1, len(data) // (rw * rh))
-            thumb = data[::stride][: rw * rh]
+            thumb = _nn_resample(px, w, h, rw, rh)
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
@@ -372,9 +539,14 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage (aspect-preserving thumbnail): the remaining
     member of the decode / feature-extract / resize / frame-sample
-    multimodal quartet. Same Arrow mapInPandas shape as mm_decode;
-    swap _resize_batches' body for PIL when codecs are available."""
+    multimodal quartet.  REAL since r18: the encode stage writes the
+    genuine PNG containers, the resize stage parses them back and
+    nearest-neighbor-resamples the actual pixel grid — the same two
+    chained Arrow mapInPandas stages as mm_decode (no shuffle between
+    them)."""
     assets = _with_payload(spark, sf_dir)
-    return assets.select("doc_id", "modality", "payload").mapInPandas(
-        _resize_batches, schema=_RESIZE_SCHEMA
+    return (
+        assets.select("doc_id", "modality", "payload")
+        .mapInPandas(_encode_container_batches, schema=_ASSET_SCHEMA)
+        .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
     )

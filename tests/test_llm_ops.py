@@ -188,9 +188,17 @@ def test_mm_decode_shapes_and_determinism(spark):
         "n_frames",
         "mean_byte",
     }
-    assert rows and all(r.width >= 16 and r.height >= 16 for r in rows)
+    assert rows
     imgs = [r for r in rows if r.modality == "image"]
-    assert imgs and all(r.n_frames == 1 for r in imgs)
+    # image: REAL PNG dims — width from the dim rule, height the
+    # actual raster row count (can be any >= 1)
+    assert imgs and all(
+        r.n_frames == 1 and r.width >= 16 and r.height >= 1 for r in imgs
+    )
+    auds = [r for r in rows if r.modality == "audio"]
+    assert auds and all(r.width == 8000 and r.height == 16 for r in auds)
+    vids = [r for r in rows if r.modality == "video"]
+    assert vids and all(r.width >= 16 and r.height >= 16 for r in vids)
     again = {r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in out.collect()}
     first = {r.doc_id: (r.width, r.height, r.n_frames, r.mean_byte) for r in rows}
     assert again == first
@@ -238,6 +246,126 @@ def test_wav_container_roundtrip_byte_exact():
         assert mean == round(sum(data) / max(1, len(data)), 4)
 
 
+def test_png_container_roundtrip_byte_exact():
+    """The r18 real image path, gated byte-exactly WITHOUT Spark:
+    _png_payload writes a genuine PNG container (verified by an
+    INDEPENDENT struct-level parse — signature, IHDR fields, chunk
+    CRCs via zlib.crc32, not our own reader), and _decode_png
+    recovers the original bytes' statistics exactly.  The encoder
+    cycles row filters None/Sub/Up, so a passing roundtrip proves the
+    unfilterer really runs."""
+    import struct
+    import zlib
+
+    from dpu_olap_spark.llm.multimodal import (
+        _decode_png,
+        _png_parse,
+        _png_payload,
+    )
+
+    for data in (b"hello world", bytes(range(256)) * 5, b"\x00", b"a" * 1000):
+        png = _png_payload(data)
+        # independent container check: signature + IHDR by direct
+        # byte slicing (length 13, first chunk right after signature)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        (ihdr_len,) = struct.unpack(">I", png[8:12])
+        assert ihdr_len == 13 and png[12:16] == b"IHDR"
+        w, h, depth, ctype, comp, filt, inter = struct.unpack(
+            ">IIBBBBB", png[16:29]
+        )
+        assert (depth, ctype, comp, filt, inter) == (8, 0, 0, 0, 0)
+        assert w == 16 + data[0] % 64
+        assert h == -(-len(data) // w)
+        (ihdr_crc,) = struct.unpack(">I", png[29:33])
+        assert ihdr_crc == zlib.crc32(png[12:29]) & 0xFFFFFFFF
+        assert png.endswith(
+            b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+        )
+        # roundtrip: raster pixels == original bytes (padding trimmed)
+        pw, ph, px, orig_len = _png_parse(png)
+        assert (pw, ph, orig_len) == (w, h, len(data))
+        assert px[:orig_len] == data
+        assert all(b == 0 for b in px[orig_len:])  # zero padding only
+        dw, dh, frames, mean = _decode_png(png)
+        assert (dw, dh, frames) == (w, h, 1)
+        assert mean == round(sum(data) / max(1, len(data)), 4)
+
+
+def test_png_crc_validation_fails_closed():
+    """A single flipped bit inside a chunk body must fail the CRC
+    check — the decoder is a validating parser, not a length-walker."""
+    from dpu_olap_spark.llm.multimodal import _png_parse, _png_payload
+
+    png = bytearray(_png_payload(b"corrupt me please, thanks"))
+    # flip one byte inside the IDAT body (well past IHDR)
+    idat_at = bytes(png).index(b"IDAT")
+    png[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png_parse(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        _png_parse(b"GIF89a not a png")
+
+
+def test_png_unfilter_handles_average_and_paeth():
+    """The decoder implements ALL five PNG filter types; our encoder
+    only emits 0-2, so Average(3) and Paeth(4) are exercised with a
+    hand-built container whose expected raster is computed here from
+    the spec's recurrences, independently of the decoder."""
+    import struct
+    import zlib
+
+    from dpu_olap_spark.llm.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_parse,
+    )
+
+    w, h = 4, 3
+    rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]),
+            bytes([100, 90, 80, 70])]
+    # filter row 0 with None, row 1 with Average, row 2 with Paeth —
+    # FORWARD-filter per the spec so the decoder must invert it
+    raw = bytearray()
+    raw.append(0)
+    raw += rows[0]
+    raw.append(3)  # Average
+    prior = rows[0]
+    for x in range(w):
+        left = rows[1][x - 1] if x else 0
+        raw.append((rows[1][x] - (left + prior[x]) // 2) & 0xFF)
+    raw.append(4)  # Paeth
+    prior = rows[1]
+    for x in range(w):
+        a = rows[2][x - 1] if x else 0
+        b, c = prior[x], (prior[x - 1] if x else 0)
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        raw.append((rows[2][x] - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    pw, ph, px, orig_len = _png_parse(png)
+    assert (pw, ph, orig_len) == (w, h, -1)  # no tEXt len chunk
+    assert px == b"".join(rows)
+
+
+def test_nn_resample_reference():
+    """Nearest-neighbor kernel against a hand-computed expectation."""
+    from dpu_olap_spark.llm.multimodal import _nn_resample
+
+    # 4x2 raster downsampled to 2x1: picks (x*4//2, y*2//1) = cols 0,2 of row 0
+    px = bytes([1, 2, 3, 4,
+                5, 6, 7, 8])
+    assert _nn_resample(px, 4, 2, 2, 1) == bytes([1, 3])
+    # identity resample returns the raster unchanged
+    assert _nn_resample(px, 4, 2, 4, 2) == px
+
+
 def test_codec_probe_selects_fake_branch_here(spark, monkeypatch):
     """No codec libs in this container: the probe must say so, and the
     env override must force the fake even where libs exist."""
@@ -249,16 +377,18 @@ def test_codec_probe_selects_fake_branch_here(spark, monkeypatch):
 
 
 def test_codec_probe_true_dispatches_real_branch(monkeypatch):
-    """Flip the probe to True (as if PIL appeared): _decode_batches must
-    route to _real_decode with NO other code change. In this container
-    that branch then fails on import/NotImplemented — proof the real
-    path was taken, not the fake."""
+    """Flip the probe to True (as if pyav appeared): _decode_batches
+    must route VIDEO to _real_decode with NO other code change. In
+    this container that branch then fails on NotImplemented — proof
+    the real path was taken, not the fake.  (Image no longer routes
+    through the gate at all: it decodes via the always-on stdlib PNG
+    path since r18.)"""
     import pandas as pd
 
     from dpu_olap_spark.llm import multimodal as mm
 
     batch = pd.DataFrame(
-        {"doc_id": [1], "modality": ["image"], "payload": [b"not-a-real-image"]}
+        {"doc_id": [1], "modality": ["video"], "payload": [b"not-a-real-video"]}
     )
     # default (probe False): fake decode succeeds
     (out,) = list(mm._decode_batches(iter([batch])))
@@ -272,15 +402,66 @@ def test_codec_probe_true_dispatches_real_branch(monkeypatch):
     )
 
 
+def test_image_decode_bypasses_env_gate(monkeypatch):
+    """Image decode is ALWAYS the real stdlib PNG path — even with the
+    probe forced True it never consults the video codec gate."""
+    import pandas as pd
+
+    from dpu_olap_spark.llm import multimodal as mm
+
+    src = b"some pixel source bytes"
+    payload = mm._png_payload(src)
+    batch = pd.DataFrame(
+        {"doc_id": [1], "modality": ["image"], "payload": [payload]}
+    )
+    monkeypatch.setattr(mm, "_codecs_available", lambda: True)
+    (out,) = list(mm._decode_batches(iter([batch])))
+    assert out["width"].iloc[0] == 16 + src[0] % 64
+    assert out["n_frames"].iloc[0] == 1
+    assert out["mean_byte"].iloc[0] == round(sum(src) / len(src), 4)
+
+
 def test_mm_resize_aspect_and_determinism(spark):
     rows = _q("mm_resize").build(spark, SF).collect()
     assert rows, "no images resized"
     for r in rows:
         assert max(r.resized_w, r.resized_h) <= 32
-        # aspect preserved within rounding
-        assert abs(r.resized_w / r.resized_h - r.width / r.height) < 0.15
+        # exact aspect-preserving dims (real container dims since r18)
+        scale = 32 / max(r.width, r.height, 1)
+        assert r.resized_w == max(1, round(r.width * scale))
+        assert r.resized_h == max(1, round(r.height * scale))
     again = {r.doc_id: r.thumb_fp for r in _q("mm_resize").build(spark, SF).collect()}
     assert {r.doc_id: r.thumb_fp for r in rows} == again
+
+
+def test_mm_resize_differential_vs_pure_python(spark):
+    """Full-table differential for the REAL r18 resize: recompute the
+    raster (payload bytes zero-padded to the ceil(len/w) x w grid),
+    nearest-neighbor resample, and md5 — from the documented
+    container contract only, never by calling the module's PNG
+    codec."""
+    import hashlib
+
+    expect = {}
+    for doc_id, (modality, data) in _mm_payloads().items():
+        if modality != "image":
+            continue
+        w = 16 + data[0] % 64 if data else 16
+        h = max(1, -(-len(data) // w))
+        px = data + b"\x00" * (w * h - len(data))
+        scale = 32 / max(w, h, 1)
+        rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+        thumb = bytes(
+            px[(y * h // rh) * w + (x * w // rw)]
+            for y in range(rh)
+            for x in range(rw)
+        )
+        expect[doc_id] = (w, h, rw, rh, hashlib.md5(thumb).hexdigest())
+    got = {
+        r.doc_id: (r.width, r.height, r.resized_w, r.resized_h, r.thumb_fp)
+        for r in _q("mm_resize").build(spark, SF).collect()
+    }
+    assert got == expect
 
 
 def _mm_payloads():
@@ -304,9 +485,12 @@ def test_mm_decode_differential_vs_pure_python(spark):
     every (width, height, n_frames, mean_byte) from the parquet
     payload bytes in pure Python and require full-table equality —
     the mm analog of the simhash numpy majority-vote gate.  Audio
-    rows go through the r17 REAL wave path: the expectation is the
-    container contract (8 kHz, 16-bit, one frame per source byte,
-    exact byte mean), independently derivable from the text bytes."""
+    rows go through the r17 REAL wave path (8 kHz, 16-bit, one frame
+    per source byte, exact byte mean); image rows through the r18
+    REAL PNG path (width from the dim rule, height the actual raster
+    row count ceil(len/width), exact byte mean over the ORIGINAL
+    bytes).  Both expectations are the CONTAINER CONTRACTS derived
+    independently from the text bytes, never by calling the codecs."""
     expect = {}
     for doc_id, (modality, data) in _mm_payloads().items():
         if modality == "audio":
@@ -314,12 +498,19 @@ def test_mm_decode_differential_vs_pure_python(spark):
                 modality, 8000, 16, len(data),
                 round(float(sum(data)) / max(1, len(data)), 4),
             )
-            continue
-        w = 16 + data[0] % 64 if data else 0
-        h = 16 + data[1] % 64 if len(data) > 1 else 0
-        frames = 1 if modality == "image" else 1 + len(data) % 32
-        mean = round(float(sum(data[:256])) / max(1, min(len(data), 256)), 4)
-        expect[doc_id] = (modality, w, h, frames, mean)
+        elif modality == "image":
+            w = 16 + data[0] % 64 if data else 16
+            h = max(1, -(-len(data) // w))
+            expect[doc_id] = (
+                modality, w, h, 1,
+                round(float(sum(data)) / max(1, len(data)), 4),
+            )
+        else:  # video: the deterministic fake until pyav appears
+            w = 16 + data[0] % 64 if data else 0
+            h = 16 + data[1] % 64 if len(data) > 1 else 0
+            frames = 1 + len(data) % 32
+            mean = round(float(sum(data[:256])) / max(1, min(len(data), 256)), 4)
+            expect[doc_id] = (modality, w, h, frames, mean)
     got = {
         r.doc_id: (r.modality, r.width, r.height, r.n_frames, r.mean_byte)
         for r in _q("mm_decode").build(spark, SF).collect()
@@ -347,30 +538,6 @@ def test_mm_frame_sample_differential_vs_pure_python(spark):
     }
     rows = _q("mm_frame_sample").build(spark, SF).count()
     assert rows == len(expect), "duplicate frame rows emitted"
-    assert got == expect
-
-
-def test_mm_resize_differential_vs_pure_python(spark):
-    """Exact differential for the resize stage: recompute dims, the
-    aspect-preserving 32px scale (same Python round → same banker's
-    rounding), the stride-sampled thumb bytes, and the md5."""
-    import hashlib
-
-    expect = {}
-    for doc_id, (modality, data) in _mm_payloads().items():
-        if modality != "image":
-            continue
-        w = 16 + data[0] % 64 if data else 0
-        h = 16 + data[1] % 64 if len(data) > 1 else 0
-        scale = 32 / max(w, h, 1)
-        rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
-        stride = max(1, len(data) // (rw * rh))
-        thumb = data[::stride][: rw * rh]
-        expect[doc_id] = (w, h, rw, rh, hashlib.md5(thumb).hexdigest())
-    got = {
-        r.doc_id: (r.width, r.height, r.resized_w, r.resized_h, r.thumb_fp)
-        for r in _q("mm_resize").build(spark, SF).collect()
-    }
     assert got == expect
 
 
