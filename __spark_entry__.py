@@ -186,6 +186,8 @@ _HIGH_PRIORITY: tuple[str, ...] = (
 # Everything here is fully oracled at all three SFs and plan-gated
 # locally; the r19 window leads with these.
 _LOW_PRIORITY: tuple[str, ...] = (
+    "tpcds_q23",
+    "tpcds_q64",
     "stream_replay_chunked_lo",
 )
 

@@ -129,8 +129,12 @@ HEADLINE = [
     "stream_replay_chunked",
     # round 18: the leftOuter chunked-replay leg (shares the ordered
     # chunk fixture with stream_replay_chunked — incremental cost is
-    # the availableNow micro-batch checkpoints only)
+    # the availableNow micro-batch checkpoints only), frequent-entity
+    # INTERSECT + scalar-threshold pruning (Q23), and the four-way
+    # multi-fact chain with strict YoY growth (Q64)
     "stream_replay_chunked_lo",
+    "tpcds_q23",
+    "tpcds_q64",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

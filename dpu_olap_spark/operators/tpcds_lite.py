@@ -852,3 +852,242 @@ def q_tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cond = band if cond is None else (cond & band)
     return j.where(cond).select("pk", "a_cents", "n_cents", "r_cents")
+
+
+# ---------------------------------------------------------------------------
+# Q23 shape (r18): frequent-entity sets — an INTERSECT of two
+# per-channel frequency sets AND a scalar-aggregate customer filter
+# both pruning a third fact pass.  The original intersects frequent
+# store items across years and filters to best customers above a
+# scalar aggregate of per-customer sales.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q23",
+    oracle="""
+    WITH pc AS (
+      SELECT l_partkey, l_returnflag AS ch, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT l_partkey FROM pc WHERE ch = 'N' AND n >= 12
+      INTERSECT
+      SELECT l_partkey FROM pc WHERE ch = 'A' AND n >= 12
+    ),
+    cs AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    best AS (
+      SELECT o_custkey FROM cs
+      WHERE 10 * CAST(cents AS HUGEINT) * (SELECT COUNT(*) FROM cs)
+          > 13 * (SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT)
+                  FROM cs)
+    )
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                AS BIGINT) AS mo,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY 1
+    """,
+)
+def q_tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape — the returned-channel revenue per month for
+    FREQUENT parts bought by BEST customers: freq = the INTERSECT of
+    two per-channel part-frequency sets (>= 12 lines in channel 'N'
+    and in channel 'A'); best = customers whose lifetime spend
+    exceeds 1.3x the per-customer average, the threshold a SCALAR
+    aggregate over the per-customer aggregate itself (the original's
+    max_store_sales pattern) as the widened integer
+    cross-multiplication 10*cents*n_cust > 13*total_cents.  Both
+    derived sets prune a third pass over the fact.
+
+    Selectivity keys live on GROWTH dimensions (the r17 lesson):
+    part frequency per channel is ~Poisson(10) at every SF (lines
+    per part is volume-invariant), and per-customer spend is a
+    ~40-line sample — probed: freq 19/200 parts, best 36/150
+    customers, 56 final lines at sf0.001; 1,808/20,000, 2,979/15,000,
+    5,303 at sf0.1 (constant proportions, the edges bite at every
+    volume).
+
+    Scale: the frequency sets come from ONE map-combinable
+    (part, channel) count; the INTERSECT runs over bounded
+    projections; the per-customer aggregate collapses the o-l join
+    before the scalar compare (a 1-row broadcast on a literal key —
+    BroadcastHashJoin, never a cartesian); the final pass semi-joins
+    the fact to both key sets (left-semi shuffle joins on grown dims,
+    the honest 100 TB plan) before the month rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+    pc = (
+        li.groupBy(
+            F.col("l_partkey"), F.col("l_returnflag").alias("ch")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def freq_chan(flag: str) -> DataFrame:
+        return pc.where((F.col("ch") == flag) & (F.col("n") >= 12)).select(
+            "l_partkey"
+        )
+
+    freq = freq_chan("N").intersect(freq_chan("A"))
+
+    cs = (
+        li.select("l_orderkey", rc.alias("rc"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rc").cast("bigint").alias("cents"))
+    )
+    tot = cs.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    ).withColumn("k", F.lit(1))
+    best = (
+        cs.withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .where(
+            10 * _wide(F.col("cents")) * F.col("n_cust")
+            > 13 * _wide(F.col("total_cents"))
+        )
+        .select("o_custkey")
+    )
+
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey", "l_shipdate", rc.alias("rc"))
+        .join(freq, "l_partkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(best, "o_custkey", "left_semi")
+        .groupBy(_yyyymm("l_shipdate").alias("mo"))
+        .agg(
+            F.sum("rc").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q64 shape (r18): multi-fact chain — two channel-derived fact
+# aggregates self-joined across consecutive years on the same entity,
+# kept where the cross-period ratio STRICTLY grew.  The original
+# chains store_sales -> store_returns -> a re-sale through two date
+# dims and compares the two years' prices per (item, store).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q64",
+    oracle="""
+    WITH sold AS (
+      SELECT l_suppkey AS sk, CAST(year(l_shipdate) AS BIGINT) AS y,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2
+    ),
+    ret AS (
+      SELECT l_suppkey AS sk, CAST(year(l_shipdate) AS BIGINT) AS y,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    )
+    SELECT s1.sk AS suppkey, s.s_nationkey AS nationkey,
+           s1.y AS y1, s2.y AS y2,
+           s1.cents AS sold1, r1.cents AS ret1,
+           s2.cents AS sold2, r2.cents AS ret2
+    FROM sold s1
+    JOIN sold s2 ON s1.sk = s2.sk AND s2.y = s1.y + 1
+    JOIN ret r1 ON r1.sk = s1.sk AND r1.y = s1.y
+    JOIN ret r2 ON r2.sk = s1.sk AND r2.y = s2.y
+    JOIN supplier s ON s1.sk = s.s_suppkey
+    WHERE CAST(r2.cents AS HUGEINT) * s1.cents
+        > CAST(r1.cents AS HUGEINT) * s2.cents
+    """,
+)
+def q_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 shape — a multi-fact chain: the sold ('N') and
+    returned ('R') channel aggregates of the fact at (supplier, year)
+    grain, FOUR of them chained on the same supplier across
+    consecutive years, kept where the return share STRICTLY grew
+    year-over-year — the widened integer cross-multiplication
+    ret2*sold1 > ret1*sold2 (two cents totals multiply to ~10^32 at
+    100 TB: BIGINT would wrap silently, DECIMAL(38,0)/HUGEINT keeps
+    both engines exact).
+
+    Supplier is a GROWTH dimension (the r17 lesson): lines per
+    (supplier, year) stay ~86 at every SF, so each channel cell is a
+    ~29-line sample and the strict-growth filter keeps selecting
+    ~50% of chain pairs at every volume — probed: 31/60 pairs at
+    sf0.001, 302/600 at sf0.01, 2,984/6,000 at sf0.1 (fixed dims
+    would converge and the edge would die).
+
+    Scale: both fact scans collapse ONCE to map-combined
+    (supplier, year) cells; all four chain joins key the BOUNDED
+    aggregate tables on (sk, y) — the fact is never re-shuffled; the
+    supplier dim broadcasts for the nation label."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+    def chan(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_suppkey").alias("sk"),
+                F.year("l_shipdate").cast("bigint").alias("y"),
+                rc.alias("rc"),
+            )
+            .groupBy("sk", "y")
+            .agg(F.sum("rc").cast("bigint").alias("cents"))
+        )
+
+    sold, ret = chan("N"), chan("R")
+    s1, s2 = sold.alias("s1"), sold.alias("s2")
+    r1, r2 = ret.alias("r1"), ret.alias("r2")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.sk") == F.col("s2.sk"))
+            & (F.col("s2.y") == F.col("s1.y") + 1),
+        )
+        .join(
+            r1,
+            (F.col("r1.sk") == F.col("s1.sk"))
+            & (F.col("r1.y") == F.col("s1.y")),
+        )
+        .join(
+            r2,
+            (F.col("r2.sk") == F.col("s1.sk"))
+            & (F.col("r2.y") == F.col("s2.y")),
+        )
+        .join(F.broadcast(supp), F.col("s1.sk") == F.col("s_suppkey"))
+        .where(
+            _wide(F.col("r2.cents")) * F.col("s1.cents")
+            > _wide(F.col("r1.cents")) * F.col("s2.cents")
+        )
+        .select(
+            F.col("s1.sk").alias("suppkey"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s1.y").alias("y1"),
+            F.col("s2.y").alias("y2"),
+            F.col("s1.cents").alias("sold1"),
+            F.col("r1.cents").alias("ret1"),
+            F.col("s2.cents").alias("sold2"),
+            F.col("r2.cents").alias("ret2"),
+        )
+    )

@@ -1256,3 +1256,71 @@ def test_tpcds_q58_three_channel_aggregates_join(spark):
         "expected joins ABOVE the channel aggregates in the tree"
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q23_pruners_and_scalar_pull(spark):
+    """Q23 shape (r18): the channel-frequency INTERSECT plans as a
+    LeftSemi join over AGGREGATED (part, channel) counts, both
+    derived sets prune the final fact pass as semi joins (three
+    LeftSemi total at fixture stats), the scalar-average threshold is
+    a ONE-ROW broadcast (BroadcastNestedLoopJoin with a 1-row
+    aggregate build side — never a CartesianProduct), the final 'R'
+    channel filter is pushed to its scan, and every aggregate is
+    map-combined."""
+    plan = _formatted_plan(spark, "tpcds_q23")
+    assert len(re.findall(r"Join LeftSemi", plan)) == 3, (
+        "expected intersect + two set-prunes as semi joins"
+    )
+    # the scalar pull: 1-row build side, BNLJ, no cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan, (
+        "final-pass channel filter not pushed to the scan"
+    )
+    assert "partial_sum" in plan and "partial_count" in plan
+    # the month rollup sits ABOVE the joins (aggregate of the pruned fact)
+    tree = plan[: plan.index("(1) Scan")]
+    first_agg = re.search(r"HashAggregate", tree)
+    first_join = re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", tree
+    )
+    assert first_agg and first_join
+    assert first_agg.start() < first_join.start(), (
+        "final rollup should top the plan tree"
+    )
+
+
+def test_tpcds_q64_chain_joins_aggregates_only(spark):
+    """Q64 shape (r18): BOTH channel facts collapse to map-combined
+    (supplier, year) cells before any join — four partial_sum
+    branches with their returnflag filters pushed to the scans — and
+    every chain join keys the BOUNDED aggregate tables (no join below
+    the first HashAggregate of any branch); the supplier dim
+    broadcasts."""
+    plan = _formatted_plan(spark, "tpcds_q64")
+    assert len(re.findall(r"partial_sum", plan)) == 4, (
+        "expected four map-combined channel-year aggregates"
+    )
+    for flag in ("N", "R"):
+        assert len(re.findall(
+            rf"EqualTo\(l_returnflag,{flag}\)", plan)) == 2, (
+            f"channel filter {flag} should be pushed to both its scans"
+        )
+    # supplier broadcast: the one scan without a returnflag filter
+    # feeds a BroadcastExchange directly
+    assert re.search(
+        r"BroadcastExchange[\s\S]{0,200}?supplier\.parquet", plan
+    ) or re.search(
+        r"supplier\.parquet[\s\S]{0,600}?BroadcastExchange", plan
+    ), "supplier dim not broadcast"
+    # joins strictly above the aggregates in every branch
+    tree = plan[: plan.index("(1) Scan")]
+    first_join = re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", tree
+    )
+    first_agg = re.search(r"HashAggregate", tree)
+    assert first_join and first_agg
+    assert first_join.start() < first_agg.start(), (
+        "expected joins ABOVE the channel aggregates in the tree"
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

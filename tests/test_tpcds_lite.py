@@ -382,3 +382,132 @@ def test_tpcds_q58_balance_band_and_presence_edges(spark):
         for r in all_queries()["tpcds_q58"].build(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_tpcds_q23_both_pruners_bite_and_aggregate_exactly(spark):
+    """Recompute the q23 pipeline in pure Python: the per-channel
+    part-frequency sets, their INTERSECT, the per-customer spend and
+    its scalar-average threshold, and the final month rollup.  Edge
+    forcing: the INTERSECT must be a STRICT subset of each single-
+    channel frequent set (the intersection excludes), the best-
+    customer threshold must exclude some and keep some, and each
+    pruner must INDEPENDENTLY drop at least one 'R' line the other
+    would have kept (both filters do real work in the final pass)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_shipdate", "l_returnflag",
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    ocust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey").collect()
+    }
+    # per-(part, channel) counts -> frequency sets -> intersect
+    pc: dict[tuple, int] = {}
+    for r in li:
+        k = (r["l_partkey"], r["l_returnflag"])
+        pc[k] = pc.get(k, 0) + 1
+    fN = {p for (p, ch), n in pc.items() if ch == "N" and n >= 12}
+    fA = {p for (p, ch), n in pc.items() if ch == "A" and n >= 12}
+    freq = fN & fA
+    assert freq and freq < fN and freq < fA, "intersect edge not forced"
+    # per-customer cents -> scalar threshold
+    cs: dict[int, int] = {}
+    for r in li:
+        c = ocust[r["l_orderkey"]]
+        cs[c] = cs.get(c, 0) + _cents(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+    n_cust, total = len(cs), sum(cs.values())
+    best = {c for c, v in cs.items() if 10 * v * n_cust > 13 * total}
+    assert best and len(best) < n_cust, "best-customer edge not forced"
+    # final rollup + independent-pruner forcing
+    expected: dict[int, list[int]] = {}
+    only_part_dropped = only_cust_dropped = 0
+    for r in li:
+        if r["l_returnflag"] != "R":
+            continue
+        in_freq = r["l_partkey"] in freq
+        in_best = ocust[r["l_orderkey"]] in best
+        if in_freq and not in_best:
+            only_cust_dropped += 1
+        if in_best and not in_freq:
+            only_part_dropped += 1
+        if in_freq and in_best:
+            mo = r["l_shipdate"].year * 100 + r["l_shipdate"].month
+            e = expected.setdefault(mo, [0, 0])
+            e[0] += _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+            e[1] += 1
+    assert only_part_dropped and only_cust_dropped, (
+        "one pruner is subsumed by the other — edge not forced"
+    )
+    got = {
+        r["mo"]: [r["cents"], r["n_lines"]]
+        for r in all_queries()["tpcds_q23"].build(spark, SF).collect()
+    }
+    assert got == expected and expected
+
+
+def test_tpcds_q64_chain_and_strict_growth_boundary(spark):
+    """Recompute the q64 multi-fact chain in pure Python: the sold
+    ('N') and returned ('R') cents per (supplier, year), every
+    consecutive-year chain pair present in all four cells, and the
+    strict cross-multiplied growth filter.  Edge forcing: the filter
+    must keep some pairs AND drop some (including any exact-equality
+    tie staying OUT — strict >), and at least one supplier-year pair
+    must be absent from the chain for lack of a channel cell (the
+    inner-join edge)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_returnflag",
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SF, "supplier")
+        .select("s_suppkey", "s_nationkey").collect()
+    }
+    sold: dict[tuple, int] = {}
+    ret: dict[tuple, int] = {}
+    years = set()
+    for r in li:
+        if r["l_returnflag"] not in ("N", "R"):
+            continue
+        k = (r["l_suppkey"], r["l_shipdate"].year)
+        years.add(r["l_shipdate"].year)
+        tgt = sold if r["l_returnflag"] == "N" else ret
+        tgt[k] = tgt.get(k, 0) + _cents(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+    expected = {}
+    pairs = kept = 0
+    for (sk, y), s1 in sold.items():
+        k2 = (sk, y + 1)
+        if k2 not in sold or (sk, y) not in ret or k2 not in ret:
+            continue
+        pairs += 1
+        s2, r1, r2 = sold[k2], ret[(sk, y)], ret[k2]
+        if r2 * s1 > r1 * s2:
+            kept += 1
+            expected[(sk, y)] = (
+                snat[sk], y, y + 1, s1, r1, s2, r2
+            )
+    assert 0 < kept < pairs, "strict-growth edge not forced"
+    # chain edge: the consecutive-year join must EXCLUDE cells (the
+    # final year has no successor).  NOTE: at fixture densities every
+    # supplier-year holds BOTH channels (~29 lines per channel cell),
+    # so the four-cell presence condition is exercised only by the
+    # year boundary — the channel-absence leg would need a sparser
+    # grain, which would break the growth-dimension rule (r17).
+    assert pairs < len(sold), "consecutive-year chain never excluded a cell"
+    got = {
+        (r["suppkey"], r["y1"]): (
+            r["nationkey"], r["y1"], r["y2"],
+            r["sold1"], r["ret1"], r["sold2"], r["ret2"],
+        )
+        for r in all_queries()["tpcds_q64"].build(spark, SF).collect()
+    }
+    assert got == expected and expected

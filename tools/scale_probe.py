@@ -1131,13 +1131,23 @@ def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
       exchange at 5 rows per brand per map partition;
     - q78 (r17): both channel exchanges carry partial-combined
       (part, year) cells; the returned-parts anti-join side is a
-      bounded DISTINCT broadcast."""
+      bounded DISTINCT broadcast;
+    - q23 (r18): the frequency exchange carries partial-combined
+      (part, channel) counts, the customer exchange per-customer
+      partial sums (both grow with their DIMENSION, never the fact);
+      the scalar threshold is a 1-row broadcast; the final pass
+      semi-joins the fact map-side before the month rollup;
+    - q64 (r18): all four chain inputs exchange partial-combined
+      (supplier, year) cells — suppliers x 7 years, sublinear in fact
+      size; the chain joins and the strict-growth filter run over
+      those bounded tables."""
     from dpu_olap_spark.registry import all_queries
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
     for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1",
-                 "tpcds_q14", "tpcds_q67", "tpcds_q78", "tpcds_q58"):
+                 "tpcds_q14", "tpcds_q67", "tpcds_q78", "tpcds_q58",
+                 "tpcds_q23", "tpcds_q64"):
         q = all_queries()[name]
         walls[name] = round(
             min(
