@@ -125,8 +125,15 @@ def ordered_event_chunks(
     n_chunks: int,
 ) -> str:
     """Rewrite one events parquet file as up to ``n_chunks`` EVENT-
-    TIME-ORDERED chunk files with strictly increasing mtimes, so a
+    TIME-ORDERED chunk files with STRICTLY INCREASING mtimes, so a
     maxFilesPerTrigger=1 stream replays history in watermark order.
+    Strictly increasing is a REQUIREMENT, not tidiness: the r18 tie
+    fuzz (tools/fuzz_replay.py --mode tie) showed equal-mtime files
+    surrender replay order to the directory LISTING order — only
+    coincidentally sorted for small chunk counts (k<=3 replayed in
+    event order on this box; k>=5 scrambled and a dedup replay lost
+    20-83% of its rows to the late filter).  Pinned in
+    tests/test_streaming.py::test_equal_mtime_ties_scramble_replay.
     Chunk boundaries are exact repartitionByRange splits on ts, so
     each chunk's min event time is >= the previous chunk's max.
     repartitionByRange may legitimately emit FEWER non-empty

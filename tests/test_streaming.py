@@ -935,3 +935,64 @@ def test_disordered_replay_negatives_and_filter_lag(spark, tmp_path):
     base_h = run("hist_pctl", None)
     late_h = run("hist_pctl", disordered(3))
     assert late_h == base_h and sum(base_h.values()) > 0
+
+
+def test_equal_mtime_ties_scramble_replay(spark, tmp_path):
+    """The r18 tie-fuzz catch, pinned: a chunked replay's order under
+    EQUAL mtimes is the directory LISTING order, not the lexicographic
+    path order — so equal-mtime chunk sets are order-UNSPECIFIED and
+    ordered_event_chunks MUST stamp strictly increasing mtimes.
+
+    Pinned facts: (a) the strictly-increasing-mtime replay at k=8 is
+    exactly the single-batch baseline; (b) across the two equal-mtime
+    naming variants at k=8 (original names, reversed names) at least
+    one LOSES rows to the late filter — proving mtime ties genuinely
+    break replay order on this box — and neither ever EXCEEDS the
+    baseline (dedup's monotone bound); (c) the watermark-free
+    histogram op is invariant under every one of these orders."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fuzz_replay as fr
+
+    from dpu_olap_spark.streaming.replay import (
+        chunked_events_source,
+        ordered_event_chunks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scratch = str(tmp_path)
+    wm = "10 minutes"
+    od = ordered_event_chunks(
+        spark, os.path.join(sf, "events.parquet"),
+        os.path.join(scratch, "k8"), 8)
+
+    base = fr._run(spark, sf, "dedup", wm, None)
+    ordered = fr._run(spark, sf, "dedup", wm,
+                      chunked_events_source(spark, od))
+    assert ordered == base, "strictly-increasing-mtime replay diverged"
+
+    tied = fr._run(
+        spark, sf, "dedup", wm,
+        chunked_events_source(spark, fr._tied_dir(od, scratch, False)))
+    tied_rev = fr._run(
+        spark, sf, "dedup", wm,
+        chunked_events_source(spark, fr._tied_dir(od, scratch, True)))
+    n_base = sum(base.values())
+    n_tied, n_rev = sum(tied.values()), sum(tied_rev.values())
+    assert 0 < n_tied <= n_base and 0 < n_rev <= n_base, (
+        "dedup monotone bound violated under ties"
+    )
+    assert min(n_tied, n_rev) < n_base, (
+        "equal-mtime ties never scrambled replay order — if the file "
+        "stream now sorts ties by path, update the tie-fuzz flavors"
+    )
+
+    # (c) order-invariant op: exact equality under every order above
+    hb = fr._run(spark, sf, "hist_pctl", wm, None)
+    for cdir in (od, fr._tied_dir(od, scratch, False),
+                 fr._tied_dir(od, scratch, True)):
+        got = fr._run(spark, sf, "hist_pctl", wm,
+                      chunked_events_source(spark, cdir))
+        assert got == hb, "histogram op not order-invariant"

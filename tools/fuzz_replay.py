@@ -75,6 +75,13 @@ NEG_PIPELINES = ["join_fullouter", "dedup", "hist_pctl", "session"]
 # batch (see module docstring) — a 2-chunk disorder never drops
 NEG_CHUNK_COUNTS = [3, 5, 8, 12]
 NEG_WATERMARK = "10 minutes"
+# equal-mtime tie pool (r18): pipelines with a SOUND monotone bound
+# under an arbitrary replay scramble.  join_fullouter is excluded —
+# a pair split across an eviction boundary can emit TWO null-extended
+# rows where the baseline emitted one joined row, so total rows can
+# move EITHER way under ties (unlike the max-first negative, where
+# the drop dominates by construction).
+TIE_PIPELINES = ["dedup", "hist_pctl", "session"]
 
 
 def _build_pipeline(spark, sf_dir: str, name: str, watermark: str, source):
@@ -168,6 +175,37 @@ def _disordered_dir(ordered_dir: str, scratch: str) -> str:
     return dst
 
 
+def _tied_dir(ordered_dir: str, scratch: str, reverse: bool) -> str:
+    """Duplicate-mtime flavor (r17 verdict #5 corner): EVERY chunk
+    file gets the SAME mtime, so replay order falls entirely to the
+    tie-break.  EMPIRICAL FACT (r18 fuzz catch, pinned in
+    tests/test_streaming.py): the tie-break is NOT path order — it is
+    the directory LISTING order, which is only coincidentally sorted
+    for small chunk counts (k<=3 replayed in event order here; k>=5
+    scrambled and dropped 20-83% of a dedup's rows with the ORIGINAL
+    lexicographic names).  Equal-mtime replay order is therefore
+    UNSPECIFIED: a tie case can only assert the monotone bound
+    (watermarked pipelines lose rows, never gain) plus exact equality
+    for the watermark-free histogram op.  This is exactly why
+    ordered_event_chunks stamps STRICTLY INCREASING mtimes.
+    reverse=True additionally remaps names so even a path-sorted
+    listing would replay max-first."""
+    tag = "_tierev" if reverse else "_tie"
+    dst = os.path.join(scratch, os.path.basename(ordered_dir) + tag)
+    if os.path.isdir(dst) and glob.glob(os.path.join(dst, "chunk_*.parquet")):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    parts = sorted(glob.glob(os.path.join(ordered_dir, "chunk_*.parquet")))
+    now = time.time() - 10_000
+    for i, src in enumerate(parts):
+        name = (f"chunk_{len(parts) - 1 - i:04d}.parquet"
+                if reverse else os.path.basename(src))
+        tgt = os.path.join(dst, name)
+        shutil.copy(src, tgt)
+        os.utime(tgt, (now, now))  # ONE shared mtime: pure tie
+    return dst
+
+
 def run_case(spark, seed: int, sf_dir: str, scratch: str,
              baselines: dict, chunk_dirs: dict,
              force_order: str | None = None) -> str:
@@ -179,10 +217,25 @@ def run_case(spark, seed: int, sf_dir: str, scratch: str,
     )
 
     rng = random.Random(seed)
-    disordered = (force_order == "negative"
-                  or (force_order is None and rng.random() < 0.2))
-    name = rng.choice(NEG_PIPELINES if disordered else PIPELINES)
-    k = rng.choice(NEG_CHUNK_COUNTS if disordered else CHUNK_COUNTS)
+    if force_order is not None:
+        flavor = force_order
+    else:
+        draw = rng.random()
+        # 60% ordered, 20% max-first negative, 20% equal-mtime ties
+        # (replay order UNSPECIFIED — the r18 catch: the tie-break is
+        # directory listing order, not path order)
+        flavor = ("negative" if draw < 0.2
+                  else "tie" if draw < 0.3
+                  else "tie_reversed" if draw < 0.4
+                  else "ordered")
+    tie = flavor in ("tie", "tie_reversed")
+    disordered = flavor == "negative"
+    name = rng.choice(
+        TIE_PIPELINES if tie
+        else NEG_PIPELINES if disordered
+        else PIPELINES
+    )
+    k = rng.choice(NEG_CHUNK_COUNTS if (disordered or tie) else CHUNK_COUNTS)
     watermark = NEG_WATERMARK if disordered else rng.choice(WATERMARKS)
 
     bkey = (name, watermark)
@@ -195,14 +248,42 @@ def run_case(spark, seed: int, sf_dir: str, scratch: str,
             spark, os.path.join(sf_dir, "events.parquet"),
             os.path.join(scratch, f"k{k}"), k,
         )
-    cdir = (_disordered_dir(chunk_dirs[k], scratch)
-            if disordered else chunk_dirs[k])
+    if flavor == "negative":
+        cdir = _disordered_dir(chunk_dirs[k], scratch)
+    elif flavor == "tie":
+        cdir = _tied_dir(chunk_dirs[k], scratch, reverse=False)
+    elif flavor == "tie_reversed":
+        cdir = _tied_dir(chunk_dirs[k], scratch, reverse=True)
+    else:
+        cdir = chunk_dirs[k]
     got = _run(spark, sf_dir, name, watermark,
                chunked_events_source(spark, cdir))
 
-    label = (f"{name} k={k} wm={watermark!r} "
-             f"{'DISORDERED' if disordered else 'ordered'}")
-    if not disordered or name == "hist_pctl":
+    label = (f"{name} k={k} wm={watermark!r} {flavor.upper()}")
+    if name == "hist_pctl":
+        # watermark-free, order-invariant: exact equality under ANY
+        # replay order, ties included
+        assert got == single and sum(single.values()) > 0, (
+            f"{label}: {sum(got.values())} rows vs baseline "
+            f"{sum(single.values())}"
+        )
+        return f"{label}: OK rows={sum(got.values())}"
+    if tie:
+        # equal-mtime replay order is UNSPECIFIED (the r18 catch) —
+        # the only sound invariant for watermarked pipelines is the
+        # monotone bound: late drops LOSE rows/events, never invent
+        if name == "session":
+            ev = lambda c: sum(row[3] * n for row, n in c.items())  # noqa: E731
+            assert 0 < ev(got) <= ev(single), (
+                f"{label}: event total {ev(got)} vs {ev(single)}"
+            )
+            return f"{label}: OK tie-bound events {ev(single)}->{ev(got)}"
+        assert 0 < sum(got.values()) <= sum(single.values()), (
+            f"{label}: rows {sum(got.values())} vs {sum(single.values())}"
+        )
+        return (f"{label}: OK tie-bound rows "
+                f"{sum(single.values())}->{sum(got.values())}")
+    if not disordered:
         assert got == single and sum(single.values()) > 0, (
             f"{label}: {sum(got.values())} rows vs baseline "
             f"{sum(single.values())}"
@@ -233,7 +314,8 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--seed-base", type=int, default=0)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--mode", choices=["mixed", "ordered", "negative"],
+    ap.add_argument("--mode",
+                    choices=["mixed", "ordered", "negative", "tie"],
                     default="mixed")
     args = ap.parse_args()
 
@@ -245,8 +327,8 @@ def main() -> int:
     tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    force = None if args.mode == "mixed" else (
-        "negative" if args.mode == "negative" else "ordered_only")
+    force = {"mixed": None, "tie": None, "negative": "negative",
+             "ordered": "ordered_only"}[args.mode]
     baselines: dict = {}
     chunk_dirs: dict = {}
     failures = 0
@@ -258,6 +340,11 @@ def main() -> int:
                     # re-draw until the case is ordered: force via a
                     # wrapper that never flips the 20% coin
                     forced = "ordered"
+                elif args.mode == "tie":
+                    # all-tie campaign: alternate the equal-mtime
+                    # equivalence flavor and the reversed-name
+                    # tie-break-disorder flavor
+                    forced = "tie" if seed % 2 == 0 else "tie_reversed"
                 msg = run_case(spark, seed, args.sf, scratch,
                                baselines, chunk_dirs,
                                force_order=forced)

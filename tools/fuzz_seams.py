@@ -2087,8 +2087,12 @@ def _gen_rollupwin(con, rng: random.Random) -> str:
     r17 wave: a THREE-COLUMN flavor (lineitem/part, the tables with
     >= 3 group columns) under CUBE(g1, g2, g3) / ROLLUP(g1, g2, g3) /
     a 4-set GROUPING SETS — windows over the full 8-level CUBE
-    lattice, the genuinely-open corner the r16 notes name."""
-    if rng.random() < 0.4:
+    lattice, the genuinely-open corner the r16 notes name.
+
+    r18 wave: the 3-col flavor's within-parent CASE now draws TWO
+    prefix columns (4 of 7 partition choices) and the 3-col dispatch
+    is raised to 0.5 so campaigns concentrate on the open corner."""
+    if rng.random() < 0.5:
         return _gen_rollupwin3(con, rng)
     table = rng.choice(["lineitem", "orders", "part", "customer"])
     cols = TABLE_COLS[table]
@@ -2169,6 +2173,15 @@ _UNION_COLS = dict(
     dates=[],
     groups=["gsrc"],
 )
+# union sources whose group key is an INTEGER (nationkey merges) —
+# predicate literals must not be quoted
+_UNION_COLS_INT = dict(
+    ints=["vsrc", "rsrc", "gsrc"],
+    floats=[],
+    strs=[],
+    dates=[],
+    groups=["gsrc"],
+)
 
 
 def _gen_rollupwin3(con, rng: random.Random) -> str:
@@ -2207,6 +2220,19 @@ def _gen_rollupwin3(con, rng: random.Random) -> str:
         "gg1 + gg2 + gg3",
         "gg1, gg2, gg3",
         "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g1 END",  # within parent
+        # r18 corner (drawn 2x each): within-parent CASE over TWO
+        # prefix columns — ranks partition by BOTH parent keys
+        # wherever the grouping level retains them (NULL lattice keys
+        # vs data NULLs disambiguated by the GROUPING flags, not the
+        # values)
+        "gg1 + gg2 + gg3, CASE WHEN gg1 = 0 THEN g1 END,"
+        " CASE WHEN gg2 = 0 THEN g2 END",
+        "gg1 + gg2 + gg3, CASE WHEN gg1 = 0 THEN g1 END,"
+        " CASE WHEN gg2 = 0 THEN g2 END",
+        "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g2 END,"
+        " CASE WHEN gg3 = 0 THEN g3 END",
+        "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g2 END,"
+        " CASE WHEN gg3 = 0 THEN g3 END",
     ])
     tiebreak = ""
     if rng.random() < 0.5:
@@ -2343,7 +2369,35 @@ def _gen_exactrefine(con, rng: random.Random):
          " CAST(floor(l_tax * 10000 + 0.5) AS BIGINT), l_suppkey"
          " FROM lineitem WHERE l_returnflag <> 'R') u",
          "gsrc", "vsrc", "rsrc", _UNION_COLS),
+        # UNION of two PK-FK JOINS (r18 — the composed corner the r17
+        # notes left open): each union branch is itself a join, so
+        # the refine pipeline runs downstream of union+join plans on
+        # BOTH engines; group domains overlap fully (c_mktsegment /
+        # nationkey on both branches), making every group a bimodal
+        # cross-JOIN-source merge the walk must cross
+        ("(SELECT c.c_mktsegment AS gsrc, CAST(floor(l.l_extendedprice"
+         " * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS vsrc,"
+         " l.l_orderkey AS rsrc FROM lineitem l"
+         " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+         " JOIN customer c ON o.o_custkey = c.c_custkey"
+         " UNION ALL SELECT c2.c_mktsegment,"
+         " CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT),"
+         " o2.o_orderkey FROM orders o2"
+         " JOIN customer c2 ON o2.o_custkey = c2.c_custkey) u",
+         "gsrc", "vsrc", "rsrc", _UNION_COLS),
+        ("(SELECT s.s_nationkey AS gsrc, CAST(floor(l.l_extendedprice"
+         " * 100 + 0.5) AS BIGINT) AS vsrc, l.l_partkey AS rsrc"
+         " FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+         " UNION ALL SELECT c.c_nationkey,"
+         " CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT),"
+         " o.o_custkey FROM orders o"
+         " JOIN customer c ON o.o_custkey = c.c_custkey) u",
+         "gsrc", "vsrc", "rsrc", _UNION_COLS_INT),
     ]
+    # r18 concentration: the union-of-joins corner draws 3x so a
+    # campaign accumulates corner cases at a useful rate (the two
+    # composed sources are the last two entries)
+    choices += choices[-2:] * 2
     choice = rng.choice(choices)
     table, g, base, rowcol = choice[:4]
     if len(choice) == 5 and isinstance(choice[4], dict):
