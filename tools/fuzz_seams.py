@@ -427,7 +427,8 @@ def _sample_values(con, table: str, col: str, rng: random.Random, k: int):
 def _gen_predicate(con, table: str, cols: dict, rng: random.Random) -> str:
     kind = rng.choice(
         ["int"] * 3 + (["float"] * 3 if cols["floats"] else [])
-        + ["str"] * 2 + (["date"] * 2 if cols["dates"] else [])
+        + (["str"] * 2 if cols["strs"] else [])  # _UNION_COLS_INT has none
+        + (["date"] * 2 if cols["dates"] else [])
     )
     col = rng.choice(cols[{"int": "ints", "float": "floats",
                            "str": "strs", "date": "dates"}[kind]])
