@@ -37,38 +37,43 @@ def test_quiet_anchors_pass_raw():
     for timings, floor in (R15, R16, R17_BUILDER):
         ok, adjusted, failed = bench._band_check(timings, floor)
         assert ok, failed
-        # the adjustment is bounded by the floor excess (0 at/below
-        # FLOOR_REF; r16's 0.354 floor gets only 0.004)
+        # the adjustment is bounded by the tiny floor excess (0 at or
+        # below FLOOR_REF; r16's 0.354 floor corrects by <= 1.2%)
         excess = max(0.0, floor - bench._FLOOR_REF)
+        slow = max(1.0, floor / bench._FLOOR_REF)
         assert excess <= 0.005
         for k, v in timings.items():
-            assert abs(adjusted[k] - (v - excess)) < 1e-9
+            assert adjusted[k] == round(min(v - excess, v / slow), 3)
 
 
 def test_r17_driver_artifact_normalizes_to_pass():
     """THE case that motivated the change: join_agg 1.15 with floor
-    0.466 is box noise (1.15 - 0.116 = 1.034 <= 1.10), not a
-    regression — bands_ok must be true."""
+    0.466 is box noise, not a regression — bands_ok must be true.
+    The additive form alone already clears it (1.15 - 0.116 = 1.034
+    <= 1.10); the min() with the multiplicative form can only help."""
     ok, adjusted, failed = bench._band_check(*R17_DRIVER)
     assert ok, failed
-    assert adjusted["join_agg"] == 1.034
-    # and the normalized value agrees with the quiet-box measurement
-    assert abs(adjusted["join_agg"] - R17_BUILDER[0]["join_agg"]) < 0.06
+    assert adjusted["join_agg"] <= 1.034
 
 
 def test_true_regression_on_quiet_box_still_fails():
     """A genuine plan regression (join_agg +0.2 with the floor at the
-    quiet reference) must NOT be absorbed by normalization."""
+    quiet reference) must NOT be absorbed: both corrections are
+    no-ops when floor <= FLOOR_REF."""
     timings = dict(R17_BUILDER[0], join_agg=1.30)
-    ok, _, failed = bench._band_check(timings, 0.35)
+    ok, adjusted, failed = bench._band_check(timings, 0.35)
     assert not ok
     assert failed == ["join_agg"]
+    assert adjusted["join_agg"] == 1.30  # untouched on a quiet floor
 
 
-def test_regression_bigger_than_floor_excess_fails_even_on_busy_box():
-    """Normalization subtracts only the floor EXCESS: a regression
-    larger than the box noise still fails on a busy box."""
-    timings = dict(R17_DRIVER[0], join_agg=1.45)  # +0.3 over quiet
+def test_large_regression_fails_even_on_busy_box():
+    """The rejection rule's guarantee: a regression LARGER than the
+    measured slowdown factor cannot hide behind normalization.  With
+    floor 0.466 (s = 1.33) a join_agg of 1.60 still fails; the band's
+    busy-box blind spot is bounded by s and resolved by the
+    documented quiet re-run rule."""
+    timings = dict(R17_DRIVER[0], join_agg=1.60)
     ok, _, failed = bench._band_check(timings, 0.466)
     assert not ok
     assert failed == ["join_agg"]
