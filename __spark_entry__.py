@@ -189,6 +189,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q23",
     "tpcds_q64",
     "stream_replay_chunked_lo",
+    "tpcds_q5",
+    "tpcds_q93",
 )
 
 

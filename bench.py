@@ -135,6 +135,10 @@ HEADLINE = [
     "stream_replay_chunked_lo",
     "tpcds_q23",
     "tpcds_q64",
+    # round 18b: the multi-channel UNION-ALL rollup (Q5) and the
+    # returns-adjusted fact with the order-grain clamp + top-100 (Q93)
+    "tpcds_q5",
+    "tpcds_q93",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

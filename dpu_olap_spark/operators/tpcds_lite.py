@@ -1091,3 +1091,243 @@ def q_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r2.cents").alias("ret2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape (r18): multi-channel UNION ALL of two differently-shaped
+# fact legs (sales and returns) rolled up over (channel, nation) with
+# GROUPING() levels and a derived profit.  The original unions
+# sales/returns pairs from the store, catalog, and web channels into
+# one (channel, id, sales, returns, profit) stream and reports
+# GROUP BY ROLLUP(channel, id).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q5",
+    oracle="""
+    WITH leg AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS sales_c,
+             CAST(0 AS BIGINT) AS ret_c
+      FROM lineitem WHERE l_returnflag = 'N'
+      UNION ALL
+      SELECT l_orderkey, l_suppkey,
+             CAST(0 AS BIGINT),
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    cell AS (
+      SELECT substr(o.o_orderpriority, 1, 1) AS ch,
+             s.s_nationkey AS nationkey,
+             CAST(SUM(leg.sales_c) AS BIGINT) AS sales_c,
+             CAST(SUM(leg.ret_c) AS BIGINT) AS ret_c
+      FROM leg
+      JOIN orders o ON leg.ok = o.o_orderkey
+      JOIN supplier s ON leg.sk = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT ch, nationkey,
+           CAST(GROUPING(ch) AS INT)
+             + CAST(GROUPING(nationkey) AS INT) AS lochierarchy,
+           CAST(SUM(sales_c) AS BIGINT) AS sales_cents,
+           CAST(SUM(ret_c) AS BIGINT) AS ret_cents,
+           CAST(SUM(sales_c) - SUM(ret_c) AS BIGINT) AS profit_cents
+    FROM cell
+    GROUP BY ROLLUP(ch, nationkey)
+    HAVING COUNT(*) > 0
+    """,
+)
+def q_tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 shape — a UNION ALL of two differently-shaped fact
+    legs (the sold channel carries sales cents and a zero returns
+    column, the returned channel the reverse), aggregated to
+    (channel, nation) cells and reported GROUP BY ROLLUP(channel,
+    nation) with GROUPING() levels and profit = sales - returns.
+    Channels derive from the o_orderpriority code digit (five
+    channels, all present at every SF); nation from the supplier dim.
+    Profit goes NEGATIVE for ~half the cells at every SF (probed:
+    20/50 cells at sf0.001, 70/125 at sf0.01, 62/125 at sf0.1) — the
+    sign edge is alive at every volume.
+
+    Scale: the union is of PROJECTED fact scans (each leg's filter
+    pushes to parquet; no join before the union), so the unioned
+    stream is one pass over the fact; the orders join keys the grown
+    orderkey dim ONCE (shuffle join at 100 TB); supplier broadcasts;
+    the rollup input is the bounded (channel, supplier) cell table
+    after a map-combinable pre-aggregation, never the fact.
+    HAVING COUNT(*) > 0 is the house empty-rollup guard.
+
+    Reference parity: SURVEY.md §2.4 partial->final aggregation
+    (host/aggr/aggr_native.cc:67-73) composed with §2.6 PK-FK join
+    (host/join/join_dpu.cc:168-400) over a unioned two-channel plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("bigint")
+
+    def leg(flag: str, sales: bool) -> DataFrame:
+        return li.where(F.col("l_returnflag") == flag).select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (rc if sales else zero).alias("sales_c"),
+            (zero if sales else rc).alias("ret_c"),
+        )
+
+    u = leg("N", True).unionByName(leg("R", False))
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("ch"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cell = (
+        u.join(ords, F.col("ok") == F.col("o_orderkey"))
+        .groupBy("ch", "sk")
+        .agg(
+            F.sum("sales_c").cast("bigint").alias("sales_c"),
+            F.sum("ret_c").cast("bigint").alias("ret_c"),
+        )
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .select("ch", F.col("s_nationkey").alias("nationkey"),
+                "sales_c", "ret_c")
+    )
+    return (
+        cell.rollup("ch", "nationkey")
+        .agg(
+            (
+                F.grouping("ch").cast("int")
+                + F.grouping("nationkey").cast("int")
+            ).alias("lochierarchy"),
+            F.sum("sales_c").cast("bigint").alias("sales_cents"),
+            F.sum("ret_c").cast("bigint").alias("ret_cents"),
+            (F.sum("sales_c") - F.sum("ret_c"))
+            .cast("bigint")
+            .alias("profit_cents"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .drop("_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 shape (r18): returns-adjusted fact — sold-order aggregates LEFT
+# JOINed to a returns aggregate on the same key, the measure adjusted
+# through COALESCE and clamped at zero, re-aggregated per customer,
+# deterministic top-k.  The original left-joins store_sales to
+# store_returns on (item, ticket), adjusts quantity*price where a
+# return matched, sums per customer, and takes the ORDER BY ... LIMIT
+# head.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q93",
+    oracle="""
+    WITH sold AS (
+      SELECT l_orderkey AS ok,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sold_c,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_q
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+    ),
+    rets AS (
+      SELECT l_orderkey AS ok,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ret_c,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_q
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    adj AS (
+      SELECT o.o_custkey AS custkey,
+             GREATEST(sold.sold_c - COALESCE(rets.ret_c, 0), 0) AS net_c,
+             GREATEST(sold.sold_q - COALESCE(rets.ret_q, 0), 0) AS net_q
+      FROM sold
+      LEFT JOIN rets ON sold.ok = rets.ok
+      JOIN orders o ON sold.ok = o.o_orderkey
+    )
+    SELECT custkey,
+           CAST(SUM(net_c) AS BIGINT) AS act_cents,
+           CAST(SUM(net_q) AS BIGINT) AS act_qty,
+           COUNT(*) AS n_orders
+    FROM adj GROUP BY custkey
+    ORDER BY act_cents DESC, custkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape — the returns-adjusted fact: per-order sold
+    ('N') aggregates LEFT JOINed to the per-order returns ('R')
+    aggregate, net revenue/quantity = GREATEST(sold - COALESCE(ret,
+    0), 0) (unmatched orders pass through whole; over-returned orders
+    clamp to zero), re-aggregated per customer, deterministic top-100
+    by (act_cents DESC, custkey ASC).
+
+    The match grain is the ORDER (the r17 growth rule: lines per
+    order are volume-invariant, so the three edges hold constant
+    proportions at every SF — probed: 297/1110 sold orders unmatched,
+    393 clamped, 420 partially adjusted at sf0.001; 28,961 / 41,004 /
+    40,639 of 110,604 at sf0.1).  A (orderkey, partkey) grain — the
+    original's (item, ticket) — was probed and REJECTED: 16/8/19
+    matches across the three SFs, a dying edge.
+
+    Scale: both legs collapse the fact ONCE to order-grain cells
+    (map-combinable), the LEFT JOIN and the orders PK-FK join key the
+    grown orderkey dim, the customer re-aggregation is bounded by the
+    customer count, and the head is TakeOrderedAndProject (top-k
+    heap per partition, never a global sort).
+
+    Reference parity: SURVEY.md §2.4 aggregation + §2.6 join composed
+    with the §2.1 sort/top-k utility (reference join_test.cc:27-38).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+    def order_grain(flag: str, cn: str, qn: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_orderkey").alias("ok"),
+                rc.alias("c"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+            )
+            .groupBy("ok")
+            .agg(
+                F.sum("c").cast("bigint").alias(cn),
+                F.sum("q").cast("bigint").alias(qn),
+            )
+        )
+
+    sold = order_grain("N", "sold_c", "sold_q")
+    rets = order_grain("R", "ret_c", "ret_q")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    zero = F.lit(0).cast("bigint")
+    adj = (
+        sold.join(rets, "ok", "left")
+        .join(ords, F.col("ok") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.greatest(
+                F.col("sold_c") - F.coalesce(F.col("ret_c"), zero), zero
+            ).alias("net_c"),
+            F.greatest(
+                F.col("sold_q") - F.coalesce(F.col("ret_q"), zero), zero
+            ).alias("net_q"),
+        )
+    )
+    return (
+        adj.groupBy("custkey")
+        .agg(
+            F.sum("net_c").cast("bigint").alias("act_cents"),
+            F.sum("net_q").cast("bigint").alias("act_qty"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("act_cents").desc(), F.col("custkey").asc())
+        .limit(100)
+    )

@@ -1324,3 +1324,81 @@ def test_tpcds_q64_chain_joins_aggregates_only(spark):
         "expected joins ABOVE the channel aggregates in the tree"
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q5_union_of_scans_below_joins(spark):
+    """Q5 shape (r18): the two channel legs UNION at SCAN grain with
+    their returnflag filters pushed to the parquet scans (one pass
+    over the fact, no join below the Union), the (channel, supplier)
+    cells are map-combined before the rollup, and the rollup's Expand
+    node consumes the BOUNDED cell aggregate — never the fact."""
+    plan = _formatted_plan(spark, "tpcds_q5")
+    for flag in ("N", "R"):
+        assert f"EqualTo(l_returnflag,{flag})" in plan, (
+            f"leg filter {flag} not pushed to its scan"
+        )
+    tree = plan[: plan.index("(1) Scan")]
+    # formatted-plan node ids number LEAVES FIRST, so every node in
+    # the Union's subtree has a SMALLER id than the Union itself —
+    # assert those are only pruned scans (no join/agg/exchange below
+    # the union: the legs are one pass over the fact)
+    nodes = {
+        int(m.group(2)): m.group(1)
+        for m in re.finditer(r"([A-Za-z]+)[^(\n]*\((\d+)\)", tree)
+    }
+    union_id = min(i for i, n in nodes.items() if n == "Union")
+    below = [nodes[i] for i in nodes if i < union_id]
+    assert below and set(below) <= {"Scan", "Filter", "Project"}, (
+        f"the union legs must be bare pruned scans, got {below}"
+    )
+    # rollup Expand consumes an aggregate, not the fact: an
+    # Expand exists and at least one HashAggregate has a smaller id
+    expand_id = min(i for i, n in nodes.items() if n == "Expand")
+    assert any(
+        i < expand_id for i, n in nodes.items() if n == "HashAggregate"
+    ), "rollup Expand must consume the bounded cell aggregate"
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q93_order_grain_aggregates_and_topk(spark):
+    """Q93 shape (r18): both channel legs collapse the fact to
+    map-combined order-grain cells BEFORE the LeftOuter match (no
+    join below either leg's first HashAggregate), the adjusted
+    measure re-aggregates per customer, and the head is
+    TakeOrderedAndProject (per-partition top-k heap) — never a
+    global Sort."""
+    plan = _formatted_plan(spark, "tpcds_q93")
+    assert "TakeOrderedAndProject" in plan, "top-100 must plan as top-k"
+    assert not re.search(r"\n\s*\(\d+\) Sort\b", plan), (
+        "global Sort found — top-k heap expected"
+    )
+    assert re.search(r"Join LeftOuter|BroadcastHashJoin LeftOuter|"
+                     r"SortMergeJoin LeftOuter", plan), (
+        "returns match must be a LEFT OUTER join"
+    )
+    for flag in ("N", "R"):
+        assert f"EqualTo(l_returnflag,{flag})" in plan, (
+            f"leg filter {flag} not pushed to its scan"
+        )
+    # both legs collapse BEFORE the match: formatted-plan node ids
+    # number leaves first, so the two leg aggregate pairs (four
+    # HashAggregate nodes) must carry smaller ids than the LeftOuter
+    # join node
+    tree = plan[: plan.index("(1) Scan")]
+    nodes = {
+        int(m.group(2)): m.group(1)
+        for m in re.finditer(r"([A-Za-z]+)\s[^(\n]*\((\d+)\)", tree)
+    }
+    lo_id = min(
+        int(m.group(1))
+        for m in re.finditer(r"Join LeftOuter[^(\n]*\((\d+)\)", tree)
+    )
+    leg_aggs = [
+        i for i, n in nodes.items() if n == "HashAggregate" and i < lo_id
+    ]
+    assert len(leg_aggs) >= 4, (
+        f"expected both legs aggregated below the match, got {leg_aggs}"
+    )
+    assert len(re.findall(r"partial_sum", plan)) >= 3
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

@@ -511,3 +511,117 @@ def test_tpcds_q64_chain_and_strict_growth_boundary(spark):
         for r in all_queries()["tpcds_q64"].build(spark, SF).collect()
     }
     assert got == expected and expected
+
+
+def test_tpcds_q5_union_rollup_and_profit_sign(spark):
+    """Recompute the q5 pipeline in pure Python: the two-leg union at
+    line grain, the (channel, nation) cells through the supplier map,
+    and all three ROLLUP levels with profit = sales - returns.  Edge
+    forcing: all five channels present, profit must be NEGATIVE for
+    some leaf cell and POSITIVE for another (the sign edge), every
+    level-1 row must equal the sum of its children, and the level-2
+    grand total must equal the sum of the level-1 rows."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag",
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    och = {
+        r["o_orderkey"]: r["o_orderpriority"][0]
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority").collect()
+    }
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SF, "supplier")
+        .select("s_suppkey", "s_nationkey").collect()
+    }
+    leaf: dict[tuple, list[int]] = {}
+    for r in li:
+        if r["l_returnflag"] not in ("N", "R"):
+            continue
+        k = (och[r["l_orderkey"]], snat[r["l_suppkey"]])
+        c = _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+        e = leaf.setdefault(k, [0, 0])
+        e[0 if r["l_returnflag"] == "N" else 1] += c
+    assert len({ch for ch, _ in leaf}) == 5, "expected all five channels"
+    profits = [s - t for s, t in leaf.values()]
+    assert min(profits) < 0 < max(profits), "profit sign edge not forced"
+    expected: dict[tuple, tuple] = {}
+    for (ch, nat), (s, t) in leaf.items():
+        expected[(ch, nat, 0)] = (s, t, s - t)
+    for ch in {c for c, _ in leaf}:
+        s = sum(v[0] for k, v in leaf.items() if k[0] == ch)
+        t = sum(v[1] for k, v in leaf.items() if k[0] == ch)
+        expected[(ch, None, 1)] = (s, t, s - t)
+    gs = sum(v[0] for v in leaf.values())
+    gt = sum(v[1] for v in leaf.values())
+    expected[(None, None, 2)] = (gs, gt, gs - gt)
+    got = {
+        (r["ch"], r["nationkey"], r["lochierarchy"]): (
+            r["sales_cents"], r["ret_cents"], r["profit_cents"]
+        )
+        for r in all_queries()["tpcds_q5"].build(spark, SF).collect()
+    }
+    assert got == expected and expected
+
+
+def test_tpcds_q93_adjustment_edges_and_topk(spark):
+    """Recompute the q93 returns adjustment in pure Python: sold/ret
+    order-grain cells, GREATEST(sold - COALESCE(ret, 0), 0) per
+    order, per-customer sums, and the (act_cents DESC, custkey ASC)
+    top-100 head.  Edge forcing: the fixture must hold UNMATCHED
+    orders (COALESCE path), CLAMPED orders (ret > sold, net
+    pinned at 0), and PARTIALLY adjusted orders — all three — and
+    the top-100 must EXCLUDE at least one customer (the limit does
+    real work)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    ocust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey").collect()
+    }
+    sold: dict[int, list[int]] = {}
+    rets: dict[int, list[int]] = {}
+    for r in li:
+        if r["l_returnflag"] not in ("N", "R"):
+            continue
+        tgt = sold if r["l_returnflag"] == "N" else rets
+        e = tgt.setdefault(r["l_orderkey"], [0, 0])
+        e[0] += _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+        e[1] += int(r["l_quantity"])
+    unmatched = clamped = partial = 0
+    per_cust: dict[int, list[int]] = {}
+    for ok, (sc, sq) in sold.items():
+        if ok not in rets:
+            unmatched += 1
+            rc = rq = 0
+        else:
+            rc, rq = rets[ok]
+            if rc > sc:
+                clamped += 1
+            else:
+                partial += 1
+        e = per_cust.setdefault(ocust[ok], [0, 0, 0])
+        e[0] += max(sc - rc, 0)
+        e[1] += max(sq - rq, 0)
+        e[2] += 1
+    assert unmatched and clamped and partial, (
+        f"adjustment edges not all forced: {unmatched}/{clamped}/{partial}"
+    )
+    assert len(per_cust) > 100, "limit would not exclude anyone"
+    head = sorted(
+        per_cust.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:100]
+    expected = {c: tuple(v) for c, v in head}
+    got = {
+        r["custkey"]: (r["act_cents"], r["act_qty"], r["n_orders"])
+        for r in all_queries()["tpcds_q93"].build(spark, SF).collect()
+    }
+    assert got == expected and len(got) == 100

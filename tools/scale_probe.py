@@ -1140,14 +1140,24 @@ def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     - q64 (r18): all four chain inputs exchange partial-combined
       (supplier, year) cells — suppliers x 7 years, sublinear in fact
       size; the chain joins and the strict-growth filter run over
-      those bounded tables."""
+      those bounded tables;
+    - q5 (r18b): the only fact-scale exchange is the orderkey
+      co-partitioning of the UNIONed legs against orders (the shape's
+      one unavoidable fact shuffle, shared with fact_fact_join); the
+      (channel, supplier) cells above it are map-combined and the
+      rollup's Expand consumes the bounded cell table;
+    - q93 (r18b): both channel exchanges carry order-grain cells
+      after a ~4x map-side combine (they grow with the ORDER
+      dimension, never the line count); the customer re-aggregation
+      is customer-bounded and the top-100 head crosses its exchange
+      at <= 100 rows per partition (TakeOrderedAndProject)."""
     from dpu_olap_spark.registry import all_queries
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
     for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1",
                  "tpcds_q14", "tpcds_q67", "tpcds_q78", "tpcds_q58",
-                 "tpcds_q23", "tpcds_q64"):
+                 "tpcds_q23", "tpcds_q64", "tpcds_q5", "tpcds_q93"):
         q = all_queries()[name]
         walls[name] = round(
             min(
