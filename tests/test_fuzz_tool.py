@@ -75,3 +75,29 @@ def test_campaign_ledger_is_sound():
     assert per_round["r13"] == 8_140
     assert per_round["r14"] == 30
     assert per_round["r15"] == 16_890
+
+
+def test_rollupwin3_combo_forces_nullif_with_g3_partition_case():
+    """The r18b combo flavor: when the forced draw fires, the
+    generated SQL must carry BOTH the NULLIF on g3 and a partition
+    CASE keyed on g3 — the corner where data NULLs (from the NULLIF)
+    and lattice NULLs (from the CUBE) meet inside the same partition
+    expression.  Probe 200 seeds: the combination must occur at
+    roughly its designed rate (>= 10%), and every combo case must
+    pair the two constructs."""
+    import fuzz_seams as fz
+
+    con = _connect(SF)
+    combos = 0
+    try:
+        for seed in range(200):
+            rng = random.Random(seed)
+            sql = fz._gen_rollupwin3(con, rng)
+            has_nullif_g3 = "NULLIF(" in sql.split(" AS g3")[0][-60:]
+            has_g3_case = "CASE WHEN gg3 = 0 THEN g3 END" in sql
+            if has_nullif_g3 and has_g3_case:
+                combos += 1
+                con.execute(sql).fetchall()  # must bind + run
+    finally:
+        con.close()
+    assert combos >= 20, f"combo flavor too rare: {combos}/200"

@@ -2203,12 +2203,20 @@ def _gen_rollupwin3(con, rng: random.Random) -> str:
     fcol = rng.choice(cols["floats"])
     cents = f"CAST(floor({fcol} * 100 + 0.5) AS BIGINT)"
     pred = _gen_predicate(con, table, cols, rng)
+    # r18b corner: with p=0.25 FORCE the NULLIF'd g3 and a two-prefix
+    # CASE that PARTITIONS ON g3 to co-occur (independently they meet
+    # in only ~8% of cases) — data NULLs manufactured by the NULLIF
+    # must disambiguate from lattice NULLs inside the partition CASE
+    # itself, the corner the r18 notes left open.
+    combo = rng.random() < 0.25
     v3 = g3
-    if rng.random() < 0.3:
+    nullif_drawn = False
+    if combo or rng.random() < 0.3:
         sv = _sample_values(con, table, g3, rng, 1)
         if sv:
             kind = "int" if g3 in cols["ints"] else "str"
             v3 = f"NULLIF({g3}, {_lit(kind, sv[0])})"
+            nullif_drawn = True
     gtype = rng.choice(
         ["CUBE(g1, g2, g3)", "CUBE(g1, g2, g3)",  # the open corner
          "ROLLUP(g1, g2, g3)",
@@ -2217,7 +2225,15 @@ def _gen_rollupwin3(con, rng: random.Random) -> str:
     rank_fn = rng.choice(["RANK", "RANK", "DENSE_RANK"])
     key_expr = rng.choice(["s", "n", "CAST(s AS DOUBLE) / n"])
     dirn = rng.choice(["ASC", "DESC"])
-    part = rng.choice([
+    if combo and nullif_drawn:
+        part = rng.choice([
+            "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g2 END,"
+            " CASE WHEN gg3 = 0 THEN g3 END",
+            "gg1 + gg2 + gg3, CASE WHEN gg1 = 0 THEN g1 END,"
+            " CASE WHEN gg3 = 0 THEN g3 END",
+        ])
+    else:
+        part = rng.choice([
         "gg1 + gg2 + gg3",
         "gg1, gg2, gg3",
         "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g1 END",  # within parent
@@ -2234,7 +2250,7 @@ def _gen_rollupwin3(con, rng: random.Random) -> str:
         " CASE WHEN gg3 = 0 THEN g3 END",
         "gg1 + gg2 + gg3, CASE WHEN gg2 = 0 THEN g2 END,"
         " CASE WHEN gg3 = 0 THEN g3 END",
-    ])
+        ])
     tiebreak = ""
     if rng.random() < 0.5:
         tiebreak = (
