@@ -353,6 +353,13 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (169300, 169449, "0.001", "chunkreplay", "r17"),  # +session pipeline
     (170000, 170299, "0.01", "mixed", "r17"),  # idle-time volume
     (171000, 171199, "0.001", "mixed", "r17"),
+    # --- r18: the three open corners at volume (verdict #5) ---
+    (172000, 172299, "0.001", "chunkreplay", "r18"),  # tie mode
+    (173000, 173199, "0.01", "chunkreplay", "r18"),  # tie at sf0.01
+    (174000, 174599, "0.01", "exactrefine", "r18"),  # union-of-joins
+    (175000, 175199, "0.001", "exactrefine", "r18"),
+    (176000, 176199, "0.1", "exactrefine", "r18"),
+    (177000, 177599, "0.01", "rollupwin", "r18"),  # NULLIF+2-prefix combo
 )
 
 
