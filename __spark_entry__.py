@@ -191,6 +191,8 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "stream_replay_chunked_lo",
     "tpcds_q5",
     "tpcds_q93",
+    "tpcds_q39",
+    "tpcds_q49",
 )
 
 

@@ -6,8 +6,13 @@ with LAG/LEAD (Q47), two-channel FULL OUTER + cumulative windows
 (Q51), bucket-HAVING + join-back (Q34), windowed group-average
 comparison over a CTE (Q1), a battery of independent scalar
 subqueries (Q88), cross-channel INTERSECT + join-back (Q14, r17),
-rollup + windowed top-k per group (Q67, r17), and per-channel
-anti-join + cross-channel ratio comparison (Q78, r17).
+rollup + windowed top-k per group (Q67, r17), per-channel
+anti-join + cross-channel ratio comparison (Q78, r17), frequent-entity
+INTERSECT sets + scalar-aggregate threshold (Q23, r18), the
+consecutive-year multi-fact chain (Q64, r18), multi-channel UNION
+rollup (Q5, r18), the returns-adjusted fact (Q93, r18), the
+second-moment variance filter + consecutive-month self-join (Q39,
+r18), and the dual-rank worst-performers OR-keep (Q49, r18).
 
 ADAPTATIONS (no store/catalog/web channels, date_dim, or item here):
 channels derive from o_orderpriority / l_returnflag slices; months
@@ -1330,4 +1335,258 @@ def q_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("act_cents").desc(), F.col("custkey").asc())
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q39 shape (r18): second-moment statistics — per-(supplier, month)
+# quantity mean/variance cells kept where the coefficient of variation
+# clears a threshold, self-joined on CONSECUTIVE months (with the
+# December -> January rollover).  The original computes stdev/mean of
+# inventory per (item, warehouse, month) and pairs month m with m+1
+# where both months' cov > 1.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q39",
+    oracle="""
+    WITH cell AS (
+      SELECT l_suppkey AS sk,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+               AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pass AS (
+      SELECT * FROM cell
+      WHERE n > 1
+        AND 4 * CAST(n AS HUGEINT)
+              * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+            > (CAST(n AS HUGEINT) - 1) * s1 * s1
+    )
+    SELECT a.sk AS suppkey, s.s_nationkey AS nationkey,
+           a.m AS m1, b.m AS m2,
+           a.n AS n1, a.s1 AS sumq1, a.s2 AS sumsq1,
+           b.n AS n2, b.s1 AS sumq2, b.s2 AS sumsq2
+    FROM pass a
+    JOIN pass b ON a.sk = b.sk
+      AND b.m = CASE WHEN a.m % 100 = 12 THEN a.m + 89 ELSE a.m + 1 END
+    JOIN supplier s ON a.sk = s.s_suppkey
+    """,
+)
+def q_tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39 shape — the variance filter WITHOUT materializing
+    variance: per-(supplier, month) quantity cells carry the exact
+    integer moments (n, sum q, sum q^2), and cov > 1/2 is the integer
+    cross-multiplication 4*n*(n*s2 - s1^2) > (n-1)*s1^2 (sample
+    variance > mean^2/4, i.e. stdev/mean > 1/2 — the original's cov>1
+    never fires on uniform 1..50 quantities, cov ~0.57 straddles 1/2
+    at every SF).  Surviving cells self-join on CONSECUTIVE months
+    including the December->January rollover (m+89 in yyyymm
+    arithmetic), the supplier dim broadcasts for the nation label.
+
+    Supplier is a GROWTH dimension (the r17 lesson): lines per
+    (supplier, month) stay ~7.5 at every SF, so every edge holds
+    constant proportions — probed: n=1 cells excluded 11/81/752,
+    cov-fail cells 265/2,747/27,522, surviving consecutive pairs
+    362/3,522/35,222 (~43% of cells), of which 21/255/2,597 cross the
+    year boundary, at sf0.001/0.01/0.1 respectively.
+
+    Scale: ONE map-combinable pass collapses the fact to bounded
+    (supplier, month) cells carrying three integer moments — second
+    moments compose exactly under partial aggregation (the same
+    partial->final law as SUM); the self-join keys the bounded cell
+    table, never the fact; the widened comparison stays exact to
+    10^38 (n*s2 ~ 10^4 rows * 2.5e3 ~ 10^8 per cell at fixture
+    densities, ~10^16 at 100 TB cell sizes — BIGINT-safe today,
+    _wide-guarded for the class).
+
+    Reference parity: SURVEY.md §2.4 partial->final aggregation
+    (host/aggr/aggr_native.cc:67-73) generalized to second moments,
+    composed with the §2.6 join over derived relations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    cell = (
+        li.select(
+            F.col("l_suppkey").alias("sk"),
+            _yyyymm("l_shipdate").alias("m"),
+            q.alias("q"),
+        )
+        .groupBy("sk", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("bigint").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+        )
+    )
+    kept = cell.where(
+        (F.col("n") > 1)
+        & (
+            4
+            * _wide(F.col("n"))
+            * (
+                _wide(F.col("n")) * F.col("s2")
+                - _wide(F.col("s1")) * F.col("s1")
+            )
+            > (_wide(F.col("n")) - 1) * _wide(F.col("s1")) * F.col("s1")
+        )
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    succ = F.when(
+        F.col("a.m") % 100 == 12, F.col("a.m") + 89
+    ).otherwise(F.col("a.m") + 1)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        a.join(b, (F.col("a.sk") == F.col("b.sk")) & (F.col("b.m") == succ))
+        .join(F.broadcast(supp), F.col("a.sk") == F.col("s_suppkey"))
+        .select(
+            F.col("a.sk").alias("suppkey"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("a.m").alias("m1"),
+            F.col("b.m").alias("m2"),
+            F.col("a.n").alias("n1"),
+            F.col("a.s1").alias("sumq1"),
+            F.col("a.s2").alias("sumsq1"),
+            F.col("b.n").alias("n2"),
+            F.col("b.s1").alias("sumq2"),
+            F.col("b.s2").alias("sumsq2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 shape (r18): dual-rank worst-performers — per-channel
+# return-ratio AND currency-ratio ranks over the same aggregate, rows
+# kept where EITHER rank clears top-10.  The original ranks each
+# channel's items by quantity return ratio and by amount return ratio
+# and unions the rank<=10 survivors across channels.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q49",
+    oracle="""
+    WITH cell AS (
+      SELECT substr(o.o_orderpriority, 1, 1) AS ch, l.l_partkey AS pk,
+             SUM(CASE WHEN l.l_returnflag = 'N'
+                 THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qs,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                 THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qr,
+             SUM(CASE WHEN l.l_returnflag = 'N'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS cs,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS cr
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag IN ('N', 'R')
+      GROUP BY 1, 2
+      HAVING qs > 0 AND qr > 0
+    ),
+    ranked AS (
+      SELECT ch, pk AS partkey,
+             CAST(qr AS DOUBLE) / qs AS return_ratio,
+             CAST(cr AS DOUBLE) / cs AS currency_ratio,
+             RANK() OVER (PARTITION BY ch
+               ORDER BY CAST(qr AS DOUBLE) / qs DESC, pk ASC)
+               AS return_rank,
+             RANK() OVER (PARTITION BY ch
+               ORDER BY CAST(cr AS DOUBLE) / cs DESC, pk ASC)
+               AS currency_rank
+      FROM cell
+    )
+    SELECT ch, partkey, return_ratio, currency_ratio,
+           return_rank, currency_rank
+    FROM ranked
+    WHERE return_rank <= 10 OR currency_rank <= 10
+    """,
+)
+def q_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape — the dual-rank worst-performers: one
+    (channel, part) aggregate carries both the quantity return ratio
+    (qty returned / qty sold) and the currency return ratio (cents
+    returned / cents sold); each ranks independently per channel
+    (ratio DESC — worst first — with the partkey tiebreak making the
+    order total, so RANK is deterministic in both engines), and a row
+    survives when EITHER rank clears top-10.  Ratios are
+    double-of-exact-int divisions (identical operands both engines,
+    the q36 precedent); the rank ORDER BY uses those identical
+    doubles, never engine-local rounding.
+
+    Part is a GROWTH dimension: matched (sold AND returned) parts per
+    channel grow with the fact while the kept head stays ~10-20 per
+    channel per rank — probed keeps: 88/100/99 rows at
+    sf0.001/0.01/0.1, with BOTH single-rank directions alive at every
+    SF (kept by return-rank only 38/50/49, by currency-rank only
+    38/50/49) and all five channels represented.
+
+    Scale: the fact joins the grown orders dim ONCE for the channel
+    label (shuffle join at 100 TB), collapses map-combinably to
+    (channel, part) cells, and the two windows partition by channel
+    over the BOUNDED cell table — at extreme scale the per-channel
+    sort is the cost, and a rank<=K pre-filter per partition
+    (TakeOrdered semantics) would bound it; the OR-keep then needs
+    both heads only.
+
+    Reference parity: SURVEY.md §2.1 row 6 sort/top-k utility
+    (reference join_test.cc:27-38) doubled over one §2.4 aggregate,
+    composed with the §2.6 PK-FK join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("N", "R")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("ch"),
+    )
+    rc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    q = F.col("l_quantity").cast("bigint")
+
+    def flagged(col: Column, flag: str) -> Column:
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, col).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).cast("bigint")
+
+    cell = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("ch", F.col("l_partkey").alias("pk"))
+        .agg(
+            flagged(q, "N").alias("qs"),
+            flagged(q, "R").alias("qr"),
+            flagged(rc, "N").alias("cs"),
+            flagged(rc, "R").alias("cr"),
+        )
+        .where((F.col("qs") > 0) & (F.col("qr") > 0))
+    )
+    rratio = F.col("qr").cast("double") / F.col("qs")
+    cratio = F.col("cr").cast("double") / F.col("cs")
+    ranked = cell.select(
+        "ch",
+        F.col("pk").alias("partkey"),
+        rratio.alias("return_ratio"),
+        cratio.alias("currency_ratio"),
+        F.rank()
+        .over(
+            Window.partitionBy("ch").orderBy(
+                rratio.desc(), F.col("pk").asc()
+            )
+        )
+        .alias("return_rank"),
+        F.rank()
+        .over(
+            Window.partitionBy("ch").orderBy(
+                cratio.desc(), F.col("pk").asc()
+            )
+        )
+        .alias("currency_rank"),
+    )
+    return ranked.where(
+        (F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10)
     )

@@ -1402,3 +1402,70 @@ def test_tpcds_q93_order_grain_aggregates_and_topk(spark):
     )
     assert len(re.findall(r"partial_sum", plan)) >= 3
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q39_moment_cells_before_self_join(spark):
+    """Q39 shape (r18): the fact collapses to map-combined
+    (supplier, month) moment cells BEFORE the consecutive-month
+    self-join (joins strictly above the aggregates in the tree), the
+    scan reads ONLY the three needed fact columns, and the supplier
+    dim broadcasts."""
+    plan = _formatted_plan(spark, "tpcds_q39")
+    assert "partial_count" in plan and "partial_sum" in plan, (
+        "moment cells must map-combine (partial->final law)"
+    )
+    m = re.search(r"ReadSchema:[^\n]*lineitem[^\n]*", plan) or re.search(
+        r"lineitem\.parquet[\s\S]{0,400}?ReadSchema: (\S+)", plan
+    )
+    schema_line = m.group(0) if m else ""
+    for col in ("l_suppkey", "l_shipdate", "l_quantity"):
+        assert col in plan, f"{col} missing from pruned scan"
+    assert "l_extendedprice" not in plan, (
+        "scan must prune to the three needed fact columns"
+    )
+    tree = plan[: plan.index("(1) Scan")]
+    first_join = re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", tree
+    )
+    first_agg = re.search(r"HashAggregate", tree)
+    assert first_join and first_agg
+    assert first_join.start() < first_agg.start(), (
+        "expected the self-join ABOVE the moment aggregates"
+    )
+    assert re.search(
+        r"BroadcastExchange[\s\S]{0,200}?supplier\.parquet", plan
+    ) or re.search(
+        r"supplier\.parquet[\s\S]{0,600}?BroadcastExchange", plan
+    ), "supplier dim not broadcast"
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpcds_q49_windows_over_bounded_aggregate(spark):
+    """Q49 shape (r18): the returnflag IN filter pushes to the fact
+    scan, the (channel, part) cells map-combine BEFORE the two rank
+    windows (every Window node sits above the first HashAggregate —
+    leaves-first ids), and the windows partition by channel (never a
+    global single-partition sort)."""
+    plan = _formatted_plan(spark, "tpcds_q49")
+    assert re.search(r"In\(l_returnflag, ?\[N,R\]\)", plan), (
+        "returnflag IN filter not pushed to the fact scan"
+    )
+    tree = plan[: plan.index("(1) Scan")]
+    nodes = {
+        int(m.group(2)): m.group(1)
+        for m in re.finditer(r"([A-Za-z]+)\s[^(\n]*\((\d+)\)", tree)
+    }
+    win_ids = [i for i, n in nodes.items() if n == "Window"]
+    assert len(win_ids) >= 2, "expected BOTH rank windows"
+    first_agg = min(i for i, n in nodes.items() if n == "HashAggregate")
+    assert all(first_agg < w for w in win_ids), (
+        "rank windows must consume the bounded cell aggregate"
+    )
+    assert "partial_sum" in plan
+    assert re.search(r"hashpartitioning\(ch", plan), (
+        "windows must partition by channel, not sort globally"
+    )
+    assert "SinglePartition" not in tree or not re.search(
+        r"Window[\s\S]{0,400}?SinglePartition", tree
+    ), "window running on a single partition"
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

@@ -625,3 +625,124 @@ def test_tpcds_q93_adjustment_edges_and_topk(spark):
         for r in all_queries()["tpcds_q93"].build(spark, SF).collect()
     }
     assert got == expected and len(got) == 100
+
+
+def test_tpcds_q39_variance_cells_and_rollover(spark):
+    """Recompute the q39 second-moment algebra in pure Python: the
+    (supplier, month) integer moments (n, sum q, sum q^2), the cov
+    threshold 4*n*(n*s2 - s1^2) > (n-1)*s1^2, and the
+    consecutive-month pairing with the December->January rollover.
+    Edge forcing: the fixture must hold n=1 cells (excluded), n>1
+    cells FAILING the threshold, surviving pairs, and at least one
+    pair CROSSING a year boundary (the m+89 arm)."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_quantity")
+        .collect()
+    )
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SF, "supplier")
+        .select("s_suppkey", "s_nationkey").collect()
+    }
+    cells: dict[tuple, list[int]] = {}
+    for r in li:
+        m = r["l_shipdate"].year * 100 + r["l_shipdate"].month
+        q = int(r["l_quantity"])
+        e = cells.setdefault((r["l_suppkey"], m), [0, 0, 0])
+        e[0] += 1
+        e[1] += q
+        e[2] += q * q
+    singletons = sum(1 for v in cells.values() if v[0] == 1)
+    kept = {
+        k: tuple(v)
+        for k, v in cells.items()
+        if v[0] > 1
+        and 4 * v[0] * (v[0] * v[2] - v[1] * v[1])
+        > (v[0] - 1) * v[1] * v[1]
+    }
+    failing = sum(1 for v in cells.values() if v[0] > 1) - len(kept)
+    assert singletons and failing and kept, (
+        f"threshold edges not all forced: {singletons}/{failing}/{len(kept)}"
+    )
+    expected: dict[tuple, tuple] = {}
+    boundary = 0
+    for (sk, m), v in kept.items():
+        m2 = m + 89 if m % 100 == 12 else m + 1
+        if (sk, m2) in kept:
+            if m % 100 == 12:
+                boundary += 1
+            expected[(sk, m)] = (
+                snat[sk], m, m2, *v, *kept[(sk, m2)]
+            )
+    assert boundary, "no December->January rollover pair in fixture"
+    got = {
+        (r["suppkey"], r["m1"]): (
+            r["nationkey"], r["m1"], r["m2"],
+            r["n1"], r["sumq1"], r["sumsq1"],
+            r["n2"], r["sumq2"], r["sumsq2"],
+        )
+        for r in all_queries()["tpcds_q39"].build(spark, SF).collect()
+    }
+    assert got == expected and expected
+
+
+def test_tpcds_q49_dual_rank_or_keep(spark):
+    """Recompute the q49 dual ranking in pure Python: (channel, part)
+    quantity/cents return ratios as IEEE doubles of the exact integer
+    operands, both per-channel ranks through the total
+    (ratio DESC, pk ASC) order, the OR<=10 keep.  Edge forcing: rows
+    kept by the RETURN rank alone, rows kept by the CURRENCY rank
+    alone, dropped rows, and all five channels must all be present."""
+    li = (
+        load_table(spark, SF, "lineitem")
+        .where(F.col("l_returnflag").isin("N", "R"))
+        .select("l_orderkey", "l_partkey", "l_returnflag",
+                "l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    och = {
+        r["o_orderkey"]: r["o_orderpriority"][0]
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority").collect()
+    }
+    cell: dict[tuple, list[int]] = {}
+    for r in li:
+        k = (och[r["l_orderkey"]], r["l_partkey"])
+        e = cell.setdefault(k, [0, 0, 0, 0])
+        i = 0 if r["l_returnflag"] == "N" else 1
+        e[i] += int(r["l_quantity"])
+        e[2 + i] += _cents(r["l_extendedprice"] * (1 - r["l_discount"]))
+    cell = {k: v for k, v in cell.items() if v[0] > 0 and v[1] > 0}
+    assert len({ch for ch, _ in cell}) == 5, "expected all five channels"
+    rrank: dict[tuple, int] = {}
+    crank: dict[tuple, int] = {}
+    for ch in {c for c, _ in cell}:
+        mem = [(pk, v) for (c, pk), v in cell.items() if c == ch]
+        for tgt, ratio in (
+            (rrank, lambda v: v[1] / v[0]),
+            (crank, lambda v: v[3] / v[2]),
+        ):
+            for i, (pk, _) in enumerate(
+                sorted(mem, key=lambda e: (-ratio(e[1]), e[0]))
+            ):
+                tgt[(ch, pk)] = i + 1
+    keep = {k for k in cell if rrank[k] <= 10 or crank[k] <= 10}
+    rr_only = sum(1 for k in keep if crank[k] > 10)
+    cr_only = sum(1 for k in keep if rrank[k] > 10)
+    assert rr_only and cr_only and len(keep) < len(cell), (
+        f"keep-direction edges not forced: {rr_only}/{cr_only}"
+    )
+    expected = {
+        k: (cell[k][1] / cell[k][0], cell[k][3] / cell[k][2],
+            rrank[k], crank[k])
+        for k in keep
+    }
+    got = {
+        (r["ch"], r["partkey"]): (
+            r["return_ratio"], r["currency_ratio"],
+            r["return_rank"], r["currency_rank"],
+        )
+        for r in all_queries()["tpcds_q49"].build(spark, SF).collect()
+    }
+    assert got == expected and expected
