@@ -1150,14 +1150,26 @@ def probe_tpcds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
       after a ~4x map-side combine (they grow with the ORDER
       dimension, never the line count); the customer re-aggregation
       is customer-bounded and the top-100 head crosses its exchange
-      at <= 100 rows per partition (TakeOrderedAndProject)."""
+      at <= 100 rows per partition (TakeOrderedAndProject);
+    - q39 (r18c): the ONLY fact-scale exchange carries partial-combined
+      (supplier, month) moment cells (n, sum q, sum q^2 — second
+      moments compose under partial aggregation); the consecutive-month
+      self-join and the supplier broadcast run over the bounded cell
+      table, never the fact;
+    - q49 (r18c): the fact-scale exchange is the orderkey
+      co-partitioning against orders for the channel label (the shape's
+      one unavoidable fact shuffle, shared with q5/fact_fact_join); the
+      (channel, part) cells map-combine above it and both rank-window
+      exchanges carry the bounded cell table hash-partitioned by
+      channel."""
     from dpu_olap_spark.registry import all_queries
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
     for name in ("tpcds_q47", "tpcds_q36", "tpcds_q51", "tpcds_q1",
                  "tpcds_q14", "tpcds_q67", "tpcds_q78", "tpcds_q58",
-                 "tpcds_q23", "tpcds_q64", "tpcds_q5", "tpcds_q93"):
+                 "tpcds_q23", "tpcds_q64", "tpcds_q5", "tpcds_q93",
+                 "tpcds_q39", "tpcds_q49"):
         q = all_queries()[name]
         walls[name] = round(
             min(
