@@ -2601,6 +2601,119 @@ FROM c0 GROUP BY g"""
     return spark_sql, duck_sql
 
 
+def _gen_widecross(con, rng: random.Random):
+    """r18c family: threshold cross-multiplications PAST int64 — the
+    _wide (Spark DECIMAL(38,0)) / HUGEINT (DuckDB) discipline class.
+
+    The registered TPC-DS shapes widen their ratio-threshold products
+    because non-ANSI Spark silently wraps BIGINT while DuckDB
+    promotes — a divergence class the registered oracles cannot
+    exhibit at tested SFs (their products stay under 2^63 there).
+    This family FORCES the class at every SF: random integer-unit
+    aggregates with multipliers up to 1e9 push the threshold product
+    to ~1e20-1e32, past int64 on both sides of the comparison.  The
+    two returned texts are IDENTICAL except for the widening cast;
+    the filtered rows must match exactly.
+
+    Three forms: (a) group-share-vs-total a*s*ng cmp b*tot (the
+    q1/q36/q58 class), (b) the second-moment variance threshold
+    c*n*(n*s2 - s1^2) cmp d*(n-1)*s1^2 (the q39 class), (c) the
+    two-channel cross-multiplied ratio pair a*sa*tb cmp b*sb*ta (the
+    q64/q78 class).  Unit scales are chosen from the table's probed
+    MAX so the CELL aggregation itself stays inside int64 — that is
+    a different, already-guarded seam; only the threshold products
+    cross the line."""
+    table = rng.choice(["lineitem", "orders"])
+    cols = TABLE_COLS[table]
+    g = rng.choice(cols["groups"])
+    f = rng.choice(cols["floats"])
+    pred = (_gen_predicate(con, table, cols, rng)
+            if rng.random() < 0.5 else "1=1")
+    cmp_op = rng.choice(["<", "<=", ">", ">="])
+    maxv, nrows = con.execute(
+        f"SELECT COALESCE(MAX({f}), 1), COUNT(*) FROM {table}"
+    ).fetchone()
+    form = rng.choice(["share", "variance", "ratio_pair"])
+
+    def scale_for(limit: float, square: bool) -> int:
+        pick = 1
+        for s in (1, 10, 100, 1000, 10_000, 1_000_000):
+            unit = maxv * s + 1
+            total = (unit * unit if square else unit) * max(nrows, 1)
+            if total < limit:
+                pick = s
+        return pick
+
+    if form == "share":
+        a = rng.randint(2, 10 ** rng.randint(1, 9))
+        b = rng.randint(2, 10 ** rng.randint(1, 9))
+        scale = scale_for(8e18, square=False)
+        tmpl = f"""
+        WITH cell AS (
+          SELECT {g} AS g, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor({f} * {scale} + 0.5) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM {table} WHERE {pred} GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(s) AS BIGINT) AS t, COUNT(*) AS ng FROM cell
+        )
+        SELECT c.g, c.n, c.s FROM cell c, tot
+        WHERE {a} * CAST(c.s AS {{W}}) * tot.ng
+              {cmp_op} {b} * CAST(tot.t AS {{W}})
+        """
+    elif form == "variance":
+        c = rng.randint(1, 10 ** rng.randint(1, 6))
+        d = rng.randint(1, 10 ** rng.randint(1, 6))
+        scale = scale_for(8e18, square=True)
+        tmpl = f"""
+        WITH cell AS (
+          SELECT g, COUNT(*) AS n,
+                 CAST(SUM(u) AS BIGINT) AS s1,
+                 CAST(SUM(u * u) AS BIGINT) AS s2
+          FROM (
+            SELECT {g} AS g,
+                   CAST(floor({f} * {scale} + 0.5) AS BIGINT) AS u
+            FROM {table} WHERE {pred}
+          ) t GROUP BY 1
+        )
+        SELECT g, n, s1, s2 FROM cell
+        WHERE n > 1
+          AND {c} * CAST(n AS {{W}})
+                * (CAST(n AS {{W}}) * s2 - CAST(s1 AS {{W}}) * s1)
+              {cmp_op} {d} * (CAST(n AS {{W}}) - 1) * s1 * s1
+        """
+    else:
+        a = rng.randint(2, 1000)
+        b = rng.randint(2, 1000)
+        chan = _gen_predicate(con, table, cols, rng)
+        scale = scale_for(8e18, square=False)
+        tmpl = f"""
+        WITH cell AS (
+          SELECT g,
+                 CAST(SUM(CASE WHEN ch THEN u ELSE 0 END) AS BIGINT)
+                   AS sa,
+                 CAST(SUM(CASE WHEN NOT ch THEN u ELSE 0 END) AS BIGINT)
+                   AS sb,
+                 COUNT(*) AS n
+          FROM (
+            SELECT {g} AS g, COALESCE(({chan}), FALSE) AS ch,
+                   CAST(floor({f} * {scale} + 0.5) AS BIGINT) AS u
+            FROM {table} WHERE {pred}
+          ) t GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(sa) AS BIGINT) AS ta,
+                 CAST(SUM(sb) AS BIGINT) AS tb
+          FROM cell
+        )
+        SELECT c.g, c.sa, c.sb, c.n FROM cell c, tot
+        WHERE {a} * CAST(c.sa AS {{W}}) * tot.tb
+              {cmp_op} {b} * CAST(c.sb AS {{W}}) * tot.ta
+        """
+    return (tmpl.format(W="DECIMAL(38,0)"), tmpl.format(W="HUGEINT"))
+
+
 _SHAPES = {
     "single": _gen_single_table,
     "join": _gen_join,
@@ -2630,6 +2743,7 @@ _SHAPES = {
     "latwin": _gen_latwin,
     "exactrefine": _gen_exactrefine,
     "rollupwin": _gen_rollupwin,
+    "widecross": _gen_widecross,
 }
 
 _DEFAULT_MIX = (
@@ -2641,6 +2755,7 @@ _DEFAULT_MIX = (
     + ["winsetgroup"] + ["nullkeyjoin"] + ["ntilefuzz"]
     + ["rangenull"] + ["nsafejoin"] + ["medianalg"] + ["histalg"]
     + ["modefreq"] + ["latwin"] + ["exactrefine"] + ["rollupwin"]
+    + ["widecross"]
 )
 
 
