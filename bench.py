@@ -139,6 +139,11 @@ HEADLINE = [
     # returns-adjusted fact with the order-grain clamp + top-100 (Q93)
     "tpcds_q5",
     "tpcds_q93",
+    # round 18c: the second-moment variance filter with the
+    # consecutive-month self-join (Q39) and the dual-rank
+    # worst-performers OR-keep (Q49)
+    "tpcds_q39",
+    "tpcds_q49",
     # data-pipeline ops
     "decontaminate",
     "stratified_sample",

@@ -1526,13 +1526,21 @@ def q_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF (kept by return-rank only 38/50/49, by currency-rank only
     38/50/49) and all five channels represented.
 
-    Scale: the fact joins the grown orders dim ONCE for the channel
-    label (shuffle join at 100 TB), collapses map-combinably to
-    (channel, part) cells, and the two windows partition by channel
-    over the BOUNDED cell table — at extreme scale the per-channel
-    sort is the cost, and a rank<=K pre-filter per partition
-    (TakeOrdered semantics) would bound it; the OR-keep then needs
-    both heads only.
+    Scale: the naive plan — two full windows PARTITION BY channel —
+    concentrates the whole cell table into 5 tasks (one per channel)
+    and sorts ~cells/5 rows in each: a single-task OOM hazard once
+    parts reach 1e9.  This plan avoids it: (1) the fact joins the
+    grown orders dim ONCE for the channel label and collapses
+    map-combinably to (channel, part) cells; (2) each rank dimension
+    finds its top-10 through a rank<=10 filter that Spark pushes as
+    WindowGroupLimit — every map partition keeps only its top 10 per
+    channel BEFORE the exchange, so no task ever sorts more than its
+    own partition's head; (3) the <=20 kept keys per channel
+    broadcast back over the cell table and ONE counting pass
+    computes both EXACT global ranks as count(strictly better) + 1 —
+    identical to RANK under the (ratio DESC, pk ASC) total order.
+    Every exchange above the first aggregation is bounded; the cell
+    subtree is shared by all three consumers (reused exchange).
 
     Reference parity: SURVEY.md §2.1 row 6 sort/top-k utility
     (reference join_test.cc:27-38) doubled over one §2.4 aggregate,
@@ -1565,28 +1573,59 @@ def q_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("qs") > 0) & (F.col("qr") > 0))
     )
-    rratio = F.col("qr").cast("double") / F.col("qs")
-    cratio = F.col("cr").cast("double") / F.col("cs")
-    ranked = cell.select(
+    ratios = cell.select(
+        "ch",
+        "pk",
+        (F.col("qr").cast("double") / F.col("qs")).alias("rr"),
+        (F.col("cr").cast("double") / F.col("cs")).alias("cratio"),
+    )
+
+    def top10(col: str) -> DataFrame:
+        w = Window.partitionBy("ch").orderBy(
+            F.col(col).desc(), F.col("pk").asc()
+        )
+        return (
+            ratios.withColumn("rk", F.rank().over(w))
+            .where(F.col("rk") <= 10)
+            .drop("rk")
+        )
+
+    kept = (
+        top10("rr")
+        .unionByName(top10("cratio"))
+        .dropDuplicates(["ch", "pk"])
+    )
+    against = ratios.select(
+        "ch",
+        F.col("pk").alias("cpk"),
+        F.col("rr").alias("crr"),
+        F.col("cratio").alias("ccr"),
+    )
+
+    def beats(r: str, k: str) -> Column:
+        return (F.col(r) > F.col(k)) | (
+            (F.col(r) == F.col(k)) & (F.col("cpk") < F.col("pk"))
+        )
+
+    counted = (
+        against.join(F.broadcast(kept), "ch")
+        .groupBy("ch", "pk", "rr", "cratio")
+        .agg(
+            (
+                F.sum(F.when(beats("crr", "rr"), 1).otherwise(0)) + 1
+            ).alias("return_rank"),
+            (
+                F.sum(F.when(beats("ccr", "cratio"), 1).otherwise(0)) + 1
+            ).alias("currency_rank"),
+        )
+    )
+    return counted.where(
+        (F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10)
+    ).select(
         "ch",
         F.col("pk").alias("partkey"),
-        rratio.alias("return_ratio"),
-        cratio.alias("currency_ratio"),
-        F.rank()
-        .over(
-            Window.partitionBy("ch").orderBy(
-                rratio.desc(), F.col("pk").asc()
-            )
-        )
-        .alias("return_rank"),
-        F.rank()
-        .over(
-            Window.partitionBy("ch").orderBy(
-                cratio.desc(), F.col("pk").asc()
-            )
-        )
-        .alias("currency_rank"),
-    )
-    return ranked.where(
-        (F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10)
+        F.col("rr").alias("return_ratio"),
+        F.col("cratio").alias("currency_ratio"),
+        "return_rank",
+        "currency_rank",
     )

@@ -1440,12 +1440,15 @@ def test_tpcds_q39_moment_cells_before_self_join(spark):
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 
-def test_tpcds_q49_windows_over_bounded_aggregate(spark):
+def test_tpcds_q49_group_limit_and_count_rank(spark):
     """Q49 shape (r18): the returnflag IN filter pushes to the fact
-    scan, the (channel, part) cells map-combine BEFORE the two rank
-    windows (every Window node sits above the first HashAggregate —
-    leaves-first ids), and the windows partition by channel (never a
-    global single-partition sort)."""
+    scan, the (channel, part) cells map-combine BEFORE any window
+    (leaves-first ids), BOTH rank<=10 branches push as
+    WindowGroupLimit (each map partition keeps only its top 10 per
+    channel before the exchange — no task ever sorts the whole cell
+    table: the 5-channel full-window sort is the single-task hazard
+    this plan exists to avoid), and the exact-rank counting pass
+    joins the <=20-per-channel kept keys by BROADCAST."""
     plan = _formatted_plan(spark, "tpcds_q49")
     assert re.search(r"In\(l_returnflag, ?\[N,R\]\)", plan), (
         "returnflag IN filter not pushed to the fact scan"
@@ -1455,17 +1458,20 @@ def test_tpcds_q49_windows_over_bounded_aggregate(spark):
         int(m.group(2)): m.group(1)
         for m in re.finditer(r"([A-Za-z]+)\s[^(\n]*\((\d+)\)", tree)
     }
+    wgl_ids = [i for i, n in nodes.items() if n == "WindowGroupLimit"]
+    assert len(wgl_ids) >= 2, (
+        "both rank<=10 filters must push as WindowGroupLimit"
+    )
     win_ids = [i for i, n in nodes.items() if n == "Window"]
-    assert len(win_ids) >= 2, "expected BOTH rank windows"
+    assert win_ids, "rank windows missing"
     first_agg = min(i for i, n in nodes.items() if n == "HashAggregate")
-    assert all(first_agg < w for w in win_ids), (
-        "rank windows must consume the bounded cell aggregate"
+    assert all(first_agg < w for w in win_ids + wgl_ids), (
+        "windows must consume the bounded cell aggregate"
+    )
+    # the counting pass: kept keys broadcast against the cell table
+    assert re.search(r"Left keys \[1\]: \[ch#\d+\]", plan), (
+        "exact-rank counting pass must broadcast the kept keys "
+        "(a ch-only BroadcastHashJoin)"
     )
     assert "partial_sum" in plan
-    assert re.search(r"hashpartitioning\(ch", plan), (
-        "windows must partition by channel, not sort globally"
-    )
-    assert "SinglePartition" not in tree or not re.search(
-        r"Window[\s\S]{0,400}?SinglePartition", tree
-    ), "window running on a single partition"
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

@@ -360,6 +360,13 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (175000, 175199, "0.001", "exactrefine", "r18"),
     (176000, 176199, "0.1", "exactrefine", "r18"),
     (177000, 177599, "0.01", "rollupwin", "r18"),  # NULLIF+2-prefix combo
+    # --- r18c: corner closure at the other SFs + the widecross family ---
+    (178000, 178299, "0.001", "rollupwin", "r18"),  # combo at sf0.001
+    (179000, 179099, "0.1", "chunkreplay", "r18"),  # tie at sf0.1
+    (180000, 180199, "0.1", "rollupwin", "r18"),  # combo at sf0.1
+    (181000, 181299, "0.01", "widecross", "r18"),  # int64-crossing thresholds
+    (182000, 182199, "0.001", "widecross", "r18"),
+    (183000, 183199, "0.1", "widecross", "r18"),
 )
 
 
