@@ -367,6 +367,8 @@ LEDGER: tuple[tuple[int, int, str, str, str], ...] = (
     (181000, 181299, "0.01", "widecross", "r18"),  # int64-crossing thresholds
     (182000, 182199, "0.001", "widecross", "r18"),
     (183000, 183199, "0.1", "widecross", "r18"),
+    (184000, 184299, "0.01", "widecross", "r18"),  # +joined sources
+    (185000, 185149, "0.1", "widecross", "r18"),
 )
 
 
@@ -2630,15 +2632,36 @@ def _gen_widecross(con, rng: random.Random):
     MAX so the CELL aggregation itself stays inside int64 — that is
     a different, already-guarded seam; only the threshold products
     cross the line."""
-    table = rng.choice(["lineitem", "orders"])
-    cols = TABLE_COLS[table]
-    g = rng.choice(cols["groups"])
-    f = rng.choice(cols["floats"])
-    pred = (_gen_predicate(con, table, cols, rng)
-            if rng.random() < 0.5 else "1=1")
+    if rng.random() < 0.35:
+        # JOINED source: the threshold products run over PK-FK
+        # join-aggregate cells (the q49/q5 class — group key from the
+        # dim side, measure from the fact side)
+        fact, dim, fk, pk = rng.choice(
+            [("lineitem", "orders", "l_orderkey", "o_orderkey"),
+             ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+             ("orders", "customer", "o_custkey", "c_custkey")]
+        )
+        fcols, dcols = TABLE_COLS[fact], TABLE_COLS[dim]
+        g = rng.choice(dcols["groups"])
+        f = rng.choice(fcols["floats"])
+        pred = (_gen_predicate(con, fact, fcols, rng)
+                if rng.random() < 0.5 else "1=1")
+        table = (f"(SELECT * FROM {fact} JOIN {dim} "
+                 f"ON {fk} = {pk}) AS src")
+        probe_from = fact
+        pred_cols = fcols
+    else:
+        table = rng.choice(["lineitem", "orders"])
+        cols = TABLE_COLS[table]
+        g = rng.choice(cols["groups"])
+        f = rng.choice(cols["floats"])
+        pred = (_gen_predicate(con, table, cols, rng)
+                if rng.random() < 0.5 else "1=1")
+        probe_from = table
+        pred_cols = cols
     cmp_op = rng.choice(["<", "<=", ">", ">="])
     maxv, nrows = con.execute(
-        f"SELECT COALESCE(MAX({f}), 1), COUNT(*) FROM {table}"
+        f"SELECT COALESCE(MAX({f}), 1), COUNT(*) FROM {probe_from}"
     ).fetchone()
     form = rng.choice(["share", "variance", "ratio_pair"])
 
@@ -2693,7 +2716,7 @@ def _gen_widecross(con, rng: random.Random):
     else:
         a = rng.randint(2, 1000)
         b = rng.randint(2, 1000)
-        chan = _gen_predicate(con, table, cols, rng)
+        chan = _gen_predicate(con, probe_from, pred_cols, rng)
         scale = scale_for(8e18, square=False)
         tmpl = f"""
         WITH cell AS (
