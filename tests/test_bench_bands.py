@@ -1,13 +1,15 @@
-"""r18: the floor-normalized quiet-band check in bench.py.
+"""r18/r18c: the quiet-band check in bench.py.
 
-The r17 driver artifact carried join_agg 1.15 > its 1.10 band while
-the identical code measured 1.09 on a quiet box — the artifact's own
-floor_sec had moved +32%.  _band_check subtracts the EXCESS
-scheduling floor over the quiet reference (each core query is one
-Spark action, paying the floor once), making the band verdict
-box-invariant.  Pinned here: the r17 driver artifact normalizes to a
-PASS, the quiet anchors pass raw, and a genuine plan regression on a
-quiet box still FAILS.
+r18 added floor normalization after the r17 driver artifact carried
+join_agg 1.15 with its own floor_sec +32% (box noise, not a plan
+change).  r18c re-based the MEASUREMENT: bands are checked on a
+dedicated core STEADY pass (3x back-to-back per op, median) because
+interleaved-pass medians creep as HEADLINE grows and the host's
+per-stage cost drifts (A/B on the r17 tree reproduced today's +12%
+with code held constant — see the _CORE_BANDS comment block).
+Pinned here: today's steady medians pass raw, floor noise
+normalizes away, one-sided flutter is absorbed by the best-of term,
+and a genuine plan regression still FAILS on every path.
 """
 
 import importlib.util
@@ -19,71 +21,81 @@ spec = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
-# contract lines of the pinned quiet anchors (BENCH_r15 / BENCH_r16)
-# and the r17 driver artifact — real recorded values, not synthetic
-R15 = ({"filter": 0.18, "sum": 0.51, "take": 0.22, "partition": 0.51,
-        "join": 0.28, "join_agg": 1.03, "fact_fact_join": 0.72}, 0.314)
-R16 = ({"filter": 0.20, "sum": 0.51, "take": 0.25, "partition": 0.54,
-        "join": 0.28, "join_agg": 1.04, "fact_fact_join": 0.81}, 0.354)
-R17_BUILDER = ({"filter": 0.21, "sum": 0.52, "take": 0.24, "partition": 0.54,
-                "join": 0.34, "join_agg": 1.09, "fact_fact_join": 0.84}, 0.35)
-R17_DRIVER = ({"filter": 0.20, "sum": 0.54, "take": 0.26, "partition": 0.55,
-               "join": 0.32, "join_agg": 1.15, "fact_fact_join": 0.91}, 0.466)
+# the r18c pin anchors: idle back-to-back medians, 2026-08-17 (the
+# values _CORE_BANDS derive from, x ~1.25 headroom)
+STEADY_ANCHOR = {
+    "filter": 0.246, "sum": 0.574, "take": 0.267, "partition": 0.374,
+    "join": 0.272, "join_agg": 0.937, "fact_fact_join": 0.644,
+}
 
 
-def test_quiet_anchors_pass_raw():
-    """Every quiet anchor the bands were pinned from passes with NO
-    normalization applied (floor <= FLOOR_REF -> excess 0)."""
-    for timings, floor in (R15, R16, R17_BUILDER):
-        ok, adjusted, failed = bench._band_check(timings, floor)
-        assert ok, failed
-        # the adjustment is bounded by the tiny floor excess (0 at or
-        # below FLOOR_REF; r16's 0.354 floor corrects by <= 1.2%)
-        excess = max(0.0, floor - bench._FLOOR_REF)
-        slow = max(1.0, floor / bench._FLOOR_REF)
-        assert excess <= 0.005
-        for k, v in timings.items():
-            assert adjusted[k] == round(min(v - excess, v / slow), 3)
-
-
-def test_r17_driver_artifact_normalizes_to_pass():
-    """THE case that motivated the change: join_agg 1.15 with floor
-    0.466 is box noise, not a regression — bands_ok must be true.
-    The additive form alone already clears it (1.15 - 0.116 = 1.034
-    <= 1.10); the min() with the multiplicative form can only help."""
-    ok, adjusted, failed = bench._band_check(*R17_DRIVER)
+def test_steady_anchor_passes_raw():
+    """The steady medians the bands were pinned from pass with NO
+    normalization applied (floor at the quiet reference)."""
+    ok, adjusted, failed = bench._band_check(STEADY_ANCHOR, 0.33)
     assert ok, failed
-    assert adjusted["join_agg"] <= 1.034
+    for k, v in STEADY_ANCHOR.items():
+        assert adjusted[k] == round(v, 3)  # corrections are no-ops
+
+
+def test_headroom_is_meaningful_not_loose():
+    """Every band sits between ~1.15x and ~1.45x its steady anchor:
+    tight enough that a 50% regression cannot hide, loose enough for
+    run-to-run spread."""
+    for k, v in STEADY_ANCHOR.items():
+        band = bench._CORE_BANDS[k]
+        assert 1.10 <= band / v <= 1.50, (k, band, v)
+
+
+def test_floor_noise_normalizes_to_pass():
+    """The r17-driver-artifact regime: a +0.116 per-job scheduling
+    floor lifts every steady median by the same amount; the additive
+    form subtracts the excess and the verdict holds."""
+    noisy = {k: round(v + 0.116, 3) for k, v in STEADY_ANCHOR.items()}
+    ok, adjusted, failed = bench._band_check(noisy, 0.466)
+    assert ok, failed
+    assert adjusted["join_agg"] <= bench._CORE_BANDS["join_agg"]
+
+
+def test_flutter_passes_via_best_of():
+    """One-sided per-stage jitter can inflate even the steady medians
+    on a quiet floor; the best-of-n interleaved term recognizes the
+    plan cost is unchanged.  Without best the same inputs fail —
+    pinned so the term's effect stays visible."""
+    fluttered = {k: round(v * 1.30, 3) for k, v in STEADY_ANCHOR.items()}
+    best = {k: round(v * 1.05, 3) for k, v in STEADY_ANCHOR.items()}
+    ok, adjusted, failed = bench._band_check(fluttered, 0.33, best)
+    assert ok, failed
+    ok_legacy, _, failed_legacy = bench._band_check(fluttered, 0.33)
+    assert not ok_legacy and failed_legacy
 
 
 def test_true_regression_on_quiet_box_still_fails():
-    """A genuine plan regression (join_agg +0.2 with the floor at the
-    quiet reference) must NOT be absorbed: both corrections are
-    no-ops when floor <= FLOOR_REF."""
-    timings = dict(R17_BUILDER[0], join_agg=1.30)
-    ok, adjusted, failed = bench._band_check(timings, 0.35)
+    """A genuine plan regression (join_agg +0.4 in steady AND best,
+    quiet floor) must NOT be absorbed by any path."""
+    steady = dict(STEADY_ANCHOR, join_agg=STEADY_ANCHOR["join_agg"] + 0.4)
+    best = {k: round(v * 1.02, 3) for k, v in steady.items()}
+    ok, adjusted, failed = bench._band_check(steady, 0.33, best)
     assert not ok
     assert failed == ["join_agg"]
-    assert adjusted["join_agg"] == 1.30  # untouched on a quiet floor
 
 
 def test_large_regression_fails_even_on_busy_box():
-    """The rejection rule's guarantee: a regression LARGER than the
+    """The rejection rule's guarantee: a regression larger than the
     measured slowdown factor cannot hide behind normalization.  With
-    floor 0.466 (s = 1.33) a join_agg of 1.60 still fails; the band's
-    busy-box blind spot is bounded by s and resolved by the
-    documented quiet re-run rule."""
-    timings = dict(R17_DRIVER[0], join_agg=1.60)
-    ok, _, failed = bench._band_check(timings, 0.466)
+    floor 0.466 (s = 1.33) a join_agg of 1.8 in both steady and best
+    still fails; the busy-box blind spot is bounded by s and resolved
+    by the documented quiet re-run rule."""
+    steady = dict(STEADY_ANCHOR, join_agg=1.8)
+    best = dict(STEADY_ANCHOR, join_agg=1.8)
+    ok, _, failed = bench._band_check(steady, 0.466, best)
     assert not ok
     assert failed == ["join_agg"]
 
 
 def test_missing_core_query_is_not_a_silent_pass():
-    """All seven reference-core ops are in the band table; a timings
-    map missing one simply isn't checked for it (bench always times
-    the full HEADLINE, so this is a schema guard, not a runtime
-    path)."""
+    """All seven reference-core ops are in the band table and in
+    HEADLINE (bench always times and steady-passes the full set)."""
     assert set(bench._CORE_BANDS) == {
         "filter", "sum", "take", "partition", "join", "join_agg",
         "fact_fact_join",
