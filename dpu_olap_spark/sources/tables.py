@@ -57,6 +57,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # under ~100k events.
 REPLAY_ROWS_PER_PARTITION = 300_000
 STATE_PARTITIONS_DEFAULT = 8
+# r18 optimization-round re-measurement (guide §2.4: fewer, larger
+# state partitions when per-partition overhead dominates): a
+# symmetric stream-stream join commits FOUR state stores per
+# partition per batch (left/right x keyToNumValues/keyWithIndex), and
+# the per-store commit cost is FIXED (~100ms task time even for a
+# 63-row batch — measured via StreamingQueryProgress commitTimeMs),
+# so at fixture volumes the 8-partition floor pays 4x8 store commits
+# per batch for ~40k state rows.  Sweep on the registered interval
+# join at sf0.1 (200k events, identical 183 emitted rows at every
+# setting): p8 3.4s / p4 2.1s / p2 1.9s / p1 2.0s medians — the knee
+# is 4.  The JOIN floor therefore drops to 4; the single-store
+# AGG queries keep STATE_PARTITIONS_DEFAULT=8 (their sweep showed
+# p2 = 5.0s vs p8 = 3.1s: pandas-worker parallelism dominates there).
+# At replay scale nothing changes: rows/300k takes over above 1.2M.
+JOIN_STATE_PARTITIONS_FLOOR = 4
 
 _ROW_COUNT_CACHE: dict[tuple, int] = {}
 
@@ -88,14 +103,16 @@ def parquet_row_count(path: str) -> int:
 
 def replay_state_partitions(n_rows: int, cores: int) -> int:
     """The r16 sweep rule for stream-stream JOIN state partitions:
-    ``max(8, min(cores, n_rows // 300_000))``.  Measured at 10M events
+    ``max(4, min(cores, n_rows // 300_000))``.  Measured at 10M events
     (SCALE.md §r16): p8 = 105.9s, p32 = 32.1s (3.3x) on 32 cores with
     identical emitted rows; p64 regressed at 1M, so cores is the cap.
-    At driver/bench fixture sizes (<= 100k events) the rule floors at
-    the r12 key-sized default of 8, so registered-query plans are
-    unchanged at test scale."""
+    At driver/bench fixture sizes (<= 1.2M events) the rule floors at
+    4 — the r18 optimization-round knee (see the comment above
+    JOIN_STATE_PARTITIONS_FLOOR): the join's 4-stores-per-partition
+    fixed commit cost made the old floor of 8 pay ~1s/query for no
+    parallelism gain at fixture volumes; emitted rows are invariant."""
     return max(
-        STATE_PARTITIONS_DEFAULT,
+        JOIN_STATE_PARTITIONS_FLOOR,
         min(cores, n_rows // REPLAY_ROWS_PER_PARTITION),
     )
 

@@ -40,7 +40,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from dpu_olap_spark.sources.tables import (
-    STATE_PARTITIONS_DEFAULT,
+    JOIN_STATE_PARTITIONS_FLOOR,
     _restore_nano_ts,
     parquet_row_count,
     replay_state_partitions,
@@ -55,11 +55,19 @@ _replay_counter = itertools.count()
 
 def chunked_replay_partitions(cores: int) -> int:
     """State partitions for a CHUNKED replay: half the cores, capped
-    at 16, floored at the key-sized default.  The sweep's do-not-stack
+    at 16, floored at the join-state floor.  The sweep's do-not-stack
     finding: per-batch commit cost ~ partitions x batches, so with
     ~rows/1M batches the single-batch volume rule over-pays (p32 + 10
-    chunks = 36.8s vs p16 + 10 chunks = 30.0s at 10M on 32 cores)."""
-    return max(STATE_PARTITIONS_DEFAULT, min(cores // 2, CHUNKED_PARTITION_CAP))
+    chunks = 36.8s vs p16 + 10 chunks = 30.0s at 10M on 32 cores).
+    The floor dropped 8 -> 4 in the r18 optimization round: a chunked
+    fixture replay runs ~5 micro-batches x 4 join state stores per
+    partition, so the fixed per-store commit cost dominates — measured
+    at sf0.1 (100k events, 4 chunks, identical 39,705 emitted rows):
+    p8 = 4.9s / p4 = 2.9s / p2 = 2.8s medians; at 10M events the
+    cores//2 term keeps the measured p16 knee unchanged."""
+    return max(
+        JOIN_STATE_PARTITIONS_FLOOR, min(cores // 2, CHUNKED_PARTITION_CAP)
+    )
 
 
 _MANIFEST = "_MANIFEST.json"

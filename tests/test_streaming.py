@@ -785,10 +785,13 @@ def test_time_ordered_chunked_replay_matches_single_batch(
 
 def test_replay_partition_rules_match_sweep_measurements():
     """The two partition rules pin the sweep's measured knees exactly:
-    volume rule min(cores, rows/300k) floored at the r12 key-sized
-    default (p32 best at 10M on 32 cores; fixtures <=100k stay at 8),
-    chunked rule cores/2 capped at 16 (p16 + 10 chunks was the best
-    sweep row; p32 + chunks over-pays commit cost)."""
+    volume rule min(cores, rows/300k) floored at the r18 join-state
+    knee of 4 (p32 best at 10M on 32 cores; fixtures <=1.2M floor at
+    4 — the optimization-round sweep: the join commits 4 state stores
+    per partition per batch, p4 halves the fixture wall vs p8 with
+    identical emitted rows), chunked rule cores/2 capped at 16 (p16 +
+    10 chunks was the best sweep row; p32 + chunks over-pays commit
+    cost)."""
     from dpu_olap_spark.sources.tables import replay_state_partitions
     from dpu_olap_spark.streaming.replay import chunked_replay_partitions
 
@@ -796,26 +799,27 @@ def test_replay_partition_rules_match_sweep_measurements():
     assert replay_state_partitions(10_000_000, 32) == 32  # sweep best
     assert replay_state_partitions(10_000_000, 16) == 16  # cores cap
     assert replay_state_partitions(3_000_000, 32) == 10
-    assert replay_state_partitions(100_000, 32) == 8      # fixture floor
-    assert replay_state_partitions(0, 32) == 8
+    assert replay_state_partitions(100_000, 32) == 4      # fixture floor
+    assert replay_state_partitions(0, 32) == 4
     # chunked rule
     assert chunked_replay_partitions(32) == 16            # sweep best
     assert chunked_replay_partitions(64) == 16            # knee cap
-    assert chunked_replay_partitions(8) == 8              # floor
+    assert chunked_replay_partitions(8) == 4              # floor
     # the entry point caps the chunked knee by the volume rule: at
-    # fixture scale (<= 300k rows) the key-sized 8 wins (4 batches x
-    # 16 partitions measured ~2x slower than 4 x 8 at 100k rows)
+    # fixture scale (<= 300k rows) the join-state floor of 4 wins
+    # (per-batch store-commit cost dominates; measured r18: 4 chunks x
+    # p4 = 2.9s vs p8 = 4.9s at 100k rows, identical emitted rows)
     assert min(chunked_replay_partitions(32),
-               replay_state_partitions(100_000, 32)) == 8
+               replay_state_partitions(100_000, 32)) == 4
     assert min(chunked_replay_partitions(32),
                replay_state_partitions(10_000_000, 32)) == 16
 
 
 def test_registered_join_queries_keep_fixture_default():
     """At every driver/bench fixture SF the adaptive rule resolves to
-    the measured-right default of 8 (events <= 100k rows), so the
-    registered join queries' state layout is unchanged at test scale
-    — the rule only bites at replay volume."""
+    the r18-measured join-state floor of 4 (events <= 1.2M rows), so
+    the registered join queries' state layout is fixture-invariant at
+    test scale — the volume term only bites at replay volume."""
     from dpu_olap_spark.sources.tables import (
         parquet_row_count,
         replay_state_partitions,
@@ -823,7 +827,7 @@ def test_registered_join_queries_keep_fixture_default():
 
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         n = parquet_row_count(f"/root/testdata/{sf}/events.parquet")
-        assert replay_state_partitions(n, 32) == 8, (sf, n)
+        assert replay_state_partitions(n, 32) == 4, (sf, n)
 
 
 def test_replay_entry_point_matches_registered_query(spark, tmp_path):
