@@ -125,6 +125,23 @@ def join_replay_partitions(spark: SparkSession, sf_dir: str) -> int:
     return replay_state_partitions(n, spark.sparkContext.defaultParallelism)
 
 
+def events_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Volume-adaptive state partitions for the JVM-side stateful
+    streams over the events table (aggregations, dedup, session
+    windows, time-travel) — the same rows/300k volume rule as the
+    join streams.  r18 optimization-round measurement (identical
+    output rows at every setting): a JVM agg stream over sf0.1's 200k
+    events ran 0.63s at p8 vs 0.53s at p4; the doubled-stream dedup
+    (200k state keys) 0.93s at p8 vs 0.79s at p4 — the fixed
+    per-partition store-commit cost dominates under ~1.2M rows, so
+    the floor of 4 wins; above it the volume term takes over exactly
+    as for the joins.  Python-stateful streams
+    (applyInPandasWithState) deliberately KEEP state_partitions=8:
+    their sweep showed p2 regressing 3.1s -> 5.0s because
+    pandas-worker parallelism, not commit cost, dominates there."""
+    return join_replay_partitions(spark, sf_dir)
+
+
 def _restore_nano_ts(df: DataFrame, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 

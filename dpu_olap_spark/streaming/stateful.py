@@ -39,7 +39,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dpu_olap_spark.registry import query
-from dpu_olap_spark.sources.tables import load_events_stream, run_to_memory_sink
+from dpu_olap_spark.sources.tables import (
+    events_state_partitions,
+    load_events_stream,
+    run_to_memory_sink,
+)
 
 _sink_counter = itertools.count()
 
@@ -519,7 +523,10 @@ def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _STATE_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(events_state_partitions(spark, sf_dir)),
+        )
         try:
             q = (
                 agg.writeStream.outputMode("update")
@@ -615,7 +622,10 @@ def q_statestore_session_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _STATE_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(events_state_partitions(spark, sf_dir)),
+        )
         try:
             q = (
                 agg.writeStream.outputMode("append")
@@ -782,7 +792,7 @@ def q_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         sink,
         "update",
-        state_partitions=8,
+        state_partitions=events_state_partitions(spark, sf_dir),
         extra_confs={
             "spark.sql.streaming.stateStore.providerClass":
                 "org.apache.spark.sql.execution.streaming.state."
@@ -839,7 +849,8 @@ def q_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _STATE_CONF_LOCK:
         to_set = {
-            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.shuffle.partitions":
+                str(events_state_partitions(spark, sf_dir)),
             "spark.sql.streaming.stateStore.providerClass":
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
@@ -940,19 +951,36 @@ def q_statestore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="tt_src_")
     _TT_DIRS.append(src)
     now = _time.time()
+    # ONE pass builds all three slice files (r18 optimization round,
+    # guide §1.2: the previous per-slice loop scanned events three
+    # times in three jobs).  partitionBy splits the single write task
+    # into one file per slice value; repartition(1) is what guarantees
+    # EXACTLY one file per slice — a multi-task write could emit
+    # several part files per slice dir and maxFilesPerTrigger=1 would
+    # then split a slice across batches, breaking the batchId=1 ==
+    # slices 0-1 contract the oracle encodes.  The partitioning column
+    # is synthetic, so the data files keep exactly the original schema.
+    import shutil
+
+    staging = os.path.join(src, "_staged")
+    (
+        ev.withColumn("slice", (F.col("event_id") % 3).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(staging)
+    )
     for k in range(3):
-        staging = os.path.join(src, f"slice{k}")
-        ev.where(F.col("event_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        sdir = os.path.join(staging, f"slice={k}")
+        parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, (
+            f"expected exactly one part file for slice {k}, got {parts}"
+        )
         dst = os.path.join(src, f"{k:02d}.parquet")
-        os.rename(os.path.join(staging, part), dst)
+        os.rename(os.path.join(sdir, parts[0]), dst)
         # strictly increasing mtimes pin the oldest-first batch order
         os.utime(dst, (now - 300 + k * 60, now - 300 + k * 60))
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -967,7 +995,10 @@ def q_statestore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _STATE_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(events_state_partitions(spark, sf_dir)),
+        )
         try:
             q = (
                 agg.writeStream.outputMode("update")

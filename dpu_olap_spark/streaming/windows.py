@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from dpu_olap_spark.registry import query
 from dpu_olap_spark.sources.tables import (
+    events_state_partitions,
     join_replay_partitions,
     load_events_stream,
     load_table,
@@ -123,7 +124,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     sink = f"stream_static_join_sink_{next(_sink_counter)}"
-    run_to_memory_sink(agg, sink, "complete", state_partitions=8)
+    run_to_memory_sink(agg, sink, "complete",
+                       state_partitions=events_state_partitions(spark, sf_dir))
     return spark.table(sink)
 
 
@@ -145,7 +147,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode memory sink) and returned as the final result table."""
     stream = load_events_stream(spark, sf_dir)
     sink = f"stream_tumbling_sink_{next(_sink_counter)}"
-    run_to_memory_sink(tumbling_agg(stream), sink, "complete", state_partitions=8)
+    run_to_memory_sink(tumbling_agg(stream), sink, "complete",
+                       state_partitions=events_state_partitions(spark, sf_dir))
     return spark.table(sink)
 
 
@@ -307,7 +310,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     sink = f"stream_dedup_sink_{next(_sink_counter)}"
-    run_to_memory_sink(deduped, sink, "append", state_partitions=8)
+    run_to_memory_sink(deduped, sink, "append",
+                       state_partitions=events_state_partitions(spark, sf_dir))
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -343,7 +347,8 @@ def q_stream_dedup_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = load_events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     sink = f"stream_dedup_unb_{next(_sink_counter)}"
-    run_to_memory_sink(deduped, sink, "append", state_partitions=8)
+    run_to_memory_sink(deduped, sink, "append",
+                       state_partitions=events_state_partitions(spark, sf_dir))
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -475,7 +480,8 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_sess_app_{next(_sink_counter)}"
-    run_to_memory_sink(agg, sink, "append", state_partitions=8)
+    run_to_memory_sink(agg, sink, "append",
+                       state_partitions=events_state_partitions(spark, sf_dir))
     return spark.table(sink)
 
 

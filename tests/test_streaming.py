@@ -462,16 +462,20 @@ def test_udtf_analyze_polymorphic_schema(spark):
 def test_statestore_metadata_lists_aggregation(spark):
     """After statestore_read runs, the state-metadata source over the
     SAME checkpoint must list the aggregation operator
-    (stateStoreSave) with the 8 state partitions the query pinned —
-    the discovery half of the state-reader surface."""
+    (stateStoreSave) with the volume-adaptive state partition count
+    the query pinned — the discovery half of the state-reader
+    surface."""
     from dpu_olap_spark.registry import all_queries
     from dpu_olap_spark.streaming.stateful import _SS_CKPT
 
+    from dpu_olap_spark.sources.tables import events_state_partitions
+
     all_queries()["statestore_read"].build(spark, "/root/testdata/sf0.001").collect()
+    expected = events_state_partitions(spark, "/root/testdata/sf0.001")
     md = spark.read.format("state-metadata").load(_SS_CKPT["ckpt"]).collect()
     ops = {r.operatorName for r in md}
     assert "stateStoreSave" in ops, ops
-    assert all(r.numPartitions == 8 for r in md)
+    assert all(r.numPartitions == expected for r in md)
 
 
 def test_stream_dedup_unbounded_sink_has_no_duplicates(spark):
@@ -527,10 +531,13 @@ def test_session_state_reader_matches_batch_sessionization(spark):
     )
     n_state = state.count()
 
+    from dpu_olap_spark.sources.tables import events_state_partitions
+
     md = spark.read.format("state-metadata").load(_SS_CKPT["sess_ckpt"]).collect()
     ops = {r.operatorName for r in md}
     assert "sessionWindowStateStoreSaveExec" in ops, ops
-    assert all(r.numPartitions == 8 for r in md)
+    expected = events_state_partitions(spark, "/root/testdata/sf0.001")
+    assert all(r.numPartitions == expected for r in md)
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
