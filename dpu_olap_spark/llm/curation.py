@@ -42,9 +42,17 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     it map-side — an explode().distinct() would shuffle every gram row
     for the same result (measured 24s -> map-local at probe scale)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    return docs.where(F.size(toks) >= _NGRAM).select(
-        "doc_id", F.explode(F.array_distinct(shingles(toks, _NGRAM))).alias("g")
+    # token array hoisted into its own projection so the shingle
+    # lambda slices a materialized array instead of re-splitting the
+    # text per shingle (r18 optimization round, guide §1.2; measured
+    # 0.774s -> 0.413s on the paragraph twin of this shape at sf0.1)
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("w"), _NGRAM))).alias("g"),
+        )
     )
 
 
@@ -319,17 +327,30 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles; a quality gate would filter on rep_ratio before
     any expensive pipeline stage."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    gs = shingles(toks, _NGRAM)
-    n_grams = F.size(gs)
-    n_distinct = F.size(F.array_distinct(gs))
-    return docs.where(F.size(toks) >= _NGRAM).select(
+    # staged projections (r18 optimization round, guide §1.2): the old
+    # single projection referenced the shingle array FOUR times (two
+    # sizes, each used twice) with the token split inlined in the
+    # transform lambda — the split and the whole gram build re-ran per
+    # reference.  Materializing w -> gs -> the two counts makes each
+    # stage compute once; the ratio then reads the counts.
+    staged = (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= _NGRAM)
+        .select("doc_id", "lang", shingles(F.col("w"), _NGRAM).alias("gs"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("gs").alias("ng"),
+            F.size(F.array_distinct("gs")).alias("nd"),
+        )
+    )
+    return staged.select(
         "doc_id",
         "lang",
-        n_grams.cast("bigint").alias("n_grams"),
-        n_distinct.cast("bigint").alias("n_distinct"),
+        F.col("ng").cast("bigint").alias("n_grams"),
+        F.col("nd").cast("bigint").alias("n_distinct"),
         # unrounded: 1.0 - int-ratio, identical doubles both engines
-        (1.0 - n_distinct.cast("double") / n_grams)
+        (1.0 - F.col("nd").cast("double") / F.col("ng"))
         .cast("double")
         .alias("rep_ratio"),
     )

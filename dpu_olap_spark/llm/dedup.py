@@ -110,9 +110,20 @@ def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 min-aggregates (3.5s); single-hash + XOR lanes cuts the md5
     count by K."""
     corpus = _corpus(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    sh = corpus.where(F.size(toks) >= 3).select(
-        "doc_id", F.explode(shingles(toks, 3)).alias("shingle")
+    # Materialize the token array in its OWN projection before the
+    # shingle transform (r18 optimization round, guide §1.2 per-task
+    # work): shingles()'s lambda slices the token array once per
+    # shingle, and when `toks` is the raw split() expression the
+    # optimizer re-evaluates the split PER SHINGLE (CollapseProject
+    # inlines aliases, but a separate projection with a multiply-
+    # referenced non-cheap alias survives) — O(len^2) per document.
+    # Measured on the paragraph twin of this shape at sf0.1: 0.774s ->
+    # 0.413s for the segment subplan, identical rows.
+    wtoks = corpus.select("doc_id", tokens(F.col("text")).alias("w")).where(
+        F.size("w") >= 3
+    )
+    sh = wtoks.select(
+        "doc_id", F.explode(shingles(F.col("w"), 3)).alias("shingle")
     )
     hashed = sh.select("doc_id", base_hash60(F.col("shingle")).alias("base"))
     return hashed.groupBy("doc_id").agg(
@@ -291,11 +302,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash pipeline). Only candidates are compared — the exact
     computation never touches non-candidate pairs."""
     corpus = _corpus(spark, sf_dir)
-    toks = tokens(F.col("text"))
     # per-doc distinct -> array_distinct BEFORE explode (map-side; an
-    # explode().distinct() would shuffle every shingle row)
-    shd = corpus.where(F.size(toks) >= 3).select(
-        "doc_id", F.explode(F.array_distinct(shingles(toks, 3))).alias("shingle")
+    # explode().distinct() would shuffle every shingle row); token
+    # array hoisted into its own projection so the shingle lambda
+    # slices a materialized array instead of re-splitting per shingle
+    # (see _lanes)
+    shd = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("w"), 3))).alias("shingle"),
+        )
     )
     cand = q_dedup_minhash_pairs(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -545,7 +563,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code change — and still fails loudly past it.
     import os
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Volume-adaptive loop partitioning (r18 optimization round, guide
+    # §2.2 "fewer, larger partitions"): the explicit repartitions that
+    # pin the loop's exchange-elision are NOT AQE-coalescible, so at
+    # fixture scale the old conf value (32) paid 32 near-empty tasks
+    # per round per stage.  Same rows/300k rule as the streaming
+    # family, from a driver-side parquet-footer read (no job); the
+    # corpus is documents + the doc_id%10 dupe augmentation (~1.1x).
+    # Sweep at sf0.1 (identical 5,500 label rows at every setting):
+    # p32 1.59s / p16 1.70s / p8 1.44s / p4 1.34s median.  At 100 TB
+    # the rows/300k term takes over and the loop keeps conf-level
+    # parallelism.
+    from dpu_olap_spark.sources.tables import parquet_row_count
+
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+    corpus_rows = n_docs + n_docs // 10
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = max(4, min(n_conf, corpus_rows // 300_000))
     max_rounds = int(os.environ.get("SPARK_GRAFT_CC_MAX_ROUNDS", "16"))
     labels, rounds = _propagate_min_labels(corpus, edges, n_part, max_rounds)
     _LAST_ITERATIONS[sf_dir] = rounds
@@ -803,15 +837,25 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's relational core (SURVEY.md LLM-pipeline family), next
     to dedup_exact (host/ aggregation parity) and the minhash family."""
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    segs = docs.select(
-        "doc_id",
-        F.expr(
-            f"posexplode(transform(sequence(1, (size(split(text, ' ')) "
-            f"+ {_PARA_K} - 1) div {_PARA_K}), "
-            f"i -> array_join(slice(split(text, ' '), "
-            f"(i-1)*{_PARA_K}+1, {_PARA_K}), ' ')))"
-        ).alias("p", "seg"),
-    ).select("doc_id", (F.col("p") + 1).alias("seg_pos"), "seg")
+    # token array hoisted into its own projection (r18 optimization
+    # round, guide §1.2 per-task work): with split(text) inlined in the
+    # transform lambda the split re-ran once PER SEGMENT — O(len^2) per
+    # doc. Measured at sf0.1 on this exact subplan: 0.774s -> 0.413s
+    # median, identical 91,906 rows. The segs shape feeds BOTH corpus
+    # passes (frequency build + join probe), so the win applies twice.
+    segs = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"posexplode(transform(sequence(1, (size(w) "
+                f"+ {_PARA_K} - 1) div {_PARA_K}), "
+                f"i -> array_join(slice(w, "
+                f"(i-1)*{_PARA_K}+1, {_PARA_K}), ' ')))"
+            ).alias("p", "seg"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("seg_pos"), "seg")
+    )
     freq = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("nd")
     )

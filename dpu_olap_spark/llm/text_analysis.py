@@ -617,6 +617,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     model table is vocabulary-bounded — tiny next to the corpus — which
     is what makes it broadcastable to the scoring pass at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE (r18 optimization round): unlike the shingle/segment shapes
+    # (where split() inlined in a transform LAMBDA re-ran per element
+    # — see dedup._lanes), the zip_with arguments here are plain
+    # per-row subtrees and Spark's subexpression elimination already
+    # evaluates the split once; an A/B with a hoisted projection
+    # measured no win (0.56/0.58 -> 0.58/0.72), so the original
+    # single-projection form stays.
     t = tokens(F.col("text"))
     bigrams = F.zip_with(
         F.slice(t, 1, F.size(t) - 1),
@@ -686,6 +693,8 @@ def q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only ONE division turns the exact integer back into the
     reported double."""
     docs = load_table(spark, sf_dir, "documents")
+    # zip_with args are plain per-row subtrees — CSE covers the split;
+    # a hoisted-projection A/B measured no win here (see q_bigram_lm)
     t = tokens(F.col("text"))
     bigrams = F.zip_with(
         F.slice(t, 1, F.size(t) - 1),
