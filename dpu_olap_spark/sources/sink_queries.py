@@ -383,11 +383,20 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw keys have unequal ranges (partkey ~20x suppkey), and the
     # wider key's high bits would dominate the Z top bits, collapsing
     # Z-order into single-key clustering (measured: suppkey pruning
-    # 16/16 files unnormalized vs <=1/2 after). Two maxes = one
-    # bounded parameter fetch, the broadcast-parameter pattern.
-    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
-    xs = F.floor(F.col("l_partkey") * 1024 / F.lit(int(mx[0]) + 1)).cast("int")
-    ys = F.floor(F.col("l_suppkey") * 1024 / F.lit(int(mx[1]) + 1)).cast("int")
+    # 16/16 files unnormalized vs <=1/2 after). The two maxes come
+    # from parquet FOOTER statistics when available (r18 optimization
+    # round, guide §6: integer min/max stats are exact, so this is the
+    # same value as the agg without the full-table scan job); the agg
+    # remains as the fallback for stat-less inputs.
+    from dpu_olap_spark.sources.tables import parquet_int_column_max
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    mxp = parquet_int_column_max(src, "l_partkey")
+    mxs = parquet_int_column_max(src, "l_suppkey")
+    if mxp is None or mxs is None:
+        mxp, mxs = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    xs = F.floor(F.col("l_partkey") * 1024 / F.lit(int(mxp) + 1)).cast("int")
+    ys = F.floor(F.col("l_suppkey") * 1024 / F.lit(int(mxs) + 1)).cast("int")
     z = _zvalue(xs, ys, bits=10)
     (
         li.withColumn("_z", z)

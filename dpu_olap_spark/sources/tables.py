@@ -101,6 +101,46 @@ def parquet_row_count(path: str) -> int:
     return n
 
 
+def parquet_int_column_max(path: str, column: str) -> int | None:
+    """Exact MAX of an integer column from parquet footer statistics —
+    a driver-side metadata read, no Spark job (guide §6: make readers
+    use statistics).  Integer min/max stats are exact (no truncation,
+    unlike strings), so this equals the agg result whenever every row
+    group carries stats; returns None otherwise and the caller falls
+    back to the scan.  Accepts a single file or a directory of part
+    files, same as parquet_row_count."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    best: int | None = None
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        try:
+            idx = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == column
+            )
+        except StopIteration:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max
+            if not isinstance(mx, int):
+                return None
+            best = mx if best is None else max(best, mx)
+    return best
+
+
 def replay_state_partitions(n_rows: int, cores: int) -> int:
     """The r16 sweep rule for stream-stream JOIN state partitions:
     ``max(4, min(cores, n_rows // 300_000))``.  Measured at 10M events
