@@ -50,9 +50,25 @@ def _make_source():
             ]
 
         def read(self, partition):
+            # One Arrow RecordBatch per partition instead of yielding
+            # pickled tuples (guide §4.2: hand whole batches to
+            # vectorized code): the generator arithmetic runs in numpy
+            # and the rows cross the Python->JVM boundary as a single
+            # columnar batch. Values are identical to the tuple path —
+            # i*mult < 2^47 for i < 40k, exact in int64.
+            import numpy as np
+            import pyarrow as pa
+
             lo, hi = partition.value
-            for i in range(lo, hi):
-                yield (i, i % 16, (i * mult) % mod)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array((ids % 16).astype(np.int32), pa.int32()),
+                    pa.array(ids * mult % mod, pa.int64()),
+                ],
+                names=["id", "bucket", "metric"],
+            )
 
     class SynthMetricsSource(DataSource):
         @classmethod
@@ -138,7 +154,7 @@ def _make_sink():
 
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceWriter,
+        DataSourceArrowWriter,
         WriterCommitMessage,
     )
 
@@ -147,7 +163,13 @@ def _make_sink():
         fname: str
         n_rows: int
 
-    class CsvSinkWriter(DataSourceWriter):
+    class CsvSinkWriter(DataSourceArrowWriter):
+        """Arrow variant of the writer seam (guide §4.2): rows arrive
+        as columnar RecordBatches instead of pickled Row objects, and
+        each batch is serialized by pyarrow's native CSV writer —
+        byte-identical output ("k,cents\\n" lines, no header) to the
+        former per-row f-string loop."""
+
         def __init__(self, path: str) -> None:
             self.path = path
 
@@ -155,6 +177,7 @@ def _make_sink():
             import os
             import uuid
 
+            from pyarrow import csv as pacsv
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
@@ -162,10 +185,11 @@ def _make_sink():
             staging = os.path.join(self.path, "_staging")
             os.makedirs(staging, exist_ok=True)
             n = 0
-            with open(os.path.join(staging, fname), "w") as f:
-                for row in iterator:
-                    f.write(f"{row[0]},{row[1]}\n")
-                    n += 1
+            opts = pacsv.WriteOptions(include_header=False)
+            with open(os.path.join(staging, fname), "wb") as f:
+                for batch in iterator:
+                    pacsv.write_csv(batch, f, opts)
+                    n += batch.num_rows
             return PartCommit(fname=fname, n_rows=n)
 
         def commit(self, messages):

@@ -68,9 +68,22 @@ def _make_stream_source():
             ]
 
         def read(self, partition):
+            # Arrow RecordBatch instead of pickled tuples, same as the
+            # batch source (guide §4.2); values identical to the tuple
+            # path (i*mult < 2^47 for i < 40k, exact in int64).
+            import numpy as np
+            import pyarrow as pa
+
             lo, hi = partition.value
-            for i in range(lo, hi):
-                yield (i, i % 16, (i * mult) % mod)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array((ids % 16).astype(np.int32), pa.int32()),
+                    pa.array(ids * mult % mod, pa.int64()),
+                ],
+                names=["id", "bucket", "metric"],
+            )
 
         def commit(self, end):
             # offsets live in the checkpoint; nothing external to ack
