@@ -486,7 +486,17 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, w in enumerate(cap_words):
         words[i % n_words] |= w
 
-    wdf = spark.createDataFrame([(words,)], "bloom_words: array<bigint>")
+    # one-row parameter relation via an Arrow table, NOT a Python list:
+    # the list path plans applySchemaToPythonRDD (a Python worker spins
+    # up to deserialize pickled rows — measured 1.5 s of task time in
+    # this query's broadcast collect); the Arrow path crosses as one
+    # columnar batch, ~10x faster end-to-end (r18 optimization round,
+    # guide §4.1: control HOW data crosses the boundary)
+    import pyarrow as pa
+
+    wdf = spark.createDataFrame(
+        pa.table({"bloom_words": pa.array([words], pa.list_(pa.int64()))})
+    )
     li = load_table(spark, sf_dir, "lineitem")
     tests = []
     for seed in range(_BLOOM_K):

@@ -624,10 +624,22 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     two BIG sides the scale path is q-gram blocking first (the same
     banding idea as dedup_minhash_pairs), never an all-pairs distance."""
     nation = load_table(spark, sf_dir, "nation")
+    # Arrow-table parameter relation (not a Python row list): avoids
+    # the applySchemaToPythonRDD scan that spins a Python worker to
+    # deserialize pickled rows — same fix as bloom_filter_join's words
+    # relation (r18 optimization round, guide §4.1)
+    import pyarrow as pa
+
     probes = spark.createDataFrame(
-        [("NATON_1",), ("NATIONN_5",), ("NTION_19",), ("NATION-7",),
-         ("MATION_12",), ("NOWHERELAND",)],
-        "probe string",
+        pa.table(
+            {
+                "probe": pa.array(
+                    ["NATON_1", "NATIONN_5", "NTION_19", "NATION-7",
+                     "MATION_12", "NOWHERELAND"],
+                    pa.string(),
+                )
+            }
+        )
     )
     return (
         nation.join(
@@ -771,6 +783,16 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("user_id"),
             F.datediff(F.to_date("o_orderdate"), epoch0).alias("oday"),
         )
+        # repartition by user_id BEFORE the dedup: hash(user_id)
+        # satisfies both the dedup aggregate's (user_id, oday)
+        # clustering (subset rule) and the cogroup's user_id
+        # requirement, so the orders side pays ONE exchange instead of
+        # two (dedup shuffle + cogroup re-shuffle; r18 plan audit —
+        # guide §2.4 "two operations keyed the same way can share one
+        # exchange"). Map-side partial dedup is no loss: (user_id,
+        # oday) duplicates are rare in orders, so the partial agg was
+        # shipping ~everything anyway.
+        .repartition("user_id")
         .dropDuplicates(["user_id", "oday"])
     )
 

@@ -335,12 +335,15 @@ def test_cogroup_asof_copartitions_both_sides(spark):
     """cogroup_asof: both inputs exchange on user_id (hashpartitioning)
     into ONE FlatMapCoGroupsInPandas — exactly two exchanges, no join,
     no cartesian. The dedup on orders happens BEFORE the cogroup so the
-    Python side never sees duplicate (user, day) rows."""
+    Python side never sees duplicate (user, day) rows, and it REUSES
+    the cogroup's user_id exchange (subset rule; r18 optimization) —
+    a third exchange would mean the dedup went back to shuffling by
+    (user_id, oday) and re-shuffling for the cogroup."""
     plan = _formatted_plan(spark, "cogroup_asof")
     assert "FlatMapCoGroupsInPandas" in plan, "no cogroup node in plan"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 3, f"too many exchanges for a cogroup: {n_exchanges}"
+    assert n_exchanges <= 2, f"too many exchanges for a cogroup: {n_exchanges}"
 
 
 def test_param_sql_binds_and_pushes_down(spark):
