@@ -22,7 +22,7 @@ from dpu_olap_spark.functions.text import (
     tokens,
 )
 from dpu_olap_spark.registry import query
-from dpu_olap_spark.sources.tables import load_table
+from dpu_olap_spark.sources.tables import load_table, parquet_row_count
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _EVAL_HEX_SQL = ", ".join(f"'{h}'" for h in EVAL_HEX)
@@ -353,7 +353,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear. ln() agrees across libm implementations far below the
     1e-6 rounding, applied before the multiply on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar parameter (metadata count), not a data collect
+    # scalar parameter from the parquet FOOTER (driver-side metadata
+    # read, no Spark job — guide §6, same pattern as sink_zorder's
+    # normalization maxes): the oracle's n is COUNT(*) FROM documents,
+    # which the footer row count equals exactly.  The old docs.count()
+    # paid a full job (and its scheduling floor) before the main query
+    # could even be submitted.
+    import os as _os
+
+    n_docs = parquet_row_count(_os.path.join(sf_dir, "documents.parquet"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     # tf materialized once (column pruning would otherwise specialize
     # the subtree per consumer and re-explode the corpus for each):

@@ -754,6 +754,20 @@ def test_bm25_top5_sorted_and_bounded(spark):
         assert 1 <= len(scores) <= 5
 
 
+def test_tfidf_footer_count_equals_table_count(spark):
+    """tfidf's n_docs now comes from the parquet footer (driver-side
+    metadata read, no Spark job — r18 optimization round); the oracle's
+    n is COUNT(*) FROM documents, so the footer count must equal the
+    scan count at every fixture SF or the scores silently shift."""
+    from dpu_olap_spark.sources.tables import parquet_row_count
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        assert parquet_row_count(path) == (
+            spark.read.parquet(path).count()
+        ), sf
+
+
 def test_group_size_hist_conserves_rows_and_keys(spark):
     rows = _q("group_size_hist").build(spark, SF).collect()
     orders = spark.read.parquet(SF + "/orders.parquet")
