@@ -46,44 +46,17 @@ def _wrap(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 # oldest-verified-round first so stale rows get re-checked.  Update
 # these sets each round from CORRECTNESS_r{N}.json.
 _VERIFIED_R14 = (
-    # CORRECTNESS_r14.json — 50 rows: 47 hash-green + 3 rows-only by
-    # design (mm_decode, mm_frame_sample, mm_resize — the codec trio
-    # with no DuckDB oracle; each carries byte-exact pure-Python local
-    # differentials).  The window was the round's lead NEW query
-    # (histogram_median), then the 49 remaining r10-vintage rows (the
-    # streaming/LLM cohort), exactly as the r13 verdict ordered;
-    # _VERIFIED_R10 dissolved.
-    "histogram_median",
-    "dedup_incremental",
-    "repetition_score", "stateful_user_stats", "stream_tumbling",
-    "window_sliding", "session_window", "stream_stream_join",
-    "rolling_fingerprint", "tfidf_top_terms", "text_clean",
-    "token_positions", "pipeline_corpus", "quality_score", "lang_id",
-    "fingerprint", "token_hist", "token_count", "text_stats",
-    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
-    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
-    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample", "mm_resize",
-    "knn_bruteforce", "ann_lsh", "vector_stats", "embedding_neardup",
-    "ivf_assign", "ivf_search", "multi_join_agg", "funnel",
-    "statestore_session_read", "stream_session_append",
-    "stream_left_outer_join", "stream_full_outer_join",
-    "joinstate_read", "rocksdb_state_agg", "statestore_changefeed",
-    "statestore_timetravel", "pystream_scan", "pysink_write",
-    "sink_zorder",
-)
-_VERIFIED_R13 = (
-    # CORRECTNESS_r13.json — the 15 rows NOT re-checked since r13
-    # (the r13 window's youngest tail); the other 35 r13 rows moved
-    # to _VERIFIED_R17.  These are now the repo's stalest rows and
-    # re-check right behind the five r17-registration leads in the
-    # r18 window, exactly as the r17 verdict ordered.  _VERIFIED_R12
-    # dissolved (its 9 rows — reference-core filter/sum/take among
-    # them — re-checked in r17).
-    "pandas_udf_demo", "sql_udf", "merge_upsert",
-    "statestore_read", "stream_dedup_unbounded", "cache_scan",
-    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
-    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
-    "bucketed_join", "stream_foreach_batch",
+    # CORRECTNESS_r14.json — the 20 rows NOT re-checked since r14 (the
+    # r14 window's youngest tail); the other 30 r14 rows re-checked in
+    # r18 and moved to _VERIFIED_R18.  _VERIFIED_R13 dissolved (all 15
+    # of its remaining rows re-checked green in r18).  These are now
+    # the repo's stalest rows and re-check right behind the r19 leads.
+    "mm_resize", "knn_bruteforce", "ann_lsh", "vector_stats",
+    "embedding_neardup", "ivf_assign", "ivf_search", "multi_join_agg",
+    "funnel", "statestore_session_read", "stream_session_append",
+    "stream_left_outer_join", "stream_full_outer_join", "joinstate_read",
+    "rocksdb_state_agg", "statestore_changefeed", "statestore_timetravel",
+    "pystream_scan", "pysink_write", "sink_zorder",
 )
 _VERIFIED_R15 = (
     # CORRECTNESS_r15.json — 50 rows: 49 hash-green + 1 rows-only by
@@ -159,33 +132,46 @@ _VERIFIED_R17 = (
     "window_dist", "in_subquery", "full_outer_join", "array_funcs",
     "date_arith", "union_by_name",
 )
+_VERIFIED_R18 = (
+    # CORRECTNESS_r18.json — 50 rows: 48 hash-green + 2 rows-only by
+    # design (mm_decode, mm_frame_sample — `err: no_oracle`, identical
+    # state in every window back to CORRECTNESS_r02; verified by local
+    # byte-exact differentials).  The window was the FIVE r17
+    # registrations (their first driver rows), then the 15 remaining
+    # r13 rows, then the 30 oldest r14 rows — exactly as the r17
+    # verdict ordered; _VERIFIED_R13 dissolved.
+    "tpcds_q14", "tpcds_q58", "tpcds_q67", "tpcds_q78",
+    "stream_replay_chunked", "pandas_udf_demo", "sql_udf", "merge_upsert",
+    "statestore_read", "stream_dedup_unbounded", "cache_scan",
+    "udtf_analyze", "variant_paths", "fact_fact_join", "decontaminate",
+    "stratified_sample", "grouped_ols", "sink_csv_roundtrip",
+    "bucketed_join", "stream_foreach_batch", "histogram_median",
+    "dedup_incremental", "repetition_score", "stateful_user_stats",
+    "stream_tumbling", "window_sliding", "session_window",
+    "stream_stream_join", "rolling_fingerprint", "tfidf_top_terms",
+    "text_clean", "token_positions", "pipeline_corpus", "quality_score",
+    "lang_id", "fingerprint", "token_hist", "token_count", "text_stats",
+    "dedup_exact", "minhash_signatures", "dedup_minhash_pairs",
+    "dedup_jaccard", "dedup_clusters", "simhash_md5", "simhash",
+    "mm_metadata", "mm_decode", "mm_agg", "mm_frame_sample",
+)
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
-    _VERIFIED_R13 + _VERIFIED_R14
-    + _VERIFIED_R15 + _VERIFIED_R16 + _VERIFIED_R17
+    _VERIFIED_R14 + _VERIFIED_R15 + _VERIFIED_R16 + _VERIFIED_R17
+    + _VERIFIED_R18
 )
 
 # Explicit ordering among unverified queries, so window priority does
 # not depend on module import order.  Unverified (new) queries lead;
-# verified rows rotate oldest-first.  The r18 window (50 rows) = the
-# FIVE r17 registrations (never driver-checked; fully oracled at all
-# three SFs, plan-gated, and independently verified green by the r17
-# judge at both sf0.01 and sf0.1), then the 15 remaining r13-vintage
-# rows, then the 30 oldest r14 rows — exactly as the r17 verdict
-# ordered.  After r18 no row's latest check is older than r14.
+# verified rows rotate oldest-first.  The r19 window (50 rows) = the
+# SEVEN r18 registrations (never driver-checked; fully oracled at all
+# three SFs, plan-gated, driver-sim green, deferred from r18 by
+# design), then the NINE queries the r18 optimization round touched
+# most aggressively that the r18 window never sampled (_RECHECK_FIRST
+# — the r18 verdict's item 7, so the optimizer's changes get
+# driver-side oracle confirmation), then the 15 remaining r14 rows,
+# then the 19 oldest r15 rows.  After r19 the oldest row is
+# r15-vintage.
 _HIGH_PRIORITY: tuple[str, ...] = (
-    "tpcds_q14",
-    "tpcds_q58",
-    "tpcds_q67",
-    "tpcds_q78",
-    "stream_replay_chunked",
-)
-# Registrations NEW in r18 are deferred BEHIND the verified tail (the
-# r14..r17 precedent): the r17 verdict's window is exactly
-# 5 + 15 + 30 = 50 rows, so spending r18 slots on brand-new rows
-# would push stale r13/r14 rows past the staleness horizon.
-# Everything here is fully oracled at all three SFs and plan-gated
-# locally; the r19 window leads with these.
-_LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q23",
     "tpcds_q64",
     "stream_replay_chunked_lo",
@@ -193,6 +179,25 @@ _LOW_PRIORITY: tuple[str, ...] = (
     "tpcds_q93",
     "tpcds_q39",
     "tpcds_q49",
+)
+# No deferrals this round: r19 registers no new queries (optimization
+# round), so every unverified name fits ahead of the verified tail.
+_LOW_PRIORITY: tuple[str, ...] = ()
+# Verified rows hoisted to the FRONT of the verified tail (right
+# behind the unverified leads): the r18 verdict's item 7 list — the
+# queries the r18 optimization changes touched hardest whose last
+# driver check predates those changes.  Several were touched again in
+# r19 (see OPTIMIZATION_r19.md), which these slots also confirm.
+_RECHECK_FIRST: tuple[str, ...] = (
+    "stream_full_outer_join",
+    "stream_left_outer_join",
+    "joinstate_read",
+    "bloom_filter_join",
+    "fuzzy_join",
+    "cogroup_asof",
+    "sink_zorder",
+    "dedup_paragraph",
+    "pysink_write",
 )
 
 
@@ -207,19 +212,25 @@ def _ordered_names() -> list[str]:
         (n for n in unverified if n in _LOW_PRIORITY),
         key=_LOW_PRIORITY.index,
     )
-    # Already-verified tail, oldest-verified-round first so the
-    # stalest rows re-check soonest: the 15 remaining r13 rows lead,
-    # then r14, r15, r16, r17.
+    # Already-verified tail: the explicit re-check hoists lead (r18
+    # verdict item 7), then oldest-verified-round first so the stalest
+    # rows re-check soonest: the 15 remaining r14 rows (minus hoists),
+    # then r15, r16, r17, r18.
     seen = set(first + mid + low)
+    recheck = [
+        n for n in _RECHECK_FIRST
+        if n in names and n in _DRIVER_VERIFIED and n not in seen
+    ]
+    seen.update(recheck)
     rest: list[str] = []
-    for tier in (_VERIFIED_R13, _VERIFIED_R14,
-                 _VERIFIED_R15, _VERIFIED_R16, _VERIFIED_R17):
+    for tier in (_VERIFIED_R14, _VERIFIED_R15,
+                 _VERIFIED_R16, _VERIFIED_R17, _VERIFIED_R18):
         rest += [n for n in tier if n in names and n not in seen]
         seen.update(tier)
     rest += [n for n in names if n in _DRIVER_VERIFIED and n not in seen]
     # lows go BEHIND the verified tail: deliberately deferred past this
     # round's window (see _LOW_PRIORITY comment)
-    return first + mid + rest + low
+    return first + mid + recheck + rest + low
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

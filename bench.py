@@ -317,6 +317,21 @@ def _band_check(
     return not failed, adjusted, failed
 
 
+def _slowest(
+    timings: dict[str, float], exclude: tuple[str, ...], k: int = 10
+) -> dict[str, float]:
+    """Top-k slowest query medians outside `exclude`, for the contract
+    line (r18 verdict #1: the reference-core subset is floor-bound, so
+    the driver's per-query round-over-round table never saw the heavy
+    hitters optimization rounds actually move).  Deterministic order:
+    slowest first, name as tiebreak."""
+    names = sorted(
+        (n for n in timings if n not in exclude),
+        key=lambda n: (-timings[n], n),
+    )[:k]
+    return {n: timings[n] for n in names}
+
+
 def _spread(totals: list[float]) -> float:
     """Relative spread (max-min)/median of the warm pass totals; 0.0
     when fewer than two passes. True even-length median — with the
@@ -537,10 +552,26 @@ def main() -> None:
         "filter", "sum", "take", "partition", "join", "join_agg",
         "fact_fact_join",
     )
+    # r18 verdict #1 (contract gap, fixed r19): the 7 reference-core
+    # queries are all floor-bound, so the driver's round-over-round
+    # per-query comparison never saw the streaming/LLM heavy hitters
+    # the optimization rounds actually move — the contract line now
+    # ALSO carries the top-K slowest medians (3-decimal; additive
+    # only, nothing removed or renamed, "value" stays the total over
+    # the full headline set summed from the diagnostics-line medians).
+    slowest = _slowest(timings, _REFERENCE_CORE)
     contract_fields = {
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r18 verdict scaling block: the harness DOES honor
+        # $SPARK_GRAFT_CPUS (session.py builds local[$SPARK_GRAFT_CPUS])
+        # but nothing on the line proved it, so the driver's
+        # suspect_cpus_ignored heuristic fired on the floor-bound core
+        # subset.  Echo both the requested core count and the
+        # scheduler's actual parallelism so the artifact self-certifies.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "n_runs": n_runs,
         # r5 lesson: probes/sims running concurrently inflated
         # run_totals[0] by 1.6x. This flag is the operator's
@@ -549,12 +580,15 @@ def main() -> None:
         # trust signal like warm_spread/noisy_box and is never demoted
         # (r13 ADVICE).
         "exclusive": os.environ.get("SPARK_GRAFT_BENCH_SHARED") is None,
-        # reference-core medians only (2-decimal); the FULL 3-decimal
-        # per-query map is queries_median on the diagnostics line, and
-        # "value" stays the AUTHORITATIVE total summed from those
-        # 3-decimal medians (sum of this subset is NOT the total)
+        # reference-core medians (2-decimal, unchanged representation)
+        # PLUS the top-K slowest medians (3-decimal — r19, see above);
+        # the FULL 3-decimal per-query map is queries_median on the
+        # diagnostics line, and "value" stays the AUTHORITATIVE total
+        # summed from those 3-decimal medians (sum of this subset is
+        # NOT the total)
         "queries": {
-            n: round(timings[n], 2) for n in _REFERENCE_CORE if n in timings
+            **{n: round(timings[n], 2) for n in _REFERENCE_CORE if n in timings},
+            **slowest,
         },
         "queries_full_on_diagnostics_line": True,
         "n_queries": len(timings),

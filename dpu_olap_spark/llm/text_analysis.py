@@ -10,6 +10,8 @@ corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -359,9 +361,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which the footer row count equals exactly.  The old docs.count()
     # paid a full job (and its scheduling floor) before the main query
     # could even be submitted.
-    import os as _os
-
-    n_docs = parquet_row_count(_os.path.join(sf_dir, "documents.parquet"))
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     # tf materialized once (column pruning would otherwise specialize
     # the subtree per consumer and re-explode the corpus for each):

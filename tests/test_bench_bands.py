@@ -101,3 +101,24 @@ def test_missing_core_query_is_not_a_silent_pass():
         "fact_fact_join",
     }
     assert all(n in bench.HEADLINE for n in bench._CORE_BANDS)
+
+
+def test_slowest_selection_is_deterministic_and_excludes_core():
+    """r19 (r18 verdict #1): the contract line adds the top-K slowest
+    medians so the driver's per-query comparison covers the heavy
+    hitters.  Selection must exclude the reference core (those stay in
+    their own 2-decimal representation), order slowest-first with name
+    tiebreak, and never invent entries."""
+    timings = {
+        "filter": 0.2, "sum": 9.9,               # core — excluded even if slow
+        "a_slow": 2.0, "b_slow": 2.0, "fast": 0.1, "mid": 1.0,
+    }
+    core = ("filter", "sum")
+    top = bench._slowest(timings, core, k=3)
+    assert list(top) == ["a_slow", "b_slow", "mid"]
+    assert top["a_slow"] == 2.0
+    assert bench._slowest(timings, core, k=0) == {}
+    # k larger than the pool returns the whole non-core pool
+    assert set(bench._slowest(timings, core, k=99)) == {
+        "a_slow", "b_slow", "fast", "mid",
+    }
