@@ -481,7 +481,15 @@ def _propagate_min_labels(
         .cache()
     )
     edges = edges.repartition(n_part, "src").cache()
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    # No upfront checksum job (r19, guide §1.2 "don't compute things
+    # you throw away"): the initial sum(doc_id) was a whole extra
+    # job+barrier whose only use was detecting a zero-round fixpoint —
+    # impossible whenever any edge exists (edge (a,b), a<b, lowers b's
+    # label in round 1).  Starting from None, an edgeless graph merely
+    # pays one confirming round instead of the upfront job; every
+    # real corpus saves the job.  Convergence semantics unchanged:
+    # stop when the monotone checksum stops decreasing.
+    prev_sum = None
     converged = False
     for i in range(max_rounds):
         neigh = _cc_round(edges, labels)

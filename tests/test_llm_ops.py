@@ -113,6 +113,24 @@ def test_dedup_clusters_randomized_vs_union_find(spark, tmp_path):
     assert Counter(expect.values()).most_common(1)[0][1] >= 3
 
 
+def test_cc_propagation_edgeless_graph_converges(spark):
+    """r19: the upfront checksum job was removed (prev_sum starts at
+    None — one fewer job per invocation), trading it for one
+    confirming round on an EDGELESS graph, the only shape that could
+    converge in zero rounds.  Pin that trade: every node stays its
+    own cluster, the loop takes exactly 2 rounds (1 no-op propagation
+    + 1 observe), and nothing raises."""
+    from dpu_olap_spark.llm import dedup as dd
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    labels, rounds = dd._propagate_min_labels(nodes, edges, 2, max_rounds=16)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: i for i in range(4)}
+    assert rounds == 2
+
+
 def test_cc_propagation_diameter_bound_boundary(spark):
     """Bound-boundary pin for the propagation loop (r11 verdict #7):
     a PATH graph 0-1-2-3-4 (diameter 4) needs exactly 5 rounds — 4 to

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for headline queries into
-plans/r18/<query>_<tag>.txt — the optimization round's before/after
+plans/<round>/<query>_<tag>.txt (round dir from $SPARK_GRAFT_PLANS_TAG_DIR, default r19) — the optimization round's before/after
 plan evidence (guide §1: measure first; §7.2: read the plan).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
@@ -50,7 +50,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r18",
+        os.environ.get("SPARK_GRAFT_PLANS_TAG_DIR", "r19"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
